@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** S1 `load` — source loading with the reference's option surface
+  * (reference: organisations.py:57, publications.py:86-91, i18n.py:54).
+  *
+  * Frictionless options → Spark reader options:
+  *   - headers            → header=true
+  *   - INFER_STRINGS /
+  *     CAST_TO_STRINGS    → inferSchema=false (all columns arrive string;
+  *                          types applied in-flow via SetType, matching the
+  *                          reference where every cast is an explicit step)
+  *   - encoding           → encoding
+  *   - schema (descriptor) → explicit StructType, inference skipped
+  *
+  * Every ordered load stamps `__ord` (see Ordering) because downstream
+  * order-sensitive ops need arrival order.
+  */
+object Load {
+
+  def csv(
+      spark: SparkSession,
+      path: String,
+      header: Boolean = true,
+      inferStrings: Boolean = true,
+      encoding: String = "UTF-8",
+      schema: Option[StructType] = None,
+      stampOrd: Boolean = true): DataFrame = {
+    var r = spark.read
+      .option("header", header)
+      .option("encoding", encoding)
+      .option("multiLine", true)
+      .option("escape", "\"")
+    r = schema match {
+      case Some(s) => r.schema(s)
+      case None    => r.option("inferSchema", !inferStrings)
+    }
+    val df = r.csv(path)
+    if (stampOrd) Ordering.stampOrder(df) else df
+  }
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def json(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("multiLine", true)
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** Star-schema test tables (`/root/testdata/sf*`): one parquet per table. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events` stores TIMESTAMP(NANOS) which Spark reads only as long (via
+    * spark.sql.legacy.parquet.nanosAsLong). Expose the raw nanos as `ts_ns`
+    * and a proper TimestampType `ts` truncated to micros.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    table(spark, sfDir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000).cast("long")))
+  }
+}

@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops._
+
+/** Oracle-checked queries over the driver's star-schema test tables, each
+  * exercising one operator family from SURVEY.md §2. Numeric invariant for
+  * oracle hash-equality: aggregate in DECIMAL (exact, associative — safe
+  * under Spark's arbitrary partial-agg order AND DuckDB's order), then cast
+  * the final value to DOUBLE so both engines emit bit-identical float64.
+  * Never hash a raw float SUM — accumulation order differs per engine.
+  */
+object Relational {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
+
+  /** A1/J2-style grouped aggregation (TPC-H Q1 shape). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Load.table(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast(DoubleType).as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** P1/P2 filter + projection with a computed column; filters and the
+    * 5-column projection reach the parquet scan (PushedFilters/ReadSchema).
+    */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame = {
+    val li = Load.table(spark, dir, "lineitem")
+    RowOps.selectFields(
+      RowOps.filterRows(li, col("l_quantity") > 45 && col("l_discount") > lit(0.05)),
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"))
+      .withColumn("revenue", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q2Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
+      |  l_extendedprice * (1.0 - l_discount) AS revenue
+      |FROM lineitem WHERE l_quantity > 45 AND l_discount > 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** J1 multi-way join: fact ⋈ broadcast dims, grouped revenue per nation. */
+  def q3Join(spark: SparkSession, dir: String): DataFrame = {
+    val li = Load.table(spark, dir, "lineitem")
+    val ord = Load.table(spark, dir, "orders")
+    val cust = Load.table(spark, dir, "customer")
+    val nat = Load.table(spark, dir, "nation")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast(DoubleType).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("n_name")
+  }
+
+  val q3Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(DISTINCT o_orderkey) AS n_orders
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** J2 `join_self`: collapse rows per key with first/array/max/count specs;
+    * the collected array is order-pinned by the ord column (here the
+    * natural l_linenumber), then rendered to a string for the oracle.
+    */
+  def q4JoinSelf(spark: SparkSession, dir: String): DataFrame = {
+    // l_linenumber repeats within an order in the synthetic data, so the
+    // ord stamp is made unique by appending the flag — ties would make
+    // First nondeterministic across engines otherwise.
+    val li = Load.table(spark, dir, "lineitem")
+      .withColumn(Ordering.ORD,
+        concat(lpad(col("l_linenumber").cast(StringType), 3, "0"), col("l_returnflag")))
+    Joins.joinSelf(li, Seq("l_orderkey"), Map(
+      "l_linenumber" -> Joins.Collect,
+      "l_quantity" -> Joins.Max,
+      "n_lines" -> Joins.CountRows,
+      "l_returnflag" -> Joins.First))
+      .select(
+        col("l_orderkey"),
+        array_join(transform(col("l_linenumber"), _.cast(StringType)), ",").as("linenumbers"),
+        col("l_quantity").as("max_qty"),
+        col("n_lines"),
+        col("l_returnflag").as("first_flag"))
+      .orderBy("l_orderkey")
+  }
+
+  val q4Sql: String =
+    """SELECT l_orderkey,
+      |  string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS linenumbers,
+      |  MAX(l_quantity) AS max_qty,
+      |  COUNT(*) AS n_lines,
+      |  min_by(l_returnflag, lpad(CAST(l_linenumber AS VARCHAR), 3, '0') || l_returnflag) AS first_flag
+      |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  /** W2/W3 windowed ranking: top-3 shipments per supplier. */
+  def q5Window(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Load.table(spark, dir, "lineitem")
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("l_suppkey", "rn", "l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_suppkey", "rn")
+  }
+
+  val q5Sql: String =
+    """SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_quantity FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+      |    ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem) t
+      |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin
+
+  /** A2 dedup-suffix: repeated keys get ".1", ".2"… in arrival order
+    * (reference: organisations.py:44-52). Key = user_id per event stream,
+    * arrival order = event_id.
+    */
+  def q6DedupSuffix(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Load.table(spark, dir, "events")
+      .withColumn("doc_id", col("user_id").cast(StringType))
+    Ordering.dedupSuffix(ev, "doc_id", ordCol = "event_id")
+      .select("event_id", "doc_id")
+      .orderBy("event_id")
+  }
+
+  val q6Sql: String =
+    """SELECT event_id,
+      |  CASE WHEN occ > 1 THEN CAST(user_id AS VARCHAR) || '.' || CAST(occ - 1 AS VARCHAR)
+      |       ELSE CAST(user_id AS VARCHAR) END AS doc_id
+      |FROM (
+      |  SELECT event_id, user_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS occ
+      |  FROM events) t
+      |ORDER BY event_id""".stripMargin
+
+  /** W1 forward-fill of the previous non-null value in arrival order,
+    * partitioned per user (the scale-safe form of datasets.py:303-309).
+    */
+  def q7ForwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Load.table(spark, dir, "events")
+      .withColumn("click_value", when(col("event_type") === "click", col("value")))
+    Ordering.forwardFill(ev, "click_value", ordCol = "event_id", partitionBy = Seq("user_id"))
+      .select("event_id", "user_id", "event_type", "click_value")
+      .orderBy("event_id")
+  }
+
+  val q7Sql: String =
+    """SELECT event_id, user_id, event_type,
+      |  last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** R1 regex unpivot: melt measure columns wide → long; the regex capture
+    * group applied to the column NAME becomes the key.
+    */
+  def q8Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val li = Load.table(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 47)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    Reshape.unpivotRegex(li, "^l_(quantity|extendedprice|discount|tax)$", "measure", "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+  }
+
+  val q8Sql: String =
+    """SELECT l_orderkey, l_linenumber, measure, value FROM (
+      |  SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value FROM lineitem WHERE l_quantity > 47
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem WHERE l_quantity > 47
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem WHERE l_quantity > 47
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem WHERE l_quantity > 47) t
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+
+  /** U1 `concatenate`: alias-map UNION ALL of customer + supplier into one
+    * canonical schema (reference: datasets.py:336 Hebrew alias map).
+    */
+  def q9Concatenate(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Load.table(spark, dir, "customer").withColumn("kind", lit("customer"))
+    val supp = Load.table(spark, dir, "supplier").withColumn("kind", lit("supplier"))
+    Joins.concatenate(Seq(cust, supp), Map(
+      "kind" -> Nil,
+      "name" -> Seq("c_name", "s_name"),
+      "acctbal" -> Seq("c_acctbal", "s_acctbal"),
+      "nationkey" -> Seq("c_nationkey", "s_nationkey"),
+      "segment" -> Seq("c_mktsegment")))
+      .orderBy("kind", "name")
+  }
+
+  val q9Sql: String =
+    """SELECT acctbal, kind, name, nationkey, segment FROM (
+      |  SELECT 'customer' AS kind, c_acctbal AS acctbal, c_name AS name,
+      |         c_nationkey AS nationkey, c_mktsegment AS segment FROM customer
+      |  UNION ALL
+      |  SELECT 'supplier', s_acctbal, s_name, s_nationkey, CAST(NULL AS VARCHAR) FROM supplier) t
+      |ORDER BY kind, name""".stripMargin
+
+  /** §2.9 doc_id minting: `<kind>/<md5(name)[:16]>` + J5 row content hash. */
+  def q10DocId(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Load.table(spark, dir, "customer")
+    cust.select(
+      col("c_custkey"),
+      RowOps.docId("customer", col("c_name")).as("doc_id"),
+      RowOps.rowHash(Seq(col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+        .as("row_hash"))
+      .orderBy("c_custkey")
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey,
+      |  'customer/' || substring(md5(c_name), 1, 16) AS doc_id,
+      |  md5(CAST(c_name AS VARCHAR) || '|' || CAST(c_nationkey AS VARCHAR) || '|' ||
+      |      CAST(c_acctbal AS VARCHAR) || '|' || CAST(c_mktsegment AS VARCHAR)) AS row_hash
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg,
+    "q2_filter_project" -> q2FilterProject,
+    "q3_join" -> q3Join,
+    "q4_join_self" -> q4JoinSelf,
+    "q5_window" -> q5Window,
+    "q6_dedup_suffix" -> q6DedupSuffix,
+    "q7_forward_fill" -> q7ForwardFill,
+    "q8_unpivot" -> q8Unpivot,
+    "q9_concatenate" -> q9Concatenate,
+    "q10_doc_id" -> q10DocId)
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1Sql,
+    "q2_filter_project" -> q2Sql,
+    "q3_join" -> q3Sql,
+    "q4_join_self" -> q4Sql,
+    "q5_window" -> q5Sql,
+    "q6_dedup_suffix" -> q6Sql,
+    "q7_forward_fill" -> q7Sql,
+    "q8_unpivot" -> q8Sql,
+    "q9_concatenate" -> q9Sql,
+    "q10_doc_id" -> q10Sql)
+}

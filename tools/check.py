@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local oracle harness mimicking the driver's correctness gate:
+run graft.Verify at a given SF, then execute each oracle_sql.json entry in
+DuckDB over the same parquet tables and compare (columns sorted by name,
+rows sorted, values hashed). Dev tool only — NOT part of the Spark library.
+
+Usage: python3 tools/check.py [sfdir] [outdir]
+"""
+import json, subprocess, sys, glob, os
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df):
+    import pandas as pd
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    # canonical textual form per cell
+    def cell(v):
+        if v is None:
+            return "<null>"
+        if isinstance(v, float):
+            if v != v:
+                return "<nan>"
+            return repr(v)
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "[" + ",".join(cell(x) for x in v) + "]"
+        return str(v)
+    return [[cell(v) for v in row] for row in df.itertuples(index=False)], list(df.columns)
+
+
+def main():
+    import duckdb, pandas as pd
+    with open(os.path.join(OUT, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    results = {}
+    for name in sorted(os.listdir(OUT)):
+        d = os.path.join(OUT, name)
+        if not os.path.isdir(d):
+            continue
+        spark_df = pd.concat(
+            [pd.read_parquet(p) for p in sorted(glob.glob(f"{d}/*.parquet"))],
+            ignore_index=True) if glob.glob(f"{d}/*.parquet") else pd.DataFrame()
+        if name not in oracles:
+            results[name] = {"status": "rows_only", "rows": len(spark_df)}
+            continue
+        try:
+            oracle_df = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            results[name] = {"status": "oracle_error", "err": str(e)[:300]}
+            continue
+        sv, sc = norm(spark_df)
+        ov, oc = norm(oracle_df)
+        if sc != oc:
+            results[name] = {"status": "schema_mismatch", "spark": sc, "oracle": oc}
+        elif len(sv) != len(ov):
+            results[name] = {"status": "rowcount_mismatch", "spark": len(sv), "oracle": len(ov)}
+        elif sv != ov:
+            diffs = [(i, a, b) for i, (a, b) in enumerate(zip(sv, ov)) if a != b][:3]
+            results[name] = {"status": "value_mismatch", "rows": len(sv),
+                             "first_diffs": [{"row": i, "spark": a, "oracle": b}
+                                             for i, a, b in diffs]}
+        else:
+            results[name] = {"status": "MATCH", "rows": len(sv)}
+    ok = sum(1 for r in results.values() if r["status"] == "MATCH")
+    print(json.dumps(results, indent=1, default=str))
+    print(f"\n{ok}/{len([n for n in results if n in oracles])} oracle matches; "
+          f"{len(results)} queries total")
+    return 0 if ok == len([n for n in results if n in oracles]) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
