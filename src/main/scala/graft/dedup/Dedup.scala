@@ -1,0 +1,192 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.text.TextAnalysis
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB shape:
+  *
+  *  - exact / fingerprint dedup: one hash-partitioned groupBy — a single
+  *    shuffle on a short digest key, map-side combined.
+  *  - MinHash + LSH (banding): shingle → minhash signature (narrow map),
+  *    explode to (band, bucket) keys → shuffle groups only colliding docs;
+  *    candidate pairs verified by signature similarity. Never an O(n²)
+  *    cross join.
+  *  - SimHash: 64-bit fingerprint, hamming-ball lookup via 4×16-bit block
+  *    keys (pigeonhole: ≤3 bit flips leave ≥1 block intact).
+  *  - n-gram Jaccard: exact verification on candidate pairs only.
+  */
+object Dedup {
+
+  // ---- exact -----------------------------------------------------------
+
+  /** Exact dedup on raw bytes: keep the lowest-id doc per identical text.
+    * Hash first so the shuffle key is 16 bytes, not the document.
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val h = md5(col(textCol))
+    df.withColumn("__h", h)
+      .groupBy(col("__h"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("__h")
+  }
+
+  /** Near-exact dedup on the normalized fingerprint (case/space/punct
+    * insensitive; see TextAnalysis.fingerprint).
+    */
+  def fingerprintDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("__f", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy(col("__f"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"),
+        collect_list(col(idCol)).as("member_ids"))
+      .withColumnRenamed("__f", "fingerprint")
+
+  // ---- shingles + minhash ---------------------------------------------
+
+  /** Character n-gram shingle set of the normalized text (distinct). */
+  def shingles(text: Column, n: Int = 5): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    array_distinct(
+      transform(sequence(lit(0), greatest(length(norm) - n, lit(0))),
+        i => substring(norm, lit(1) + i, lit(n))))
+  }
+
+  /** Word n-gram shingles (token windows joined by a space). */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** MinHash signature: k permutations approximated by k seeded mixes of
+    * one xxhash64 per shingle — a single-pass native expression
+    * (graft.functions.MinHashSig); the builtin-only formulation would
+    * traverse the shingle array k times.
+    */
+  def minhashSignature(shingleArr: Column, k: Int = 64): Column =
+    graft.functions.HashExprs.minhashSig(transform(shingleArr, s => xxhash64(s)), k)
+
+  /** LSH banding: split the k-length signature into `bands` bands of
+    * `k/bands` rows; each band hashes to one bucket key. Docs sharing ANY
+    * (band, bucket) are candidates.
+    */
+  def lshBucketKeys(sig: Column, k: Int = 64, bands: Int = 16): Column = {
+    val rows = k / bands
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      concat_ws(":", b.cast(StringType),
+        xxhash64(concat_ws(",", slice(sig, b * rows + 1, lit(rows)).cast(ArrayType(StringType))))
+          .cast(StringType)))
+  }
+
+  /** Estimated Jaccard from two signatures: fraction of agreeing slots. */
+  def signatureSimilarity(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast(DoubleType) /
+      size(sigA)
+
+  /** MinHash+LSH near-dup pairs: returns (id_a, id_b, est_jaccard) with
+    * id_a < id_b and est_jaccard ≥ threshold.
+    *
+    * Plan shape: map (shingle+sig) → explode bands (×bands rows) →
+    * shuffle on bucket → within-bucket self-join (buckets are tiny by
+    * construction) → distinct pairs → similarity filter. The only shuffle
+    * keys are 8-byte bucket hashes; doc text never shuffles.
+    */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 5,
+      threshold: Double = 0.7): DataFrame = {
+    val withSig = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .drop("sh")
+    val buckets = withSig
+      .withColumn("bucket", explode(lshBucketKeys(col("sig"), k, bands)))
+    val a = buckets.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = buckets.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        signatureSimilarity(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .groupBy("id_a", "id_b")
+      .agg(first("est_jaccard").as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  // ---- simhash ---------------------------------------------------------
+
+  /** 64-bit SimHash over shingle hashes: bit i of the result is 1 iff the
+    * majority of shingles have bit i set in their hash. One-pass native
+    * expression (graft.functions.SimHash64).
+    */
+  def simhash(shingleArr: Column): Column =
+    graft.functions.HashExprs.simhash64(transform(shingleArr, s => xxhash64(s)))
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within hamming distance `maxDist` (≤ 3 with 4
+    * blocks): index each doc under its 4 16-bit blocks; candidates must
+    * share a block (pigeonhole), then verify exact hamming distance.
+    */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 5,
+      maxDist: Int = 3): DataFrame = {
+    val withH = df
+      .select(col(idCol).as("id"), simhash(shingles(col(textCol), shingleN)).as("h"))
+    val blocks = withH.withColumn("block",
+      explode(array((0 until 4).map(b =>
+        concat_ws(":", lit(b.toString),
+          shiftright(col("h"), b * 16).bitwiseAND(0xFFFFL).cast(StringType))): _*)))
+    val a = blocks.select(col("block"), col("id").as("id_a"), col("h").as("h_a"))
+    val b = blocks.select(col("block"), col("id").as("id_b"), col("h").as("h_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .withColumn("dist", hamming(col("h_a"), col("h_b")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
+  // ---- exact n-gram jaccard -------------------------------------------
+
+  /** Exact Jaccard similarity of two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val uni = size(array_union(a, b))
+    when(uni > 0, inter.cast(DoubleType) / uni).otherwise(lit(0.0))
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs from MinHash LSH — the
+    * verify tier: estimated similarity finds candidates cheaply, exact
+    * Jaccard (which needs both shingle sets co-located) confirms.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 5,
+      threshold: Double = 0.8,
+      k: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val cands = minhashNearDupPairs(df, textCol, idCol, k, bands, shingleN,
+      threshold = threshold * 0.6)
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

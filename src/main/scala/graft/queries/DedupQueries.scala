@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dedup.Dedup
+import graft.ops.Load
+import graft.similarity.Ann
+
+/** Dedup + similarity-search queries. The synthetic corpus has no real
+  * duplicates, so near-dup queries build a mutated copy of the documents
+  * (id + 100000, text perturbed) and find the planted pairs — recall on
+  * known ground truth. Hash-internal operators (minhash/simhash/SRP) have
+  * no SQL mirror → rows-only checks; set-algebra ops get full oracles.
+  */
+object DedupQueries {
+
+  /** documents ∪ perturbed copy (one word appended, case flipped on the
+    * copy for fingerprint testing is NOT done here — minhash operates on
+    * lowercased shingles anyway).
+    */
+  private def withMutatedCopies(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents").select("doc_id", "text")
+    val mutated = d.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" appended tail marker")).as("text"))
+    d.unionByName(mutated)
+  }
+
+  /** Exact dedup by full-text hash (all singletons in this corpus — the
+    * oracle confirms the negative result exactly).
+    */
+  def q30Exact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    Dedup.exactDedup(d, "text", "doc_id").orderBy("doc_id")
+  }
+
+  val q30Sql: String =
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin
+
+  /** Near-exact dedup on normalized fingerprint: corpus ∪ case/space
+    * -mangled copy → every group has exactly 2 members.
+    */
+  def q31Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents").select("doc_id", "text")
+    val mangled = d.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      upper(regexp_replace(col("text"), " ", "   ")).as("text"))
+    val uni = d.unionByName(mangled)
+    Dedup.fingerprintDedup(uni, "text", "doc_id")
+      .select(col("fingerprint"), col("keep_id"), col("n_copies"))
+      .orderBy("keep_id")
+  }
+
+  val q31Sql: String =
+    """WITH uni AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, upper(regexp_replace(text, ' ', '   ', 'g')) FROM documents)
+      |SELECT md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fingerprint,
+      |       min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM uni GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  /** MinHash+LSH near-dup pairs: every original must pair with its planted
+    * mutation (high Jaccard); unrelated docs must not flood in. Rows-only
+    * check (hash internals have no SQL mirror); correctness = planted-pair
+    * recall, asserted in the ScalaTest spec.
+    */
+  def q32Minhash(spark: SparkSession, dir: String): DataFrame = {
+    val uni = withMutatedCopies(spark, dir)
+    Dedup.minhashNearDupPairs(uni, "text", "doc_id", threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash hamming-≤12 pairs over the same planted corpus (64-bit
+    * fingerprints of ~50-word docs differ by a few bits after a one-word
+    * append). Rows-only.
+    */
+  def q33Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val uni = withMutatedCopies(spark, dir)
+    Dedup.simhashNearDupPairs(uni, "text", "doc_id", maxDist = 12)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact n-gram Jaccard verification over MinHash candidates. Rows-only
+    * (candidate generation is hash-internal), but jaccard values
+    * themselves are exact set algebra.
+    */
+  def q34Jaccard(spark: SparkSession, dir: String): DataFrame = {
+    val uni = withMutatedCopies(spark, dir)
+    Dedup.ngramJaccardPairs(uni, "text", "doc_id", threshold = 0.7)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-dup: corpus ∪ scaled copy (cosine is
+    * scale-invariant → planted pairs have sim ≈ 1). Brute-force tier.
+    * Rows-only; ScalaTest asserts planted recall.
+    */
+  def q35EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Load.table(spark, dir, "embeddings").select("vec_id", "embedding")
+    val scaled = e.select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), v => v * lit(2.0f)).as("embedding"))
+    val uni = e.unionByName(scaled).withColumn("__b",
+      Ann.srpBucket(col("embedding"), dim = 64, nBits = 12))
+    // identical directions land in the same SRP bucket — join inside
+    // buckets only, then verify by exact cosine
+    val a = uni.select(col("__b"), col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = uni.select(col("__b"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, Seq("__b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Ann.cosine(col("va"), col("vb")))
+      .filter(col("sim") > 0.98)
+      .select("id_a", "id_b", "sim")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Brute-force cosine top-3 for 10 query vectors — the exact ANN
+    * baseline, with a full DuckDB oracle (both engines fold the dot
+    * product left-to-right in double → bit-identical sims).
+    */
+  def q40AnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = Load.table(spark, dir, "embeddings").select("vec_id", "embedding")
+    val queries = e.filter(col("vec_id") < 10)
+    Ann.bruteForceTopK(e, queries, "vec_id", "embedding", k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
+  val q40Sql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      |s AS (
+      |  SELECT query_id, neighbor_id,
+      |    list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+      |  FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+      |r AS (SELECT query_id, neighbor_id,
+      |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |      FROM s)
+      |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** SRP-bucketed approximate top-3 (the scale path). Rows-only — recall
+    * vs the exact baseline is asserted in the spec.
+    */
+  def q41AnnSrp(spark: SparkSession, dir: String): DataFrame = {
+    val e = Load.table(spark, dir, "embeddings").select("vec_id", "embedding")
+    val queries = e.filter(col("vec_id") < 10)
+    Ann.srpTopK(e, queries, "vec_id", "embedding", dim = 64, k = 3, nBits = 8)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_exact_dedup" -> q30Exact,
+    "q31_fingerprint_dedup" -> q31Fingerprint,
+    "q32_minhash_pairs" -> q32Minhash,
+    "q33_simhash_pairs" -> q33Simhash,
+    "q34_ngram_jaccard" -> q34Jaccard,
+    "q35_embed_neardup" -> q35EmbedNearDup,
+    "q40_ann_brute" -> q40AnnBrute,
+    "q41_ann_srp" -> q41AnnSrp)
+
+  val oracles: Map[String, String] = Map(
+    "q30_exact_dedup" -> q30Sql,
+    "q31_fingerprint_dedup" -> q31Sql,
+    "q40_ann_brute" -> q40Sql)
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Load
+import graft.text.TextAnalysis
+
+/** Text-analysis queries over the `documents` table. Oracle notes: the
+  * corpus is ASCII, so the SQL mirrors use plain [a-z] classes; ratios are
+  * single-division doubles (deterministic, no accumulation-order risk).
+  */
+object TextQueries {
+
+  /** Token counting + char-class ratios + fingerprint. */
+  def q20Profile(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val t = col("text")
+    d.select(
+      col("doc_id"),
+      TextAnalysis.tokenCountWs(t).as("n_tokens"),
+      TextAnalysis.tokenCountBpe(t).as("n_tokens_bpe"),
+      TextAnalysis.charRatio(t, "[A-Za-z]").as("alpha_ratio"),
+      TextAnalysis.stopwordRatio(t).as("stopword_ratio"),
+      TextAnalysis.fingerprint(t).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val q20Sql: String = {
+    val sw = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id,
+       |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+       |  (len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / len(text) AS alpha_ratio,
+       |  len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x IN ($sw)))::DOUBLE
+       |    / len(string_split_regex(lower(trim(text)), '\\s+')) AS stopword_ratio,
+       |  md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Composite quality score (Gopher/C4-style signals). */
+  def q21Quality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    d.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val q21Sql: String = {
+    val sw = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    len(text) AS n,
+       |    len(string_split_regex(trim(text), '\\s+')) AS ntok,
+       |    (len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / len(text) AS alpha,
+       |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x IN ($sw)))::DOUBLE
+       |      / len(string_split_regex(lower(trim(text)), '\\s+')) AS swr
+       |  FROM documents)
+       |SELECT doc_id,
+       |  (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0 ELSE 0.5 END) * 0.25
+       |  + (CASE WHEN ntok > 0 AND n::DOUBLE/ntok >= 3 AND n::DOUBLE/ntok <= 12 THEN 1.0 ELSE 0.5 END) * 0.25
+       |  + alpha * 0.25
+       |  + least(swr * 4, 1.0) * 0.25 AS quality
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language ID (script ranges + stopword argmax; heuristic tier). The
+    * oracle replicates the Latin-script branch exactly — the corpus is
+    * ASCII so script ratios are all zero in both engines.
+    */
+  def q22LangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    d.select(col("doc_id"), col("lang").as("labeled_lang"),
+      TextAnalysis.langId(col("text")).as("lang_id"))
+      .orderBy("doc_id")
+  }
+
+  val q22Sql: String = {
+    def hits(words: Seq[String]) = {
+      val in = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, x -> x IN ($in)))::DOUBLE / len(toks)"
+    }
+    val en = hits(Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"))
+    val fr = hits(Seq("le", "la", "les", "de", "des", "et", "est", "une", "dans", "que"))
+    val es = hits(Seq("el", "los", "las", "de", "y", "es", "una", "en", "que", "por"))
+    val de = hits(Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "von"))
+    s"""WITH t AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, labeled_lang,
+       |    $en AS en, $fr AS fr, $es AS es, $de AS de
+       |  FROM t)
+       |SELECT doc_id, labeled_lang,
+       |  CASE WHEN greatest(en, fr, es, de) = 0.0 THEN 'und'
+       |       WHEN en >= greatest(fr, es, de) THEN 'en'
+       |       WHEN fr >= greatest(es, de) THEN 'fr'
+       |       WHEN es >= de THEN 'es'
+       |       ELSE 'de' END AS lang_id
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_text_profile" -> q20Profile,
+    "q21_quality_score" -> q21Quality,
+    "q22_lang_id" -> q22LangId)
+
+  val oracles: Map[String, String] = Map(
+    "q20_text_profile" -> q20Sql,
+    "q21_quality_score" -> q21Sql,
+    "q22_lang_id" -> q22Sql)
+}

@@ -1,0 +1,169 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Tiers:
+  *  - brute-force cosine top-k: exact baseline. Query side broadcast, one
+  *    narrow pass over the corpus, per-query top-k via window rank. Scales
+  *    linearly in corpus size — right answer for ≤ thousands of queries.
+  *  - random-hyperplane LSH (SRP) bucketed: corpus is bucketed by sign
+  *    bits of random projections; a query only scans its bucket(s). The
+  *    100 TB path: bucket key is the shuffle/partition key, probing is a
+  *    co-partitioned join, never a cross join.
+  *  - IVF (k-means-lite coarse quantizer): centroids fit on the driver,
+  *    assignment is a broadcast argmin — nprobe closest lists scanned.
+  */
+object Ann {
+
+  /** Cosine similarity between two float-array columns, computed in
+    * double. `zip_with` dot product + aggregate norms — codegen'd builtins.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+    def norm(x: Column): Column =
+      sqrt(aggregate(transform(x, p => p.cast(DoubleType) * p.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v))
+    dot(a, b) / (norm(a) * norm(b))
+  }
+
+  /** Exact brute-force top-k neighbors for each query row.
+    * `queries` must be small (broadcast); corpus may be arbitrarily large.
+    * Returns (query_id, neighbor_id, sim, rank), rank 1..k, ties broken by
+    * neighbor id for determinism.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(q)
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic random unit-ish hyperplanes: component h of plane p is
+    * a fixed hash of (p, h) mapped to [-1, 1]. Same planes on every call —
+    * reproducible across jobs (no RNG state, safe for resume/retries).
+    */
+  private def planeComponent(p: Int, h: Int): Double = {
+    var x = p.toLong * 0x9E3779B97F4A7C15L + h.toLong * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 30)) * 0x94D049BB133111EBL
+    x = x ^ (x >>> 31)
+    (x.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Signed-random-projection bucket id: one bit per hyperplane (sign of
+    * dot product), packed into a long. nBits planes → 2^nBits buckets.
+    */
+  def srpBucket(vec: Column, dim: Int, nBits: Int = 8): Column = {
+    val bits = (0 until nBits).map { p =>
+      val plane = array((0 until dim).map(h => lit(planeComponent(p, h))): _*)
+      val dotp = aggregate(zip_with(vec, plane, (v, w) => v.cast(DoubleType) * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotp >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: corpus pre-bucketed by SRP code; each query probes
+    * only its own bucket (multi-probe = flip each single bit). Recall is
+    * approximate; rank/sim within probed set is exact.
+    */
+  def srpTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      nBits: Int = 8,
+      multiProbe: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("bucket", srpBucket(col("__cv"), dim, nBits))
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__b0", srpBucket(col("__qv"), dim, nBits))
+    // probe set: own bucket + each 1-bit flip neighbor bucket
+    val probes =
+      if (multiProbe)
+        array((lit(0L) +: (0 until nBits).map(b => lit(1L << b))).map(m =>
+          col("__b0").bitwiseXOR(m)): _*)
+      else array(col("__b0"))
+    val q = qBase.withColumn("bucket", explode(probes)).drop("__b0")
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF coarse quantizer: sample + iterate k-means on the driver (the
+    * centroid table is tiny), assign via broadcast argmin, group into
+    * inverted lists. Returns the corpus with a `list_id` column — the
+    * partition key for co-located probing.
+    */
+  def ivfAssign(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int,
+      iterations: Int = 5,
+      sampleRows: Int = 2000): DataFrame = {
+    val spark = corpus.sparkSession
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    // init: deterministic sample as seeds
+    var centroids: Array[Array[Double]] = corpus
+      .select(col(vecCol)).limit(sampleRows).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .grouped(math.max(1, sampleRows / nLists)).map(_.head).take(nLists).toArray
+    val sample = corpus.select(col(vecCol)).limit(sampleRows).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 0 until iterations) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        val best = centroids.indices.minBy(i => l2sq(centroids(i), v))
+        counts(best) += 1
+        var d = 0
+        while (d < dim) { sums(best)(d) += v(d); d += 1 }
+      }
+      centroids = centroids.indices.map { i =>
+        if (counts(i) == 0) centroids(i)
+        else sums(i).map(_ / counts(i))
+      }.toArray
+    }
+    val cent = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    import spark.implicits._
+    val centDf = broadcast(cent.toSeq.toDF("list_id", "__centroid"))
+    val assign = corpus.select(col(idCol), col(vecCol)).crossJoin(centDf)
+      .withColumn("__d",
+        aggregate(zip_with(col(vecCol), col("__centroid"),
+          (a, b) => (a.cast(DoubleType) - b) * (a.cast(DoubleType) - b)),
+          lit(0.0), (acc, v) => acc + v))
+      .groupBy(col(idCol))
+      .agg(min_by(col("list_id"), col("__d")).as("list_id"))
+    corpus.join(assign, Seq(idCol))
+  }
+
+  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+}

@@ -1,0 +1,113 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting. All pure
+  * Column expressions (codegen'd, partition-parallel, no UDFs in the hot
+  * path) — at 100 TB these run as narrow map stages over the scan with
+  * zero shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast(LongType))
+
+  /** BPE-ish token count: word pieces + digits + punctuation as separate
+    * tokens (the usual pre-tokenizer regex family, cf. GPT-2's pattern).
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast(LongType)
+
+  /** Character-class ratios for quality scoring. Each is #matches/len. */
+  def charRatio(text: Column, charClassRe: String): Column = {
+    val n = length(text) - length(regexp_replace(text, charClassRe, ""))
+    when(length(text) > 0, n.cast(DoubleType) / length(text)).otherwise(lit(0.0))
+  }
+
+  /** English stopword hit ratio over whitespace tokens — a standard
+    * quality signal (Gopher/C4-style filters): fraction of tokens that are
+    * common function words.
+    */
+  val Stopwords: Seq[String] = Seq(
+    "the", "of", "and", "to", "in", "a", "is", "that", "for", "it",
+    "with", "as", "was", "on", "be", "at", "by", "this", "have", "from")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val hits = size(filter(toks, t => t.isin(Stopwords: _*)))
+    when(size(toks) > 0, hits.cast(DoubleType) / size(toks)).otherwise(lit(0.0))
+  }
+
+  /** Composite quality score ∈ [0,1]: mean-word-length sanity, alpha
+    * ratio, stopword presence, length floor. Deterministic arithmetic on
+    * per-row values only (oracle-safe).
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text)
+    val nTokens = tokenCountWs(text)
+    val alphaRatio = charRatio(text, "[A-Za-z]")
+    val lenOk = when(len >= 100 && len <= 20000, lit(1.0)).otherwise(lit(0.5))
+    val meanTok = when(nTokens > 0, len.cast(DoubleType) / nTokens).otherwise(lit(0.0))
+    val tokOk = when(meanTok >= 3 && meanTok <= 12, lit(1.0)).otherwise(lit(0.5))
+    (lenOk * lit(0.25) + tokOk * lit(0.25) + alphaRatio * lit(0.25) +
+      least(stopwordRatio(text) * 4, lit(1.0)) * lit(0.25))
+  }
+
+  /** Language ID via character-class + stopword heuristics. Scripts are
+    * decided by Unicode ranges (cheap, codegen'd); Latin-script languages
+    * split on tiny stopword sets. Returns ISO-ish codes; "und" unknown.
+    * N-gram profile models need training data — this is the dependency-free
+    * heuristic tier (reference pipelines are trilingual heb/ara/eng, which
+    * this distinguishes exactly: distinct scripts).
+    */
+  def langId(text: Column): Column = {
+    val hebrew = charRatio(text, "[\\u0590-\\u05FF]")
+    val arabic = charRatio(text, "[\\u0600-\\u06FF]")
+    val cyrillic = charRatio(text, "[\\u0400-\\u04FF]")
+    val cjk = charRatio(text, "[\\u4E00-\\u9FFF\\u3040-\\u30FF]")
+    val toks = split(lower(trim(text)), "\\s+")
+    def hitRatio(words: Seq[String]): Column = {
+      val hits = size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
+      when(size(toks) > 0, hits.cast(DoubleType) / size(toks)).otherwise(lit(0.0))
+    }
+    val en = hitRatio(Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"))
+    val fr = hitRatio(Seq("le", "la", "les", "de", "des", "et", "est", "une", "dans", "que"))
+    val es = hitRatio(Seq("el", "los", "las", "de", "y", "es", "una", "en", "que", "por"))
+    val de = hitRatio(Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "von"))
+    when(hebrew > 0.3, lit("he"))
+      .when(arabic > 0.3, lit("ar"))
+      .when(cyrillic > 0.3, lit("ru"))
+      .when(cjk > 0.3, lit("zh"))
+      .when(greatest(en, fr, es, de) === lit(0.0), lit("und"))
+      .when(en >= greatest(fr, es, de), lit("en"))
+      .when(fr >= greatest(es, de), lit("fr"))
+      .when(es >= de, lit("es"))
+      .otherwise(lit("de"))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized, lowercased,
+    * punctuation-stripped text — the canonical near-exact-dup key
+    * (catches re-encodings/case/spacing variants of the same doc).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\u0590-\\u05FF\\u0600-\\u06FF ]", ""),
+      " +", " "))
+
+  /** Full text-profile projection used by the documents pipeline. */
+  def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCountWs(t))
+      .withColumn("n_tokens_bpe", tokenCountBpe(t))
+      .withColumn("alpha_ratio", charRatio(t, "[A-Za-z]"))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_id", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

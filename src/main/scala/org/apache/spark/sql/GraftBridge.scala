@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the classic-API Column ↔ Expression converters, which are
+  * `private[sql]` in Spark 4 (org.apache.spark.sql.classic.ExpressionUtils).
+  * Lives in the sql package solely to re-export the two converters needed
+  * to expose custom Catalyst expressions as user-facing Columns — the
+  * standard technique for out-of-tree Spark extensions.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
