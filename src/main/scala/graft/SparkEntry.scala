@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.DedupQueries.queries
+      graft.queries.DedupQueries.queries ++
+      graft.queries.MiscOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.TextQueries.oracles ++
-      graft.queries.DedupQueries.oracles
+      graft.queries.DedupQueries.oracles ++
+      graft.queries.MiscOps.oracles
 }

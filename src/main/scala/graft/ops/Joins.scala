@@ -18,13 +18,26 @@ object Joins {
   def concatenate(sources: Seq[DataFrame], aliasMap: Map[String, Seq[String]]): DataFrame = {
     require(sources.nonEmpty, "concatenate: no sources")
     val canon = aliasMap.keys.toSeq.sorted
+    // canonical type = type in the first source that carries the column
+    // (dataflows uses the declared target schema; string if never seen)
+    val canonType: Map[String, org.apache.spark.sql.types.DataType] =
+      canon.map { k =>
+        val cands = k +: aliasMap(k)
+        val dt = sources.iterator
+          .flatMap(src => cands.collectFirst {
+            case a if src.columns.contains(a) => src.schema(a).dataType
+          })
+          .nextOption()
+          .getOrElse(org.apache.spark.sql.types.StringType)
+        k -> dt
+      }.toMap
     val aligned = sources.map { src =>
       val have = src.columns.toSet
       val cols = canon.map { k =>
         val cands = k +: aliasMap(k)
         cands.find(have.contains) match {
-          case Some(a) => col(a).as(k)
-          case None    => lit(null).cast("string").as(k)
+          case Some(a) => col(a).cast(canonType(k)).as(k)
+          case None    => lit(null).cast(canonType(k)).as(k)
         }
       }
       src.select(cols: _*)

@@ -96,7 +96,8 @@ object RowOps {
   def expandYearList(c: Column): Column = {
     val tok = split(c, ",\\s*")
     flatten(transform(tok, t => {
-      val lo = regexp_extract(t, "^\\s*([0-9]{4})", 1).cast(IntegerType)
+      // nullif before cast: ANSI mode (Spark 4 default) would throw on ''
+      val lo = nullif(regexp_extract(t, "^\\s*([0-9]{4})", 1), lit("")).cast(IntegerType)
       val hi = coalesce(
         nullif(regexp_extract(t, "-\\s*([0-9]{4})\\s*$", 1), lit("")).cast(IntegerType),
         lo)

@@ -1,0 +1,338 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.i18n.Translate
+import graft.ops._
+
+/** Remaining reference-operator queries (SURVEY §2.2/2.3/2.5/2.9) plus the
+  * event-stream window/sessionization shapes.
+  */
+object MiscOps {
+
+  /** P6 set_type: locale-dirty numerics (thousands separators, %-suffix,
+    * stray text, unparsable cells with a default policy). The dirty
+    * strings are derived from the data itself so both engines parse the
+    * same inputs.
+    */
+  def q11SetType(spark: SparkSession, dir: String): DataFrame = {
+    // dirty_key: integer with thousands separators (what DuckDB's format
+    // can also render — it refuses comma-grouped floats)
+    val li = Load.table(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 47)
+      .withColumn("dirty_key", format_number(col("l_orderkey") * 1000 + 7, 0))
+      .withColumn("dirty_pct", concat((col("l_discount") * 100).cast(StringType), lit("%")))
+      .withColumn("dirty_year",
+        when(col("l_orderkey") % 10 === 0, lit("unknown"))
+          .otherwise(year(col("l_shipdate")).cast(StringType)))
+    val typed = SetType.setType(
+      SetType.setType(
+        SetType.setType(li, "dirty_key", LongType, groupChar = ","),
+        "dirty_pct", DoubleType, stripPercent = true),
+      "dirty_year", IntegerType, onError = SetType.Default(lit(2020)))
+    typed.select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("dirty_key").as("parsed_key"),
+      col("dirty_pct").as("pct"),
+      col("dirty_year").as("yr"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q11Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(replace(format('{:,}', l_orderkey * 1000 + 7), ',', '') AS BIGINT) AS parsed_key,
+      |  CAST(CAST(l_discount * 100 AS VARCHAR) AS DOUBLE) AS pct,
+      |  CASE WHEN l_orderkey % 10 = 0 THEN 2020 ELSE year(l_shipdate) END AS yr
+      |FROM lineitem WHERE l_quantity > 47
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** P14 year-list expansion: "y0-y1,y2" → one row per year. */
+  def q12YearExpand(spark: SparkSession, dir: String): DataFrame = {
+    val o = Load.table(spark, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .withColumn("year_list",
+        concat(col("yr") - 2, lit("-"), col("yr"), lit(","), col("yr") + 2))
+    o.select(col("o_orderkey"),
+      explode(RowOps.expandYearList(col("year_list"))).as("y"))
+      .orderBy("o_orderkey", "y")
+  }
+
+  val q12Sql: String =
+    """SELECT o_orderkey, y FROM (
+      |  SELECT o_orderkey, unnest(generate_series(year(o_orderdate) - 2, year(o_orderdate))) AS y FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, year(o_orderdate) + 2 FROM orders) t
+      |ORDER BY o_orderkey, y""".stripMargin
+
+  /** R4/R5 unwind with global first-wins dedup: one row per distinct
+    * token across all part type strings.
+    */
+  def q13ExplodeDedup(spark: SparkSession, dir: String): DataFrame = {
+    val p = Load.table(spark, dir, "part")
+      .withColumn("tokens", split(col("p_type"), " "))
+    Reshape.unwindDistinct(p.select("tokens"), "tokens", "token")
+      .orderBy("token")
+  }
+
+  val q13Sql: String =
+    """SELECT DISTINCT unnest(string_split(p_type, ' ')) AS token
+      |FROM part ORDER BY token""".stripMargin
+
+  /** P11+P12+P19 string/link ops: bare-domain repair, URL → anchor
+    * rewrite, delimited cell → trimmed array.
+    */
+  def q14Links(spark: SparkSession, dir: String): DataFrame = {
+    val p = Load.table(spark, dir, "part")
+      .withColumn("site", concat(lit("www."), lower(regexp_replace(col("p_brand"), "#", "")), lit(".example")))
+      .withColumn("blurb", concat(lit("see http://"), lower(regexp_replace(col("p_brand"), "#", "")), lit(".example/docs now")))
+    p.select(
+      col("p_partkey"),
+      RowOps.repairUrl(col("site")).as("fixed_url"),
+      RowOps.linksToAnchors(col("blurb")).as("html"),
+      array_join(RowOps.splitToArray(col("p_type"), " "), "|").as("type_tokens"))
+      .orderBy("p_partkey")
+  }
+
+  val q14Sql: String =
+    """SELECT p_partkey,
+      |  'http://' || 'www.' || lower(replace(p_brand, '#', '')) || '.example' AS fixed_url,
+      |  'see ' || regexp_replace('http://' || lower(replace(p_brand, '#', '')) || '.example/docs',
+      |      '(https?://[^\s;,]+)', '<a href="\1" target="_blank">\1</a>') || ' now' AS html,
+      |  array_to_string(list_filter(list_transform(string_split(p_type, ' '), x -> trim(x)), x -> x <> ''), '|') AS type_tokens
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** P15/P16/P17 recode + fallback: dictionary recode with default,
+    * coalesce fallback, constant overwrite.
+    */
+  def q15Recode(spark: SparkSession, dir: String): DataFrame = {
+    val o = Load.table(spark, dir, "orders")
+    val recoded = o.withColumn("priority_class",
+      RowOps.recode(col("o_orderpriority"),
+        Map("1-URGENT" -> "hot", "2-HIGH" -> "hot", "3-MEDIUM" -> "warm"),
+        default = Some("cold")))
+      .withColumn("status_char", when(col("o_orderstatus") === "P", lit(null: String))
+        .otherwise(col("o_orderstatus")))
+    RowOps.fallback(recoded, "status_char", "o_orderpriority")
+      .withColumn("language", lit("heb,eng,ara"))
+      .select("o_orderkey", "priority_class", "status_char", "language")
+      .orderBy("o_orderkey")
+  }
+
+  val q15Sql: String =
+    """SELECT o_orderkey,
+      |  CASE o_orderpriority WHEN '1-URGENT' THEN 'hot' WHEN '2-HIGH' THEN 'hot'
+      |       WHEN '3-MEDIUM' THEN 'warm' ELSE 'cold' END AS priority_class,
+      |  CASE WHEN o_orderstatus = 'P' THEN o_orderpriority ELSE o_orderstatus END AS status_char,
+      |  'heb,eng,ara' AS language
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** J5 SCD revision merge: incoming customers vs a simulated prior state
+    * (10% changed, rows missing where custkey%7=0). Fixed "today" so the
+    * lifecycle columns are deterministic.
+    */
+  def q16ScdMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Load.table(spark, dir, "customer")
+    val changedState = cust
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100).otherwise(col("c_acctbal")))
+      .filter(col("c_custkey") % 7 =!= 0)
+    val state = changedState
+      .withColumn("__hash", ScdMerge.contentHash(changedState, Seq("c_custkey")))
+      .withColumn("__last_updated_at", to_date(lit("2026-08-01")))
+      .withColumn("__next_update_days", lit(4))
+    val merged = ScdMerge.merge(cust, Some(state), Seq("c_custkey"),
+      ScdMerge.Config(currentDate = Some(to_date(lit("2026-08-12")))))
+    merged.select("c_custkey", "__status", "__is_new", "__is_stale",
+      "__next_update_days", "__staleness")
+      .orderBy("c_custkey")
+  }
+
+  val q16Sql: String =
+    """WITH state AS (
+      |  SELECT c_custkey,
+      |    md5(coalesce(CAST(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS VARCHAR), '')
+      |        || '|' || coalesce(c_mktsegment, '') || '|' || coalesce(c_name, '')
+      |        || '|' || coalesce(CAST(c_nationkey AS VARCHAR), '')) AS old_hash
+      |  FROM customer WHERE c_custkey % 7 <> 0),
+      |j AS (
+      |  SELECT c.c_custkey,
+      |    md5(coalesce(CAST(c.c_acctbal AS VARCHAR), '') || '|' || coalesce(c.c_mktsegment, '')
+      |        || '|' || coalesce(c.c_name, '') || '|' || coalesce(CAST(c.c_nationkey AS VARCHAR), '')) AS new_hash,
+      |    s.old_hash
+      |  FROM customer c LEFT JOIN state s ON c.c_custkey = s.c_custkey)
+      |SELECT c_custkey,
+      |  CASE WHEN old_hash IS NULL THEN 'NEW'
+      |       WHEN new_hash <> old_hash THEN 'CHANGED' ELSE 'SAME' END AS __status,
+      |  old_hash IS NULL AS __is_new,
+      |  -- NEW/CHANGED reset last_updated to today (datediff 0 < 1 day) → fresh;
+      |  -- SAME rows: 11 days since 2026-08-01 ≥ doubled interval 8 → stale
+      |  CASE WHEN old_hash IS NULL OR new_hash <> old_hash THEN FALSE ELSE TRUE END AS __is_stale,
+      |  CASE WHEN old_hash IS NULL OR new_hash <> old_hash THEN 1 ELSE 8 END AS __next_update_days,
+      |  CASE WHEN old_hash IS NULL OR new_hash <> old_hash THEN CAST(0 AS BIGINT)
+      |       ELSE CAST(100000 + CAST(100000.0 / (1 + (11 - 8)) AS BIGINT) AS BIGINT) END AS __staleness
+      |FROM j ORDER BY c_custkey""".stripMargin
+
+  /** J3 fuzzy dictionary translate: nation names as the dictionary,
+    * typo'd tokens (trailing X) as input — exact tier misses, fuzzy tier
+    * (QRatio ≥ 90) recovers. No SQL mirror (imperative string DP) →
+    * rows-only; planted-recall asserted in the spec.
+    */
+  def q17FuzzyTranslate(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Load.table(spark, dir, "nation")
+    val dict = Translate.buildDict(
+      nat.select(
+        col("n_name").as("hebrew"),
+        concat(lit("en_"), lower(col("n_name"))).as("english"),
+        concat(lit("ar_"), lower(col("n_name"))).as("arabic")))
+    val cust = Load.table(spark, dir, "customer").limit(200)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("nation_field", concat(col("n_name"), lit("X")))
+    Translate.splitAndTranslate(cust, "nation_field", dict)
+      .select(col("c_custkey"),
+        array_join(col("nation_field"), ",").as("f"),
+        array_join(col("nation_field__en"), ",").as("f_en"),
+        array_join(col("nation_field__ar"), ",").as("f_ar"))
+      .orderBy("c_custkey")
+  }
+
+  /** R2 nested construction: per-order point arrays {x,y,q} ordered by
+    * line number, flag = membership in a per-order "extrapolated" set.
+    * Rows-only (nested JSON rendering differs per engine); golden-tested
+    * in the spec.
+    */
+  def q18NestedSeries(spark: SparkSession, dir: String): DataFrame = {
+    val li = Load.table(spark, dir, "lineitem")
+      .withColumn(Ordering.ORD,
+        concat(lpad(col("l_linenumber").cast(StringType), 3, "0"),
+          lpad(col("l_partkey").cast(StringType), 12, "0")))
+    val grouped = Joins.joinSelf(li, Seq("l_orderkey"), Map(
+      "l_linenumber" -> Joins.Collect,
+      "l_quantity" -> Joins.Collect,
+      "l_returnflag" -> Joins.Collect))
+    grouped.select(
+      col("l_orderkey"),
+      to_json(Reshape.zipToPoints(
+        col("l_linenumber").cast(ArrayType(StringType)),
+        col("l_quantity"),
+        array(lit("1"), lit("2")))).as("dataset"))
+      .orderBy("l_orderkey")
+  }
+
+  /** P9 units validation + rescale: whitelist assert (passes — the guard
+    * is in the plan) and conditional ×100 rescale with unit rename.
+    */
+  def q19ValidateUnits(spark: SparkSession, dir: String): DataFrame = {
+    val li = Load.table(spark, dir, "lineitem")
+      .withColumn("units",
+        when(col("l_returnflag") === "A", "אחוזים עד 1").otherwise("מספר"))
+      .withColumn("value", col("l_discount"))
+    Validate.validateUnits(li, "units", "value",
+      whitelist = Seq("אחוזים עד 1", "אחוזים עד 100", "מספר"),
+      rescaleFrom = "אחוזים עד 1", rescaleTo = "אחוזים עד 100")
+      .select(col("l_orderkey"), col("l_linenumber"), col("units"), col("value"))
+      .orderBy("l_orderkey", "l_linenumber", "units", "value")
+  }
+
+  val q19Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_returnflag = 'A' THEN 'אחוזים עד 100' ELSE 'מספר' END AS units,
+      |  CASE WHEN l_returnflag = 'A' THEN l_discount * 100 ELSE l_discount END AS value
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, units, value""".stripMargin
+
+  /** Streaming-shaped tumbling-window aggregation over the events table
+    * (same `window()` API drives Structured Streaming; batch mode here so
+    * the oracle can replay it — the readStream variant is spec-tested).
+    */
+  def q50WindowedEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Load.events(spark, dir)
+    ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  val q50Sql: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+
+  /** Sessionization: a new session starts after a >30 min gap per user;
+    * session ids are per-user cumulative counts (the batch shape of
+    * mapGroupsWithState sessionization — the streaming variant is
+    * spec-tested).
+    */
+  def q51Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    // integer division on the raw nanos — double division would lose
+    // sub-second precision at 1.7e18 ns and could flip a floor boundary
+    val ev = Load.events(spark, dir)
+      .withColumn("ts_s", expr("ts_ns div 1000000000"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+    ev.withColumn("prev_ts", lag(col("ts_s"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_s") - col("prev_ts") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("event_id", "user_id", "ts_s", "session_id")
+      .orderBy("event_id")
+  }
+
+  val q51Sql: String =
+    """WITH t AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_s,
+      |    lag(epoch_ns(ts) // 1000000000) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000, event_id) AS prev_ts
+      |  FROM events)
+      |SELECT event_id, user_id, ts_s,
+      |  CAST(SUM(CASE WHEN prev_ts IS NULL OR ts_s - prev_ts > 1800 THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |FROM t ORDER BY event_id""".stripMargin
+
+  /** Multimodal plumbing: blob column + sniffed metadata + deterministic
+    * fake features through the batch-shaped mapPartitions path. Rows-only
+    * (codec features have no SQL mirror).
+    */
+  def q60Multimodal(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.mediaFromDocuments(spark, dir)
+    val withMeta = Multimodal.withMediaMeta(media, "blob", Multimodal.FakeDecoder)
+    Multimodal.withImageFeatures(withMeta, "blob", Multimodal.FakeDecoder)
+      .select(col("doc_id"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.width").as("width"),
+        col("image_features.phash").as("phash"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_set_type" -> q11SetType,
+    "q12_year_expand" -> q12YearExpand,
+    "q13_explode_dedup" -> q13ExplodeDedup,
+    "q14_links" -> q14Links,
+    "q15_recode" -> q15Recode,
+    "q16_scd_merge" -> q16ScdMerge,
+    "q17_fuzzy_translate" -> q17FuzzyTranslate,
+    "q18_nested_series" -> q18NestedSeries,
+    "q19_validate_units" -> q19ValidateUnits,
+    "q50_windowed_events" -> q50WindowedEvents,
+    "q51_sessionize" -> q51Sessionize,
+    "q60_multimodal" -> q60Multimodal)
+
+  val oracles: Map[String, String] = Map(
+    "q11_set_type" -> q11Sql,
+    "q12_year_expand" -> q12Sql,
+    "q13_explode_dedup" -> q13Sql,
+    "q14_links" -> q14Sql,
+    "q15_recode" -> q15Sql,
+    "q16_scd_merge" -> q16Sql,
+    "q19_validate_units" -> q19Sql,
+    "q50_windowed_events" -> q50Sql,
+    "q51_sessionize" -> q51Sql)
+}

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Structured Streaming parity: the windowed aggregation that q50 runs in
+  * batch must produce identical results when driven through readStream
+  * over the same parquet (AvailableNow semantics via processAllAvailable).
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming windowed agg == batch windowed agg") {
+    // file stream source needs a DIRECTORY of files
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("hour_start"), col("event_type"), col("n"))
+    val qname = "stream_windowed"
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(qname)
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(qname).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    val batch = graft.queries.MiscOps.q50WindowedEvents(spark, sf)
+      .select("hour_start", "event_type", "n").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+}
