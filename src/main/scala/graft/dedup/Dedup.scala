@@ -46,13 +46,22 @@ object Dedup {
 
   // ---- shingles + minhash ---------------------------------------------
 
-  /** Character n-gram shingle set of the normalized text (distinct). */
+  /** Character n-gram shingle set of the normalized text (distinct).
+    * String-materializing variant — use `shingleHashes` in hot paths.
+    */
   def shingles(text: Column, n: Int = 5): Column = {
     val norm = regexp_replace(lower(text), "\\s+", " ")
     array_distinct(
       transform(sequence(lit(0), greatest(length(norm) - n, lit(0))),
         i => substring(norm, lit(1) + i, lit(n))))
   }
+
+  /** Distinct n-gram HASHES of the normalized text — the single-pass
+    * native expression; shingle strings are never materialized.
+    */
+  def shingleHashes(text: Column, n: Int = 5): Column =
+    graft.functions.HashExprs.shingleHash64(
+      regexp_replace(lower(text), "\\s+", " "), n)
 
   /** Word n-gram shingles (token windows joined by a space). */
   def wordShingles(text: Column, n: Int = 3): Column = {
@@ -69,6 +78,10 @@ object Dedup {
     */
   def minhashSignature(shingleArr: Column, k: Int = 64): Column =
     graft.functions.HashExprs.minhashSig(transform(shingleArr, s => xxhash64(s)), k)
+
+  /** MinHash signature straight from pre-hashed shingles. */
+  def minhashSignatureFromHashes(shingleHashArr: Column, k: Int = 64): Column =
+    graft.functions.HashExprs.minhashSig(shingleHashArr, k)
 
   /** LSH banding: split the k-length signature into `bands` bands of
     * `k/bands` rows; each band hashes to one bucket key. Docs sharing ANY
@@ -90,10 +103,18 @@ object Dedup {
   /** MinHash+LSH near-dup pairs: returns (id_a, id_b, est_jaccard) with
     * id_a < id_b and est_jaccard ≥ threshold.
     *
-    * Plan shape: map (shingle+sig) → explode bands (×bands rows) →
-    * shuffle on bucket → within-bucket self-join (buckets are tiny by
-    * construction) → distinct pairs → similarity filter. The only shuffle
-    * keys are 8-byte bucket hashes; doc text never shuffles.
+    * Plan shape, sized for 100 TB:
+    *  1. one narrow pass computes (id, sig); persisted — three consumers;
+    *  2. explode to (bucket, id) — 8-byte ids only, signatures do NOT
+    *     travel through the bucket shuffle;
+    *  3. buckets above `maxBucketSize` are dropped (a bucket shared by
+    *     hundreds of docs carries no near-dup signal — standard LSH
+    *     degeneracy cap; true near-dups share many bands, so they keep a
+    *     discriminative bucket with overwhelming probability);
+    *  4. within-bucket self-join emits DISTINCT candidate id pairs before
+    *     any similarity work — each pair scored exactly once;
+    *  5. signatures join back onto the deduped pairs (Catalyst/AQE
+    *     broadcasts the sig table when small, shuffles on id when not).
     */
   def minhashNearDupPairs(
       df: DataFrame,
@@ -102,22 +123,31 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       shingleN: Int = 5,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 100): DataFrame = {
     val withSig = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("sig", minhashSignatureFromHashes(col("sh"), k))
       .drop("sh")
+      .persist()
     val buckets = withSig
-      .withColumn("bucket", explode(lshBucketKeys(col("sig"), k, bands)))
-    val a = buckets.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = buckets.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("bucket"))
+      .select(col("id"), explode(lshBucketKeys(col("sig"), k, bands)).as("bucket"))
+    val smallBuckets = buckets.groupBy("bucket")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1 && col("__n") <= maxBucketSize)
+      .select("bucket")
+    val kept = buckets.join(smallBuckets, Seq("bucket"))
+    val pairs = kept.select(col("bucket"), col("id").as("id_a"))
+      .join(kept.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    pairs
+      .join(withSig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(withSig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         signatureSimilarity(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .groupBy("id_a", "id_b")
-      .agg(first("est_jaccard").as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 
@@ -142,18 +172,28 @@ object Dedup {
       textCol: String,
       idCol: String,
       shingleN: Int = 5,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3,
+      maxBlockSize: Int = 100): DataFrame = {
     val withH = df
-      .select(col(idCol).as("id"), simhash(shingles(col(textCol), shingleN)).as("h"))
-    val blocks = withH.withColumn("block",
-      explode(array((0 until 4).map(b =>
-        concat_ws(":", lit(b.toString),
-          shiftright(col("h"), b * 16).bitwiseAND(0xFFFFL).cast(StringType))): _*)))
-    val a = blocks.select(col("block"), col("id").as("id_a"), col("h").as("h_a"))
-    val b = blocks.select(col("block"), col("id").as("id_b"), col("h").as("h_b"))
-    a.join(b, Seq("block"))
+      .select(col(idCol).as("id"),
+        graft.functions.HashExprs.simhash64(shingleHashes(col(textCol), shingleN)).as("h"))
+      .persist()
+    val blocks = withH.select(col("id"), explode(array((0 until 4).map(b =>
+      concat_ws(":", lit(b.toString),
+        shiftright(col("h"), b * 16).bitwiseAND(0xFFFFL).cast(StringType))): _*)).as("block"))
+    val smallBlocks = blocks.groupBy("block")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1 && col("__n") <= maxBlockSize)
+      .select("block")
+    val kept = blocks.join(smallBlocks, Seq("block"))
+    val pairs = kept.select(col("block"), col("id").as("id_a"))
+      .join(kept.select(col("block"), col("id").as("id_b")), Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .select("id_a", "id_b")
+      .distinct()
+    pairs
+      .join(withH.select(col("id").as("id_a"), col("h").as("h_a")), Seq("id_a"))
+      .join(withH.select(col("id").as("id_b"), col("h").as("h_b")), Seq("id_b"))
       .withColumn("dist", hamming(col("h_a"), col("h_b")))
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
@@ -181,8 +221,10 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16): DataFrame = {
     val cands = minhashNearDupPairs(df, textCol, idCol, k, bands, shingleN,
-      threshold = threshold * 0.6)
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      threshold = threshold * 0.75)
+    // exact Jaccard over hashed shingle SETS (collision odds ~ m^2/2^64 —
+    // indistinguishable from string-set Jaccard, far cheaper to co-locate)
+    val sh = df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

@@ -101,6 +101,53 @@ case class MinHashSig(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Distinct character-n-gram hashes of a string in ONE pass — replaces the
+  * builtin `transform(sequence(...), substring)` + `array_distinct`
+  * formulation, which materializes every shingle as a UTF8String and
+  * dominated the dedup profile (17 s of a 26 s stage at sf0.1). Output
+  * order is sorted (deterministic); consumers (MinHashSig, SimHash64,
+  * hash-set Jaccard) are order-insensitive.
+  */
+case class ShingleHash64(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_hash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val len = s.length
+    if (len == 0) return new GenericArrayData(Array.empty[Long])
+    val m = math.max(1, len - n + 1)
+    val hashes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 1125899906842597L
+      var j = i
+      val end = math.min(i + n, len)
+      while (j < end) { h = h * 31 + s.charAt(j); j += 1 }
+      // splitmix finalizer spreads the weak polynomial bits
+      h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+      h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+      hashes(i) = h ^ (h >>> 31)
+      i += 1
+    }
+    java.util.Arrays.sort(hashes)
+    // in-place unique
+    var w = 1
+    i = 1
+    while (i < m) {
+      if (hashes(i) != hashes(i - 1)) { hashes(w) = hashes(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash64 =
+    copy(child = newChild)
+}
+
 object HashExprs {
   import org.apache.spark.sql.{GraftBridge => EU}
 
@@ -110,4 +157,7 @@ object HashExprs {
 
   def minhashSig(hashes: Column, k: Int): Column =
     EU.column(MinHashSig(EU.expression(hashes), k))
+
+  def shingleHash64(text: Column, n: Int): Column =
+    EU.column(ShingleHash64(EU.expression(text), n))
 }
