@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
-      graft.queries.MiscOps.queries
+      graft.queries.MiscOps.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.DedupQueries.oracles ++
-      graft.queries.MiscOps.oracles
+      graft.queries.MiscOps.oracles ++
+      graft.queries.PipelineQueries.oracles
 }
