@@ -224,8 +224,20 @@ object Datasets {
         Translate.splitAndTranslate(asStr, f,
           dicts.getOrElse(dictName, Map.empty))
       }
-    translated
+    val done = translated
       .withColumn("doc_id", RowOps.docId("dataset", col("chart_title")))
       .withColumn("title_kw", col("chart_title"))
+
+    // es:* annotations (datasets.py:347,412,437-450)
+    import graft.schema.EsMeta
+    EsMeta.keyword(
+      EsMeta.title(
+        EsMeta.itemType(
+          EsMeta.noIndex(
+            EsMeta.itemType(done, "extrapulation_years", "string"),
+            "series"),
+          "series", "object"),
+        "chart_title", "chart_title__ar", "chart_title__en"),
+      "item_type", "kind", "title_kw")
   }
 }

@@ -89,9 +89,18 @@ object Organisations {
     val deduped = Ordering.dedupSuffix(withId, "doc_id")
 
     // link anchors in objectives (org.py:91-93), current year column
-    Seq("objective", "objective__en", "objective__ar")
+    val linked = Seq("objective", "objective__en", "objective__ar")
       .foldLeft(deduped)((df, f) =>
         df.withColumn(f, RowOps.linksToAnchors(col(f))))
       .withColumn("year", lit(currentYear))
+
+    // es:* annotations (organisations.py:94-106)
+    import graft.schema.EsMeta
+    EsMeta.noIndex(
+      EsMeta.title(
+        EsMeta.keyword(linked, "title_kw"),
+        "org_name", "org_name__ar", "alt_names"),
+      "org_website", "org_facebook", "org_phone_number",
+      "org_email_address", "logo_url")
   }
 }

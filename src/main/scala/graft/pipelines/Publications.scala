@@ -63,8 +63,16 @@ object Publications {
     val withIds = RowOps.addFormatField(
       RowOps.addFormatField(guarded, "doc_id", "publications/{migdar_id}"),
       "page_title", "{title}")
-    withIds
+    val done = withIds
       .withColumn("notes", RowOps.linksToAnchors(col("notes")))
       .withColumn("title_kw", col("title"))
+
+    // es:* annotations (publications.py:121-124, :139-141)
+    import graft.schema.EsMeta
+    EsMeta.keyword(
+      EsMeta.hebrew(
+        EsMeta.boost(EsMeta.title(done, "title"), "authors", "publisher"),
+        "notes"),
+      "title_kw")
   }
 }

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface: the streaming forms of the batch
+  * operators (windowed aggregation, sessionization). The reference is
+  * cron-batch only (SURVEY §7.8) — these are the forward-looking stream
+  * equivalents for the same event-table shape, watermark-correct so state
+  * is bounded at scale.
+  */
+object Streams {
+
+  /** readStream over a directory of events parquet (nanos ts as long —
+    * same convention as Load.events).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+
+  /** Tumbling-window counts+sums with watermark (bounded state). */
+  def windowedAgg(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  final case class Event(event_id: Long, user_id: Long, ts_s: Long)
+  final case class SessionState(sessionId: Long, lastTs: Long)
+  final case class SessionizedEvent(event_id: Long, user_id: Long, ts_s: Long, session_id: Long)
+
+  /** Stateful sessionization via flatMapGroupsWithState: a >gap second
+    * silence starts a new session. The streaming twin of the batch
+    * window-lag formulation (MiscOps.q51Sessionize) — state per user is
+    * one (sessionId, lastTs) pair.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800)(
+      implicit spark: SparkSession): Dataset[SessionizedEvent] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionizedEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          val out = rows.toSeq.sortBy(e => (e.ts_s, e.event_id)).map { e =>
+            st =
+              if (st.lastTs == Long.MinValue || e.ts_s - st.lastTs > gapSeconds)
+                SessionState(st.sessionId + 1, e.ts_s)
+              else st.copy(lastTs = e.ts_s)
+            SessionizedEvent(e.event_id, userId, e.ts_s, st.sessionId)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}
