@@ -1,0 +1,113 @@
+package graft.props
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.i18n.Fuzzy
+
+/** ScalaCheck properties for the fiddly pure functions (SURVEY §5:
+  * unpivot regex, year expansion, dedup suffixing, fuzzy-match
+  * monotonicity).
+  */
+class PropertiesSpec extends AnyFunSuite {
+
+  /** Run a ScalaCheck property, failing the test with the counterexample. */
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
+  }
+
+  // --- Fuzzy -----------------------------------------------------------
+
+  test("ratio is bounded [0,1]; 1 iff equal for nonempty strings") {
+    // NOTE deliberately not asserting symmetry: difflib's SequenceMatcher
+    // (which we reproduce) is itself asymmetric on some inputs
+    check(Prop.forAll(Gen.alphaStr, Gen.alphaStr) { (a, b) =>
+      val r = Fuzzy.ratio(a, b)
+      r >= 0.0 && r <= 1.0
+    })
+    check(Prop.forAll(Gen.alphaStr.suchThat(_.nonEmpty)) { a =>
+      Fuzzy.ratio(a, a) == 1.0
+    })
+  }
+
+  test("identical strings score qratio 100; disjoint alphabets score 0") {
+    check(Prop.forAll(Gen.alphaStr.suchThat(_.nonEmpty)) { s =>
+      Fuzzy.qratio(s, s) == 100
+    })
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.numChar).map(_.mkString)) { digits =>
+      Fuzzy.qratio(digits, "xyz") == 0
+    })
+  }
+
+  test("extract cutoff monotonicity: raising cutoff never adds results") {
+    val gen = for {
+      q <- Gen.alphaStr.suchThat(_.nonEmpty)
+      choices <- Gen.listOfN(5, Gen.alphaStr.suchThat(_.nonEmpty))
+      c1 <- Gen.choose(0, 100)
+      c2 <- Gen.choose(0, 100)
+    } yield (q, choices, math.min(c1, c2), math.max(c1, c2))
+    check(Prop.forAll(gen) { case (q, choices, lo, hi) =>
+      val loSet = Fuzzy.extract(q, choices, limit = 10, cutoff = lo).map(_._1).toSet
+      val hiSet = Fuzzy.extract(q, choices, limit = 10, cutoff = hi).map(_._1).toSet
+      hiSet.subsetOf(loSet)
+    })
+  }
+
+  // --- parseCvEvents ---------------------------------------------------
+
+  test("event count never exceeds CV line count; all events carry the judge id") {
+    val lineGen = Gen.oneOf(
+      Gen.const("מונה לשופט בשנת 1995"),
+      Gen.const("שורה בלי שנה"),
+      Gen.const("פרש לגימלאות 2012"),
+      Gen.alphaStr)
+    check(Prop.forAll(Gen.listOf(lineGen)) { lines =>
+      val cv = lines.mkString("\n")
+      val events = graft.pipelines.Judges.parseCvEvents(
+        graft.pipelines.Judges.JudgeRow("J", "f", "l", cv))
+      events.length <= lines.count(_.trim.nonEmpty) &&
+        events.forall(_.Judge_ID == "J") &&
+        events.zipWithIndex.forall { case (e, i) => e.event_order == i.toLong }
+    })
+  }
+
+  // --- Unidecode -------------------------------------------------------
+
+  test("unidecode strips accents from printable Latin-1") {
+    val latin1 = Gen.listOf(Gen.frequency(
+      9 -> Gen.choose(0x20.toChar, 0x7E.toChar),
+      3 -> Gen.choose(0xC0.toChar, 0xFF.toChar))).map(_.mkString)
+    check(Prop.forAll(latin1) { s =>
+      val t = graft.functions.Unidecode.transliterate(s)
+      // no combining marks survive; accented letters fold to < 0x180
+      t.forall(c => Character.getType(c) != Character.NON_SPACING_MARK && c < 0x180)
+    })
+  }
+
+  // --- ShingleHash64 model check --------------------------------------
+
+  test("shingle hash count == distinct n-gram count (model parity)") {
+    val gen = for {
+      s <- Gen.listOf(Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)
+      n <- Gen.choose(2, 6)
+    } yield (s, n)
+    check(Prop.forAll(gen) { case (s, n) =>
+      val norm = s.toLowerCase.replaceAll("\\s+", " ")
+      val model =
+        if (norm.isEmpty) 0
+        else (0 until math.max(1, norm.length - n + 1))
+          .map(i => norm.substring(i, math.min(i + n, norm.length))).distinct.size
+      val expr = graft.functions.ShingleHash64(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(norm)), n)
+      val got = expr.eval(null) match {
+        case null => -1
+        case a: org.apache.spark.sql.catalyst.util.ArrayData => a.numElements()
+      }
+      // hash collisions across distinct n-grams are possible in theory but
+      // not at these sizes; equality is the expected outcome
+      got == model
+    })
+  }
+}
