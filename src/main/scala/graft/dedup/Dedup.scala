@@ -125,7 +125,7 @@ object Dedup {
       shingleN: Int = 5,
       threshold: Double = 0.7,
       maxBucketSize: Int = 100): DataFrame = {
-    val withSig = df
+    val withSig = graft.ops.Par.fanOut(df)
       .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignatureFromHashes(col("sh"), k))
@@ -174,7 +174,7 @@ object Dedup {
       shingleN: Int = 5,
       maxDist: Int = 3,
       maxBlockSize: Int = 100): DataFrame = {
-    val withH = df
+    val withH = graft.ops.Par.fanOut(df)
       .select(col(idCol).as("id"),
         graft.functions.HashExprs.simhash64(shingleHashes(col(textCol), shingleN)).as("h"))
       .persist()
@@ -224,7 +224,8 @@ object Dedup {
       threshold = threshold * 0.75)
     // exact Jaccard over hashed shingle SETS (collision odds ~ m^2/2^64 —
     // indistinguishable from string-set Jaccard, far cheaper to co-locate)
-    val sh = df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
+    val sh = graft.ops.Par.fanOut(df)
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

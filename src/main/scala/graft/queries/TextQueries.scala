@@ -15,7 +15,7 @@ object TextQueries {
 
   /** Token counting + char-class ratios + fingerprint. */
   def q20Profile(spark: SparkSession, dir: String): DataFrame = {
-    val d = Load.table(spark, dir, "documents")
+    val d = graft.ops.Par.fanOut(Load.table(spark, dir, "documents"))
     val t = col("text")
     d.select(
       col("doc_id"),
@@ -41,7 +41,7 @@ object TextQueries {
 
   /** Composite quality score (Gopher/C4-style signals). */
   def q21Quality(spark: SparkSession, dir: String): DataFrame = {
-    val d = Load.table(spark, dir, "documents")
+    val d = graft.ops.Par.fanOut(Load.table(spark, dir, "documents"))
     d.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
   }
@@ -69,7 +69,7 @@ object TextQueries {
     * ASCII so script ratios are all zero in both engines.
     */
   def q22LangId(spark: SparkSession, dir: String): DataFrame = {
-    val d = Load.table(spark, dir, "documents")
+    val d = graft.ops.Par.fanOut(Load.table(spark, dir, "documents"))
     d.select(col("doc_id"), col("lang").as("labeled_lang"),
       TextAnalysis.langId(col("text")).as("lang_id"))
       .orderBy("doc_id")

@@ -46,7 +46,7 @@ object Ann {
       k: Int,
       excludeSelf: Boolean = true): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val c = graft.ops.Par.fanOut(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = c.crossJoin(q)
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
@@ -93,7 +93,8 @@ object Ann {
       k: Int,
       nBits: Int = 8,
       multiProbe: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val c = graft.ops.Par.fanOut(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("bucket", srpBucket(col("__cv"), dim, nBits))
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__b0", srpBucket(col("__qv"), dim, nBits))
