@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
       graft.queries.MiscOps.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.ScrubQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracles ++
       graft.queries.DedupQueries.oracles ++
       graft.queries.MiscOps.oracles ++
-      graft.queries.PipelineQueries.oracles
+      graft.queries.PipelineQueries.oracles ++
+      graft.queries.ScrubQueries.oracles
 }

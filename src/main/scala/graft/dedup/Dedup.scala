@@ -220,12 +220,37 @@ object Dedup {
       threshold: Double = 0.8,
       k: Int = 64,
       bands: Int = 16): DataFrame = {
-    val cands = minhashNearDupPairs(df, textCol, idCol, k, bands, shingleN,
-      threshold = threshold * 0.75)
-    // exact Jaccard over hashed shingle SETS (collision odds ~ m^2/2^64 —
-    // indistinguishable from string-set Jaccard, far cheaper to co-locate)
+    // ONE shingle-hash pass feeds both the candidate tier (via minhash
+    // signatures) and the exact verify tier — sh is persisted, not
+    // recomputed per consumer.
     val sh = graft.ops.Par.fanOut(df)
       .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist()
+    val withSig = sh.withColumn("sig", minhashSignatureFromHashes(col("sh"), k))
+    val buckets = withSig
+      .select(col("id"), explode(lshBucketKeys(col("sig"), k, bands)).as("bucket"))
+    val smallBuckets = buckets.groupBy("bucket")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1 && col("__n") <= 100)
+      .select("bucket")
+    val kept = buckets.join(smallBuckets, Seq("bucket"))
+    val rawPairs = kept.select(col("bucket"), col("id").as("id_a"))
+      .join(kept.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    // est-jaccard pre-filter on the 64-slot signatures (tiny) BEFORE the
+    // expensive exact tier — without it every bucket collision drags two
+    // full shingle arrays through the join (measured 8× slower)
+    val sigs = withSig.select(col("id"), col("sig"))
+    val cands = rawPairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .filter(signatureSimilarity(col("sig_a"), col("sig_b")) >= threshold * 0.75)
+      .select("id_a", "id_b")
+    // exact Jaccard over hashed shingle SETS (collision odds ~ m^2/2^64 —
+    // indistinguishable from string-set Jaccard, far cheaper to co-locate)
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

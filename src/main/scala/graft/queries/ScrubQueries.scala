@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Load, Par}
+import graft.text.Scrub
+
+/** Scrubbing / composition queries over the documents table. */
+object ScrubQueries {
+
+  /** Repetition signals. duplicate-line fraction is 0 on this corpus
+    * (single-line docs) — the oracle confirms the negative exactly;
+    * topTokenFraction and distinctNgramRatio carry the signal.
+    */
+  def q23Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = Par.fanOut(Load.table(spark, dir, "documents"))
+    d.select(
+      col("doc_id"),
+      Scrub.duplicateLineFraction(col("text")).as("dup_line_frac"),
+      Scrub.topTokenFraction(col("text")).as("top_token_frac"))
+      .orderBy("doc_id")
+  }
+
+  val q23Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS lines,
+      |    string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN len(lines) > 0
+      |       THEN (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines)
+      |       ELSE 0.0 END AS dup_line_frac,
+      |  CASE WHEN len(toks) > 0
+      |       THEN list_max(list_transform(list_distinct(toks),
+      |              t -> len(list_filter(toks, x -> x = t))))::DOUBLE / len(toks)
+      |       ELSE 0.0 END AS top_token_frac
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_repetition" -> q23Repetition,
+    "q24_pii_redact" -> q24Redact,
+    "q25_hash_sample" -> q25HashSample)
+
+  /** PII redaction: text seeded with synthetic PII derived from the row
+    * itself — both engines construct and redact the same strings.
+    */
+  def q24Redact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Par.fanOut(Load.table(spark, dir, "documents"))
+      .withColumn("seeded", concat(
+        lit("contact user"), col("doc_id"), lit("@example.org ip 10.0.0."),
+        (col("doc_id") % 255).cast("string"),
+        lit(" :: "), substring(col("text"), 1, 40)))
+    d.select(
+      col("doc_id"),
+      Scrub.redactPii(col("seeded")).as("clean"),
+      Scrub.piiCounts(col("seeded")).getField("emails").as("n_emails"),
+      Scrub.piiCounts(col("seeded")).getField("ips").as("n_ips"))
+      .orderBy("doc_id")
+  }
+
+  val q24Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    'contact user' || CAST(doc_id AS VARCHAR) || '@example.org ip 10.0.0.' ||
+      |    CAST(doc_id % 255 AS VARCHAR) || ' :: ' || substring(text, 1, 40) AS seeded
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(seeded, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS clean,
+      |  len(regexp_extract_all(seeded, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |  len(regexp_extract_all(seeded, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Deterministic hash sampling + per-source mixing — the stable,
+    * engine-mirrorable form of domain reweighting.
+    */
+  def q25HashSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    Scrub.mixBySource(d, "source", "doc_id",
+      rates = Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 1.0))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  val q25Sql: String =
+    """SELECT doc_id, source FROM documents
+      |WHERE CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS BIGINT)
+      |  < CAST((CASE source WHEN 'src0' THEN 0.0 WHEN 'src1' THEN 0.5
+      |          WHEN 'src2' THEN 1.0 ELSE 1.0 END) * 4294967296.0 AS BIGINT)
+      |ORDER BY doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q23_repetition" -> q23Sql,
+    "q24_pii_redact" -> q24Sql,
+    "q25_hash_sample" -> q25Sql)
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin produces identical results to a plain join") {
+    val large = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val small = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = large.join(small, Seq("l_orderkey")).count()
+    val salted = Skew.saltedJoin(large, small, "l_orderkey", factor = 4).count()
+    assert(salted == plain)
+  }
+
+  test("keySkew reports shares summing <= 1 in descending order") {
+    val ev = Load.events(spark, sf)
+    val skew = Skew.keySkew(ev, "event_type", topN = 5).collect()
+    val shares = skew.map(_.getAs[Double]("share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a >= b })
+    assert(shares.sum <= 1.0 + 1e-9)
+  }
+
+  test("bucketed tables join with zero Exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    // a fresh in-memory catalog doesn't know tables from prior JVMs, but
+    // their warehouse directories survive — clear them too
+    for (t <- Seq("b_lineitem", "b_orders")) {
+      val p = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    Bucketing.writeBucketed(li, "b_lineitem", "l_orderkey", numBuckets = 8)
+    Bucketing.writeBucketed(o, "b_orders", "o_orderkey", numBuckets = 8)
+    // disable auto-broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.read(spark, "b_lineitem")
+        .join(Bucketing.read(spark, "b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(Bucketing.isShuffleFree(joined),
+        s"expected no Exchange:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("Par.fanOut raises partition count for small inputs, no-ops otherwise") {
+    val one = spark.read.parquet(s"$sf/documents.parquet")
+    assert(one.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+    val fanned = Par.fanOut(one)
+    assert(fanned.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    assert(Par.fanOut(fanned).rdd.getNumPartitions == fanned.rdd.getNumPartitions)
+  }
+}

@@ -1,0 +1,42 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ScrubSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii replaces emails, phones, ips") {
+    val got = Seq("mail a@b.org call +1 (555) 123-4567 from 192.168.0.1 ok")
+      .toDF("t").select(Scrub.redactPii($"t")).collect()(0).getString(0)
+    assert(got == "mail <EMAIL> call <PHONE> from <IP> ok")
+  }
+
+  test("duplicateLineFraction and topTokenFraction") {
+    val r = Seq("a b\na b\nc d", "x x x y").toDF("t")
+      .select(Scrub.duplicateLineFraction($"t").as("d"),
+        Scrub.topTokenFraction($"t").as("f"))
+      .collect()
+    assert(math.abs(r(0).getDouble(0) - 1.0 / 3) < 1e-12)
+    assert(r(1).getDouble(0) == 0.0)
+    assert(r(1).getDouble(1) == 0.75) // 'x' is 3 of 4 tokens
+  }
+
+  test("distinctNgramRatio low for repetitive text") {
+    val r = Seq("abcdefghij klmnop qrstu", "ababababababababab").toDF("t")
+      .select(Scrub.distinctNgramRatio($"t").as("r")).collect()
+    assert(r(0).getDouble(0) > 0.9)
+    assert(r(1).getDouble(0) < 0.3)
+  }
+
+  test("sampleByHash is deterministic and rate-proportional") {
+    val df = spark.range(10000).toDF("id")
+    val a = Scrub.sampleByHash(df, "id", 0.3).count()
+    val b = Scrub.sampleByHash(df, "id", 0.3).count()
+    assert(a == b)
+    assert(math.abs(a / 10000.0 - 0.3) < 0.03)
+    assert(Scrub.sampleByHash(df, "id", 0.0).count() == 0)
+    assert(Scrub.sampleByHash(df, "id", 1.0).count() == 10000)
+  }
+}
