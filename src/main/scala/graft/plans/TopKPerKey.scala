@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, AllTuples, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Custom whole-operator: bounded top-k per key.
+  *
+  * The declarative formulation — `row_number().over(Window.partitionBy(key)
+  * .orderBy(ord)) <= k` — SORTS every key group in full before discarding
+  * all but k rows: O(n log n) per group and the whole group buffered. At
+  * ANN scale (millions of candidates per query key) the right physical
+  * shape is a bounded heap per key: O(n log k), O(k) memory, single pass.
+  * Spark has no such operator, so this is the (c)-tier extension from the
+  * build brief: LogicalPlan + Strategy + SparkPlan, attached via
+  * `spark.experimental.extraStrategies` (no session rebuild needed).
+  *
+  * Semantics: emits each key's k smallest rows by `order`, in rank order,
+  * with no rank column (compose `orderIndex`-style numbering downstream if
+  * ranks are needed). Ties broken by the order expressions only — supply a
+  * total order (e.g. append a unique id) for determinism, same contract as
+  * the window formulation.
+  */
+final case class TopKPerKeyNode(
+    k: Int,
+    partitionExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+final case class TopKPerKeyExec(
+    k: Int,
+    partitionExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partitionExprs.isEmpty) AllTuples :: Nil
+    else ClusteredDistribution(partitionExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val partExprs = partitionExprs
+    val sortOrder = order
+    val childOutput = child.output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(partExprs, childOutput)
+      val rowOrdering: Ordering[InternalRow] =
+        RowOrdering.create(sortOrder, childOutput)
+      // max-heap: head is the WORST of the kept k (largest under the sort
+      // order); a new row displaces it when strictly better
+      val heaps = scala.collection.mutable.LinkedHashMap
+        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
+      val unsafeOrd: Ordering[UnsafeRow] =
+        (a: UnsafeRow, b: UnsafeRow) => rowOrdering.compare(a, b)
+      iter.foreach { r =>
+        val row = r.asInstanceOf[UnsafeRow]
+        val key = keyProj(row)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = scala.collection.mutable.PriorityQueue.empty[UnsafeRow](unsafeOrd)
+            heaps.put(key.copy(), h)
+            h
+        }
+        if (heap.size < kLocal) heap.enqueue(row.copy())
+        else if (rowOrdering.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      heaps.iterator.flatMap { case (_, heap) =>
+        // dequeueAll drains in priority order = worst..best; reverse for
+        // rank-ascending emission
+        heap.dequeueAll.reverseIterator
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+object TopKPerKey {
+
+  /** Planner strategy mapping the logical node to the exec. */
+  object PlanStrategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case TopKPerKeyNode(k, part, ord, child) =>
+        TopKPerKeyExec(k, part, ord, planLater(child)) :: Nil
+      case _ => Nil
+    }
+  }
+
+  /** Idempotently attach the strategy to a session. */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.exists(_.isInstanceOf[PlanStrategy.type]))
+      spark.experimental.extraStrategies = cur :+ PlanStrategy
+  }
+
+  /** One sort key: column name + direction. */
+  final case class Sort(name: String, descending: Boolean = false)
+
+  /** Dataset API: k smallest rows per key by the given sort columns.
+    * Names resolve against the frame's analyzed output directly — the
+    * classic Column→Expression bridge yields lazy ColumnNode wrappers the
+    * analyzer won't resolve inside a foreign logical node.
+    */
+  def topK(df: DataFrame, keys: Seq[String], sort: Seq[Sort], k: Int): DataFrame = {
+    import org.apache.spark.sql.{GraftBridge => B}
+    install(df.sparkSession)
+    val child = B.plan(df)
+    def attr(name: String): Attribute =
+      child.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"topK: no column '$name' in [${child.output.map(_.name).mkString(", ")}]"))
+    val sortOrder = sort.map(s =>
+      SortOrder(attr(s.name), if (s.descending) Descending else Ascending))
+    B.dataFrame(df.sparkSession,
+      TopKPerKeyNode(k, keys.map(attr), sortOrder, child))
+  }
+}

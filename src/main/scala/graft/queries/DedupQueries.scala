@@ -142,6 +142,27 @@ object DedupQueries {
       |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Brute-force top-3 through the custom TopKPerKey physical operator
+    * (bounded heap per key — no per-key sort, no Window) — same oracle as
+    * q40, so the custom plan is held to hash-equality with DuckDB.
+    */
+  def q42AnnTopKHeap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.TopKPerKey
+    val e = Load.table(spark, dir, "embeddings").select("vec_id", "embedding")
+    val queries = broadcast(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("__qv")))
+    val scored = Ann.bruteForceScores(e, queries, "vec_id")
+      .withColumn("neg_sim", -col("sim"))
+    val top = TopKPerKey.topK(scored, Seq("query_id"),
+      Seq(TopKPerKey.Sort("neg_sim"), TopKPerKey.Sort("neighbor_id")), k = 3)
+    // rank the ≤k surviving rows per key (tiny window, k rows per group)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("neg_sim"), col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
   /** SRP-bucketed approximate top-3 (the scale path). Rows-only — recall
     * vs the exact baseline is asserted in the spec.
     */
@@ -161,10 +182,12 @@ object DedupQueries {
     "q34_ngram_jaccard" -> q34Jaccard,
     "q35_embed_neardup" -> q35EmbedNearDup,
     "q40_ann_brute" -> q40AnnBrute,
-    "q41_ann_srp" -> q41AnnSrp)
+    "q41_ann_srp" -> q41AnnSrp,
+    "q42_ann_topk_heap" -> q42AnnTopKHeap)
 
   val oracles: Map[String, String] = Map(
     "q30_exact_dedup" -> q30Sql,
     "q31_fingerprint_dedup" -> q31Sql,
-    "q40_ann_brute" -> q40Sql)
+    "q40_ann_brute" -> q40Sql,
+    "q42_ann_topk_heap" -> q40Sql)
 }

@@ -33,6 +33,19 @@ object Ann {
     dot(a, b) / (norm(a) * norm(b))
   }
 
+  /** All (query, neighbor, cosine) scores — the scoring stage shared by
+    * the window and TopKPerKey ranking variants. `queries` must already
+    * carry (query_id, __qv) and be broadcast-sized.
+    */
+  def bruteForceScores(corpus: DataFrame, queries: DataFrame, idCol: String): DataFrame = {
+    val c = graft.ops.Par.fanOut(corpus)
+      .select(col(idCol).as("neighbor_id"), col("embedding").as("__cv"))
+    c.crossJoin(queries)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("sim"))
+  }
+
   /** Exact brute-force top-k neighbors for each query row.
     * `queries` must be small (broadcast); corpus may be arbitrarily large.
     * Returns (query_id, neighbor_id, sim, rank), rank 1..k, ties broken by

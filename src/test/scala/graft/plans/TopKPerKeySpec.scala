@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TopKPerKeySpec extends SparkSpec {
+
+  private lazy val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
+
+  test("heap top-k matches the window row_number formulation exactly") {
+    val k = 3
+    val windowed = {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      li.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    }
+    val heap = TopKPerKey.topK(li, Seq("l_suppkey"),
+      Seq(TopKPerKey.Sort("l_shipdate"), TopKPerKey.Sort("l_orderkey"),
+        TopKPerKey.Sort("l_linenumber")), k)
+
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).toSet
+    assert(keyset(heap) == keyset(windowed))
+  }
+
+  test("physical plan uses TopKPerKeyExec with no Sort/Window") {
+    val out = TopKPerKey.topK(li, Seq("l_suppkey"), Seq(TopKPerKey.Sort("l_quantity")), 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), "window operator must not appear")
+    assert(!plan.toLowerCase.contains("sortexec"), "no full sort expected")
+  }
+
+  test("descending sort and global (keyless) top-k work") {
+    val topGlobal = TopKPerKey.topK(li, Nil,
+      Seq(TopKPerKey.Sort("l_quantity", descending = true),
+        TopKPerKey.Sort("l_orderkey"), TopKPerKey.Sort("l_linenumber")), 5)
+    val got = topGlobal.select("l_quantity").collect().map(_.getDouble(0))
+    val expect = li.orderBy(col("l_quantity").desc).limit(5)
+      .select("l_quantity").collect().map(_.getDouble(0))
+    assert(got.sorted.toSeq == expect.sorted.toSeq)
+  }
+
+  test("k larger than group size returns whole groups") {
+    val out = TopKPerKey.topK(li.limit(50), Seq("l_suppkey"),
+      Seq(TopKPerKey.Sort("l_quantity")), 1000)
+    assert(out.count() == 50)
+  }
+}
