@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, AllTuples, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, AllTuples, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Custom whole-operator: bounded top-k per key.
@@ -36,17 +36,29 @@ final case class TopKPerKeyNode(
     copy(child = newChild)
 }
 
+/** Physical top-k per key. Planned as a pair, exactly like partial/final
+  * aggregation: a `partial = true` instance runs on the map side with no
+  * distribution requirement, shrinking each input partition to ≤ k rows
+  * per key, so the shuffle the final instance requires moves at most
+  * `inputPartitions × keys × k` rows instead of all n — the property that
+  * makes per-key top-k viable at 100 TB (top-k is a semigroup: the global
+  * top-k of a key is the top-k of the union of per-partition top-ks).
+  */
 final case class TopKPerKeyExec(
     k: Int,
     partitionExprs: Seq[Expression],
     order: Seq[SortOrder],
+    partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override def requiredChildDistribution: Seq[Distribution] =
-    if (partitionExprs.isEmpty) AllTuples :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    else if (partitionExprs.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(partitionExprs) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -98,7 +110,10 @@ object TopKPerKey {
   object PlanStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case TopKPerKeyNode(k, part, ord, child) =>
-        TopKPerKeyExec(k, part, ord, planLater(child)) :: Nil
+        // partial (map-side) pass under the final pass; EnsureRequirements
+        // inserts the key shuffle between them over the reduced rows
+        TopKPerKeyExec(k, part, ord, partial = false,
+          TopKPerKeyExec(k, part, ord, partial = true, planLater(child))) :: Nil
       case _ => Nil
     }
   }

@@ -59,20 +59,31 @@ object Relational {
       |FROM lineitem WHERE l_quantity > 45 AND l_discount > 0.05
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
-  /** J1 multi-way join: fact ⋈ broadcast dims, grouped revenue per nation. */
+  /** J1 multi-way join: fact ⋈ broadcast dims, grouped revenue per nation.
+    *
+    * Lineitem is pre-aggregated to one row per order BEFORE the join: the
+    * order⋈lineitem shuffle then moves |orders| rows instead of
+    * |lineitem|, and the expensive COUNT(DISTINCT o_orderkey) (an Expand
+    * + double shuffle in Spark) degenerates to COUNT(*) because the
+    * pre-agg guarantees key uniqueness. Same reduction a 1000-executor
+    * plan wants: partial-aggregate the fact table on the join key at scan
+    * parallelism, join the shrunk relation.
+    */
   def q3Join(spark: SparkSession, dir: String): DataFrame = {
     val li = Load.table(spark, dir, "lineitem")
     val ord = Load.table(spark, dir, "orders")
     val cust = Load.table(spark, dir, "customer")
     val nat = Load.table(spark, dir, "nation")
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .as("order_rev"))
+    perOrder.join(ord, perOrder("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
-          .cast(DoubleType).as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_orders"))
+        sum(col("order_rev")).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_orders"))
       .orderBy("n_name")
   }
 

@@ -50,6 +50,13 @@ object Ann {
     * `queries` must be small (broadcast); corpus may be arbitrarily large.
     * Returns (query_id, neighbor_id, sim, rank), rank 1..k, ties broken by
     * neighbor id for determinism.
+    *
+    * Ranking runs through the TopKPerKey physical operator: map-side
+    * bounded heaps cut each scan partition to ≤ k rows per query before
+    * the key shuffle, so the exchange moves `partitions × queries × k`
+    * rows, not the full n×q score matrix. The window formulation this
+    * replaces (kept bit-identical by TopKPerKeySpec) sorts every
+    * per-query group in full after shuffling all scores.
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -64,9 +71,13 @@ object Ann {
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("sim"))
+      .withColumn("__negSim", -col("sim"))
+    val top = graft.plans.TopKPerKey.topK(scored, Seq("query_id"),
+      Seq(graft.plans.TopKPerKey.Sort("__negSim"), graft.plans.TopKPerKey.Sort("neighbor_id")), k)
+    // rank the ≤k survivors per key — a window over k rows per group
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    top.withColumn("rank", row_number().over(w)).drop("__negSim")
   }
 
   /** Deterministic random unit-ish hyperplanes: component h of plane p is
@@ -122,9 +133,14 @@ object Ann {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("sim"))
+      // no (query, neighbor) dups possible: the probe buckets of one query
+      // are distinct values, and a corpus row carries exactly one bucket
+      .withColumn("__negSim", -col("sim"))
+    val top = graft.plans.TopKPerKey.topK(scored, Seq("query_id"),
+      Seq(graft.plans.TopKPerKey.Sort("__negSim"), graft.plans.TopKPerKey.Sort("neighbor_id")), k)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    top.withColumn("rank", row_number().over(w)).drop("__negSim")
   }
 
   /** IVF coarse quantizer: sample + iterate k-means on the driver (the

@@ -34,6 +34,17 @@ class TopKPerKeySpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("sortexec"), "no full sort expected")
   }
 
+  test("map-side partial pass shrinks the shuffle: partial under exchange under final") {
+    val out = TopKPerKey.topK(li, Seq("l_suppkey"), Seq(TopKPerKey.Sort("l_quantity")), 2)
+    val plan = out.queryExecution.executedPlan.toString
+    // expect: TopKPerKey … Exchange … TopKPerKeyPartial (reading top-down)
+    val exch = plan.indexOf("Exchange")
+    val part = plan.indexOf("TopKPerKeyPartial")
+    assert(part >= 0, s"partial node missing:\n$plan")
+    assert(exch >= 0 && exch < part, s"exchange must sit above the partial pass:\n$plan")
+    assert(out.count() > 0)
+  }
+
   test("descending sort and global (keyless) top-k work") {
     val topGlobal = TopKPerKey.topK(li, Nil,
       Seq(TopKPerKey.Sort("l_quantity", descending = true),
