@@ -57,11 +57,12 @@ object Dedup {
   }
 
   /** Distinct n-gram HASHES of the normalized text — the single-pass
-    * native expression; shingle strings are never materialized.
+    * native expression; normalization (lowercase, whitespace collapse) is
+    * fused into the same character scan, and shingle strings are never
+    * materialized.
     */
   def shingleHashes(text: Column, n: Int = 5): Column =
-    graft.functions.HashExprs.shingleHash64(
-      regexp_replace(lower(text), "\\s+", " "), n)
+    graft.functions.HashExprs.shingleHash64(text, n)
 
   /** Word n-gram shingles (token windows joined by a space). */
   def wordShingles(text: Column, n: Int = 3): Column = {
@@ -100,20 +101,43 @@ object Dedup {
     size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast(DoubleType) /
       size(sigA)
 
+  /** Distinct candidate id pairs (id_a < id_b) from a (bucket, id)
+    * relation: ONE shuffle — groupBy(bucket) with the bounded-collect
+    * native aggregate (groups beyond `cap` ids evaluate to NULL and are
+    * dropped: an over-shared bucket carries no near-dup signal, and the
+    * cap keeps per-group aggregation state O(cap) on both sides of the
+    * exchange — no skew bomb from degenerate buckets). Pair expansion is
+    * a narrow double-explode over the ≤cap-element arrays; `distinct`
+    * then dedups pairs that collide in several bands.
+    *
+    * Replaces the count-filter + semi-join + self-join formulation, which
+    * shuffled the full exploded (bucket, id) relation three times.
+    */
+  def candidatePairs(buckets: DataFrame, cap: Int): DataFrame = {
+    import graft.functions.BoundedCollect.boundedCollectLong
+    buckets.groupBy(col("bucket"))
+      .agg(boundedCollectLong(col("id"), cap).as("__ids"))
+      .filter(col("__ids").isNotNull)
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"),
+        explode(filter(col("__ids"), x => x > col("id_a"))).as("id_b"))
+      .distinct()
+  }
+
   /** MinHash+LSH near-dup pairs: returns (id_a, id_b, est_jaccard) with
     * id_a < id_b and est_jaccard ≥ threshold.
     *
     * Plan shape, sized for 100 TB:
-    *  1. one narrow pass computes (id, sig); persisted — three consumers;
+    *  1. one narrow pass computes (id, sig); persisted — two consumers;
     *  2. explode to (bucket, id) — 8-byte ids only, signatures do NOT
     *     travel through the bucket shuffle;
-    *  3. buckets above `maxBucketSize` are dropped (a bucket shared by
-    *     hundreds of docs carries no near-dup signal — standard LSH
-    *     degeneracy cap; true near-dups share many bands, so they keep a
+    *  3. ONE groupBy(bucket) shuffle with the bounded-collect aggregate
+    *     (see candidatePairs) yields distinct candidate pairs; buckets
+    *     above `maxBucketSize` are dropped (a bucket shared by hundreds
+    *     of docs carries no near-dup signal — standard LSH degeneracy
+    *     cap; true near-dups share many bands, so they keep a
     *     discriminative bucket with overwhelming probability);
-    *  4. within-bucket self-join emits DISTINCT candidate id pairs before
-    *     any similarity work — each pair scored exactly once;
-    *  5. signatures join back onto the deduped pairs (Catalyst/AQE
+    *  4. signatures join back onto the deduped pairs (Catalyst/AQE
     *     broadcasts the sig table when small, shuffles on id when not).
     */
   def minhashNearDupPairs(
@@ -133,16 +157,7 @@ object Dedup {
       .persist()
     val buckets = withSig
       .select(col("id"), explode(lshBucketKeys(col("sig"), k, bands)).as("bucket"))
-    val smallBuckets = buckets.groupBy("bucket")
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1 && col("__n") <= maxBucketSize)
-      .select("bucket")
-    val kept = buckets.join(smallBuckets, Seq("bucket"))
-    val pairs = kept.select(col("bucket"), col("id").as("id_a"))
-      .join(kept.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    val pairs = candidatePairs(buckets, maxBucketSize)
     pairs
       .join(withSig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(withSig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -180,17 +195,8 @@ object Dedup {
       .persist()
     val blocks = withH.select(col("id"), explode(array((0 until 4).map(b =>
       concat_ws(":", lit(b.toString),
-        shiftright(col("h"), b * 16).bitwiseAND(0xFFFFL).cast(StringType))): _*)).as("block"))
-    val smallBlocks = blocks.groupBy("block")
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1 && col("__n") <= maxBlockSize)
-      .select("block")
-    val kept = blocks.join(smallBlocks, Seq("block"))
-    val pairs = kept.select(col("block"), col("id").as("id_a"))
-      .join(kept.select(col("block"), col("id").as("id_b")), Seq("block"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+        shiftright(col("h"), b * 16).bitwiseAND(0xFFFFL).cast(StringType))): _*)).as("bucket"))
+    val pairs = candidatePairs(blocks, maxBlockSize)
     pairs
       .join(withH.select(col("id").as("id_a"), col("h").as("h_a")), Seq("id_a"))
       .join(withH.select(col("id").as("id_b"), col("h").as("h_b")), Seq("id_b"))
@@ -230,16 +236,7 @@ object Dedup {
     val withSig = sh.withColumn("sig", minhashSignatureFromHashes(col("sh"), k))
     val buckets = withSig
       .select(col("id"), explode(lshBucketKeys(col("sig"), k, bands)).as("bucket"))
-    val smallBuckets = buckets.groupBy("bucket")
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1 && col("__n") <= 100)
-      .select("bucket")
-    val kept = buckets.join(smallBuckets, Seq("bucket"))
-    val rawPairs = kept.select(col("bucket"), col("id").as("id_a"))
-      .join(kept.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    val rawPairs = candidatePairs(buckets, cap = 100)
     // est-jaccard pre-filter on the 64-slot signatures (tiny) BEFORE the
     // expensive exact tier — without it every bucket collision drags two
     // full shingle arrays through the join (measured 8× slower)

@@ -1,35 +1,102 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
-/** Custom Catalyst expressions for the dedup hot path. Both consume an
-  * `array<bigint>` of shingle hashes (produced by the codegen'd builtin
-  * `xxhash64` inside a `transform`) and fold it in ONE pass of tight JVM
-  * arithmetic — the builtin-only formulation needs 64 (simhash) / k
-  * (minhash) separate array traversals with per-element expression trees.
-  * At 100 TB of documents this is the difference between a scan-bound and
-  * a CPU-bound dedup stage.
+/** Custom Catalyst expressions for the dedup hot path. Each implements
+  * `doGenCode` as a call into a static kernel (`HashKernels`), so the
+  * expression participates in whole-stage codegen — no interpreted-eval
+  * glue, no per-row boxing — while the kernel itself is one pass of tight
+  * JVM arithmetic. The builtin-only formulation needs 64 (simhash) / k
+  * (minhash) separate array traversals with per-element expression trees,
+  * and materializes every shingle as a UTF8String. At 100 TB of documents
+  * this is the difference between a scan-bound and a CPU-bound dedup
+  * stage.
   */
+object HashKernels {
 
-/** 64-bit SimHash over pre-hashed shingles: bit i of the output is 1 iff
-  * ≥ half the input hashes have bit i set. Null/empty input → null.
-  */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+  /** Distinct char-n-gram hashes of `s` after inline normalization
+    * (lowercase, runs of whitespace → one space) — the fused form of
+    * `regexp_replace(lower(text), "\\s+", " ")` + shingling, one pass,
+    * no intermediate string. Sorted + deduped; consumers are
+    * order-insensitive.
+    */
+  def shingleHash64(input: UTF8String, n: Int): ArrayData = {
+    val raw = input.toString
+    // inline normalization: toLowerCase + collapse \s+ to single space
+    val sb = new java.lang.StringBuilder(raw.length)
+    var prevWs = false
+    var r = 0
+    while (r < raw.length) {
+      val c = raw.charAt(r)
+      if (Character.isWhitespace(c)) {
+        if (!prevWs && sb.length() > 0) sb.append(' ')
+        prevWs = true
+      } else {
+        sb.append(Character.toLowerCase(c))
+        prevWs = false
+      }
+      r += 1
+    }
+    // strip a trailing space left by terminal whitespace
+    var len = sb.length()
+    if (len > 0 && sb.charAt(len - 1) == ' ') len -= 1
+    if (len == 0) return new GenericArrayData(Array.empty[Long])
+    val m = math.max(1, len - n + 1)
+    val hashes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 1125899906842597L
+      var j = i
+      val end = math.min(i + n, len)
+      while (j < end) { h = h * 31 + sb.charAt(j); j += 1 }
+      // splitmix finalizer spreads the weak polynomial bits
+      h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+      h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+      hashes(i) = h ^ (h >>> 31)
+      i += 1
+    }
+    java.util.Arrays.sort(hashes)
+    var w = 1
+    i = 1
+    while (i < m) {
+      if (hashes(i) != hashes(i - 1)) { hashes(w) = hashes(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, w))
+  }
 
-  override def dataType: DataType = LongType
-  override def nullable: Boolean = true
-  override def prettyName: String = "simhash64"
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** MinHash signature; slot j = min over hashes of mix_j(h). Caller
+    * guarantees non-empty input.
+    */
+  def minhashSig(arr: ArrayData, mults: Array[Long], adds: Array[Long]): ArrayData = {
     val n = arr.numElements()
-    if (n == 0) return null
+    val k = mults.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        var m = h * mults(j) + adds(j)
+        m ^= (m >>> 29)
+        if (m < mins(j)) mins(j) = m
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash: bit b set iff ≥ half the hashes have bit b set.
+    * Caller guarantees non-empty input.
+    */
+  def simhash64(arr: ArrayData): Long = {
+    val n = arr.numElements()
     val counts = new Array[Int](64)
     var i = 0
     while (i < n) {
@@ -50,6 +117,34 @@ case class SimHash64(child: Expression)
     out
   }
 
+  def splitmix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+}
+
+/** 64-bit SimHash over pre-hashed shingles. Null/empty input → null. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null else HashKernels.simhash64(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if ($c.numElements() == 0) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.HashKernels.simhash64($c);
+      }""")
+
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
@@ -59,90 +154,54 @@ case class SimHash64(child: Expression)
   * multiply-add-xorshift (splitmix-style) — k cheap mixes of one base
   * hash instead of k full string hashes. Null/empty input → null.
   */
-case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
 
   // Seed constants derived once per slot (splitmix64 of the slot index).
-  private lazy val mults: Array[Long] = Array.tabulate(k)(j => splitmix(j * 2 + 1) | 1L)
-  private lazy val adds: Array[Long] = Array.tabulate(k)(j => splitmix(j * 2 + 2))
-
-  private def splitmix(x0: Long): Long = {
-    var x = x0 + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
+  @transient private lazy val mults: Array[Long] =
+    Array.tabulate(k)(j => HashKernels.splitmix(j * 2 + 1) | 1L)
+  @transient private lazy val adds: Array[Long] =
+    Array.tabulate(k)(j => HashKernels.splitmix(j * 2 + 2))
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    if (n == 0) return null
-    val mins = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      val h = arr.getLong(i)
-      var j = 0
-      while (j < k) {
-        var m = h * mults(j) + adds(j)
-        m ^= (m >>> 29)
-        if (m < mins(j)) mins(j) = m
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(mins)
+    if (arr.numElements() == 0) null else HashKernels.minhashSig(arr, mults, adds)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val multsRef = ctx.addReferenceObj("mults", mults, "long[]")
+    val addsRef = ctx.addReferenceObj("adds", adds, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if ($c.numElements() == 0) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.HashKernels.minhashSig($c, $multsRef, $addsRef);
+      }""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
 
-/** Distinct character-n-gram hashes of a string in ONE pass — replaces the
-  * builtin `transform(sequence(...), substring)` + `array_distinct`
-  * formulation, which materializes every shingle as a UTF8String and
-  * dominated the dedup profile (17 s of a 26 s stage at sf0.1). Output
-  * order is sorted (deterministic); consumers (MinHashSig, SimHash64,
-  * hash-set Jaccard) are order-insensitive.
+/** Distinct character-n-gram hashes of a string in ONE pass, with the
+  * lowercase + whitespace-collapse normalization fused into the same
+  * character scan (replaces a separate `regexp_replace(lower(...))`).
   */
-case class ShingleHash64(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+case class ShingleHash64(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "shingle_hash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.toString
-    val len = s.length
-    if (len == 0) return new GenericArrayData(Array.empty[Long])
-    val m = math.max(1, len - n + 1)
-    val hashes = new Array[Long](m)
-    var i = 0
-    while (i < m) {
-      var h = 1125899906842597L
-      var j = i
-      val end = math.min(i + n, len)
-      while (j < end) { h = h * 31 + s.charAt(j); j += 1 }
-      // splitmix finalizer spreads the weak polynomial bits
-      h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
-      h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
-      hashes(i) = h ^ (h >>> 31)
-      i += 1
-    }
-    java.util.Arrays.sort(hashes)
-    // in-place unique
-    var w = 1
-    i = 1
-    while (i < m) {
-      if (hashes(i) != hashes(i - 1)) { hashes(w) = hashes(i); w += 1 }
-      i += 1
-    }
-    new GenericArrayData(java.util.Arrays.copyOf(hashes, w))
-  }
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.shingleHash64(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.shingleHash64($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHash64 =
     copy(child = newChild)
@@ -158,6 +217,7 @@ object HashExprs {
   def minhashSig(hashes: Column, k: Int): Column =
     EU.column(MinHashSig(EU.expression(hashes), k))
 
+  /** Shingle hashes of RAW text — normalization is fused inside. */
   def shingleHash64(text: Column, n: Int): Column =
     EU.column(ShingleHash64(EU.expression(text), n))
 }

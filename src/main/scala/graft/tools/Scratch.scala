@@ -27,31 +27,44 @@ object Scratch {
       concat(col("text"), lit(" appended tail marker")).as("text"))
     val uni = d.unionByName(mutated)
 
-    val withH = graft.ops.Par.fanOut(uni).select(col("doc_id").as("id"),
-      graft.functions.HashExprs.simhash64(Dedup.shingleHashes(col("text"), 5)).as("h")).persist()
-    time("simhash compute (fanned)")(withH.count())
-    time("simhash pairs given cached sigs") {
-      // rebuild the tail of simhashNearDupPairs manually on the cached withH
-      val blocks = withH.select(col("id"), explode(array((0 until 4).map(b =>
-        concat_ws(":", lit(b.toString),
-          shiftright(col("h"), b * 16).bitwiseAND(0xFFFFL).cast("string"))): _*)).as("block"))
-      val small = blocks.groupBy("block").agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1 && col("n") <= 100).select("block")
-      val kept = blocks.join(small, Seq("block"))
-      val pairs = kept.select(col("block"), col("id").as("id_a"))
-        .join(kept.select(col("block"), col("id").as("id_b")), Seq("block"))
+    uni.count() // warmup
+
+    // old-style tail (count-filter + semi-join + self-join) vs candidatePairs
+    val withSig = graft.ops.Par.fanOut(uni)
+      .select(col("doc_id").as("id"), Dedup.shingleHashes(col("text"), 5).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", Dedup.minhashSignatureFromHashes(col("sh"), 64))
+      .drop("sh")
+      .persist()
+    withSig.count()
+    val buckets = withSig
+      .select(col("id"), explode(Dedup.lshBucketKeys(col("sig"), 64, 16)).as("bucket"))
+
+    def oldPairs() = {
+      val small = buckets.groupBy("bucket").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1 && col("n") <= 100).select("bucket")
+      val kept = buckets.join(small, Seq("bucket"))
+      kept.select(col("bucket"), col("id").as("id_a"))
+        .join(kept.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
         .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
-      val out = pairs
-        .join(withH.select(col("id").as("id_a"), col("h").as("h_a")), Seq("id_a"))
-        .join(withH.select(col("id").as("id_b"), col("h").as("h_b")), Seq("id_b"))
-        .withColumn("dist", graft.dedup.Dedup.hamming(col("h_a"), col("h_b")))
-        .filter(col("dist") <= 12).count()
-      println(s"[scratch] pairs=$out")
     }
-    time("full q33 e2e")(
-      Dedup.simhashNearDupPairs(uni, "text", "doc_id", maxDist = 12).count())
-    time("full q33 again")(
-      Dedup.simhashNearDupPairs(uni, "text", "doc_id", maxDist = 12).count())
+    for (i <- 1 to 2) {
+      time(s"pairs OLD tail #$i")(println("[scratch]   n=" + oldPairs().count()))
+      time(s"pairs NEW tail #$i")(println("[scratch]   n=" + Dedup.candidatePairs(buckets, 100).count()))
+    }
+    // pair-set equality
+    val diff = oldPairs().exceptAll(Dedup.candidatePairs(buckets, 100)).count() +
+      Dedup.candidatePairs(buckets, 100).exceptAll(oldPairs()).count()
+    println(s"[scratch] pair-set diff old vs new = $diff")
+
+    for (i <- 1 to 2) {
+      time(s"q32 cold e2e #$i")(
+        Dedup.minhashNearDupPairs(uni, "text", "doc_id", threshold = 0.5).count())
+      time(s"q34 cold e2e #$i")(
+        Dedup.ngramJaccardPairs(uni, "text", "doc_id", threshold = 0.7).count())
+      time(s"q33 cold e2e #$i")(
+        Dedup.simhashNearDupPairs(uni, "text", "doc_id", maxDist = 12).count())
+    }
     spark.stop()
   }
 }

@@ -93,14 +93,16 @@ class PropertiesSpec extends AnyFunSuite {
       n <- Gen.choose(2, 6)
     } yield (s, n)
     check(Prop.forAll(gen) { case (s, n) =>
-      val norm = s.toLowerCase.replaceAll("\\s+", " ")
+      // model of the FUSED normalization: lowercase, collapse internal
+      // whitespace runs, trim the ends — then distinct n-grams
+      val norm = s.toLowerCase.replaceAll("\\s+", " ").trim
       val model =
         if (norm.isEmpty) 0
         else (0 until math.max(1, norm.length - n + 1))
           .map(i => norm.substring(i, math.min(i + n, norm.length))).distinct.size
       val expr = graft.functions.ShingleHash64(
         org.apache.spark.sql.catalyst.expressions.Literal(
-          org.apache.spark.unsafe.types.UTF8String.fromString(norm)), n)
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)), n)
       val got = expr.eval(null) match {
         case null => -1
         case a: org.apache.spark.sql.catalyst.util.ArrayData => a.numElements()
