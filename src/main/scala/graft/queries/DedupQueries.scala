@@ -163,6 +163,19 @@ object DedupQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-probed approximate top-3: k-means coarse quantizer (driver-
+    * trained, narrow literal-argmin assignment), nprobe closest inverted
+    * lists scanned per query, TopKPerKey ranking. Rows-only — recall vs
+    * the exact baseline is asserted in AnnSpec.
+    */
+  def q43AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Load.table(spark, dir, "embeddings").select("vec_id", "embedding")
+    val queries = e.filter(col("vec_id") < 10)
+    Ann.ivfTopK(e, queries, "vec_id", "embedding", k = 3, nLists = 16, nprobe = 4)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
   /** SRP-bucketed approximate top-3 (the scale path). Rows-only — recall
     * vs the exact baseline is asserted in the spec.
     */
@@ -183,7 +196,8 @@ object DedupQueries {
     "q35_embed_neardup" -> q35EmbedNearDup,
     "q40_ann_brute" -> q40AnnBrute,
     "q41_ann_srp" -> q41AnnSrp,
-    "q42_ann_topk_heap" -> q42AnnTopKHeap)
+    "q42_ann_topk_heap" -> q42AnnTopKHeap,
+    "q43_ann_ivf" -> q43AnnIvf)
 
   val oracles: Map[String, String] = Map(
     "q30_exact_dedup" -> q30Sql,

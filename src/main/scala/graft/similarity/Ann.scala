@@ -143,27 +143,21 @@ object Ann {
     top.withColumn("rank", row_number().over(w)).drop("__negSim")
   }
 
-  /** IVF coarse quantizer: sample + iterate k-means on the driver (the
-    * centroid table is tiny), assign via broadcast argmin, group into
-    * inverted lists. Returns the corpus with a `list_id` column — the
-    * partition key for co-located probing.
+  /** IVF training: sample + iterate k-means on the driver — the centroid
+    * table is tiny (nLists × dim doubles) and training data is a bounded
+    * sample, so this is the one legitimately driver-side step.
     */
-  def ivfAssign(
+  def ivfTrain(
       corpus: DataFrame,
-      idCol: String,
       vecCol: String,
       nLists: Int,
       iterations: Int = 5,
-      sampleRows: Int = 2000): DataFrame = {
-    val spark = corpus.sparkSession
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    // init: deterministic sample as seeds
-    var centroids: Array[Array[Double]] = corpus
-      .select(col(vecCol)).limit(sampleRows).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      .grouped(math.max(1, sampleRows / nLists)).map(_.head).take(nLists).toArray
+      sampleRows: Int = 2000): Array[Array[Double]] = {
     val sample = corpus.select(col(vecCol)).limit(sampleRows).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = sample.head.length
+    var centroids: Array[Array[Double]] = sample
+      .grouped(math.max(1, sample.length / nLists)).map(_.head).take(nLists).toArray
     for (_ <- 0 until iterations) {
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
       val counts = new Array[Int](centroids.length)
@@ -178,17 +172,79 @@ object Ann {
         else sums(i).map(_ / counts(i))
       }.toArray
     }
-    val cent = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-    import spark.implicits._
-    val centDf = broadcast(cent.toSeq.toDF("list_id", "__centroid"))
-    val assign = corpus.select(col(idCol), col(vecCol)).crossJoin(centDf)
-      .withColumn("__d",
-        aggregate(zip_with(col(vecCol), col("__centroid"),
-          (a, b) => (a.cast(DoubleType) - b) * (a.cast(DoubleType) - b)),
-          lit(0.0), (acc, v) => acc + v))
-      .groupBy(col(idCol))
-      .agg(min_by(col("list_id"), col("__d")).as("list_id"))
-    corpus.join(assign, Seq(idCol))
+    centroids
+  }
+
+  /** Squared L2 distance of a vector column to a literal centroid. */
+  private def l2ToCentroid(vec: Column, centroid: Array[Double]): Column = {
+    val c = array(centroid.map(lit): _*)
+    aggregate(zip_with(vec, c, (a, b) => (a.cast(DoubleType) - b) * (a.cast(DoubleType) - b)),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** Nearest-centroid list id as a NARROW column expression — the
+    * centroids are literals folded into the plan, so assignment is pure
+    * map-side compute: no crossJoin row explosion, no argmin shuffle.
+    */
+  def ivfListId(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = array(centroids.map(c => l2ToCentroid(vec, c)): _*)
+    array_position(dists, array_min(dists)).cast(IntegerType) - 1
+  }
+
+  /** IVF coarse quantizer: train on the driver, assign via the narrow
+    * argmin expression. Returns the corpus plus `list_id` — the partition
+    * key for co-located probing (at scale: write bucketed by list_id).
+    */
+  def ivfAssign(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int,
+      iterations: Int = 5,
+      sampleRows: Int = 2000): DataFrame = {
+    val centroids = ivfTrain(corpus, vecCol, nLists, iterations, sampleRows)
+    corpus.withColumn("list_id", ivfListId(col(vecCol), centroids))
+  }
+
+  /** IVF-probed approximate top-k: each query scans only the `nprobe`
+    * inverted lists whose centroids are closest to it. The corpus shuffle
+    * key is list_id (at 100 TB the corpus is stored bucketed by list_id
+    * and this join is co-located, reading only probed buckets); ranking
+    * runs through the TopKPerKey bounded-heap operator.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int = 16,
+      nprobe: Int = 4,
+      iterations: Int = 5,
+      sampleRows: Int = 2000): DataFrame = {
+    val centroids = ivfTrain(corpus, vecCol, nLists, iterations, sampleRows)
+    val c = graft.ops.Par.fanOut(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("list_id", ivfListId(col("__cv"), centroids))
+    // nprobe closest lists per query: literal distance array, sorted as
+    // (dist, list) structs — narrow, no shuffle on the (small) query side
+    val dists = array(centroids.zipWithIndex.map { case (cent, i) =>
+      struct(l2ToCentroid(col("__qv"), cent).as("d"), lit(i).as("l"))
+    }: _*)
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+        .withColumn("list_id",
+          explode(transform(slice(array_sort(dists), 1, nprobe), s => s.getField("l")))))
+    val scored = c.join(q, Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("sim"))
+      .withColumn("__negSim", -col("sim"))
+    val top = graft.plans.TopKPerKey.topK(scored, Seq("query_id"),
+      Seq(graft.plans.TopKPerKey.Sort("__negSim"), graft.plans.TopKPerKey.Sort("neighbor_id")), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w)).drop("__negSim")
   }
 
   private def l2sq(a: Array[Double], b: Array[Double]): Double = {

@@ -44,4 +44,22 @@ class AnnSpec extends SparkSpec {
     val lists = out.select("list_id").distinct().collect().map(_.getInt(0)).toSet
     assert(lists.nonEmpty && lists.size <= 4)
   }
+
+  test("ivfAssign plan is narrow: no joins, no exchanges") {
+    val out = Ann.ivfAssign(embeddings.limit(200), "vec_id", "embedding", nLists = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+  }
+
+  test("ivfTopK recall vs exact baseline is reasonable") {
+    val q = embeddings.filter($"vec_id" < 20)
+    val exact = Ann.bruteForceTopK(embeddings, q, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Ann.ivfTopK(embeddings, q, "vec_id", "embedding", k = 3,
+      nLists = 8, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall too low")
+  }
 }
