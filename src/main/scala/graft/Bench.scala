@@ -28,7 +28,12 @@ object Bench {
       // count() would let Catalyst prune the projection away
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // intra-query persists are part of the measured time; dropping them
+      // AFTER the clock keeps queries independent (no cross-query memory
+      // pressure / eviction noise)
+      spark.catalog.clearCache()
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -226,14 +226,17 @@ object Dedup {
       threshold: Double = 0.8,
       k: Int = 64,
       bands: Int = 16): DataFrame = {
-    // ONE shingle-hash pass feeds both the candidate tier (via minhash
-    // signatures) and the exact verify tier — sh is persisted, not
-    // recomputed per consumer.
-    val sh = graft.ops.Par.fanOut(df)
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
+    val src = graft.ops.Par.fanOut(df)
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+    // sh → sig in one projection; only the 64-slot sig is persisted. The
+    // full shingle arrays (~50× bigger) are NEVER cached or shuffled —
+    // the exact tier below re-shingles just the candidate docs.
+    val withSig = src
+      .select(col("id"), shingleHashes(col("text"), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignatureFromHashes(col("sh"), k))
+      .drop("sh")
       .persist()
-    val withSig = sh.withColumn("sig", minhashSignatureFromHashes(col("sh"), k))
     val buckets = withSig
       .select(col("id"), explode(lshBucketKeys(col("sig"), k, bands)).as("bucket"))
     val rawPairs = candidatePairs(buckets, cap = 100)
@@ -241,17 +244,24 @@ object Dedup {
     // expensive exact tier — without it every bucket collision drags two
     // full shingle arrays through the join (measured 8× slower)
     val sigs = withSig.select(col("id"), col("sig"))
+    // persisted: consumed three times below (directly + twice via candSh);
+    // without the pin each consumer re-runs the whole LSH candidate tail
     val cands = rawPairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .filter(signatureSimilarity(col("sig_a"), col("sig_b")) >= threshold * 0.75)
       .select("id_a", "id_b")
+      .persist()
     // exact Jaccard over hashed shingle SETS (collision odds ~ m^2/2^64 —
-    // indistinguishable from string-set Jaccard, far cheaper to co-locate)
+    // indistinguishable from string-set Jaccard). The tiny cands relation
+    // broadcasts into two joins against the source texts, and shingles
+    // are recomputed inline for just the joined (candidate) rows.
     cands
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .join(src.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(src.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(shingleHashes(col("text_a"), shingleN),
+          shingleHashes(col("text_b"), shingleN)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }
