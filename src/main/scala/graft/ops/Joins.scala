@@ -102,17 +102,28 @@ object Joins {
       keys: Seq[String],
       spec: Map[String, AggSpec],
       ordCol: String = Ordering.ORD): DataFrame = {
-    val aggs = spec.toSeq.sortBy(_._1).map {
+    // ALL Collect fields ride in ONE collect_list of (ord, f1, f2, …)
+    // structs, sorted once — the ord key crosses the shuffle once total
+    // instead of once per collected field, and the per-group sort runs
+    // once instead of N times.
+    val collectFields = spec.toSeq.filter(_._2 == Collect).map(_._1).sorted
+    val scalarAggs = spec.toSeq.sortBy(_._1).collect {
       case (f, First)     => min_by(col(f), col(ordCol)).as(f)
       case (f, Max)       => max(col(f)).as(f)
       case (f, CountRows) => count(lit(1)).as(f)
-      case (f, Collect)   =>
-        // collect (ord, v) pairs, sort by ord, project v back out
-        transform(
-          array_sort(collect_list(struct(col(ordCol).as("o"), col(f).as("v")))),
-          p => p.getField("v")
-        ).as(f)
-    } :+ min(col(ordCol)).as(ordCol) // groups keep the order of first arrival
-    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+    val packedAgg =
+      if (collectFields.isEmpty) Nil
+      else Seq(array_sort(collect_list(struct(
+        col(ordCol).as("__o") +: collectFields.map(f => col(f).as(f)): _*)))
+        .as("__packed"))
+    val aggs = scalarAggs ++ packedAgg :+
+      min(col(ordCol)).as(ordCol) // groups keep the order of first arrival
+    val grouped = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val unpacked = collectFields.foldLeft(grouped) { (g, f) =>
+      g.withColumn(f, transform(col("__packed"), p => p.getField(f)))
+    }
+    // stable output shape: keys, spec fields (name-sorted), ord
+    unpacked.select((keys ++ spec.keys.toSeq.sorted :+ ordCol).map(col): _*)
   }
 }
