@@ -1,0 +1,70 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.queries.{DedupQueries, Relational}
+
+/** Plan-shape regression guards: the properties that make these queries
+  * scale are visible in the physical plan — assert them so a refactor
+  * that silently drops a pushdown, a broadcast, or a partial pass fails
+  * here rather than in a 100 TB run.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q2: filters and the 5-column projection reach the parquet scan") {
+    val p = plan(Relational.q2FilterProject(spark, sf))
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    assert(p.contains("l_quantity"), "quantity filter not pushed")
+    assert(p.contains("l_discount"), "discount filter not pushed")
+    // scan must not read the full 16-column lineitem schema
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_shipdate"),
+      s"scan reads columns the query never uses: $readSchema")
+  }
+
+  test("q3: dimension joins broadcast; fact pre-agg is partial before its shuffle") {
+    val p = plan(Relational.q3Join(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      "expected broadcast dims")
+    // partial + final HashAggregate pairs (map-side combine)
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial/final aggregate pairs:\n$p")
+  }
+
+  test("q1: aggregation is map-side partial (HashAggregate pair around exchange)") {
+    val p = plan(Relational.q1Agg(spark, sf))
+    val aggIdx = "HashAggregate".r.findAllIn(p).size
+    assert(aggIdx >= 2, s"no partial aggregation:\n$p")
+    assert(p.contains("Exchange hashpartitioning"), s"no hash exchange:\n$p")
+  }
+
+  test("q40: ANN ranking runs through the partial/final TopKPerKey pair, not a Window") {
+    val p = plan(DedupQueries.queries("q40_ann_brute")(spark, sf))
+    assert(p.contains("TopKPerKeyPartial"), s"no map-side top-k:\n$p")
+    // the only Window allowed is the k-rows-per-group rank numbering AFTER top-k
+    val topkIdx = p.indexOf("TopKPerKeyPartial")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx < 0 || winIdx < topkIdx,
+      "full-input Window must not appear below the top-k")
+  }
+
+  test("dedup signature stage stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val df = d.select(col("doc_id"),
+      graft.functions.HashExprs.minhashSig(
+        graft.dedup.Dedup.shingleHashes(col("text"), 5), 64).as("sig"))
+    val p = plan(df)
+    // codegen'd stages are starred in the tree: "*(1) Project"
+    assert(p.contains("*(1)"), s"signature projection fell out of codegen:\n$p")
+  }
+
+  test("exact dedup aggregates partially before the digest shuffle") {
+    val p = plan(graft.dedup.Dedup.exactDedup(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+}
