@@ -35,6 +35,20 @@ object Streams {
       .select(unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: drop repeated keys arriving within the
+    * watermark horizon (`dropDuplicatesWithinWatermark` — state for a key
+    * is evictable once the watermark passes it, so state stays bounded on
+    * an unbounded stream; plain `dropDuplicates` on a stream never
+    * forgets). The streaming twin of Dedup.exactDedup's keep-first
+    * semantics for keys inside one horizon.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   final case class Event(event_id: Long, user_id: Long, ts_s: Long)
   final case class SessionState(sessionId: Long, lastTs: Long)
   final case class SessionizedEvent(event_id: Long, user_id: Long, ts_s: Long, session_id: Long)

@@ -42,4 +42,26 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed == batch)
   }
+
+  test("streaming dedup-within-watermark drops planted duplicate event_ids") {
+    // source dir: the events file + a copy of itself = every event twice
+    val dir = java.nio.file.Files.createTempDirectory("events_dup_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("b.parquet"))
+    val deduped = Streams.dedupWithinWatermark(
+      Streams.readEvents(spark, dir.toString), Seq("event_id"), watermark = "10 days")
+    val qname = "stream_dedup"
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(qname).select("event_id").collect().map(_.getLong(0))
+    val expect = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id").collect().map(_.getLong(0))
+    assert(got.length == expect.length,
+      s"expected ${expect.length} unique events, got ${got.length}")
+    assert(got.toSet == expect.toSet)
+  }
 }
