@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Parallelism floor for CPU-bound narrow stages.
   *
@@ -20,4 +20,14 @@ object Par {
     if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target)
   }
+
+  /** Global sort of a compute-heavy ALL-NARROW pipeline: the range
+    * partitioner's sampling pass re-executes the sort's child, so an
+    * unguarded `orderBy` runs every per-row function twice (there is no
+    * shuffle boundary upstream to replay from). Pinning the computed
+    * rows first makes the sample read the cache. Callers own the cache
+    * lifetime (Verify/Bench clear per query).
+    */
+  def sortOnce(df: DataFrame, cols: Column*): DataFrame =
+    df.persist().orderBy(cols: _*)
 }

@@ -38,7 +38,7 @@ object MiscOps {
       col("dirty_key").as("parsed_key"),
       col("dirty_pct").as("pct"),
       col("dirty_year").as("yr"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .transform(Par.sortOnce(_, col("l_orderkey"), col("l_linenumber")))
   }
 
   val q11Sql: String =
@@ -57,7 +57,7 @@ object MiscOps {
         concat(col("yr") - 2, lit("-"), col("yr"), lit(","), col("yr") + 2))
     o.select(col("o_orderkey"),
       explode(RowOps.expandYearList(col("year_list"))).as("y"))
-      .orderBy("o_orderkey", "y")
+      .transform(Par.sortOnce(_, col("o_orderkey"), col("y")))
   }
 
   val q12Sql: String =
@@ -93,7 +93,7 @@ object MiscOps {
       RowOps.repairUrl(col("site")).as("fixed_url"),
       RowOps.linksToAnchors(col("blurb")).as("html"),
       array_join(RowOps.splitToArray(col("p_type"), " "), "|").as("type_tokens"))
-      .orderBy("p_partkey")
+      .transform(Par.sortOnce(_, col("p_partkey")))
   }
 
   val q14Sql: String =
@@ -233,6 +233,8 @@ object MiscOps {
       whitelist = Seq("אחוזים עד 1", "אחוזים עד 100", "מספר"),
       rescaleFrom = "אחוזים עד 1", rescaleTo = "אחוזים עד 100")
       .select(col("l_orderkey"), col("l_linenumber"), col("units"), col("value"))
+      // upstream is trivial compute — sortOnce's persist would cost more
+      // than the sampling re-execution it avoids
       .orderBy("l_orderkey", "l_linenumber", "units", "value")
   }
 

@@ -19,7 +19,7 @@ object ScrubQueries {
       col("doc_id"),
       Scrub.duplicateLineFraction(col("text")).as("dup_line_frac"),
       Scrub.topTokenFraction(col("text")).as("top_token_frac"))
-      .orderBy("doc_id")
+      .transform(Par.sortOnce(_, col("doc_id")))
   }
 
   val q23Sql: String =
@@ -57,7 +57,7 @@ object ScrubQueries {
       Scrub.redactPii(col("seeded")).as("clean"),
       Scrub.piiCounts(col("seeded")).getField("emails").as("n_emails"),
       Scrub.piiCounts(col("seeded")).getField("ips").as("n_ips"))
-      .orderBy("doc_id")
+      .transform(Par.sortOnce(_, col("doc_id")))
   }
 
   val q24Sql: String =

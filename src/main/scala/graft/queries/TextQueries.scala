@@ -24,7 +24,7 @@ object TextQueries {
       TextAnalysis.charRatio(t, "[A-Za-z]").as("alpha_ratio"),
       TextAnalysis.stopwordRatio(t).as("stopword_ratio"),
       TextAnalysis.fingerprint(t).as("fingerprint"))
-      .orderBy("doc_id")
+      .transform(graft.ops.Par.sortOnce(_, col("doc_id")))
   }
 
   val q20Sql: String = {
@@ -43,7 +43,7 @@ object TextQueries {
   def q21Quality(spark: SparkSession, dir: String): DataFrame = {
     val d = graft.ops.Par.fanOut(Load.table(spark, dir, "documents"))
     d.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
-      .orderBy("doc_id")
+      .transform(graft.ops.Par.sortOnce(_, col("doc_id")))
   }
 
   val q21Sql: String = {
@@ -72,7 +72,7 @@ object TextQueries {
     val d = graft.ops.Par.fanOut(Load.table(spark, dir, "documents"))
     d.select(col("doc_id"), col("lang").as("labeled_lang"),
       TextAnalysis.langId(col("text")).as("lang_id"))
-      .orderBy("doc_id")
+      .transform(graft.ops.Par.sortOnce(_, col("doc_id")))
   }
 
   val q22Sql: String = {
