@@ -80,9 +80,13 @@ object Dedup {
   def minhashSignature(shingleArr: Column, k: Int = 64): Column =
     graft.functions.HashExprs.minhashSig(transform(shingleArr, s => xxhash64(s)), k)
 
-  /** MinHash signature straight from pre-hashed shingles. */
+  /** MinHash signature straight from pre-hashed shingles. One-permutation
+    * hashing with rotation densification: O(shingles + k) per doc instead
+    * of the classic O(shingles × k) k-mix loop, same pairwise collision
+    * estimator (classic form stays available as HashExprs.minhashSig).
+    */
   def minhashSignatureFromHashes(shingleHashArr: Column, k: Int = 64): Column =
-    graft.functions.HashExprs.minhashSig(shingleHashArr, k)
+    graft.functions.HashExprs.minhashSigOph(shingleHashArr, k)
 
   /** LSH banding: split the k-length signature into `bands` bands of
     * `k/bands` rows; each band hashes to one bucket key. Docs sharing ANY

@@ -92,6 +92,50 @@ object HashKernels {
     new GenericArrayData(mins)
   }
 
+  /** One-permutation-hashing MinHash signature with rotation
+    * densification (Shrivastava & Li, ICML 2014): each shingle hash is
+    * assigned to ONE of k bins by its top bits and the bin keeps the
+    * minimum of a single remix — O(n + k) total versus O(n·k) for the
+    * classic k-mix signature, with the same pairwise collision estimator
+    * E[slot_a == slot_b] ≈ Jaccard. Empty bins borrow the next non-empty
+    * bin's value (wrapping, offset-tagged so borrowed slots still
+    * discriminate). k must be a power of two.
+    */
+  def minhashSigOph(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    val shift = 64 - Integer.numberOfTrailingZeros(k) // top log2(k) bits pick the bin
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      val bin = (h >>> shift).toInt
+      // remix so the bin-selector bits don't correlate with the value
+      var m = h * 0xBF58476D1CE4E5B9L
+      m ^= (m >>> 29)
+      if (m < mins(bin)) mins(bin) = m
+      i += 1
+    }
+    // rotation densification: an empty bin takes the value of the next
+    // non-empty bin (cyclically), mixed with the distance so two docs
+    // agreeing only via borrowed slots must share the SOURCE bin too
+    var j = 0
+    while (j < k) {
+      if (mins(j) == Long.MaxValue) {
+        var d = 1
+        while (d < k && mins((j + d) & (k - 1)) == Long.MaxValue) d += 1
+        if (d < k) {
+          val src = mins((j + d) & (k - 1))
+          var m = src + d.toLong * 0x9E3779B97F4A7C15L
+          m = (m ^ (m >>> 30)) * 0x94D049BB133111EBL
+          mins(j) = m ^ (m >>> 31)
+        } else mins(j) = 0L // no non-empty bin at all (can't happen: n > 0)
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** 64-bit SimHash: bit b set iff ≥ half the hashes have bit b set.
     * Caller guarantees non-empty input.
     */
@@ -186,6 +230,34 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-permutation-hashing MinHash signature (see HashKernels
+  * .minhashSigOph): O(n + k) per doc. Null/empty input → null; k must be
+  * a power of two.
+  */
+case class MinHashSigOph(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0 && (k & (k - 1)) == 0, s"k must be a power of two, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig_oph"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null else HashKernels.minhashSigOph(arr, k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if ($c.numElements() == 0) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.HashKernels.minhashSigOph($c, $k);
+      }""")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigOph =
+    copy(child = newChild)
+}
+
 /** Distinct character-n-gram hashes of a string in ONE pass, with the
   * lowercase + whitespace-collapse normalization fused into the same
   * character scan (replaces a separate `regexp_replace(lower(...))`).
@@ -216,6 +288,9 @@ object HashExprs {
 
   def minhashSig(hashes: Column, k: Int): Column =
     EU.column(MinHashSig(EU.expression(hashes), k))
+
+  def minhashSigOph(hashes: Column, k: Int): Column =
+    EU.column(MinHashSigOph(EU.expression(hashes), k))
 
   /** Shingle hashes of RAW text — normalization is fused inside. */
   def shingleHash64(text: Column, n: Int): Column =

@@ -21,17 +21,12 @@ import org.apache.spark.sql.types._
 object Ann {
 
   /** Cosine similarity between two float-array columns, computed in
-    * double. `zip_with` dot product + aggregate norms — codegen'd builtins.
+    * double — the native one-pass kernel (dot + both norms in a single
+    * traversal, bit-identical fold order to the builtin `aggregate`
+    * formulation it replaced, so q40's DuckDB hash-equality holds).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
-        lit(0.0), (acc, v) => acc + v)
-    def norm(x: Column): Column =
-      sqrt(aggregate(transform(x, p => p.cast(DoubleType) * p.cast(DoubleType)),
-        lit(0.0), (acc, v) => acc + v))
-    dot(a, b) / (norm(a) * norm(b))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosineSim(a, b)
 
   /** All (query, neighbor, cosine) scores — the scoring stage shared by
     * the window and TopKPerKey ranking variants. `queries` must already
@@ -93,15 +88,12 @@ object Ann {
 
   /** Signed-random-projection bucket id: one bit per hyperplane (sign of
     * dot product), packed into a long. nBits planes → 2^nBits buckets.
+    * Native one-pass kernel; the plane matrix (same deterministic
+    * components as always) is a codegen reference object.
     */
   def srpBucket(vec: Column, dim: Int, nBits: Int = 8): Column = {
-    val bits = (0 until nBits).map { p =>
-      val plane = array((0 until dim).map(h => lit(planeComponent(p, h))): _*)
-      val dotp = aggregate(zip_with(vec, plane, (v, w) => v.cast(DoubleType) * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dotp >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    val planes = Array.tabulate(nBits, dim)((p, h) => planeComponent(p, h))
+    graft.functions.VectorExprs.srpBucket(vec, planes)
   }
 
   /** LSH-bucketed ANN: corpus pre-bucketed by SRP code; each query probes
@@ -182,14 +174,12 @@ object Ann {
       lit(0.0), (acc, v) => acc + v)
   }
 
-  /** Nearest-centroid list id as a NARROW column expression — the
-    * centroids are literals folded into the plan, so assignment is pure
-    * map-side compute: no crossJoin row explosion, no argmin shuffle.
+  /** Nearest-centroid list id as a NARROW column expression — the native
+    * one-pass argmin kernel (centroid matrix rides as a codegen reference
+    * object): no crossJoin row explosion, no argmin shuffle.
     */
-  def ivfListId(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val dists = array(centroids.map(c => l2ToCentroid(vec, c)): _*)
-    array_position(dists, array_min(dists)).cast(IntegerType) - 1
-  }
+  def ivfListId(vec: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.VectorExprs.nearestCentroid(vec, centroids)
 
   /** IVF coarse quantizer: train on the driver, assign via the narrow
     * argmin expression. Returns the corpus plus `list_id` — the partition

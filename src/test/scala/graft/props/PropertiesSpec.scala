@@ -87,6 +87,30 @@ class PropertiesSpec extends AnyFunSuite {
 
   // --- ShingleHash64 model check --------------------------------------
 
+  test("OPH minhash signature similarity estimates Jaccard") {
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    val rnd = new scala.util.Random(42)
+    def sig(set: Set[Long]): Array[Long] =
+      graft.functions.HashKernels
+        .minhashSigOph(new GenericArrayData(set.toArray.sorted), 64) match {
+        case a: ArrayData => a.toLongArray()
+      }
+    // three overlap regimes; estimator must land within ~3σ (σ≈0.06 at k=64)
+    for (overlap <- Seq(0.9, 0.5, 0.1)) {
+      val base = Array.fill(400)(rnd.nextLong()).toSet
+      val shared = base.take((base.size * overlap).toInt)
+      val other = shared ++ Array.fill(base.size - shared.size)(rnd.nextLong()).toSet
+      val trueJ = (base & other).size.toDouble / (base | other).size
+      val (sa, sb) = (sig(base), sig(other))
+      val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / sa.length
+      assert(math.abs(est - trueJ) < 0.2,
+        s"overlap=$overlap trueJ=$trueJ est=$est")
+    }
+    // identical sets → similarity exactly 1
+    val s = Array.fill(300)(rnd.nextLong()).toSet
+    assert(sig(s).sameElements(sig(s)))
+  }
+
   test("shingle hash count == distinct n-gram count (model parity)") {
     val gen = for {
       s <- Gen.listOf(Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)
