@@ -13,6 +13,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.install(spark) // strategy + rewrite rule + SQL functions
     // warmup outside the timed section: spins up executors, parquet
     // readers, codegen + JIT paths shared by every query — otherwise the
     // first timed query absorbs ~5 s of one-time cost

@@ -21,4 +21,16 @@ object GraftBridge {
       spark: SparkSession,
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], p)
+
+  /** Register a native expression as a SQL function on a LIVE session
+    * (SparkSessionExtensions only applies at session build time).
+    */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }
