@@ -90,14 +90,15 @@ object Dedup {
 
   /** LSH banding: split the k-length signature into `bands` bands of
     * `k/bands` rows; each band hashes to one bucket key. Docs sharing ANY
-    * (band, bucket) are candidates.
+    * (band, bucket) are candidates. Keys are 8-byte longs — the band
+    * index is mixed INTO the hash (seed argument) so band b's buckets
+    * can't collide with band b''s — not band:hash strings; this shuffle
+    * is the hottest in the dedup pipeline.
     */
   def lshBucketKeys(sig: Column, k: Int = 64, bands: Int = 16): Column = {
     val rows = k / bands
     transform(sequence(lit(0), lit(bands - 1)), b =>
-      concat_ws(":", b.cast(StringType),
-        xxhash64(concat_ws(",", slice(sig, b * rows + 1, lit(rows)).cast(ArrayType(StringType))))
-          .cast(StringType)))
+      xxhash64(b, slice(sig, b * rows + 1, lit(rows))))
   }
 
   /** Estimated Jaccard from two signatures: fraction of agreeing slots. */
@@ -197,9 +198,11 @@ object Dedup {
       .select(col(idCol).as("id"),
         graft.functions.HashExprs.simhash64(shingleHashes(col(textCol), shingleN)).as("h"))
       .persist()
+    // block key = (block index ≪ 16) | 16-bit block value — a long, not a
+    // "b:hex" string, through the index shuffle
     val blocks = withH.select(col("id"), explode(array((0 until 4).map(b =>
-      concat_ws(":", lit(b.toString),
-        shiftright(col("h"), b * 16).bitwiseAND(0xFFFFL).cast(StringType))): _*)).as("bucket"))
+      shiftright(col("h"), b * 16).bitwiseAND(0xFFFFL)
+        .bitwiseOR(lit(b.toLong << 16))): _*)).as("bucket"))
     val pairs = candidatePairs(blocks, maxBlockSize)
     pairs
       .join(withH.select(col("id").as("id_a"), col("h").as("h_a")), Seq("id_a"))
