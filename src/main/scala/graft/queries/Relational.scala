@@ -130,6 +130,31 @@ object Relational {
       |  min_by(l_returnflag, lpad(CAST(l_linenumber AS VARCHAR), 3, '0') || l_returnflag) AS first_flag
       |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
+  /** Skew-salted join: the hot-key mitigation must be RESULT-INVISIBLE —
+    * the oracle is the plain SQL join. Salting replicates the small side
+    * `factor` times and scatters the large side's hot keys across
+    * (key, salt) so one hot supplier fans across tasks instead of one
+    * straggler.
+    */
+  def q44SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Load.table(spark, dir, "lineitem")
+    val supp = Load.table(spark, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    graft.ops.Skew.saltedJoin(li, supp, "l_suppkey", factor = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("s_nationkey")
+  }
+
+  val q44Sql: String =
+    """SELECT s_nationkey,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   /** W2/W3 windowed ranking: top-3 shipments per supplier. */
   def q5Window(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -262,7 +287,8 @@ object Relational {
     "q7_forward_fill" -> q7ForwardFill,
     "q8_unpivot" -> q8Unpivot,
     "q9_concatenate" -> q9Concatenate,
-    "q10_doc_id" -> q10DocId)
+    "q10_doc_id" -> q10DocId,
+    "q44_salted_join" -> q44SaltedJoin)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -274,5 +300,6 @@ object Relational {
     "q7_forward_fill" -> q7Sql,
     "q8_unpivot" -> q8Sql,
     "q9_concatenate" -> q9Sql,
-    "q10_doc_id" -> q10Sql)
+    "q10_doc_id" -> q10Sql,
+    "q44_salted_join" -> q44Sql)
 }
