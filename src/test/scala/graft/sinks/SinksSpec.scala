@@ -67,6 +67,29 @@ class SinksSpec extends SparkSpec {
     assert(Files.list(Paths.get(s"$out/items")).toArray.nonEmpty)
   }
 
+  test("datapackage round-trip: DumpToPath → LoadDatapackage restores schema, pk, es:* metadata") {
+    val out = tmpDir("dp_roundtrip")
+    val meta = new MetadataBuilder().putBoolean("es:keyword", true).build()
+    val df = Seq((1L, "alpha", Seq("x", "y")), (2L, "beta", Seq("z")))
+      .toDF("id", "name", "tags")
+      .withColumn("name", col("name").as("name", meta))
+    val ctx = Flow.resource(Resource(df, "items", primaryKey = Seq("id")))(Flow.empty)
+    DumpToPath.dump(ctx, out, "testpkg")
+
+    val loaded = graft.sources.LoadDatapackage.load(spark, out)
+    assert(loaded.keySet == Set("items"))
+    val items = loaded("items")
+    assert(items.primaryKey == Seq("id"))
+    val schema = items.df.schema
+    assert(schema("id").dataType == LongType)
+    assert(schema("name").metadata.getBoolean("es:keyword"))
+    // array column rides as its JSON cell text; structure recoverable
+    val rows = items.df.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.head.getString(1) == "alpha")
+    assert(rows.head.getString(2) == """["x","y"]""")
+  }
+
   test("Sitemap writes per-resource xml + index") {
     val out = tmpDir("sitemap")
     val df = Seq("https://ex.org/a?x=1&y=2", "https://ex.org/b").toDF("url")
