@@ -66,6 +66,15 @@ final case class TopKPerKeyExec(
     val partExprs = partitionExprs
     val sortOrder = order
     val childOutput = child.output
+    val isPartial = partial
+    // Memory bound for the map side: the partial pass holds at most
+    // flushKeys heaps; past that it EMITS everything held and starts a
+    // new epoch. Extra epochs only mean a few more ≤k-per-key rows cross
+    // the shuffle — the final pass re-prunes — so a billion-key scan
+    // cannot blow partial memory. The final pass never flushes (it must
+    // see each key's full candidate set); its state is O(result size).
+    val flushKeys =
+      session.conf.get("spark.graft.topk.partialFlushKeys", (1 << 17).toString).toInt
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(partExprs, childOutput)
       val rowOrdering: Ordering[InternalRow] =
@@ -76,26 +85,49 @@ final case class TopKPerKeyExec(
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
       val unsafeOrd: Ordering[UnsafeRow] =
         (a: UnsafeRow, b: UnsafeRow) => rowOrdering.compare(a, b)
-      iter.foreach { r =>
-        val row = r.asInstanceOf[UnsafeRow]
-        val key = keyProj(row)
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
-            val h = scala.collection.mutable.PriorityQueue.empty[UnsafeRow](unsafeOrd)
-            heaps.put(key.copy(), h)
-            h
+
+      new Iterator[InternalRow] {
+        private var pending: Iterator[InternalRow] = Iterator.empty
+
+        private def drain(): Iterator[InternalRow] = {
+          val snapshot = heaps.values.toArray
+          heaps.clear()
+          // dequeueAll drains worst..best; reverse for rank-ascending
+          snapshot.iterator.flatMap(_.dequeueAll.reverseIterator)
         }
-        if (heap.size < kLocal) heap.enqueue(row.copy())
-        else if (rowOrdering.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+
+        private def consume(r: InternalRow): Unit = {
+          val row = r.asInstanceOf[UnsafeRow]
+          val key = keyProj(row)
+          val heap = heaps.get(key) match {
+            case Some(h) => h
+            case None =>
+              val h = scala.collection.mutable.PriorityQueue.empty[UnsafeRow](unsafeOrd)
+              heaps.put(key.copy(), h)
+              h
+          }
+          if (heap.size < kLocal) heap.enqueue(row.copy())
+          else if (rowOrdering.compare(row, heap.head) < 0) {
+            heap.dequeue()
+            heap.enqueue(row.copy())
+          }
         }
-      }
-      heaps.iterator.flatMap { case (_, heap) =>
-        // dequeueAll drains in priority order = worst..best; reverse for
-        // rank-ascending emission
-        heap.dequeueAll.reverseIterator
+
+        override def hasNext: Boolean = {
+          while (!pending.hasNext && (iter.hasNext || heaps.nonEmpty)) {
+            if (!iter.hasNext) pending = drain()
+            else {
+              consume(iter.next())
+              if (isPartial && heaps.size >= flushKeys) pending = drain()
+            }
+          }
+          pending.hasNext
+        }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          pending.next()
+        }
       }
     }
   }

@@ -55,6 +55,22 @@ class TopKPerKeySpec extends SparkSpec {
     assert(got.sorted.toSeq == expect.sorted.toSeq)
   }
 
+  test("partial-pass epoch flushing (memory bound) does not change results") {
+    spark.conf.set("spark.graft.topk.partialFlushKeys", "2")
+    try {
+      val flushed = TopKPerKey.topK(li, Seq("l_suppkey"),
+        Seq(TopKPerKey.Sort("l_quantity"), TopKPerKey.Sort("l_orderkey"),
+          TopKPerKey.Sort("l_linenumber")), 3)
+        .collect().map(_.toString).sorted
+      spark.conf.unset("spark.graft.topk.partialFlushKeys")
+      val normal = TopKPerKey.topK(li, Seq("l_suppkey"),
+        Seq(TopKPerKey.Sort("l_quantity"), TopKPerKey.Sort("l_orderkey"),
+          TopKPerKey.Sort("l_linenumber")), 3)
+        .collect().map(_.toString).sorted
+      assert(flushed.sameElements(normal))
+    } finally spark.conf.unset("spark.graft.topk.partialFlushKeys")
+  }
+
   test("k larger than group size returns whole groups") {
     val out = TopKPerKey.topK(li.limit(50), Seq("l_suppkey"),
       Seq(TopKPerKey.Sort("l_quantity")), 1000)
