@@ -171,6 +171,79 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  // ---- incremental (cross-run) minhash dedup ---------------------------
+
+  /** Signature index of a corpus: (id, sig, bucket) exploded per band —
+    * the persistent artifact an incremental dedup run joins against. At
+    * scale, write it bucketed/partitioned BY `bucket` (Bucketing
+    * .writeBucketed) so incremental probes co-locate without a shuffle
+    * of the historical index.
+    */
+  def buildSignatureIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 5): DataFrame = {
+    graft.ops.Par.fanOut(df)
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignatureFromHashes(col("sh"), k))
+      .drop("sh")
+      .select(col("id"), col("sig"),
+        explode(lshBucketKeys(col("sig"), k, bands)).as("bucket"))
+  }
+
+  /** Near-dup pairs of a NEW batch against an existing signature index
+    * (plus new-vs-new): only the new docs are shingled/hashed; the
+    * historical corpus contributes through its index. Pair ids are
+    * (new_id, other_id); `other_id` may be historical or new.
+    *
+    * Scale shape: the new batch is typically orders of magnitude smaller
+    * than the index — its exploded buckets broadcast (AQE) or shuffle on
+    * the index's bucket layout; the full-corpus signature pass never
+    * re-runs.
+    */
+  def incrementalNearDupPairs(
+      newDf: DataFrame,
+      index: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 5,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 100): DataFrame = {
+    val newIndex = buildSignatureIndex(newDf, textCol, idCol, k, bands, shingleN)
+      .persist()
+    val newSigs = newIndex.select(col("id"), col("sig")).distinct()
+    val oldSigs = index.select(col("id"), col("sig")).distinct()
+    // candidates: a new doc shares a bucket with anything (old or new).
+    // Degenerate buckets capped on the historical side exactly like the
+    // batch path (a bucket shared by >cap docs carries no signal).
+    val oldBuckets = index.select(col("bucket"), col("id").as("other_id"))
+    val newBuckets = newIndex.select(col("bucket"), col("id").as("new_id"))
+    val bucketSizes = oldBuckets.groupBy("bucket")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
+      .select("bucket")
+    val oldCands = newBuckets
+      .join(oldBuckets.join(bucketSizes, Seq("bucket")), Seq("bucket"))
+      .select("new_id", "other_id")
+    val newCands = newBuckets
+      .join(newBuckets.select(col("bucket"), col("new_id").as("other_id")), Seq("bucket"))
+      .filter(col("new_id") < col("other_id"))
+      .select("new_id", "other_id")
+    val cands = oldCands.unionByName(newCands).distinct()
+    val allSigs = oldSigs.unionByName(newSigs)
+    cands
+      .join(newSigs.select(col("id").as("new_id"), col("sig").as("sig_a")), Seq("new_id"))
+      .join(allSigs.select(col("id").as("other_id"), col("sig").as("sig_b")), Seq("other_id"))
+      .select(col("new_id"), col("other_id"),
+        signatureSimilarity(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   // ---- simhash ---------------------------------------------------------
 
   /** 64-bit SimHash over shingle hashes: bit i of the result is 1 iff the

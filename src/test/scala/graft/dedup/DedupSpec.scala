@@ -53,6 +53,29 @@ class DedupSpec extends SparkSpec {
     assert(h.toSet.size >= 15) // near-unique fingerprints for distinct docs
   }
 
+  test("incremental dedup: new batch finds dups against the index AND within itself") {
+    // "history" = docs 0..19, indexed once; "new batch" = mutations of
+    // docs 0..9 (cross-run dups) + two copies of a fresh doc (new-new dup)
+    val index = Dedup.buildSignatureIndex(longDocs, "text", "doc_id")
+    val crossDups = longDocs.filter($"doc_id" < 10)
+      .select(($"doc_id" + 2000).as("doc_id"), concat($"text", lit(" tail")).as("text"))
+    val freshText = (0 until 40).map(j => s"new${j % 9}").mkString(" ")
+    val newNew = Seq((3001L, freshText), (3002L, freshText + " x")).toDF("doc_id", "text")
+    val newBatch = crossDups.unionByName(newNew)
+
+    val pairs = Dedup.incrementalNearDupPairs(newBatch, index, "text", "doc_id",
+      threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted cross-run dup found
+    (0 until 10).foreach { i =>
+      assert(pairs.contains((i + 2000L, i.toLong)), s"missing cross pair for doc $i")
+    }
+    // the new-new pair found (ordered new_id < other_id)
+    assert(pairs.contains((3001L, 3002L)), s"missing new-new pair in $pairs")
+    // no pair claims two historical ids (history is never re-paired)
+    assert(pairs.forall { case (a, _) => a >= 2000L })
+  }
+
   test("jaccard exact values") {
     val df = spark.range(1).select(
       Dedup.jaccard(array(lit("a"), lit("b"), lit("c")), array(lit("b"), lit("c"), lit("d"))).as("j"))
