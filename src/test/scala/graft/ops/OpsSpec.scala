@@ -100,4 +100,13 @@ class OpsSpec extends SparkSpec {
       Validate.validateUnits(df, "units", "value", Seq("ok"), "ok", "ok2").collect()
     }
   }
+
+  test("preferOverride: gd_ value wins when present, override column dropped") {
+    val df = Seq(
+      ("base1", Some("gd1")), ("base2", None)
+    ).toDF("title", "gd_title")
+    val out = RowOps.preferOverride(df, "title", "gd_title")
+    assert(out.columns.toSeq == Seq("title"))
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("gd1", "base2"))
+  }
 }
