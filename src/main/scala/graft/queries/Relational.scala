@@ -119,7 +119,7 @@ object Relational {
         col("l_quantity").as("max_qty"),
         col("n_lines"),
         col("l_returnflag").as("first_flag"))
-      .orderBy("l_orderkey")
+      .transform(graft.ops.Par.sortOnce(_, col("l_orderkey")))
   }
 
   val q4Sql: String =
