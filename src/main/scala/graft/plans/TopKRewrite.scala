@@ -21,6 +21,15 @@ import org.apache.spark.sql.types.IntegerType
   *
   * Users who write the idiomatic window formulation get the scale plan
   * for free; registered via GraftExtensions (injectOptimizerRule).
+  *
+  * Overlap note (visible in PLANS.md q5): Spark's own
+  * InferWindowGroupLimit (3.5+) also prunes rank-filtered windows, via
+  * per-partition WindowGroupLimit before the shuffle — on plans where
+  * both fire the second pruning pass is a cheap no-op over ≤k rows per
+  * key. What the native operator uniquely removes is the Window's
+  * per-partition SORT itself: the direct TopKPerKey.topK API (q42) has
+  * no Window node and therefore no SortExec anywhere in the plan —
+  * that's the path the ANN rankers use.
   */
 object TopKViaWindowRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
