@@ -101,6 +101,11 @@ object HashKernels {
     * bin's value (wrapping, offset-tagged so borrowed slots still
     * discriminate). k must be a power of two.
     */
+  /** Slots are 32-bit: the estimator only tests slot EQUALITY, so
+    * truncating the mixed 64-bit min to its low int costs 2^-32 false
+    * agreement per slot and halves the signature payload through every
+    * signature join/shuffle.
+    */
   def minhashSigOph(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
     val shift = 64 - Integer.numberOfTrailingZeros(k) // top log2(k) bits pick the bin
@@ -133,7 +138,10 @@ object HashKernels {
       }
       j += 1
     }
-    new GenericArrayData(mins)
+    val out = new Array[Int](k)
+    j = 0
+    while (j < k) { out(j) = mins(j).toInt; j += 1 }
+    new GenericArrayData(out)
   }
 
   /** 64-bit SimHash: bit b set iff ≥ half the hashes have bit b set.
@@ -237,7 +245,7 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 case class MinHashSigOph(child: Expression, k: Int) extends UnaryExpression {
   require(k > 0 && (k & (k - 1)) == 0, s"k must be a power of two, got $k")
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig_oph"
 

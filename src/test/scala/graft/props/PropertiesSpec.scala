@@ -90,10 +90,10 @@ class PropertiesSpec extends AnyFunSuite {
   test("OPH minhash signature similarity estimates Jaccard") {
     import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
     val rnd = new scala.util.Random(42)
-    def sig(set: Set[Long]): Array[Long] =
+    def sig(set: Set[Long]): Array[Int] =
       graft.functions.HashKernels
         .minhashSigOph(new GenericArrayData(set.toArray.sorted), 64) match {
-        case a: ArrayData => a.toLongArray()
+        case a: ArrayData => a.toIntArray()
       }
     // three overlap regimes; estimator must land within ~3σ (σ≈0.06 at k=64)
     for (overlap <- Seq(0.9, 0.5, 0.1)) {
