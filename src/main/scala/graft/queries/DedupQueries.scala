@@ -70,8 +70,9 @@ object DedupQueries {
     */
   def q32Minhash(spark: SparkSession, dir: String): DataFrame = {
     val uni = withMutatedCopies(spark, dir)
-    Dedup.minhashNearDupPairs(uni, "text", "doc_id", threshold = 0.5)
-      .orderBy("id_a", "id_b")
+    graft.ops.Par.sortOnce(
+      Dedup.minhashNearDupPairs(uni, "text", "doc_id", threshold = 0.5),
+      col("id_a"), col("id_b"))
   }
 
   /** SimHash hamming-≤12 pairs over the same planted corpus (64-bit
@@ -80,8 +81,9 @@ object DedupQueries {
     */
   def q33Simhash(spark: SparkSession, dir: String): DataFrame = {
     val uni = withMutatedCopies(spark, dir)
-    Dedup.simhashNearDupPairs(uni, "text", "doc_id", maxDist = 12)
-      .orderBy("id_a", "id_b")
+    graft.ops.Par.sortOnce(
+      Dedup.simhashNearDupPairs(uni, "text", "doc_id", maxDist = 12),
+      col("id_a"), col("id_b"))
   }
 
   /** Exact n-gram Jaccard verification over MinHash candidates. Rows-only
@@ -90,8 +92,9 @@ object DedupQueries {
     */
   def q34Jaccard(spark: SparkSession, dir: String): DataFrame = {
     val uni = withMutatedCopies(spark, dir)
-    Dedup.ngramJaccardPairs(uni, "text", "doc_id", threshold = 0.7)
-      .orderBy("id_a", "id_b")
+    graft.ops.Par.sortOnce(
+      Dedup.ngramJaccardPairs(uni, "text", "doc_id", threshold = 0.7),
+      col("id_a"), col("id_b"))
   }
 
   /** Embedding-cosine near-dup: corpus ∪ scaled copy (cosine is

@@ -65,4 +65,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(fanned.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
     assert(Par.fanOut(fanned).rdd.getNumPartitions == fanned.rdd.getNumPartitions)
   }
+
+  test("BoundedCollectLong: groups past the cap or below 2 evaluate to NULL") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.BoundedCollect.boundedCollectLong
+    val spark0 = spark
+    import spark0.implicits._
+    // key 1: 3 values (kept); key 2: 1 value (null); key 3: 6 > cap=5 (null)
+    val df = (Seq.fill(1)(2L).map(("k2", _)) ++
+      (1L to 3L).map(("k1", _)) ++ (1L to 6L).map(("k3", _))).toDF("k", "v")
+    val got = df.groupBy("k").agg(boundedCollectLong(col("v"), 5).as("vs"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("k1").isDefined &&
+      got("k1").get.asInstanceOf[scala.collection.Seq[Long]].sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(got("k2").isEmpty, "singleton group must be NULL")
+    assert(got("k3").isEmpty, "over-cap group must be NULL")
+  }
 }
