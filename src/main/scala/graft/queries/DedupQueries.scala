@@ -97,6 +97,23 @@ object DedupQueries {
       col("id_a"), col("id_b"))
   }
 
+  /** Incremental (cross-run) dedup: the full corpus plays "history"
+    * whose signature index already exists; the new batch is mutated
+    * copies of the first docs. Only the new batch is shingled — the
+    * corpus contributes through its index (Dedup.buildSignatureIndex).
+    * Rows-only; cross-run + new-new recall asserted in DedupSpec.
+    */
+  def q36IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents").select("doc_id", "text")
+    val index = Dedup.buildSignatureIndex(d, "text", "doc_id")
+    val newBatch = d.filter(col("doc_id") < 200).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" appended tail marker")).as("text"))
+    graft.ops.Par.sortOnce(
+      Dedup.incrementalNearDupPairs(newBatch, index, "text", "doc_id", threshold = 0.5),
+      col("new_id"), col("other_id"))
+  }
+
   /** Embedding-cosine near-dup: corpus ∪ scaled copy (cosine is
     * scale-invariant → planted pairs have sim ≈ 1). Brute-force tier.
     * Rows-only; ScalaTest asserts planted recall.
@@ -197,6 +214,7 @@ object DedupQueries {
     "q33_simhash_pairs" -> q33Simhash,
     "q34_ngram_jaccard" -> q34Jaccard,
     "q35_embed_neardup" -> q35EmbedNearDup,
+    "q36_incremental_dedup" -> q36IncrementalDedup,
     "q40_ann_brute" -> q40AnnBrute,
     "q41_ann_srp" -> q41AnnSrp,
     "q42_ann_topk_heap" -> q42AnnTopKHeap,
