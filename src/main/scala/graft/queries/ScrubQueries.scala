@@ -41,7 +41,8 @@ object ScrubQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_repetition" -> q23Repetition,
     "q24_pii_redact" -> q24Redact,
-    "q25_hash_sample" -> q25HashSample)
+    "q25_hash_sample" -> q25HashSample,
+    "q26_curation" -> q26Curation)
 
   /** PII redaction: text seeded with synthetic PII derived from the row
     * itself — both engines construct and redact the same strings.
@@ -74,6 +75,62 @@ object ScrubQueries {
       |  len(regexp_extract_all(seeded, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** The composed curation pipeline — the end-to-end training-data prep
+    * chain a user of this engine actually runs: quality gate → PII
+    * redaction → fingerprint dedup (keep first) → token accounting. Every
+    * stage is an operator oracled on its own (q21, q24, q31, q20); this
+    * query holds their COMPOSITION to DuckDB hash-equality.
+    */
+  def q26Curation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextAnalysis
+    val d = Par.fanOut(Load.table(spark, dir, "documents"))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality") >= 0.4)
+      .withColumn("seeded",
+        concat(lit("contact user"), col("doc_id"), lit("@example.org :: "), col("text")))
+      .withColumn("clean", Scrub.redactPii(col("seeded")))
+      .withColumn("n_tokens", TextAnalysis.tokenCountWs(col("text")))
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    d.withColumn("occ", row_number().over(w)).filter(col("occ") === 1)
+      .select("doc_id", "quality", "n_tokens", "clean")
+      .transform(Par.sortOnce(_, col("doc_id")))
+  }
+
+  val q26Sql: String = {
+    val sw = graft.text.TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    len(text) AS n,
+       |    len(string_split_regex(trim(text), '\\s+')) AS ntok,
+       |    (len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / len(text) AS alpha,
+       |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x IN ($sw)))::DOUBLE
+       |      / len(string_split_regex(lower(trim(text)), '\\s+')) AS swr
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, text,
+       |    (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0 ELSE 0.5 END) * 0.25
+       |    + (CASE WHEN ntok > 0 AND n::DOUBLE/ntok >= 3 AND n::DOUBLE/ntok <= 12 THEN 1.0 ELSE 0.5 END) * 0.25
+       |    + alpha * 0.25 + least(swr * 4, 1.0) * 0.25 AS quality
+       |  FROM t),
+       |f AS (
+       |  SELECT doc_id, text, quality,
+       |    'contact user' || CAST(doc_id AS VARCHAR) || '@example.org :: ' || text AS seeded,
+       |    md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
+       |  FROM q WHERE quality >= 0.4),
+       |d AS (
+       |  SELECT doc_id, quality, seeded, text,
+       |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS occ
+       |  FROM f)
+       |SELECT doc_id, quality,
+       |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |  regexp_replace(
+       |    regexp_replace(seeded, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |    '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g') AS clean
+       |FROM d WHERE occ = 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** Deterministic hash sampling + per-source mixing — the stable,
     * engine-mirrorable form of domain reweighting.
     */
@@ -95,5 +152,6 @@ object ScrubQueries {
   val oracles: Map[String, String] = Map(
     "q23_repetition" -> q23Sql,
     "q24_pii_redact" -> q24Sql,
-    "q25_hash_sample" -> q25Sql)
+    "q25_hash_sample" -> q25Sql,
+    "q26_curation" -> q26Sql)
 }
