@@ -287,10 +287,22 @@ object Dedup {
 
   // ---- exact n-gram jaccard -------------------------------------------
 
-  /** Exact Jaccard similarity of two shingle arrays. */
+  /** Exact Jaccard similarity of two shingle arrays (general form —
+    * builds per-row hash sets; use `jaccardSorted` on ShingleHash64
+    * output).
+    */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
     val uni = size(array_union(a, b))
+    when(uni > 0, inter.cast(DoubleType) / uni).otherwise(lit(0.0))
+  }
+
+  /** Exact Jaccard of two SORTED+distinct hash arrays: merge-walk
+    * intersection (O(n+m), zero allocation), |A∪B| = |A|+|B|−|A∩B|.
+    */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = graft.functions.HashExprs.sortedIntersectCount(a, b)
+    val uni = size(a) + size(b) - inter
     when(uni > 0, inter.cast(DoubleType) / uni).otherwise(lit(0.0))
   }
 
@@ -340,7 +352,7 @@ object Dedup {
       .join(src.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
       .join(src.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(shingleHashes(col("text_a"), shingleN),
+        jaccardSorted(shingleHashes(col("text_a"), shingleN),
           shingleHashes(col("text_b"), shingleN)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

@@ -169,6 +169,25 @@ object HashKernels {
     out
   }
 
+  /** Intersection size of two SORTED long arrays by merge walk — O(n+m),
+    * zero allocation; `array_intersect` builds a hash set per row.
+    * ShingleHash64 output is sorted by construction, so the exact-Jaccard
+    * verify tier runs on this.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   def splitmix(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -287,6 +306,29 @@ case class ShingleHash64(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Intersection size of two SORTED array<bigint> columns (merge walk).
+  * Inputs MUST be sorted ascending and deduplicated — ShingleHash64's
+  * output contract.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashKernels.sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashExprs {
   import org.apache.spark.sql.{GraftBridge => EU}
 
@@ -303,4 +345,8 @@ object HashExprs {
   /** Shingle hashes of RAW text — normalization is fused inside. */
   def shingleHash64(text: Column, n: Int): Column =
     EU.column(ShingleHash64(EU.expression(text), n))
+
+  /** Merge-walk intersection size of two sorted array<bigint> columns. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    EU.column(SortedIntersectCount(EU.expression(a), EU.expression(b)))
 }

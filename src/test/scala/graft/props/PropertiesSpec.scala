@@ -87,6 +87,19 @@ class PropertiesSpec extends AnyFunSuite {
 
   // --- ShingleHash64 model check --------------------------------------
 
+  test("sortedIntersectCount == set intersection on sorted distinct arrays") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val gen = for {
+      a <- Gen.listOf(Gen.choose(-50L, 50L))
+      b <- Gen.listOf(Gen.choose(-50L, 50L))
+    } yield (a.distinct.sorted, b.distinct.sorted)
+    check(Prop.forAll(gen) { case (a, b) =>
+      val got = graft.functions.HashKernels.sortedIntersectCount(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+      got == (a.toSet & b.toSet).size
+    })
+  }
+
   test("OPH minhash signature similarity estimates Jaccard") {
     import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
     val rnd = new scala.util.Random(42)
