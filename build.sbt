@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// suites share one SparkSession and a few tests mutate session state
+// (extraOptimizations toggling, conf flags) — run them sequentially so
+// no cross-suite race can flake a driver run
+Test / parallelExecution := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
