@@ -61,6 +61,9 @@ object Load {
     import org.apache.spark.sql.functions._
     table(spark, sfDir, "events")
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000).cast("long")))
+      // integer division: `/` on longs is DOUBLE division, which ROUNDS
+      // near-microsecond values up while every other engine truncates —
+      // a 1µs skew that breaks exact-time oracles (caught by q72)
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
 }

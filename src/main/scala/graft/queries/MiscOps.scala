@@ -246,6 +246,34 @@ object MiscOps {
       |  CASE WHEN l_returnflag = 'A' THEN l_discount * 100 ELSE l_discount END AS value
       |FROM lineitem ORDER BY l_orderkey, l_linenumber, units, value""".stripMargin
 
+  /** As-of (backward) join: every click gets the user's latest purchase
+    * value at-or-before it. Our composed union+window formulation is
+    * held to hash-equality with DuckDB's NATIVE `ASOF JOIN`. Time rides
+    * as epoch-microsecond BIGINT in both engines so precision agrees.
+    */
+  def q72AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Load.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("t"))
+      .agg(max(col("value")).as("last_purchase_value"))
+    AsOf.joinBackward(clicks, purchases, Seq("user_id"), "t",
+      Seq("last_purchase_value"))
+      .select("event_id", "user_id", "t", "last_purchase_value")
+      .orderBy("event_id")
+  }
+
+  val q72Sql: String =
+    """WITH c AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, epoch_us(ts) AS t, max(value) AS last_purchase_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id, c.t, p.last_purchase_value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t >= p.t
+      |ORDER BY event_id""".stripMargin
+
   /** Streaming-shaped tumbling-window aggregation over the events table
     * (same `window()` API drives Structured Streaming; batch mode here so
     * the oracle can replay it — the readStream variant is spec-tested).
@@ -327,7 +355,8 @@ object MiscOps {
     "q19_validate_units" -> q19ValidateUnits,
     "q50_windowed_events" -> q50WindowedEvents,
     "q51_sessionize" -> q51Sessionize,
-    "q60_multimodal" -> q60Multimodal)
+    "q60_multimodal" -> q60Multimodal,
+    "q72_asof_join" -> q72AsOfJoin)
 
   val oracles: Map[String, String] = Map(
     "q11_set_type" -> q11Sql,
@@ -338,5 +367,6 @@ object MiscOps {
     "q16_scd_merge" -> q16Sql,
     "q19_validate_units" -> q19Sql,
     "q50_windowed_events" -> q50Sql,
-    "q51_sessionize" -> q51Sql)
+    "q51_sessionize" -> q51Sql,
+    "q72_asof_join" -> q72Sql)
 }

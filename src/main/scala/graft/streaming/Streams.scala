@@ -23,7 +23,8 @@ object Streams {
 
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // `div`, not `/`: double division rounds near-µs values up (see Load.events)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling-window counts+sums with watermark (bounded state). */
   def windowedAgg(events: DataFrame, window_ : String = "1 hour",
