@@ -105,7 +105,10 @@ object DedupQueries {
     */
   def q36IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val d = Load.table(spark, dir, "documents").select("doc_id", "text")
-    val index = Dedup.buildSignatureIndex(d, "text", "doc_id")
+    // in production the index is a PERSISTED artifact (written bucketed by
+    // `bucket`); pin it here so its two consumers below don't re-hash the
+    // corpus per branch
+    val index = Dedup.buildSignatureIndex(d, "text", "doc_id").persist()
     val newBatch = d.filter(col("doc_id") < 200).select(
       (col("doc_id") + 100000).as("doc_id"),
       concat(col("text"), lit(" appended tail marker")).as("text"))
