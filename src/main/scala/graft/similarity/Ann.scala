@@ -75,6 +75,54 @@ object Ann {
     top.withColumn("rank", row_number().over(w)).drop("__negSim")
   }
 
+  /** Two-tier exact-ish top-k: tier 1 scores int8-QUANTIZED codes
+    * (Embeddings.quantizeInt8 — 4× less data through the scan) and keeps
+    * `candidateFactor × k` candidates per query via TopKPerKey; tier 2
+    * re-scores ONLY those candidates with exact float cosine. The
+    * production shape when the quantized corpus is the stored artifact
+    * and float vectors are fetched for finalists.
+    */
+  def int8TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      candidateFactor: Int = 4): DataFrame = {
+    import graft.functions.VectorExprs.cosineSim
+    import graft.similarity.{Embeddings => E}
+    // tier 1: ONLY the quantized codes travel (the 4× smaller artifact a
+    // stored corpus would scan); float vectors do not enter this stage
+    val q8 = broadcast(queries.select(col(idCol).as("query_id"),
+      E.quantizeInt8(col(vecCol)).as("__qq")))
+    val c8 = graft.ops.Par.fanOut(corpus)
+      .select(col(idCol).as("neighbor_id"), E.quantizeInt8(col(vecCol)).as("__cq"))
+    val coarse = c8.crossJoin(q8)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        E.cosineInt8(col("__qq"), col("__cq")).as("sim8"))
+      .withColumn("__negSim8", -col("sim8"))
+    val cands = graft.plans.TopKPerKey.topK(coarse, Seq("query_id"),
+      Seq(graft.plans.TopKPerKey.Sort("__negSim8"),
+        graft.plans.TopKPerKey.Sort("neighbor_id")), k * candidateFactor)
+    // tier 2: fetch float vectors for the ≤ queries×k×factor candidates
+    // only (the tiny cands side broadcasts into the corpus fetch)
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val rescored = cands.select("query_id", "neighbor_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineSim(col("__qv"), col("__cv")).as("sim"))
+      .withColumn("__negSim", -col("sim"))
+    val top = graft.plans.TopKPerKey.topK(rescored, Seq("query_id"),
+      Seq(graft.plans.TopKPerKey.Sort("__negSim"),
+        graft.plans.TopKPerKey.Sort("neighbor_id")), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w)).drop("__negSim")
+  }
+
   /** Deterministic random unit-ish hyperplanes: component h of plane p is
     * a fixed hash of (p, h) mapped to [-1, 1]. Same planes on every call —
     * reproducible across jobs (no RNG state, safe for resume/retries).

@@ -46,6 +46,18 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("two-tier int8TopK recovers the exact float top-k") {
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val q = all.filter($"vec_id" < 10)
+    val exact = Ann.bruteForceTopK(all, q, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val twoTier = Ann.int8TopK(all, q, "vec_id", "embedding", k = 3, candidateFactor = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & twoTier).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 two-tier recall $recall")
+  }
+
   test("quantized struct is schema-stable (array<tinyint> + float scale)") {
     val schema = emb.select(Embeddings.quantizeInt8($"embedding").as("q")).schema
     val st = schema("q").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
