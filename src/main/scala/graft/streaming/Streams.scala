@@ -54,10 +54,58 @@ object Streams {
   final case class SessionState(sessionId: Long, lastTs: Long)
   final case class SessionizedEvent(event_id: Long, user_id: Long, ts_s: Long, session_id: Long)
 
+  final case class EventEt(
+      event_id: Long, user_id: Long, ts_s: Long, et: java.sql.Timestamp)
+  final case class SessionStartState(sessionStart: Long, lastTs: Long)
+  final case class SessionOut(
+      event_id: Long, user_id: Long, ts_s: Long, session_start: Long)
+
+  /** Production-shaped sessionization with BOUNDED state: event-time
+    * timeout equal to the session gap evicts a user's state once the
+    * watermark passes `lastTs + gap` — at that point any future on-time
+    * event starts a new session anyway, so eviction changes nothing
+    * except freeing the state store (the NoTimeout variant below holds
+    * every user ever seen, forever). The session id is the session's
+    * START time, not an ordinal — an ordinal cannot survive eviction,
+    * a start-time is reconstructible from any state lifetime.
+    */
+  def sessionizeBounded(events: Dataset[Event], gapSeconds: Long = 1800)(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    val withEt = events
+      .select(col("event_id"), col("user_id"), col("ts_s"),
+        timestamp_seconds(col("ts_s")).as("et"))
+      .withWatermark("et", s"$gapSeconds seconds")
+      .as[EventEt]
+    withEt.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionStartState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[SessionStartState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(SessionStartState(Long.MinValue, Long.MinValue))
+            val out = rows.toSeq.sortBy(e => (e.ts_s, e.event_id)).map { e =>
+              st =
+                if (st.lastTs == Long.MinValue || e.ts_s - st.lastTs > gapSeconds)
+                  SessionStartState(e.ts_s, e.ts_s)
+                else st.copy(lastTs = e.ts_s)
+              SessionOut(e.event_id, userId, e.ts_s, st.sessionStart)
+            }
+            state.update(st)
+            // evict once the watermark is strictly past the gap horizon
+            state.setTimeoutTimestamp((st.lastTs + gapSeconds) * 1000L + 1000L)
+            out.iterator
+          }
+      }
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState: a >gap second
     * silence starts a new session. The streaming twin of the batch
     * window-lag formulation (MiscOps.q51Sessionize) — state per user is
-    * one (sessionId, lastTs) pair.
+    * one (sessionId, lastTs) pair. Ordinal session ids require unbounded
+    * state; prefer [[sessionizeBounded]] on real streams.
     */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800)(
       implicit spark: SparkSession): Dataset[SessionizedEvent] = {
