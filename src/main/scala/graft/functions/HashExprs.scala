@@ -188,6 +188,32 @@ object HashKernels {
     c
   }
 
+  /** Fingerprint normalization in one char scan, replacing
+    * `regexp_replace(regexp_replace(lower(s), "[^a-z0-9֐-׿؀-ۿ ]", ""), " +", " ")`:
+    * lowercase; keep [a-z0-9], Hebrew (U+0590–05FF), Arabic (U+0600–06FF)
+    * and spaces; collapse runs of KEPT spaces to one (no trim — regex
+    * parity). Stripped chars do not break a space run, exactly like the
+    * strip-then-collapse regex order.
+    */
+  def fingerprintNormalize(input: UTF8String): UTF8String = {
+    val s = input.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var lastWasSpace = false
+    var i = 0
+    while (i < s.length) {
+      val lc = Character.toLowerCase(s.charAt(i))
+      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9') ||
+          (lc >= '֐' && lc <= '׿') || (lc >= '؀' && lc <= 'ۿ')) {
+        sb.append(lc)
+        lastWasSpace = false
+      } else if (lc == ' ') {
+        if (!lastWasSpace) { sb.append(' '); lastWasSpace = true }
+      } // else: stripped — does NOT reset the space run
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   def splitmix(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -329,6 +355,23 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** One-pass fingerprint normalization (see HashKernels.fingerprintNormalize). */
+case class FingerprintNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "fingerprint_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.fingerprintNormalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.fingerprintNormalize($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): FingerprintNormalize =
+    copy(child = newChild)
+}
+
 object HashExprs {
   import org.apache.spark.sql.{GraftBridge => EU}
 
@@ -349,4 +392,8 @@ object HashExprs {
   /** Merge-walk intersection size of two sorted array<bigint> columns. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     EU.column(SortedIntersectCount(EU.expression(a), EU.expression(b)))
+
+  /** One-pass fingerprint normalization (lower, keep word chars, collapse spaces). */
+  def fingerprintNormalize(text: Column): Column =
+    EU.column(FingerprintNormalize(EU.expression(text)))
 }

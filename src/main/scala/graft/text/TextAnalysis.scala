@@ -96,8 +96,7 @@ object TextAnalysis {
     * (catches re-encodings/case/spacing variants of the same doc).
     */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\u0590-\\u05FF\\u0600-\\u06FF ]", ""),
-      " +", " "))
+    md5(graft.functions.HashExprs.fingerprintNormalize(text))
 
   /** Full text-profile projection used by the documents pipeline. */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {

@@ -87,6 +87,21 @@ class PropertiesSpec extends AnyFunSuite {
 
   // --- ShingleHash64 model check --------------------------------------
 
+  test("fingerprintNormalize == the regex chain it replaces") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', ' ', '\t', '!', '.', 'ש', 'ب', 'Ω', '€')))
+      .map(_.mkString)
+    check(Prop.forAll(gen) { s =>
+      val model = s.toLowerCase
+        .replaceAll("[^a-z0-9\\u0590-\\u05FF\\u0600-\\u06FF ]", "")
+        .replaceAll(" +", " ")
+      val got = graft.functions.HashKernels
+        .fingerprintNormalize(UTF8String.fromString(s)).toString
+      got == model
+    })
+  }
+
   test("sortedIntersectCount == set intersection on sorted distinct arrays") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val gen = for {
