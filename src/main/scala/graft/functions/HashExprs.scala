@@ -214,6 +214,46 @@ object HashKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Fraction of tokens equal to the most frequent token, in ONE pass
+    * with a hashmap — the builtin formulation
+    * `transform(array_distinct(toks), t => size(filter(toks, _ === t)))`
+    * is O(distinct × n) per document, i.e. quadratic exactly on the
+    * repetitive documents this scorer exists to flag.
+    *
+    * Token semantics replicate `split(lower(trim(text)), "\\s+")`
+    * precisely: trim strips SPACES only (Spark trim), split keeps a
+    * leading empty token after other whitespace and a trailing empty
+    * token (limit -1), and the empty string yields one empty token
+    * (fraction 1.0).
+    */
+  def topTokenFraction(input: UTF8String): Double = {
+    val t = input.trim().toLowerCase.toString // Spark trim = spaces only
+    if (t.isEmpty) return 1.0
+    def isWs(c: Char): Boolean = // java regex \s
+      c == ' ' || c == '\t' || c == '\n' || c == 11.toChar || c == '\f' || c == '\r'
+    val counts = new java.util.HashMap[String, Integer]()
+    var n = 0
+    def add(tok: String): Unit = {
+      counts.merge(tok, 1, (a: Integer, b: Integer) => a + b)
+      n += 1
+    }
+    if (isWs(t.charAt(0))) add("") // leading empty token, as split(-1) emits
+    var i = 0
+    while (i < t.length) {
+      while (i < t.length && isWs(t.charAt(i))) i += 1
+      if (i < t.length) {
+        val start = i
+        while (i < t.length && !isWs(t.charAt(i))) i += 1
+        add(t.substring(start, i))
+      }
+    }
+    if (isWs(t.charAt(t.length - 1))) add("") // trailing empty token
+    var mx = 0
+    val it = counts.values().iterator()
+    while (it.hasNext) { val v: Int = it.next(); if (v > mx) mx = v }
+    mx.toDouble / n
+  }
+
   def splitmix(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
     x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -355,6 +395,23 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** One-pass top-token-fraction (see HashKernels.topTokenFraction). */
+case class TopTokenFraction(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "top_token_fraction"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.topTokenFraction(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.topTokenFraction($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TopTokenFraction =
+    copy(child = newChild)
+}
+
 /** One-pass fingerprint normalization (see HashKernels.fingerprintNormalize). */
 case class FingerprintNormalize(child: Expression) extends UnaryExpression {
 
@@ -396,4 +453,8 @@ object HashExprs {
   /** One-pass fingerprint normalization (lower, keep word chars, collapse spaces). */
   def fingerprintNormalize(text: Column): Column =
     EU.column(FingerprintNormalize(EU.expression(text)))
+
+  /** One-pass most-frequent-token fraction. */
+  def topTokenFraction(text: Column): Column =
+    EU.column(TopTokenFraction(EU.expression(text)))
 }

@@ -42,15 +42,13 @@ object Scrub {
   }
 
   /** Fraction of tokens belonging to the single most frequent token —
-    * high values mark degenerate/repetitive text.
+    * high values mark degenerate/repetitive text. Native one-pass hashmap
+    * kernel: the builtin `transform(array_distinct, …filter…)` form is
+    * O(distinct × n) per doc — quadratic precisely on the repetitive
+    * documents this scorer exists to flag.
     */
-  def topTokenFraction(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val counts = transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t)))
-    when(size(toks) > 0,
-      array_max(counts).cast(DoubleType) / size(toks)).otherwise(lit(0.0))
-  }
+  def topTokenFraction(text: Column): Column =
+    graft.functions.HashExprs.topTokenFraction(text)
 
   /** Character-level compression proxy: distinct 4-gram hash count over
     * total 4-gram count; low ratio = highly repetitive text. Uses the

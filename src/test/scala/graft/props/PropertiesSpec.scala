@@ -87,6 +87,26 @@ class PropertiesSpec extends AnyFunSuite {
 
   // --- ShingleHash64 model check --------------------------------------
 
+  test("topTokenFraction kernel == split/count model (incl. empty-token edges)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.oneOf("a", "b", "bb", "C"), Gen.oneOf(" ", "\t", "\n", "  ")))
+      .map(_.mkString)
+    check(Prop.forAll(gen) { s =>
+      // model of split(lower(trim(text)), "\\s+") with Spark semantics:
+      // trim strips spaces only; java split keeps leading/trailing empties
+      // at limit -1; "" splits to [""]
+      var t = s
+      while (t.startsWith(" ")) t = t.substring(1)
+      while (t.endsWith(" ")) t = t.dropRight(1)
+      t = t.toLowerCase
+      val toks = t.split("\\s+", -1).toSeq
+      val model = toks.groupBy(identity).values.map(_.size).max.toDouble / toks.size
+      val got = graft.functions.HashKernels.topTokenFraction(UTF8String.fromString(s))
+      math.abs(got - model) < 1e-12
+    })
+  }
+
   test("fingerprintNormalize == the regex chain it replaces") {
     import org.apache.spark.unsafe.types.UTF8String
     val gen = Gen.listOf(Gen.oneOf(
