@@ -28,6 +28,14 @@ class AsOfSpec extends SparkSpec {
       4L -> Some(300.0), 5L -> None))
   }
 
+  test("duplicate left timestamps both receive the same right value") {
+    val left = Seq((1L, "u1", 20L), (2L, "u1", 20L)).toDF("event_id", "user_id", "t")
+    val right = Seq(("u1", 10L, 1.5), ("u1", 30L, 9.9)).toDF("user_id", "t", "v")
+    val got = AsOf.joinBackward(left, right, Seq("user_id"), "t", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(got == Map(1L -> 1.5, 2L -> 1.5))
+  }
+
   test("as-of plan: one key shuffle, no range-join explosion") {
     val left = Seq((1L, "u1", 10L)).toDF("event_id", "user_id", "t")
     val right = Seq(("u1", 5L, 1.0)).toDF("user_id", "t", "v")

@@ -71,6 +71,22 @@ class TopKPerKeySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topk.partialFlushKeys")
   }
 
+  test("null sort values order exactly as the window formulation (nulls first asc)") {
+    import spark.implicits._
+    val df = Seq(
+      ("k1", Some(5L), 1L), ("k1", None, 2L), ("k1", Some(1L), 3L),
+      ("k2", None, 4L), ("k2", None, 5L), ("k2", Some(9L), 6L)
+    ).toDF("k", "v", "id")
+    val w = Window.partitionBy(col("k")).orderBy(col("v"), col("id"))
+    val windowed = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+      .collect().map(_.toString).sorted
+    val heap = TopKPerKey.topK(df, Seq("k"),
+      Seq(TopKPerKey.Sort("v"), TopKPerKey.Sort("id")), 2)
+      .collect().map(_.toString).sorted
+    assert(heap.sameElements(windowed))
+  }
+
   test("k larger than group size returns whole groups") {
     val out = TopKPerKey.topK(li.limit(50), Seq("l_suppkey"),
       Seq(TopKPerKey.Sort("l_quantity")), 1000)
