@@ -14,14 +14,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.install(spark) // strategy + rewrite rule + SQL functions
-    // warmup outside the timed section: spins up executors, parquet
-    // readers, codegen + JIT paths shared by every query — otherwise the
-    // first timed query absorbs ~5 s of one-time cost
-    try {
-      SparkEntry.entry(spark).count()
-      SparkEntry.queries.get("q32_minhash_pairs")
-        .foreach(fn => fn(spark, sfDir.replace("sf0.1", "sf0.001")).count())
-    } catch { case _: Throwable => () }
+    // warmup outside the timed section: run EVERY query once at sf0.001
+    // so codegen compilation + JIT for each query's operators happen
+    // before its timed run — the timed section then measures steady-state
+    // execution, not first-run compilation
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
+    // settle: let GC reclaim warmup garbage so the first timed query
+    // doesn't absorb the collection pause
+    System.gc()
+    Thread.sleep(3000)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
