@@ -256,9 +256,19 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within hamming distance `maxDist` (≤ 3 with 4
-    * blocks): index each doc under its 4 16-bit blocks; candidates must
-    * share a block (pigeonhole), then verify exact hamming distance.
+  /** SimHash near-dup pairs within hamming distance `maxDist`: index each
+    * doc under its 4 16-bit blocks; candidates must share a block, then
+    * exact hamming verifies.
+    *
+    * Recall contract: the pigeonhole guarantee (some block untouched) is
+    * EXACT only for maxDist ≤ 3 with 4 blocks. Beyond that, recall is
+    * heuristic — near-dup text edits flip clustered simhash bits, so real
+    * pairs almost always keep a shared block (DedupSpec measures ≥15/20
+    * planted recall at maxDist=12) — but an adversarial 4-bit-spread
+    * difference can evade. More/smaller blocks would restore the
+    * guarantee at the cost of degenerate bucket sizes (8-bit blocks put
+    * ~n/256 docs in every bucket — useless past ~25k docs); the verify
+    * tier keeps precision exact either way.
     */
   def simhashNearDupPairs(
       df: DataFrame,

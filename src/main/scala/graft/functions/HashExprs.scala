@@ -100,8 +100,8 @@ object HashKernels {
     * E[slot_a == slot_b] ≈ Jaccard. Empty bins borrow the next non-empty
     * bin's value (wrapping, offset-tagged so borrowed slots still
     * discriminate). k must be a power of two.
-    */
-  /** Slots are 32-bit: the estimator only tests slot EQUALITY, so
+    *
+    * Slots are 32-bit: the estimator only tests slot EQUALITY, so
     * truncating the mixed 64-bit min to its low int costs 2^-32 false
     * agreement per slot and halves the signature payload through every
     * signature join/shuffle.
