@@ -27,11 +27,17 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 8g measured FASTER than 48g here: a huge lazily-committed heap pays
+// page-zeroing + G1 ergonomics on first touch (q12 went 2.5s -> 20s).
+// The workload's persists fit comfortably in 8g. When the heap IS
+// overridden large via SPARK_DRIVER_MEM, pre-commit and pre-zero the
+// whole heap at JVM boot (-Xms=-Xmx + AlwaysPreTouch) so first-touch
+// page-zeroing happens outside any timed section.
+val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 8g measured FASTER than 48g here: a huge lazily-committed heap pays
-  // page-zeroing + G1 ergonomics on first touch (q12 went 2.5s -> 20s).
-  // The workload's persists fit comfortably in 8g.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$driverMem",
+  s"-Xms$driverMem",
+  "-XX:+AlwaysPreTouch",
 )

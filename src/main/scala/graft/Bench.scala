@@ -53,7 +53,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Durable copy so a harness that misses the stdout line can still
+    // recover the record from disk.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    // Stop Spark BEFORE emitting the metric line so shutdown chatter can
+    // never land after it — the JSON must be the very last stdout line.
     spark.stop()
+    System.out.flush()
+    println(json)
+    System.out.flush()
   }
 }
