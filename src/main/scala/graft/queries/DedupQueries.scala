@@ -86,9 +86,11 @@ object DedupQueries {
       col("id_a"), col("id_b"))
   }
 
-  /** Exact n-gram Jaccard verification over MinHash candidates. Rows-only
-    * (candidate generation is hash-internal), but jaccard values
-    * themselves are exact set algebra.
+  /** Exact n-gram Jaccard verification over MinHash candidates. The
+    * DuckDB oracle brute-forces EXACT Jaccard over all pairs (feasible at
+    * sf0.01), so a hash match certifies both the exact tier's set algebra
+    * AND the LSH candidate tier's recall at this threshold — a missed
+    * true pair would show as a rowcount mismatch.
     */
   def q34Jaccard(spark: SparkSession, dir: String): DataFrame = {
     val uni = withMutatedCopies(spark, dir)
@@ -96,6 +98,30 @@ object DedupQueries {
       Dedup.ngramJaccardPairs(uni, "text", "doc_id", threshold = 0.7),
       col("id_a"), col("id_b"))
   }
+
+  /** Mirrors ShingleHash64's fused normalization (lowercase + collapse
+    * whitespace + trim) and character-5-gram shingling, then brute-forces
+    * |A∩B|/|A∪B| over every pair — no LSH shortcut, so any candidate the
+    * Spark side's LSH tier dropped would surface here.
+    */
+  val q34Sql: String =
+    """WITH uni AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text || ' appended tail marker' FROM documents),
+      |norm AS (
+      |  SELECT id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM uni),
+      |sh AS (
+      |  SELECT id,
+      |    list_distinct([substr(t, i, 5) FOR i IN generate_series(1, greatest(length(t) - 4, 1))]) AS s
+      |  FROM norm WHERE length(t) > 0),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |    len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
+      |  FROM sh a JOIN sh b ON a.id < b.id)
+      |SELECT id_a, id_b, inter::DOUBLE / (la + lb - inter) AS jaccard
+      |FROM pairs WHERE inter::DOUBLE / (la + lb - inter) >= 0.7
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Incremental (cross-run) dedup: the full corpus plays "history"
     * whose signature index already exists; the new batch is mutated
@@ -118,8 +144,11 @@ object DedupQueries {
   }
 
   /** Embedding-cosine near-dup: corpus ∪ scaled copy (cosine is
-    * scale-invariant → planted pairs have sim ≈ 1). Brute-force tier.
-    * Rows-only; ScalaTest asserts planted recall.
+    * scale-invariant → planted pairs have sim ≈ 1 and land in the same
+    * SRP bucket BY CONSTRUCTION — sign(w·v) == sign(w·2v) exactly, since
+    * scaling a float by 2 is exact). The DuckDB oracle brute-forces
+    * cosine over ALL pairs, so bucketed recall is hash-checked, not just
+    * spec-asserted.
     */
   def q35EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Load.table(spark, dir, "embeddings").select("vec_id", "embedding")
@@ -139,6 +168,22 @@ object DedupQueries {
       .select("id_a", "id_b", "sim")
       .orderBy("id_a", "id_b")
   }
+
+  /** Brute-force mirror of q35: same left-to-right double dot-product
+    * fold as CosineSim (bit-identical, proven by q40), no bucket tier.
+    */
+  val q35Sql: String =
+    """WITH uni AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, list_transform(embedding, x -> x * 2.0)::DOUBLE[] FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_dot_product(a.v, b.v)
+      |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+      |  FROM uni a JOIN uni b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, sim FROM p WHERE sim > 0.98
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Brute-force cosine top-3 for 10 query vectors — the exact ANN
     * baseline, with a full DuckDB oracle (both engines fold the dot
@@ -226,6 +271,8 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "q30_exact_dedup" -> q30Sql,
     "q31_fingerprint_dedup" -> q31Sql,
+    "q34_ngram_jaccard" -> q34Sql,
+    "q35_embed_neardup" -> q35Sql,
     "q40_ann_brute" -> q40Sql,
     "q42_ann_topk_heap" -> q40Sql)
 }

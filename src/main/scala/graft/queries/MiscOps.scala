@@ -223,6 +223,48 @@ object MiscOps {
       .transform(Par.sortOnce(_, col("l_orderkey")))
   }
 
+  /** q18's oracle twin: the SAME nested build (joinSelf order-pinned
+    * collect → zipToPoints) exploded back to one row per point, so the
+    * nested construction's element values AND order are hash-checked
+    * against SQL — the JSON rendering in q18 stays rows-only, but its
+    * semantics no longer are.
+    */
+  def q18bSeriesExplode(spark: SparkSession, dir: String): DataFrame = {
+    val li = Load.table(spark, dir, "lineitem")
+      .withColumn(Ordering.ORD,
+        shiftleft(col("l_linenumber").cast(LongType), 44) + col("l_partkey"))
+    val grouped = Joins.joinSelf(li, Seq("l_orderkey"), Map(
+      "l_linenumber" -> Joins.Collect,
+      "l_quantity" -> Joins.Collect,
+      "l_returnflag" -> Joins.Collect))
+    grouped.select(
+        col("l_orderkey"),
+        posexplode(Reshape.zipToPoints(
+          col("l_linenumber").cast(ArrayType(StringType)),
+          col("l_quantity"),
+          array(lit("1"), lit("2")))))
+      .select(col("l_orderkey"), col("pos").as("point_idx"),
+        col("col.x").as("x"), col("col.y").as("y"), col("col.q").as("q"))
+      .transform(Par.sortOnce(_, col("l_orderkey"), col("point_idx")))
+  }
+
+  /** The ROW_NUMBER ordering mirrors joinSelf's array_sort exactly: the
+    * packed struct compares (__ord, l_linenumber, l_quantity,
+    * l_returnflag) in order, and __ord = linenumber≪44 | partkey — i.e.
+    * (linenumber, partkey, quantity, returnflag). Rows still tied after
+    * that are value-identical in the output, so order between them
+    * cannot matter.
+    */
+  val q18bSql: String =
+    """SELECT l_orderkey,
+      |  ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |    ORDER BY l_linenumber, l_partkey, l_quantity, l_returnflag) - 1 AS point_idx,
+      |  l_linenumber::VARCHAR AS x,
+      |  l_quantity AS y,
+      |  l_linenumber IN (1, 2) AS q
+      |FROM lineitem
+      |ORDER BY l_orderkey, point_idx""".stripMargin
+
   /** P9 units validation + rescale: whitelist assert (passes — the guard
     * is in the plan) and conditional ×100 rescale with unit rename.
     */
@@ -352,6 +394,7 @@ object MiscOps {
     "q16_scd_merge" -> q16ScdMerge,
     "q17_fuzzy_translate" -> q17FuzzyTranslate,
     "q18_nested_series" -> q18NestedSeries,
+    "q18b_series_explode" -> q18bSeriesExplode,
     "q19_validate_units" -> q19ValidateUnits,
     "q50_windowed_events" -> q50WindowedEvents,
     "q51_sessionize" -> q51Sessionize,
@@ -365,6 +408,7 @@ object MiscOps {
     "q14_links" -> q14Sql,
     "q15_recode" -> q15Sql,
     "q16_scd_merge" -> q16Sql,
+    "q18b_series_explode" -> q18bSql,
     "q19_validate_units" -> q19Sql,
     "q50_windowed_events" -> q50Sql,
     "q51_sessionize" -> q51Sql,

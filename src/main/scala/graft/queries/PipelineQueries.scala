@@ -41,6 +41,27 @@ object PipelineQueries {
       .orderBy("Judge_ID", "event_order")
   }
 
+  /** The synthetic CVs are pure functions of c_custkey (two single-year
+    * lines), so the imperative parser's expected output is plain SQL:
+    * each line splits AFTER its year (date = whole line, desc = ''),
+    * line 1 classifies appointment ("מונה "), line 2 retirement
+    * ("פרש לגימלאות") — hash-checking Judges.parseCvEvents end-to-end.
+    */
+  val q70Sql: String =
+    """SELECT c_custkey::VARCHAR AS Judge_ID,
+      |  string_split(c_name, '#')[1] AS First_Name,
+      |  c_mktsegment AS Last_Name,
+      |  'appointment' AS event_id,
+      |  'מונה לשופט בבית המשפט בשנת ' || (1980 + c_custkey % 40) AS event_datestring,
+      |  '' AS event_description,
+      |  0 AS event_order
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey::VARCHAR, string_split(c_name, '#')[1], c_mktsegment,
+      |  'retirement', 'פרש לגימלאות בשנת ' || (2000 + c_custkey % 25), '', 1
+      |FROM customer
+      |ORDER BY Judge_ID, event_order""".stripMargin
+
   /** The relational half of the pipeline (join + renames + recode),
     * oracle-checked.
     */
@@ -74,5 +95,6 @@ object PipelineQueries {
     "q71_judges_join" -> q71JudgesJoin)
 
   val oracles: Map[String, String] = Map(
+    "q70_judges_events" -> q70Sql,
     "q71_judges_join" -> q71Sql)
 }
