@@ -15,6 +15,13 @@ Test / fork := true
 // no cross-suite race can flake a driver run
 Test / parallelExecution := false
 run / fork := true
+// The driver parses the LAST stdout line of `runMain graft.Bench` as the
+// bench JSON. Two sbt behaviors break that: the `[success] Total time...`
+// trailer (suppressed here) and the `[info] ` prefix the logged output
+// strategy adds to forked-process stdout (StdoutOutput passes bytes through
+// verbatim instead).
+showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -29,15 +36,14 @@ val jdk17AddOpens = Seq(
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 // 8g measured FASTER than 48g here: a huge lazily-committed heap pays
 // page-zeroing + G1 ergonomics on first touch (q12 went 2.5s -> 20s).
-// The workload's persists fit comfortably in 8g. When the heap IS
-// overridden large via SPARK_DRIVER_MEM, pre-commit and pre-zero the
-// whole heap at JVM boot (-Xms=-Xmx + AlwaysPreTouch) so first-touch
-// page-zeroing happens outside any timed section.
-val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+// The workload's persists fit comfortably in 8g. Only when the heap IS
+// overridden via SPARK_DRIVER_MEM do we pre-commit and pre-zero the whole
+// heap at JVM boot (-Xms=-Xmx + AlwaysPreTouch) so first-touch page-zeroing
+// happens outside any timed section; the 8g default skips the pre-touch to
+// keep dev/Verify startup cheap.
+val driverMemOverride = sys.env.get("SPARK_DRIVER_MEM")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx$driverMem",
-  s"-Xms$driverMem",
-  "-XX:+AlwaysPreTouch",
-)
+  s"-Xmx${driverMemOverride.getOrElse("8g")}",
+) ++ driverMemOverride.toSeq.flatMap(m => Seq(s"-Xms$m", "-XX:+AlwaysPreTouch"))

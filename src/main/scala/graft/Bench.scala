@@ -56,10 +56,13 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Durable copy so a harness that misses the stdout line can still
-    // recover the record from disk.
-    val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
-    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    // recover the record from disk. Best-effort: an unwritable path must
+    // not abort the run before the primary stdout metric line prints.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] durable write failed: $e") }
     // Stop Spark BEFORE emitting the metric line so shutdown chatter can
     // never land after it — the JSON must be the very last stdout line.
     spark.stop()
