@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.MiscOps.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.ScrubQueries.queries
+      graft.queries.ScrubQueries.queries ++
+      graft.queries.CompositeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.queries.DedupQueries.oracles ++
       graft.queries.MiscOps.oracles ++
       graft.queries.PipelineQueries.oracles ++
-      graft.queries.ScrubQueries.oracles
+      graft.queries.ScrubQueries.oracles ++
+      graft.queries.CompositeQueries.oracles
 }

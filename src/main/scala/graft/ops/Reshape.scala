@@ -62,7 +62,8 @@ object Reshape {
     * string → `urls` array (reference: broken_links.py:99, regex at
     * broken_links.py:7-8).
     */
-  private val UrlRe = "https?://[^\\s\"'<>,;]+"
+  // parenthesized: regexp_extract_all extracts group 1, not the whole match
+  private val UrlRe = "(https?://[^\\s\"'<>,;]+)"
   def harvestUrls(df: DataFrame, out: String = "urls"): DataFrame =
     df.withColumn(out, regexp_extract_all(to_json(struct(df.columns.map(col): _*)), lit(UrlRe)))
 
