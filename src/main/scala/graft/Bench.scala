@@ -62,7 +62,12 @@ object Bench {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
       java.nio.file.Files.write(out, json.getBytes("UTF-8"))
-    } catch { case e: Throwable => System.err.println(s"[bench] durable write failed: $e") }
+    } catch {
+      // NonFatal only: an OOM/VM error must kill the run, not be masked
+      // by a clean-looking metric line
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] durable write failed: $e")
+    }
     // Stop Spark BEFORE emitting the metric line so shutdown chatter can
     // never land after it — the JSON must be the very last stdout line.
     spark.stop()

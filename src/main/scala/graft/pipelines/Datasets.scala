@@ -101,6 +101,12 @@ object Datasets {
   val UnitsWhitelist: Seq[String] =
     Seq("אחוזים עד 1", "אחוזים עד 100", "מספר", "ש\"ח", "שנים", "מספר עד 1")
 
+  /** Per-sheet partition key threaded through the unpivot+concat so the
+    * forward-fill window distributes (one partition per sheet, not one
+    * global partition).
+    */
+  private val SheetCol = "__sheet"
+
   /** Full pipeline. `sheets` = transposed sheet tables in source order. */
   def run(
       spark: SparkSession,
@@ -108,25 +114,39 @@ object Datasets {
       dicts: Map[String, Map[String, Translate.Entry]]): DataFrame = {
 
     // 1. per-sheet regex unpivot (year columns → rows), stamping source
-    //    order: sheet index × 1e9 + row index keeps global file order
+    //    order WITHOUT any window: __ord = sheet index ⋅ 2^41 + the
+    //    partition-monotonic id (partitionId⋅2^33 + offset — monotone in
+    //    file order, < 2^41 for ≤256 partitions/sheet). Sheet index
+    //    dominates, so global order = (sheet, row) order; no shuffle, no
+    //    single-task window per sheet.
     val unpivoted = sheets.zipWithIndex.map { case (sheet, si) =>
-      val stamped = Ordering.orderIndex(Ordering.stampOrder(sheet), "__row", Ordering.ORD)
-        .withColumn(Ordering.ORD, lit(si.toLong * 1000000000L) + col("__row"))
-        .drop("__row")
+      val stamped = Ordering.stampOrder(sheet)
+        .withColumn(Ordering.ORD, lit(si.toLong << 41) + col(Ordering.ORD))
+        // derived (non-foldable) rather than lit(si): a constant-foldable
+        // partition key gets pruned from the window spec by the optimizer,
+        // silently degrading the fill to one global partition
+        .withColumn(SheetCol, shiftright(col(Ordering.ORD), 41).cast("int"))
       Reshape.unpivotRegex(stamped, "^" + YearColRegex + "$", "year", "value")
     }
 
     // 2. alias-map concatenate (datasets.py:336)
     val cat = Joins.concatenate(unpivoted,
-      FieldMapping + (Ordering.ORD -> Nil))
+      FieldMapping + (Ordering.ORD -> Nil) + (SheetCol -> Nil))
 
     // 3. url repair, forward-fill chart_title, language constant,
-    //    global order_index (datasets.py:436-341)
+    //    order_index (datasets.py:436-341). The fill runs per sheet
+    //    (sheets are independently authored; a title never carries across
+    //    a sheet boundary) so the window shuffle distributes across
+    //    sheets instead of serializing the whole union through one task.
+    //    order_index is the __ord stamp itself — monotone in file order,
+    //    which is all the downstream series sort consumes — rather than a
+    //    contiguous global row_number (an unpartitioned single-task
+    //    window at scale).
     val filled = Ordering.forwardFill(
       cat.withColumn("source_url", RowOps.repairUrl(col("source_url")))
         .withColumn("language", lit("heb,eng,ara")),
-      "chart_title", Ordering.ORD)
-    val ordered = Ordering.orderIndex(filled, "order_index")
+      "chart_title", Ordering.ORD, partitionBy = Seq(SheetCol))
+    val ordered = filled.withColumn("order_index", col(Ordering.ORD)).drop(SheetCol)
 
     // 4. set_defaults (datasets.py:105-112)
     val defaulted = Seq(

@@ -116,7 +116,7 @@ object CompositeQueries {
   }
 
   val q28Sql: String =
-    """SELECT 'K' || lpad(CAST(c_custkey AS VARCHAR), 5, '0') AS migdar_id,
+    """SELECT printf('K%05d', c_custkey) AS migdar_id,
       |  'Study ' || c_custkey AS title,
       |  CASE WHEN c_custkey % 13 = 0 THEN NULL
       |       ELSE 'Ada Smith' || (c_custkey % 10) || ', Org ' || c_mktsegment END AS authors,
@@ -138,9 +138,19 @@ object CompositeQueries {
     * and the oracle can replay the rownums).
     */
   def q29FanOutHarvest(spark: SparkSession, dir: String): DataFrame = {
+    // fixture cache keyed on the FULL canonical source path (no basename
+    // collisions), built in a temp dir and atomically renamed with a
+    // _DONE marker — a crash mid-build or a concurrent builder can never
+    // leave a half-cache that later runs silently trust
+    val canonical = new java.io.File(dir).getCanonicalPath
+    val key = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(canonical))
     val base = new java.io.File(
-      s"/tmp/graft_csvidx_${new java.io.File(dir).getName}")
-    if (!base.exists()) {
+      s"/tmp/graft_csvidx_${new java.io.File(dir).getName}_$key")
+    val done = new java.io.File(base, "_DONE")
+    if (!done.exists()) {
+      val tmp = new java.io.File(
+        base.getPath + ".tmp" + ProcessHandle.current().pid())
       val sup = Load.table(spark, dir, "supplier")
         .withColumn("notes", format_string(
           "visit http://ex.org/s/%d and https://ex.org/n/%d today",
@@ -150,8 +160,16 @@ object CompositeQueries {
         sup.filter(col("s_suppkey") % 2 === m)
           .coalesce(1).sortWithinPartitions("s_suppkey")
           .write.option("header", true).mode("overwrite")
-          .csv(s"$base/$name")
+          .csv(s"$tmp/$name")
       }
+      new java.io.File(tmp, "_DONE").createNewFile()
+      if (base.exists()) { // partial cache from a dead builder — clear it
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base.toPath).iterator().asScala.toSeq
+          .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      if (!tmp.renameTo(base) && !done.exists())
+        sys.error(s"q29 fixture build: cannot move $tmp to $base")
     }
     val fanned = CsvIndex.fanOut(spark,
       Seq("even" -> s"$base/even", "odd" -> s"$base/odd"))      // S7 + W4

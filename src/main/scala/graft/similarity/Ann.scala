@@ -186,15 +186,34 @@ object Ann {
   /** IVF training: sample + iterate k-means on the driver — the centroid
     * table is tiny (nLists × dim doubles) and training data is a bounded
     * sample, so this is the one legitimately driver-side step.
+    *
+    * The sample is a seeded UNIFORM `df.sample` over the whole corpus, not
+    * a `limit` of the first rows: on a corpus stored sorted or clustered
+    * (the common layout after a bucketed write) first-rows training sees
+    * only a few clusters and recall collapses. One extra `count()` job
+    * prices the fraction; both jobs scan only the vector column.
     */
   def ivfTrain(
       corpus: DataFrame,
       vecCol: String,
       nLists: Int,
       iterations: Int = 5,
-      sampleRows: Int = 2000): Array[Array[Double]] = {
-    val sample = corpus.select(col(vecCol)).limit(sampleRows).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      sampleRows: Int = 2000,
+      seed: Long = 42L): Array[Array[Double]] = {
+    val base = corpus.select(col(vecCol))
+    val n = base.count()
+    require(n > 0, "ivfTrain: empty corpus")
+    // oversample ~25% so Bernoulli variance rarely undershoots the target;
+    // the driver-side take() trims back to exactly sampleRows
+    val fraction = math.min(1.0, (sampleRows * 1.25 + 64.0) / n.toDouble)
+    val rows =
+      if (fraction >= 1.0) base.collect()
+      else base.sample(withReplacement = false, fraction, seed).collect()
+    // driver-side seeded shuffle: decorrelates the k-means init (strided
+    // pick below) from partition order, deterministic across runs
+    val sample = new scala.util.Random(seed).shuffle(rows.toVector)
+      .take(sampleRows)
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toArray
     val dim = sample.head.length
     var centroids: Array[Array[Double]] = sample
       .grouped(math.max(1, sample.length / nLists)).map(_.head).take(nLists).toArray

@@ -18,6 +18,39 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("saltedJoin with no hot keys takes the plain path — zero __salt replication") {
+    // lineitem orderkeys are near-uniform: nothing crosses the 1% share
+    // threshold, so the plan must be a single unsalted join (the small
+    // side stays broadcast-eligible, nothing is replicated)
+    val large = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val small = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val salted = Skew.saltedJoin(large, small, "l_orderkey", factor = 4)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(!plan.contains("__salt"), s"cold-key join must not salt:\n$plan")
+    assert(!plan.toLowerCase.contains("union"), s"cold-key join must be one join:\n$plan")
+  }
+
+  test("saltedJoin salts ONLY detected hot keys; cold keys join unreplicated") {
+    import spark.implicits._
+    // key 7 holds ~91% of large rows; 100 cold keys hold one row each
+    val large = (Seq.fill(1000)(7L) ++ (100L to 199L)).map(k => (k, s"v$k"))
+      .toDF("k", "payload")
+    val small = (Seq(7L) ++ (100L to 199L)).map(k => (k, s"dim$k")).toDF("k", "dim")
+    val out = Skew.saltedJoin(large, small, "k", factor = 4)
+    // correctness: exactly the plain-join result
+    assert(out.count() == large.join(small, Seq("k")).count())
+    // detection found exactly the hot key
+    assert(Skew.detectHotKeys(large, "k", minShare = 0.01, maxKeys = 10) == Seq(7L))
+    // the hot path exists (union of cold + salted-hot) and only the hot
+    // key's dim rows are replicated: the explode feeding the salted join
+    // sees 1 small-side row, not 101
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"hot key must be salted:\n$plan")
+  }
+
   test("keySkew reports shares summing <= 1 in descending order") {
     val ev = Load.events(spark, sf)
     val skew = Skew.keySkew(ev, "event_type", topN = 5).collect()

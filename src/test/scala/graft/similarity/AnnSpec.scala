@@ -62,4 +62,28 @@ class AnnSpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.3, s"IVF recall $recall too low")
   }
+
+  test("ivfTrain samples uniformly: centroids span a CLUSTER-SORTED corpus") {
+    // corpus sorted so that all of cluster A precedes cluster B: a
+    // first-rows "sample" would only ever see cluster A and leave B
+    // without any nearby centroid. 400 rows per cluster, sampleRows=100
+    // ⪡ 800, so a biased sampler cannot pass.
+    val mk = (base: Float, from: Int, n: Int) => (from until from + n).map { i =>
+      (i.toLong, Array.tabulate(8)(d => base + (i % 7) * 0.01f + d * 0.001f))
+    }
+    val sorted = (mk(10f, 0, 400) ++ mk(-10f, 400, 400))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).sortWithinPartitions("vec_id")
+    val centroids = Ann.ivfTrain(sorted, "embedding", nLists = 4,
+      iterations = 5, sampleRows = 100)
+    val nearA = centroids.count(c => math.abs(c(0) - 10.0) < 2.0)
+    val nearB = centroids.count(c => math.abs(c(0) + 10.0) < 2.0)
+    assert(nearA >= 1 && nearB >= 1,
+      s"centroids must cover both clusters, got A=$nearA B=$nearB: " +
+        centroids.map(_.head).mkString(","))
+    // determinism: same seed → same centroids
+    val again = Ann.ivfTrain(sorted, "embedding", nLists = 4,
+      iterations = 5, sampleRows = 100)
+    assert(centroids.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
