@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.MiscOps.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.ScrubQueries.queries ++
-      graft.queries.CompositeQueries.queries
+      graft.queries.CompositeQueries.queries ++
+      graft.queries.SinkQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.MiscOps.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.ScrubQueries.oracles ++
-      graft.queries.CompositeQueries.oracles
+      graft.queries.CompositeQueries.oracles ++
+      graft.queries.SinkQueries.oracles
 }

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Flow, Resource}
+import graft.ops.{Checkpoint, Load}
+import graft.sinks.{DocumentSink, DumpToPath}
+import graft.sources.LoadDatapackage
+
+/** Round-trip queries that drive the SINK operators (SURVEY §2 K-rows)
+  * through the DuckDB oracle gate: the sink state lives in parquet/CSV
+  * files that the query reads straight back, so the net effect of
+  * write → mutate → read is a deterministic DataFrame that pure SQL over
+  * the base tables can reproduce.
+  *
+  * Each query rebuilds its scratch state from zero on every call
+  * (delete + rewrite, keyed by canonical sf-dir + pid) — runs never
+  * observe another run's leftovers, and repeated bench iterations are
+  * identical. The scratch tables are tiny (≤ |customer| rows), so the
+  * rebuild is noise even at sf0.1.
+  */
+object SinkQueries {
+
+  /** Per-(sf-dir, process) scratch root, wiped on entry. */
+  private def freshScratch(dir: String, tag: String): String = {
+    val canonical = new java.io.File(dir).getCanonicalPath
+    val key = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(canonical))
+    val root = new java.io.File(
+      s"/tmp/graft_${tag}_${key}_${ProcessHandle.current().pid()}")
+    if (root.exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root.toPath).iterator().asScala.toSeq
+        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    root.getPath
+  }
+
+  /** K2+J4+K3 — the document-sink lifecycle (reference: dump_to_es.py
+    * :43-94 revision sweep + create_timestamp carry-over, :105-132
+    * collate): index every customer at revision 1 with a deterministic
+    * first-seen stamp, re-index a third of them at revision 2 with a
+    * LATER stamp, sweep, and read the surviving store back collated into
+    * the unified docs shape. The carry-over is visible in the output —
+    * surviving docs keep their revision-1 `created_s`, not the revision-2
+    * stamp the second batch carried — and the sweep is visible as the
+    * rowcount (only re-indexed docs survive revision 2).
+    */
+  def q45SinkLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val store = freshScratch(dir, "sink") + "/store"
+    val c = Load.table(spark, dir, "customer")
+    val b1 = c.select(
+      col("c_custkey").cast(LongType).as("doc_id"),
+      format_string("v1 Study %d", col("c_custkey")).as("title"),
+      lit(1L).as("revision"),
+      // deterministic first-seen stamp: custkey seconds after epoch
+      col("c_custkey").cast(LongType).cast(TimestampType).as("create_timestamp"))
+    DocumentSink.index(spark, b1, store, currentRevision = 1L)
+    val b2 = c.filter(col("c_custkey") % 3 === 0).select(
+      col("c_custkey").cast(LongType).as("doc_id"),
+      format_string("v2 Study %d", col("c_custkey")).as("title"),
+      lit(2L).as("revision"),
+      // a LATER stamp that carry-over must discard in favor of b1's
+      (col("c_custkey").cast(LongType) + 1000000000L).cast(TimestampType)
+        .as("create_timestamp"))
+    val swept = DocumentSink.index(spark, b2, store, currentRevision = 2L)
+    val shaped = swept.select(
+      col("doc_id"), col("revision"), col("title"),
+      unix_timestamp(col("create_timestamp")).as("created_s"))
+    DocumentSink.collate(shaped, kind = "study").orderBy("doc_id")
+  }
+
+  /** The sweep keeps exactly the %3 re-indexed docs at revision 2; the
+    * carried stamp equals the revision-1 epoch (= custkey), NOT the
+    * revision-2 one (custkey + 1e9).
+    */
+  val q45Sql: String =
+    """SELECT CAST(c_custkey AS BIGINT) AS doc_id,
+      |  'study' AS doc_kind,
+      |  CAST(2 AS BIGINT) AS revision,
+      |  CAST(1.0 AS DOUBLE) AS score,
+      |  '{"title":"v2 Study ' || c_custkey || '","created_s":' || c_custkey || '}' AS value
+      |FROM customer WHERE c_custkey % 3 = 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** K1+K9+P8 — dump/checkpoint round-trip (reference: datasets.py:465
+    * dump_to_path, datasets.py:130-137 fix_values scrub, broken_links.py
+    * :86-98 checkpoint resume): build a datasets-shaped resource from
+    * `part`, apply the P8 value scrub (strip '%', drop rows without a
+    * chart title), dump it as CSV + datapackage.json, load the package
+    * BACK through the descriptor (explicit Table Schema, no re-inference),
+    * checkpoint the reloaded frame to parquet, and read the checkpoint.
+    * Complex cells (the `tags` array) round-trip through the K1 JSON-in-
+    * CSV convention, surfacing as the JSON string the descriptor declares.
+    */
+  def q46DumpRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = freshScratch(dir, "dump")
+    val out = s"$scratch/pkg"
+    val raw = Load.table(spark, dir, "part").select(
+      col("p_partkey").cast(LongType).as("row_id"),
+      when(col("p_partkey") % 9 === 0, lit(null).cast(StringType))
+        .otherwise(format_string("Chart %d", col("p_partkey"))).as("chart_title"),
+      format_string("%d%%", col("p_partkey") % 200).as("value"),
+      array(lit("a"), col("p_brand")).as("tags"))
+    // P8 fix_values (datasets.py:130-137): % strip + drop no-title rows
+    val scrubbed = raw
+      .filter(col("chart_title").isNotNull && col("chart_title") =!= "")
+      .withColumn("value", regexp_replace(col("value"), "%", ""))
+    val ctx = Flow.run(spark)(
+      Flow.resource(Resource(scrubbed, "charts", primaryKey = Seq("row_id"))))
+    DumpToPath.dump(ctx, out)                               // K1
+    val reloaded = LoadDatapackage.load(spark, out)("charts") // S1 descriptor
+    require(reloaded.primaryKey == Seq("row_id"),
+      "primaryKey must survive the descriptor round-trip")   // K11
+    val cp = Checkpoint(reloaded.df,                          // K9
+      s"q46_${new java.io.File(scratch).getName}")
+    cp.select("row_id", "chart_title", "value", "tags").orderBy("row_id")
+  }
+
+  val q46Sql: String =
+    """SELECT CAST(p_partkey AS BIGINT) AS row_id,
+      |  'Chart ' || p_partkey AS chart_title,
+      |  CAST(p_partkey % 200 AS VARCHAR) AS value,
+      |  '["a","' || p_brand || '"]' AS tags
+      |FROM part WHERE p_partkey % 9 <> 0
+      |ORDER BY row_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_sink_lifecycle" -> q45SinkLifecycle,
+    "q46_dump_roundtrip" -> q46DumpRoundtrip)
+
+  val oracles: Map[String, String] = Map(
+    "q45_sink_lifecycle" -> q45Sql,
+    "q46_dump_roundtrip" -> q46Sql)
+}
