@@ -7,10 +7,9 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata. The Spark-side contract — schema,
   * partition sizing, batch-shaped per-partition processing — is real and
-  * tested; the actual codec calls are STUBBED behind `Decoder` (the
-  * image/audio libraries are not in this container) with a deterministic
-  * fake so tests are reproducible. Swap `Decoder` for a JNI/FFI codec in
-  * production; nothing else changes.
+  * tested, and so is IMAGE decoding ([[ImageIoDecoder]], pure JDK).
+  * Audio/video codecs are not in the JDK — those route through the same
+  * `Decoder` seam (deterministic fake in tests; JNI/FFI in production).
   *
   * Scale design: decode runs as `mapPartitions` (the Scala analogue of
   * pandas-batched UDFs) so per-partition setup (codec init) is amortized;
@@ -35,9 +34,10 @@ object Multimodal {
   final case class ImageFeatures(
       mean_luma: Double, sharpness: Double, phash: Long)
 
-  /** The codec seam. STUB: ??? for real decoding; the deterministic fake
-    * derives stable pseudo-features from the blob bytes so the pipeline
-    * shape is testable end-to-end.
+  /** The codec seam: image decoding is REAL (JDK ImageIO — see
+    * [[ImageIoDecoder]]); audio/video codecs are not in the JDK, so those
+    * paths use the deterministic fake. Swap in a JNI/FFI decoder for
+    * av streams in production; nothing else changes.
     */
   trait Decoder extends Serializable {
     def sniff(bytes: Array[Byte]): MediaMeta
@@ -46,12 +46,175 @@ object Multimodal {
     def sampleFrames(bytes: Array[Byte], everyMs: Long): Seq[Array[Byte]]
   }
 
-  /** Real codec — intentionally unimplemented in this container. */
-  object LibCodecDecoder extends Decoder {
-    def sniff(bytes: Array[Byte]): MediaMeta = ???
-    def imageFeatures(bytes: Array[Byte]): ImageFeatures = ???
-    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = ???
-    def sampleFrames(bytes: Array[Byte], everyMs: Long): Seq[Array[Byte]] = ???
+  /** Real image codec on the JDK's `javax.imageio` + `java.awt` — zero
+    * external dependencies. Handles PNG/JPEG/GIF/BMP (+ WBMP/TIFF where
+    * the JDK ships readers):
+    *
+    *  - `sniff`: container magic + header-only dimension read (no pixel
+    *    decode — an ImageReader reports width/height from the header);
+    *  - `imageFeatures`: mean luma (Rec.601), sharpness = variance of the
+    *    4-neighbour Laplacian of the luma plane, and a 64-bit DCT pHash
+    *    (32×32 luma downscale → 2D DCT-II → 8×8 low-frequency block,
+    *    bit i = coeff_i > median) — features depend only on decoded
+    *    PIXELS, so the same picture hashes identically across containers;
+    *  - `resize`: bilinear Graphics2D rescale, re-encoded as PNG (the
+    *    JDK's PNG writer is deterministic — no timestamps in the stream);
+    *  - `sampleFrames`: every frame of a multi-frame container (animated
+    *    GIF) at a nominal 100 ms/frame cadence stride; still images yield
+    *    their single frame. Video containers (mp4/webm) have no JDK
+    *    codec — route those through an FFI decoder behind this same seam.
+    */
+  object ImageIoDecoder extends Decoder {
+    import java.awt.RenderingHints
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    // keep ImageIO off its /tmp disk cache: decode fully in-memory
+    ImageIO.setUseCache(false)
+
+    private def containerFormat(b: Array[Byte]): String =
+      if (b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+      else if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) "jpeg"
+      else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
+      else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+      else if (b.length >= 4 && ((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M'))) "tiff"
+      else "unknown"
+
+    private def withReader[T](bytes: Array[Byte])(f: javax.imageio.ImageReader => T): T = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          throw new IllegalArgumentException(
+            s"no ImageIO reader for ${containerFormat(bytes)} (${bytes.length} bytes)")
+        val r = readers.next()
+        // seekForwardOnly=false: getNumImages(allowSearch=true) needs seeks
+        r.setInput(iis, false, true)
+        try f(r) finally r.dispose()
+      } finally iis.close()
+    }
+
+    private def decode(bytes: Array[Byte]): BufferedImage = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"undecodable image (${containerFormat(bytes)}, ${bytes.length} bytes)")
+      img
+    }
+
+    def sniff(bytes: Array[Byte]): MediaMeta = withReader(bytes) { r =>
+      MediaMeta("image", containerFormat(bytes),
+        width = r.getWidth(0), height = r.getHeight(0),
+        duration_ms = 0L, n_bytes = bytes.length.toLong)
+    }
+
+    private def lumaPlane(img: BufferedImage): Array[Double] = {
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Double](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          out(y * w + x) = 0.299 * ((rgb >> 16) & 0xFF) +
+            0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    private def scaled(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+        RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      out
+    }
+
+    /** 1D DCT-II along rows then columns of an n×n plane (n=32: ~65k
+      * multiplies — negligible next to the decode itself).
+      */
+    private def dct2d(plane: Array[Double], n: Int): Array[Double] = {
+      val cos = Array.tabulate(n, n)((k, i) => math.cos((2 * i + 1) * k * math.Pi / (2.0 * n)))
+      val tmp = new Array[Double](n * n)
+      val out = new Array[Double](n * n)
+      var y = 0
+      while (y < n) {                       // rows
+        var k = 0
+        while (k < n) {
+          var s = 0.0; var i = 0
+          while (i < n) { s += plane(y * n + i) * cos(k)(i); i += 1 }
+          tmp(y * n + k) = s
+          k += 1
+        }
+        y += 1
+      }
+      var k = 0
+      while (k < n) {                       // columns
+        var x = 0
+        while (x < n) {
+          var s = 0.0; var i = 0
+          while (i < n) { s += tmp(i * n + x) * cos(k)(i); i += 1 }
+          out(k * n + x) = s
+          x += 1
+        }
+        k += 1
+      }
+      out
+    }
+
+    def imageFeatures(bytes: Array[Byte]): ImageFeatures = {
+      val img = decode(bytes)
+      val w = img.getWidth; val h = img.getHeight
+      val lum = lumaPlane(img)
+      var sum = 0.0; var i = 0
+      while (i < lum.length) { sum += lum(i); i += 1 }
+      val meanLuma = sum / lum.length / 255.0
+      // sharpness: variance of the 4-neighbour Laplacian over the interior
+      var lapSum = 0.0; var lapSq = 0.0; var cnt = 0L
+      var y = 1
+      while (y < h - 1) {
+        var x = 1
+        while (x < w - 1) {
+          val l = 4 * lum(y * w + x) - lum(y * w + x - 1) - lum(y * w + x + 1) -
+            lum((y - 1) * w + x) - lum((y + 1) * w + x)
+          lapSum += l; lapSq += l * l; cnt += 1
+          x += 1
+        }
+        y += 1
+      }
+      val sharp = if (cnt == 0) 0.0 else (lapSq / cnt) - math.pow(lapSum / cnt, 2)
+      // pHash: 32×32 luma → DCT → top-left 8×8, bit = coeff > median
+      val n = 32
+      val small = lumaPlane(scaled(img, n, n))
+      val freq = dct2d(small, n)
+      val block = Array.tabulate(64)(j => freq((j / 8) * n + (j % 8)))
+      val med = { val s = block.sorted; (s(31) + s(32)) / 2.0 }
+      var hash = 0L; var j = 0
+      while (j < 64) { if (block(j) > med) hash |= (1L << j); j += 1 }
+      ImageFeatures(meanLuma, sharp, hash)
+    }
+
+    private def encodePng(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+      encodePng(scaled(decode(bytes), w, h))
+
+    def sampleFrames(bytes: Array[Byte], everyMs: Long): Seq[Array[Byte]] =
+      withReader(bytes) { r =>
+        val n = math.max(1, r.getNumImages(true))
+        val stride = math.max(1L, everyMs / 100L).toInt  // nominal 100 ms/frame
+        (0 until n by stride).map(i => encodePng(r.read(i)))
+      }
   }
 
   /** Deterministic fake: features are hashes of content — stable across
@@ -147,9 +310,52 @@ object Multimodal {
   }
 
   /** Build a media table from the documents fixture: text bytes stand in
-    * for opaque blobs (the container has no codecs — see Decoder).
+    * for opaque blobs — exercises the plumbing without any codec.
     */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+
+  /** Deterministic PNG render for a doc id: size and pixel pattern derive
+    * from the id alone (mixed gradients + a diagonal stripe, so luma,
+    * sharpness and pHash genuinely vary per image). Used to synthesize a
+    * REAL image corpus on the executors — generation is a narrow
+    * mapPartitions, exactly like a production decode stage.
+    */
+  def renderPng(id: Long): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val w = 32 + (id % 29).toInt
+    val h = 24 + (id % 23).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val stripe = if (((x + y + id) % 11) < 3) 96 else 0
+        val r = (x * 7 + id * 31) % 256
+        val g = (y * 13 + id * 17) % 256
+        val b = ((x + y) * 5 + id * 11 + stripe) % 256
+        img.setRGB(x, y, (r.toInt << 16) | (g.toInt << 8) | b.toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** A real image corpus: one deterministic PNG per document id. */
+  def syntheticImages(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("blob", BinaryType)))
+    val enc = Encoders.row(schema)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, renderPng(id))
+      }
+    }(enc)
+  }
 }

@@ -369,18 +369,22 @@ object MiscOps {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |FROM t ORDER BY event_id""".stripMargin
 
-  /** Multimodal plumbing: blob column + sniffed metadata + deterministic
-    * fake features through the batch-shaped mapPartitions path. Rows-only
-    * (codec features have no SQL mirror).
+  /** Multimodal pipeline with REAL image decoding: a deterministic PNG
+    * corpus (one image per doc id, rendered on the executors) → header
+    * sniff → pixel features (mean luma, Laplacian sharpness, DCT pHash),
+    * all via the JDK ImageIO decoder in a narrow mapPartitions stage.
+    * Rows-only (pixel decoding has no SQL mirror).
     */
   def q60Multimodal(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Multimodal
-    val media = Multimodal.mediaFromDocuments(spark, dir)
-    val withMeta = Multimodal.withMediaMeta(media, "blob", Multimodal.FakeDecoder)
-    Multimodal.withImageFeatures(withMeta, "blob", Multimodal.FakeDecoder)
+    val media = Multimodal.syntheticImages(spark, dir)
+    val withMeta = Multimodal.withMediaMeta(media, "blob", Multimodal.ImageIoDecoder)
+    Multimodal.withImageFeatures(withMeta, "blob", Multimodal.ImageIoDecoder)
       .select(col("doc_id"),
+        col("media_meta.format").as("format"),
         col("media_meta.n_bytes").as("n_bytes"),
         col("media_meta.width").as("width"),
+        col("media_meta.height").as("height"),
         col("image_features.phash").as("phash"))
       .orderBy("doc_id")
   }
