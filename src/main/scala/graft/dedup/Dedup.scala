@@ -185,14 +185,28 @@ object Dedup {
       idCol: String,
       k: Int = 64,
       bands: Int = 16,
-      shingleN: Int = 5): DataFrame = {
-    graft.ops.Par.fanOut(df)
+      shingleN: Int = 5,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val raw = graft.ops.Par.fanOut(df)
       .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignatureFromHashes(col("sh"), k))
       .drop("sh")
       .select(col("id"), col("sig"),
         explode(lshBucketKeys(col("sig"), k, bands)).as("bucket"))
+    // Degenerate-bucket pruning at BUILD time (one window count on the
+    // bucket shuffle the write needs anyway): probe runs then skip the
+    // per-run histogram scan over the whole index entirely. A bucket
+    // beyond `cap` members carries no near-dup signal — same cap
+    // semantics as candidatePairs.
+    maxBucketSize match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+        raw.withColumn("__n", count(lit(1)).over(w))
+          .filter(col("__n") <= cap)
+          .drop("__n")
+      case None => raw
+    }
   }
 
   /** Near-dup pairs of a NEW batch against an existing signature index
@@ -214,7 +228,8 @@ object Dedup {
       bands: Int = 16,
       shingleN: Int = 5,
       threshold: Double = 0.7,
-      maxBucketSize: Int = 100): DataFrame = {
+      maxBucketSize: Int = 100,
+      indexBucketsPrefiltered: Boolean = false): DataFrame = {
     val newIndex = buildSignatureIndex(newDf, textCol, idCol, k, bands, shingleN)
       .persist()
     val newSigs = newIndex.select(col("id"), col("sig")).distinct()
@@ -222,13 +237,21 @@ object Dedup {
     // candidates: a new doc shares a bucket with anything (old or new).
     // Degenerate buckets capped on the historical side exactly like the
     // batch path (a bucket shared by >cap docs carries no signal).
+    // When the index was built with maxBucketSize (buildSignatureIndex
+    // prunes at build time), set indexBucketsPrefiltered to skip the
+    // per-probe histogram scan over the whole index.
     val oldBuckets = index.select(col("bucket"), col("id").as("other_id"))
     val newBuckets = newIndex.select(col("bucket"), col("id").as("new_id"))
-    val bucketSizes = oldBuckets.groupBy("bucket")
-      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
-      .select("bucket")
+    val keptOldBuckets =
+      if (indexBucketsPrefiltered) oldBuckets
+      else {
+        val bucketSizes = oldBuckets.groupBy("bucket")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
+          .select("bucket")
+        oldBuckets.join(bucketSizes, Seq("bucket"))
+      }
     val oldCands = newBuckets
-      .join(oldBuckets.join(bucketSizes, Seq("bucket")), Seq("bucket"))
+      .join(keptOldBuckets, Seq("bucket"))
       .select("new_id", "other_id")
     val newCands = newBuckets
       .join(newBuckets.select(col("bucket"), col("new_id").as("other_id")), Seq("bucket"))
@@ -242,6 +265,42 @@ object Dedup {
       .select(col("new_id"), col("other_id"),
         signatureSimilarity(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard verification of INCREMENTAL candidates — the
+    * cross-run analogue of [[ngramJaccardPairs]]: LSH candidates come
+    * from the persisted signature index (est-sim prefiltered at
+    * 0.75×threshold inside [[incrementalNearDupPairs]]), then exact
+    * Jaccard re-shingles ONLY the candidate docs. `historyDf` supplies
+    * the historical texts for the exact tier; at scale that read is
+    * candidate-driven (the tiny candidate relation joins into the corpus
+    * — broadcast or key-shuffled by AQE), never a full re-shingle.
+    */
+  def incrementalJaccardPairs(
+      newDf: DataFrame,
+      historyDf: DataFrame,
+      index: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 5,
+      threshold: Double = 0.8,
+      k: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 100,
+      indexBucketsPrefiltered: Boolean = false): DataFrame = {
+    val cands = incrementalNearDupPairs(newDf, index, textCol, idCol, k, bands,
+      shingleN, threshold * 0.75, maxBucketSize, indexBucketsPrefiltered)
+      .select("new_id", "other_id")
+    val newTexts = newDf.select(col(idCol).as("id"), col(textCol).as("text"))
+    val allTexts = historyDf.select(col(idCol).as("id"), col(textCol).as("text"))
+      .unionByName(newTexts)
+    cands
+      .join(newTexts.select(col("id").as("new_id"), col("text").as("text_a")), Seq("new_id"))
+      .join(allTexts.select(col("id").as("other_id"), col("text").as("text_b")), Seq("other_id"))
+      .select(col("new_id"), col("other_id"),
+        jaccardSorted(shingleHashes(col("text_a"), shingleN),
+          shingleHashes(col("text_b"), shingleN)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   // ---- simhash ---------------------------------------------------------

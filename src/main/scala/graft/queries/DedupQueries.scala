@@ -123,25 +123,62 @@ object DedupQueries {
       |FROM pairs WHERE inter::DOUBLE / (la + lb - inter) >= 0.7
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** Incremental (cross-run) dedup: the full corpus plays "history"
-    * whose signature index already exists; the new batch is mutated
-    * copies of the first docs. Only the new batch is shingled — the
-    * corpus contributes through its index (Dedup.buildSignatureIndex).
-    * Rows-only; cross-run + new-new recall asserted in DedupSpec.
+  /** Incremental (cross-run) dedup with the exact-verify tier: the full
+    * corpus plays "history" whose signature index already exists
+    * (degenerate buckets pruned at BUILD time, so the probe run never
+    * re-scans the index for a histogram); the new batch is mutated copies
+    * of the first docs. Only the new batch is shingled for candidates —
+    * the corpus contributes through its index — and exact Jaccard then
+    * verifies just the candidate pairs. The DuckDB oracle brute-forces
+    * exact Jaccard over ALL new×(history∪new) pairs (no LSH shortcut), so
+    * a hash match certifies the index probe's recall too — exactly the
+    * q34 pattern restricted to new-batch pairs.
     */
   def q36IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val d = Load.table(spark, dir, "documents").select("doc_id", "text")
     // in production the index is a PERSISTED artifact (written bucketed by
-    // `bucket`); pin it here so its two consumers below don't re-hash the
-    // corpus per branch
-    val index = Dedup.buildSignatureIndex(d, "text", "doc_id").persist()
+    // `bucket`); pin it here so its consumers don't re-hash the corpus
+    val index = Dedup.buildSignatureIndex(d, "text", "doc_id",
+      maxBucketSize = Some(100)).persist()
     val newBatch = d.filter(col("doc_id") < 200).select(
       (col("doc_id") + 100000).as("doc_id"),
       concat(col("text"), lit(" appended tail marker")).as("text"))
     graft.ops.Par.sortOnce(
-      Dedup.incrementalNearDupPairs(newBatch, index, "text", "doc_id", threshold = 0.5),
+      Dedup.incrementalJaccardPairs(newBatch, d, index, "text", "doc_id",
+        threshold = 0.7, indexBucketsPrefiltered = true),
       col("new_id"), col("other_id"))
   }
+
+  /** Brute-force mirror of q36: same normalization + 5-gram shingling as
+    * q34's oracle, pairs restricted to new_id ∈ new batch; old partners
+    * pair in both orientations' canonical (new_id, other_id) form, new
+    * partners only as new_id < other_id.
+    */
+  val q36Sql: String =
+    """WITH hist AS (SELECT doc_id AS id, text FROM documents),
+      |newb AS (
+      |  SELECT doc_id + 100000 AS id, text || ' appended tail marker' AS text
+      |  FROM documents WHERE doc_id < 200),
+      |alltab AS (SELECT id, text FROM hist UNION ALL SELECT id, text FROM newb),
+      |normn AS (
+      |  SELECT id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM newb),
+      |norma AS (
+      |  SELECT id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM alltab),
+      |shn AS (
+      |  SELECT id,
+      |    list_distinct([substr(t, i, 5) FOR i IN generate_series(1, greatest(length(t) - 4, 1))]) AS s
+      |  FROM normn WHERE length(t) > 0),
+      |sha AS (
+      |  SELECT id,
+      |    list_distinct([substr(t, i, 5) FOR i IN generate_series(1, greatest(length(t) - 4, 1))]) AS s
+      |  FROM norma WHERE length(t) > 0),
+      |pairs AS (
+      |  SELECT n.id AS new_id, a.id AS other_id,
+      |    len(list_intersect(n.s, a.s)) AS inter, len(n.s) AS la, len(a.s) AS lb
+      |  FROM shn n JOIN sha a ON a.id <> n.id AND (a.id < 100000 OR a.id > n.id))
+      |SELECT new_id, other_id, inter::DOUBLE / (la + lb - inter) AS jaccard
+      |FROM pairs WHERE inter::DOUBLE / (la + lb - inter) >= 0.7
+      |ORDER BY new_id, other_id""".stripMargin
 
   /** Embedding-cosine near-dup: corpus ∪ scaled copy (cosine is
     * scale-invariant → planted pairs have sim ≈ 1 and land in the same
@@ -273,6 +310,7 @@ object DedupQueries {
     "q31_fingerprint_dedup" -> q31Sql,
     "q34_ngram_jaccard" -> q34Sql,
     "q35_embed_neardup" -> q35Sql,
+    "q36_incremental_dedup" -> q36Sql,
     "q40_ann_brute" -> q40Sql,
     "q42_ann_topk_heap" -> q40Sql)
 }
