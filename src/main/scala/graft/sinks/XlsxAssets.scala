@@ -8,17 +8,19 @@ import org.apache.spark.sql.{DataFrame, Row}
   * browser for PNG cards.
   *
   * The engine-side contract is the per-row fan-out (foreachPartition over
-  * docs, one writer per row, side effects isolated per partition). The
-  * XLSX/PNG renderers are environment seams: no POI or browser ships in
-  * this container, so `CsvCellWriter` is the deterministic stand-in that
-  * renders the same cell grid as CSV; swap `XlsxTemplateWriter` /
-  * `ScreenshotRunner` in a full deployment.
+  * docs, one writer per row, side effects isolated per partition). XLSX
+  * rendering is REAL — [[Xlsx]] is a pure-JDK OOXML codec, and
+  * [[XlsxAssets.XlsxTemplateWriter]] fills a template workbook the way
+  * the reference fills template.xlsx via openpyxl. The PNG screenshot
+  * step (`ScreenshotRunner`) stays a seam — it needs a headless browser.
   */
 object XlsxAssets {
 
   /** (cell address, value) grid writer seam. */
   trait CellWriter extends Serializable {
     def write(outPath: String, cells: Seq[(String, String)]): Unit
+    /** Output filename extension for [[writeAssets]]. */
+    def ext: String = "cells.csv"
   }
 
   /** Deterministic stand-in: renders "A1,value" lines. */
@@ -33,11 +35,25 @@ object XlsxAssets {
     }
   }
 
-  /** Real template writer — requires Apache POI on the classpath. */
-  final class XlsxTemplateWriter(templatePath: String) extends CellWriter {
-    def write(outPath: String, cells: Seq[(String, String)]): Unit =
-      throw new UnsupportedOperationException(
-        "XLSX rendering needs Apache POI on the classpath; use CsvCellWriter in this environment")
+  /** Real template writer (reference: dataset_assets.py:22-47 —
+    * `load_workbook(XLSX_TEMPLATE)`, poke cells, save). The template's
+    * first sheet is loaded once per writer (one writer per partition →
+    * amortized, like openpyxl's per-row load is NOT), the doc's cells
+    * overlay it, and the result is written as a real .xlsx. With no
+    * template path, starts from an empty single-sheet workbook.
+    */
+  final class XlsxTemplateWriter(templatePath: Option[String] = None) extends CellWriter {
+    override def ext: String = "xlsx"
+    @transient private lazy val template: Xlsx.Sheet =
+      templatePath.map(p => Xlsx.read(p).head)
+        .getOrElse(Xlsx.Sheet("Chart", Map.empty))
+
+    def write(outPath: String, cells: Seq[(String, String)]): Unit = {
+      val filled = template.copy(cells = template.cells ++ cells.map {
+        case (a, v) => Xlsx.parseAddress(a) -> Option(v).getOrElse("")
+      })
+      Xlsx.write(outPath, Seq(filled))
+    }
   }
 
   /** Cell grid for one chart doc (reference: dataset_assets.py:8-48 —
@@ -77,7 +93,7 @@ object XlsxAssets {
     docs.foreachPartition { (rows: Iterator[Row]) =>
       rows.foreach { row =>
         val docId = row.getAs[String]("doc_id").replace("/", "_")
-        writer.write(s"$outDir/$docId.cells.csv", chartCells(row))
+        writer.write(s"$outDir/$docId.${writer.ext}", chartCells(row))
         counter.add(1)
       }
     }
