@@ -41,6 +41,22 @@ class MiscModulesSpec extends SparkSpec {
     assert(got.toSeq == Seq("cafe", "Lodz", "naive oeuvre", "Ase-x"))
   }
 
+  test("unidecode romanizes Hebrew like python-unidecode (x005 goldens)") {
+    // goldens per python-unidecode's x005 table: finals fold to the base
+    // letter, shin→SH chet→KH tsadi→TS ayin→`, maqaf→-, geresh→'
+    val cases = Seq(
+      "שלום" -> "SHlvm",
+      "תל־אביב" -> "tl-Abyb",
+      "חיפה" -> "KHyph",
+      "ניצן צבי כהן" -> "nyTSn TSby khn",
+      "ז׳בוטינסקי" -> "z'bvtynsqy",
+      "עץ" -> "`TS",
+      "שָׁלוֹם" -> "SHlvm") // niqqud + shin dot are combining marks → stripped
+    val got = cases.map(_._1).toDF("s")
+      .select(Unidecode.unidecode(col("s"))).collect().map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2))
+  }
+
   test("xlsx assets: cell grid from a chart doc, one file per row") {
     val out = java.nio.file.Files.createTempDirectory("assets").toString
     val docs = spark.sql(
