@@ -268,27 +268,70 @@ object DedupQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF-probed approximate top-3: k-means coarse quantizer (driver-
-    * trained, narrow literal-argmin assignment), nprobe closest inverted
-    * lists scanned per query, TopKPerKey ranking. Rows-only — recall vs
-    * the exact baseline is asserted in AnnSpec.
+  /** Corpus with three planted EXACT duplicates of every query vector
+    * (ids +1e5/+2e5/+3e5): a duplicate lands in the query's own SRP
+    * bucket (identical sign bits) AND its own IVF list (identical argmin)
+    * BY CONSTRUCTION, and no unplanted vector approaches cosine 1 (q35
+    * verified the corpus has no ≥0.98 pairs). So the approximate top-3 ==
+    * the exact top-3 == the three duplicates ranked by neighbor_id, and a
+    * brute-force DuckDB oracle can hash-check an APPROXIMATE index — the
+    * q35 trick applied to ANN.
     */
-  def q43AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+  private def withPlantedDuplicates(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val e = Load.table(spark, dir, "embeddings").select("vec_id", "embedding")
-    val queries = e.filter(col("vec_id") < 10)
-    Ann.ivfTopK(e, queries, "vec_id", "embedding", k = 3, nLists = 16, nprobe = 4)
+    val q = e.filter(col("vec_id") < 10)
+    val corpus = (1 to 3).foldLeft(e) { (acc, i) =>
+      acc.unionByName(q.select((col("vec_id") + i * 100000).as("vec_id"),
+        col("embedding")))
+    }
+    (corpus, q)
+  }
+
+  /** Shared oracle for q41/q43: brute-force cosine top-3 over the planted
+    * corpus — same double left-fold as CosineSim (bit-identical per q40);
+    * the duplicates tie at the top and order by neighbor_id in both
+    * engines.
+    */
+  val q41Sql: String =
+    """WITH uni AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  UNION ALL SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 10
+      |  UNION ALL SELECT vec_id + 200000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 10
+      |  UNION ALL SELECT vec_id + 300000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 10),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM uni WHERE vec_id < 10),
+      |s AS (
+      |  SELECT query_id, vec_id AS neighbor_id,
+      |    list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS sim
+      |  FROM q CROSS JOIN uni WHERE vec_id <> query_id),
+      |r AS (SELECT query_id, neighbor_id,
+      |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |      FROM s)
+      |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** SRP-bucketed approximate top-3 (the scale path), hash-checked
+    * against the brute-force oracle via the planted-duplicate corpus.
+    * Organic-corpus recall (planted pairs NOT in the same bucket a
+    * priori) is additionally asserted in AnnSpec.
+    */
+  def q41AnnSrp(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, queries) = withPlantedDuplicates(spark, dir)
+    Ann.srpTopK(corpus, queries, "vec_id", "embedding", dim = 64, k = 3, nBits = 8)
       .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
   }
 
-  /** SRP-bucketed approximate top-3 (the scale path). Rows-only — recall
-    * vs the exact baseline is asserted in the spec.
+  /** IVF-probed approximate top-3: k-means coarse quantizer (driver-
+    * trained on a seeded uniform sample, narrow literal-argmin
+    * assignment), nprobe closest inverted lists per query, TopKPerKey
+    * ranking — hash-checked via the same planted-duplicate oracle as
+    * q41; organic recall asserted in AnnSpec.
     */
-  def q41AnnSrp(spark: SparkSession, dir: String): DataFrame = {
-    val e = Load.table(spark, dir, "embeddings").select("vec_id", "embedding")
-    val queries = e.filter(col("vec_id") < 10)
-    Ann.srpTopK(e, queries, "vec_id", "embedding", dim = 64, k = 3, nBits = 8)
-      .select("query_id", "rank", "neighbor_id", "sim")
+  def q43AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, queries) = withPlantedDuplicates(spark, dir)
+    Ann.ivfTopK(corpus, queries, "vec_id", "embedding", k = 3, nLists = 16, nprobe = 4)
+      .select("query_id", "rank", "neighbor_id")
       .orderBy("query_id", "rank")
   }
 
@@ -312,5 +355,7 @@ object DedupQueries {
     "q35_embed_neardup" -> q35Sql,
     "q36_incremental_dedup" -> q36Sql,
     "q40_ann_brute" -> q40Sql,
-    "q42_ann_topk_heap" -> q40Sql)
+    "q41_ann_srp" -> q41Sql,
+    "q42_ann_topk_heap" -> q40Sql,
+    "q43_ann_ivf" -> q41Sql)
 }
