@@ -131,10 +131,13 @@ object Relational {
       |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
   /** Skew-salted join: the hot-key mitigation must be RESULT-INVISIBLE —
-    * the oracle is the plain SQL join. Salting replicates the small side
-    * `factor` times and scatters the large side's hot keys across
-    * (key, salt) so one hot supplier fans across tasks instead of one
-    * straggler.
+    * the oracle is the plain SQL join. Keys above the detection threshold
+    * join salted (their small-side rows replicated ×factor, the large
+    * side scattered across (key, salt) so one hot supplier fans across
+    * tasks); everything else takes the plain broadcast-eligible join and
+    * the two halves union. At this SF every supplier clears the 1% share
+    * threshold, so the salted branch carries the whole join — the
+    * cold-path plan shape is asserted separately in ScaleOpsSpec.
     */
   def q44SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Load.table(spark, dir, "lineitem")
