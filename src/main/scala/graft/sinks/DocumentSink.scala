@@ -64,8 +64,13 @@ object DocumentSink {
       idCol: String = "doc_id",
       revisionCol: String = "revision",
       currentRevision: Long): DataFrame = {
+    // Probe existence via the Hadoop FS instead of letting the read throw:
+    // Spark 4.1 logs analysis exceptions with a full stack even when the
+    // caller catches them, which pollutes Verify/Bench stderr on first run.
+    val hPath = new org.apache.hadoop.fs.Path(storePath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing: Option[DataFrame] =
-      try Some(spark.read.parquet(storePath)) catch { case _: Exception => None }
+      if (fs.exists(hPath)) Some(spark.read.parquet(storePath)) else None
 
     // create_timestamp carry-over: keep the earliest first-seen stamp
     val stamped = batch.withColumn("create_timestamp",
