@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.ScrubQueries.queries ++
       graft.queries.CompositeQueries.queries ++
-      graft.queries.SinkQueries.queries
+      graft.queries.SinkQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracles ++
       graft.queries.ScrubQueries.oracles ++
       graft.queries.CompositeQueries.oracles ++
-      graft.queries.SinkQueries.oracles
+      graft.queries.SinkQueries.oracles ++
+      graft.queries.CurationQueries.oracles
 }

@@ -1,0 +1,124 @@
+package graft.graphs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the last mile of
+  * near-duplicate removal: LSH/SimHash/embedding tiers emit PAIRS, but a
+  * keep/drop decision needs the transitive closure of those pairs (doc A
+  * ~ B, B ~ C ⇒ one cluster, one survivor). The reference pipelines dedup
+  * only per-key (e.g. `load_from_gdrive.py` unwind first-wins); cluster
+  * formation is the scale-out generalization a 100 TB curation run needs.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — converges
+  * in O(log² n) rounds on any graph (vs O(diameter) for naive min-label
+  * propagation, which a chain degenerates to O(n)).
+  *
+  * Scale shape, per round:
+  *  - ONE groupBy(node) shuffle computes the per-node min neighbor and a
+  *    co-partitioned join re-attaches it to the neighbor relation — no
+  *    `collect_list` of neighborhoods, so a 10⁸-degree hub node costs
+  *    O(degree) rows, never O(degree) aggregation state (no skew bomb).
+  *  - `localCheckpoint` truncates lineage each round (a cluster run
+  *    against unreliable executors would use `checkpoint` to a reliable
+  *    dir instead); the convergence probe is one count+hash aggregate.
+  *
+  * Output labels each node with the MINIMUM node id of its component —
+  * deterministic, join-able back onto the corpus as the canonical-doc
+  * pick ("keep the lowest doc_id of every near-dup cluster").
+  */
+object ConnectedComponents {
+
+  /** Neighbor relation of an undirected edge list: every edge in both
+    * directions. Column 1 is the grouping node, column 2 the neighbor.
+    */
+  private def neighbors(e: DataFrame): DataFrame =
+    e.union(e.select(col("b").as("a"), col("a").as("b")))
+
+  /** Large-star: every node points its STRICTLY LARGER neighbors at the
+    * minimum of its closed neighborhood min(Γ(u) ∪ {u}).
+    */
+  private[graphs] def largeStar(edges: DataFrame): DataFrame = {
+    val nbrs = neighbors(edges)
+    val mins = nbrs.groupBy("a").agg(min("b").as("__mb"))
+    nbrs.join(mins, "a")
+      .where(col("b") > col("a"))
+      .select(col("b").as("a"), least(col("a"), col("__mb")).as("b"))
+      .distinct()
+  }
+
+  /** Small-star: every node points its ≤-neighbors and itself at the
+    * minimum of {v ∈ Γ(u) : v ≤ u} ∪ {u}.
+    */
+  private[graphs] def smallStar(edges: DataFrame): DataFrame = {
+    val nbrsLE = neighbors(edges).where(col("b") <= col("a"))
+    val mins = nbrsLE.groupBy("a").agg(min("b").as("__mb"))
+    val joined = nbrsLE.join(mins, "a")
+      .withColumn("__m", least(col("a"), col("__mb")))
+    val pointed = joined.where(col("b") =!= col("__m"))
+      .select(col("b").as("a"), col("__m").as("b"))
+    val self = joined.where(col("a") =!= col("__m"))
+      .select(col("a"), col("__m").as("b"))
+    pointed.union(self).distinct()
+  }
+
+  /** Component labels for an undirected edge list with long columns
+    * `a`, `b`: returns (id, component) for every endpoint, component =
+    * min node id reachable. Self-loops and duplicate/reversed edges are
+    * tolerated. Throws if `maxIter` alternations don't converge (the
+    * O(log² n) bound makes the default unreachable in practice).
+    */
+  def components(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val nodes = edges.select(col("a").as("id"))
+      .union(edges.select(col("b").as("id"))).distinct()
+    var cur = edges.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    // (row count, order-insensitive hash-xor) fingerprints the edge set
+    // (edges are distinct, so xor is a set fingerprint; xor can't hit the
+    // ANSI-mode overflow a hash SUM would); the loop stops at the first
+    // fixed point of (large ∘ small)
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("a"), col("b")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = signature(cur)
+    var converged = cur.isEmpty
+    var iters = 0
+    while (!converged && iters < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nextSig = signature(next)
+      cur.unpersist()
+      converged = nextSig == sig
+      sig = nextSig
+      cur = next
+      iters += 1
+    }
+    if (!converged)
+      sys.error(s"ConnectedComponents: no convergence after $maxIter rounds")
+    // converged edge set is a star forest: (child, root) plus the roots
+    // themselves and any isolated input nodes
+    val childLabels = cur.select(col("a").as("id"), col("b").as("component"))
+    nodes.join(childLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Near-dup pairs → per-doc cluster assignment over the WHOLE corpus:
+    * docs in no pair become singleton clusters of themselves. Output
+    * (id, cluster_id, is_canonical) — `keep where is_canonical` is the
+    * dedup survivor list.
+    */
+  def dedupClusters(pairs: DataFrame, corpusIds: DataFrame,
+      idACol: String = "id_a", idBCol: String = "id_b",
+      idCol: String = "id"): DataFrame = {
+    val labels = components(
+      pairs.select(col(idACol).as("a"), col(idBCol).as("b")))
+    corpusIds.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("cluster_id"))
+      .withColumn("is_canonical", col("id") === col("cluster_id"))
+  }
+}

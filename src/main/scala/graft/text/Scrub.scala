@@ -85,4 +85,26 @@ object Scrub {
     df.filter(hashDraw(col(key)) <
       (rateExpr * lit(4294967296.0)).cast(LongType))
   }
+
+  /** Cap every stratum (domain/source/language) at `cap` docs, picking a
+    * DETERMINISTIC uniform subset per key: rows rank by md5(id) — a
+    * stable shuffle-independent draw (same survivors on every run and
+    * engine), not "first N encountered", which at scale means "whatever
+    * file order the scan happened to produce".
+    *
+    * Rides the TopKPerKey physical operator: map-side bounded heaps of
+    * `cap` rows per key combine before the key shuffle, so a stratum
+    * with 10⁹ rows moves `cap × partitions` rows, not 10⁹ — the Window
+    * row_number() formulation would shuffle and fully sort every
+    * stratum.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String,
+      cap: Int): DataFrame = {
+    import graft.plans.TopKPerKey
+    val drawn = df.withColumn("__draw",
+      md5(col(idCol).cast(StringType)))
+    TopKPerKey.topK(drawn, Seq(keyCol),
+        Seq(TopKPerKey.Sort("__draw"), TopKPerKey.Sort(idCol)), cap)
+      .drop("__draw")
+  }
 }
