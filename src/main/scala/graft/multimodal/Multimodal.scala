@@ -7,9 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata. The Spark-side contract — schema,
   * partition sizing, batch-shaped per-partition processing — is real and
-  * tested, and so is IMAGE decoding ([[ImageIoDecoder]], pure JDK).
-  * Audio/video codecs are not in the JDK — those route through the same
-  * `Decoder` seam (deterministic fake in tests; JNI/FFI in production).
+  * tested, and so is decoding where the JDK ships a codec: IMAGES
+  * ([[ImageIoDecoder]], `javax.imageio`: PNG/JPEG/GIF/BMP/TIFF) and
+  * AUDIO ([[JavaSoundCodec]], `javax.sound.sampled`: WAV/AIFF/AU with
+  * PCM/U8/μ-law/a-law conversion). Only compressed a/v codecs the JDK
+  * lacks (mp3/opus/mp4/webm) route through deterministic fakes behind
+  * the same seams (JNI/FFI in production).
   *
   * Scale design: decode runs as `mapPartitions` (the Scala analogue of
   * pandas-batched UDFs) so per-partition setup (codec init) is amortized;
@@ -34,10 +37,11 @@ object Multimodal {
   final case class ImageFeatures(
       mean_luma: Double, sharpness: Double, phash: Long)
 
-  /** The codec seam: image decoding is REAL (JDK ImageIO — see
-    * [[ImageIoDecoder]]); audio/video codecs are not in the JDK, so those
-    * paths use the deterministic fake. Swap in a JNI/FFI decoder for
-    * av streams in production; nothing else changes.
+  /** The image/video-frame codec seam: image decoding is REAL (JDK
+    * ImageIO — see [[ImageIoDecoder]]); video containers (mp4/webm) have
+    * no JDK codec and use the deterministic fake. Swap in a JNI/FFI
+    * decoder in production; nothing else changes. Audio has its own seam
+    * ([[AudioCodec]]) with a REAL JDK WAV/AIFF/AU implementation.
     */
   trait Decoder extends Serializable {
     def sniff(bytes: Array[Byte]): MediaMeta
@@ -343,6 +347,187 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  // ---- audio: REAL JDK codec (javax.sound.sampled) ---------------------
+
+  final case class AudioFeatures(
+      sample_rate: Int, channels: Int, duration_ms: Long,
+      rms: Double, peak: Double, zcr: Double)
+
+  /** Audio codec seam, mirroring [[Decoder]]: WAV/AIFF/AU decode is REAL
+    * (the JDK ships container parsers + PCM/U8/μ-law/a-law converters in
+    * `javax.sound.sampled`); compressed codecs (mp3/opus/aac) have no JDK
+    * decoder and route through the fake (JNI/FFI in production).
+    */
+  trait AudioCodec extends Serializable {
+    def audioFeatures(bytes: Array[Byte]): AudioFeatures
+    def resample(bytes: Array[Byte], targetRate: Int): Array[Byte]
+  }
+
+  object JavaSoundCodec extends AudioCodec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Container parse + decode to channel-0 samples in [-1, 1): any
+      * JDK-readable stream is converted to PCM_SIGNED 16-bit LE first
+      * (source channel count preserved; channel 0 extracted).
+      */
+    private def decodePcm(bytes: Array[Byte]): (Int, Int, Array[Double]) = {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val src = in.getFormat
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
+          src.getSampleRate, false)
+        val pcm = if (src.matches(target)) in
+          else AudioSystem.getAudioInputStream(target, in)
+        val raw = pcm.readAllBytes()
+        val ch = target.getChannels
+        val n = raw.length / (2 * ch)
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val lo = raw(i * 2 * ch) & 0xFF
+          val hi = raw(i * 2 * ch + 1).toInt
+          out(i) = ((hi << 8) | lo) / 32768.0
+          i += 1
+        }
+        (math.round(src.getSampleRate).toInt, ch, out)
+      } finally in.close()
+    }
+
+    /** Duration, RMS, peak and zero-crossing rate of channel 0. On
+      * constant-magnitude signals (e.g. square waves) every step here is
+      * IEEE-exact, which is what lets q61's oracle be closed-form
+      * arithmetic instead of a SQL re-decode.
+      */
+    def audioFeatures(bytes: Array[Byte]): AudioFeatures = {
+      val (rate, ch, s) = decodePcm(bytes)
+      val n = s.length
+      var sq = 0.0; var peak = 0.0; var zc = 0L
+      var i = 0
+      while (i < n) {
+        val v = s(i)
+        sq += v * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        if (i > 0 && (v < 0) != (s(i - 1) < 0)) zc += 1
+        i += 1
+      }
+      AudioFeatures(rate, ch,
+        duration_ms = if (rate == 0) 0L else n.toLong * 1000L / rate,
+        rms = if (n == 0) 0.0 else math.sqrt(sq / n),
+        peak = peak,
+        zcr = if (n < 2) 0.0 else zc.toDouble / (n - 1).toDouble)
+    }
+
+    /** Mono linear-interpolation resample re-encoded as 16-bit WAV (the
+      * JDK converter chain doesn't do rate conversion, so the kernel is
+      * explicit — deterministic and branch-free per sample).
+      */
+    def resample(bytes: Array[Byte], targetRate: Int): Array[Byte] = {
+      val (rate, _, s) = decodePcm(bytes)
+      val n = s.length
+      val m = math.max(1, (n.toLong * targetRate / math.max(1, rate)).toInt)
+      val pcm = new Array[Byte](m * 2)
+      var j = 0
+      while (j < m) {
+        val pos = j.toDouble * rate / targetRate
+        val i0 = math.min(n - 1, pos.toInt)
+        val i1 = math.min(n - 1, i0 + 1)
+        val frac = pos - i0
+        val v = (s(i0) * (1 - frac) + s(i1) * frac) * 32767.0
+        val q = math.max(-32768, math.min(32767, math.round(v).toInt))
+        pcm(2 * j) = (q & 0xFF).toByte
+        pcm(2 * j + 1) = ((q >> 8) & 0xFF).toByte
+        j += 1
+      }
+      val fmt = new AudioFormat(targetRate.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, m.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Deterministic fake for codecs outside the JDK (mp3/opus): features
+    * are content hashes — stable across runs and partitionings.
+    */
+  object FakeAudioCodec extends AudioCodec {
+    private def h(bytes: Array[Byte], seed: Long): Long = {
+      var x = seed; var i = 0
+      while (i < bytes.length) { x = x * 31 + (bytes(i) & 0xFF); i += 1 }
+      x
+    }
+    def audioFeatures(bytes: Array[Byte]): AudioFeatures = {
+      val k = h(bytes, 41)
+      AudioFeatures(44100, 2, math.abs(k) % 600000L,
+        (math.abs(k) % 1000) / 1000.0, (math.abs(k / 7) % 1000) / 1000.0,
+        (math.abs(k / 13) % 1000) / 1000.0)
+    }
+    def resample(bytes: Array[Byte], targetRate: Int): Array[Byte] =
+      bytes.take(math.max(16, bytes.length / 2))
+  }
+
+  /** Per-blob audio features, batch-shaped like [[withImageFeatures]]. */
+  def withAudioFeatures(df: DataFrame, blobCol: String, codec: AudioCodec): DataFrame = {
+    val featSchema = StructType(Seq(
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("rms", DoubleType),
+      StructField("peak", DoubleType),
+      StructField("zcr", DoubleType)))
+    val schema = df.schema.add("audio_features", featSchema)
+    val enc = Encoders.row(schema)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val f = codec.audioFeatures(r.get(blobIdx).asInstanceOf[Array[Byte]])
+        Row.fromSeq(r.toSeq :+ Row(f.sample_rate, f.channels, f.duration_ms,
+          f.rms, f.peak, f.zcr))
+      }
+    }(enc)
+  }
+
+  /** Deterministic 8 kHz mono 16-bit square-wave WAV for a doc id:
+    * half-period, length and amplitude all derive from the id, and the
+    * run structure makes RMS (= amplitude), peak, duration and
+    * zero-crossing rate CLOSED-FORM — a real container decode checked by
+    * pure arithmetic (see q61's oracle).
+    */
+  def renderWav(id: Long): Array[Byte] = {
+    val hp = 1 + (id % 7).toInt             // half-period, samples
+    val n = hp * (200 + (id % 11).toInt)    // whole runs only
+    val a = (1000L + (id * 37L) % 20000L).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = if ((i / hp) % 2 == 0) a else -a
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** A real audio corpus: one deterministic WAV per document id,
+    * generated on the executors (narrow, like a production ingest).
+    */
+  def syntheticAudio(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("blob", BinaryType)))
+    val enc = Encoders.row(schema)
+    ids.mapPartitions { rows =>
+      rows.map { r => Row(r.getLong(0), renderWav(r.getLong(0))) }
+    }(enc)
   }
 
   /** A real image corpus: one deterministic PNG per document id. */

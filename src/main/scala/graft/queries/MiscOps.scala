@@ -389,6 +389,48 @@ object MiscOps {
       .orderBy("doc_id")
   }
 
+  /** Multimodal AUDIO pipeline with REAL decoding: a deterministic
+    * square-wave WAV corpus (one 8 kHz mono file per doc id, rendered on
+    * the executors) is container-parsed back through the JDK's
+    * javax.sound.sampled codec and profiled — duration, RMS, peak,
+    * zero-crossing rate. The construction makes every feature
+    * closed-form AND IEEE-exact (constant-magnitude samples: RMS = peak
+    * = amplitude, transitions = runs−1), so unlike q60 this decode path
+    * has a FULL arithmetic oracle — DuckDB recomputes the expected
+    * features from doc_id alone, and a single mis-parsed byte anywhere
+    * in the WAV round-trip breaks the hash match.
+    */
+  def q61Audio(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val audio = Multimodal.syntheticAudio(spark, dir)
+    Multimodal.withAudioFeatures(audio, "blob", Multimodal.JavaSoundCodec)
+      .select(col("doc_id"),
+        col("audio_features.sample_rate").as("sample_rate"),
+        col("audio_features.channels").as("channels"),
+        col("audio_features.duration_ms").as("duration_ms"),
+        col("audio_features.rms").as("rms"),
+        col("audio_features.peak").as("peak"),
+        col("audio_features.zcr").as("zcr"))
+      .orderBy("doc_id")
+  }
+
+  /** Closed-form per-id expectations; mirrors Multimodal.renderWav. */
+  val q61Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |         1 + doc_id % 7 AS hp,
+      |         (1 + doc_id % 7) * (200 + doc_id % 11) AS n,
+      |         1000 + (doc_id * 37) % 20000 AS a
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(8000 AS INTEGER) AS sample_rate,
+      |       CAST(1 AS INTEGER) AS channels,
+      |       (n * 1000) // 8000 AS duration_ms,
+      |       CAST(a AS DOUBLE) / 32768.0 AS rms,
+      |       CAST(a AS DOUBLE) / 32768.0 AS peak,
+      |       CAST(n // hp - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS zcr
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_set_type" -> q11SetType,
     "q12_year_expand" -> q12YearExpand,
@@ -403,6 +445,7 @@ object MiscOps {
     "q50_windowed_events" -> q50WindowedEvents,
     "q51_sessionize" -> q51Sessionize,
     "q60_multimodal" -> q60Multimodal,
+    "q61_audio" -> q61Audio,
     "q72_asof_join" -> q72AsOfJoin)
 
   val oracles: Map[String, String] = Map(
@@ -416,5 +459,6 @@ object MiscOps {
     "q19_validate_units" -> q19Sql,
     "q50_windowed_events" -> q50Sql,
     "q51_sessionize" -> q51Sql,
+    "q61_audio" -> q61Sql,
     "q72_asof_join" -> q72Sql)
 }
