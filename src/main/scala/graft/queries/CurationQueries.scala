@@ -102,13 +102,42 @@ object CurationQueries {
       |  FROM documents) WHERE rn <= 10
       |ORDER BY source, doc_id""".stripMargin
 
+  /** Vocabulary statistics: global token counts + document frequency,
+    * top 100 by count — the corpus pass behind tokenizer/vocab builds
+    * and stopword derivation. Classic wordcount shape: explode → partial
+    * (map-side) aggregation → final agg; the top-100 runs as
+    * TakeOrderedAndProject (per-partition heads merged on the driver),
+    * never a global sort.
+    */
+  def q52Vocab(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    d.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("total_count"),
+        count_distinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("total_count").desc, col("token"))
+      .limit(100)
+  }
+
+  val q52Sql: String =
+    """SELECT token, count(*) AS total_count,
+      |       count(DISTINCT doc_id) AS doc_freq
+      |FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      |      FROM documents)
+      |WHERE token <> ''
+      |GROUP BY token ORDER BY total_count DESC, token LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_components" -> (q47Components _),
     "q48_decontaminate" -> (q48Decontaminate _),
-    "q49_domain_cap" -> (q49DomainCap _))
+    "q49_domain_cap" -> (q49DomainCap _),
+    "q52_vocab" -> (q52Vocab _))
 
   val oracles: Map[String, String] = Map(
     "q47_components" -> q47Sql,
     "q48_decontaminate" -> q48Sql,
-    "q49_domain_cap" -> q49Sql)
+    "q49_domain_cap" -> q49Sql,
+    "q52_vocab" -> q52Sql)
 }

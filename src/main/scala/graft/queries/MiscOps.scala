@@ -369,6 +369,40 @@ object MiscOps {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |FROM t ORDER BY event_id""".stripMargin
 
+  /** Funnel/attribution interval join — the BATCH twin of
+    * Streams.intervalJoin (stream==batch equality is pinned by
+    * StreamingSpec): each view pairs with the same user's purchases
+    * within 30 minutes. Times compare as raw nanosecond longs (no
+    * timestamp round-trip); the plan is an equi-join on user_id with the
+    * range predicate as a post-join filter — the key carries the
+    * shuffle, the interval never explodes into a range cross-product.
+    */
+  def q53FunnelJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.ops.Load.events(spark, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts_ns").as("view_ns"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("__buyer"), col("ts_ns").as("purchase_ns"))
+    views.join(buys,
+        col("user_id") === col("__buyer") &&
+        col("purchase_ns") >= col("view_ns") &&
+        col("purchase_ns") <= col("view_ns") + lit(1800000000000L))
+      .select(col("view_id"), col("user_id"), col("purchase_id"),
+        expr("(purchase_ns - view_ns) div 1000000").as("delay_ms"))
+      .orderBy("view_id", "purchase_id")
+  }
+
+  val q53Sql: String =
+    """SELECT v.event_id AS view_id, v.user_id, p.event_id AS purchase_id,
+      |       (epoch_ns(p.ts) - epoch_ns(v.ts)) // 1000000 AS delay_ms
+      |FROM events v JOIN events p ON v.user_id = p.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND epoch_ns(p.ts) >= epoch_ns(v.ts)
+      | AND epoch_ns(p.ts) <= epoch_ns(v.ts) + 1800000000000
+      |ORDER BY view_id, purchase_id""".stripMargin
+
   /** Multimodal pipeline with REAL image decoding: a deterministic PNG
     * corpus (one image per doc id, rendered on the executors) → header
     * sniff → pixel features (mean luma, Laplacian sharpness, DCT pHash),
@@ -444,6 +478,7 @@ object MiscOps {
     "q19_validate_units" -> q19ValidateUnits,
     "q50_windowed_events" -> q50WindowedEvents,
     "q51_sessionize" -> q51Sessionize,
+    "q53_funnel_join" -> q53FunnelJoin,
     "q60_multimodal" -> q60Multimodal,
     "q61_audio" -> q61Audio,
     "q72_asof_join" -> q72AsOfJoin)
@@ -459,6 +494,7 @@ object MiscOps {
     "q19_validate_units" -> q19Sql,
     "q50_windowed_events" -> q50Sql,
     "q51_sessionize" -> q51Sql,
+    "q53_funnel_join" -> q53Sql,
     "q61_audio" -> q61Sql,
     "q72_asof_join" -> q72Sql)
 }

@@ -50,6 +50,31 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Watermarked stream-stream INTERVAL JOIN: pair each left event with
+    * the SAME user's right-side events landing within
+    * [left_ts, left_ts + maxDelaySeconds] — the funnel/attribution join
+    * (view → purchase). Both inputs carry watermarks and the condition
+    * time-bounds the match window from both sides; that is what lets the
+    * engine evict a buffered row once the watermark clears its horizon —
+    * bounded state on unbounded streams (an unconstrained stream-stream
+    * join must buffer both sides forever).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      maxDelaySeconds: Long, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("event_id").as("left_id"), col("user_id"),
+        col("ts").as("left_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("event_id").as("right_id"), col("user_id").as("__ruser"),
+        col("ts").as("right_ts"))
+    l.join(r, expr(
+      s"""user_id = __ruser AND
+         |right_ts >= left_ts AND
+         |right_ts <= left_ts + interval $maxDelaySeconds seconds""".stripMargin))
+      .select(col("left_id"), col("user_id"), col("left_ts"),
+        col("right_id"), col("right_ts"))
+  }
+
   final case class Event(event_id: Long, user_id: Long, ts_s: Long)
   final case class SessionState(sessionId: Long, lastTs: Long)
   final case class SessionizedEvent(event_id: Long, user_id: Long, ts_s: Long, session_id: Long)

@@ -64,4 +64,29 @@ class StreamingSpec extends SparkSpec {
       s"expected ${expect.length} unique events, got ${got.length}")
     assert(got.toSet == expect.toSet)
   }
+
+  test("streaming interval join == batch funnel join (q53 twin)") {
+    val dir = java.nio.file.Files.createTempDirectory("events_join_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val src = Streams.readEvents(spark, dir.toString)
+    val joined = Streams.intervalJoin(
+      src.filter(col("event_type") === "view"),
+      src.filter(col("event_type") === "purchase"),
+      maxDelaySeconds = 1800, watermark = "1 hour")
+    val qname = "stream_interval_join"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(qname)
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.queries.MiscOps.q53FunnelJoin(spark, sf)
+      .select("view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty, "fixture must produce at least one funnel pair")
+  }
 }
