@@ -61,7 +61,10 @@ object GraftExtensions {
     ("bounded_collect_long", info("bounded_collect_long",
       "bounded_collect_long(v, cap) - collect bigints, NULL past cap or below 2"),
       { case Seq(c, cap) =>
-        BoundedCollectLong(c, intArg(cap, "cap")).toAggregateExpression() }))
+        BoundedCollectLong(c, intArg(cap, "cap")).toAggregateExpression() }),
+    ("compression_ratio", info("compression_ratio",
+      "compression_ratio(text) - deflate(text)/len(text), the redundancy signal"),
+      { case Seq(c) => CompressionRatio(c) }))
 
   /** Install everything into an already-running session (extensions
     * normally apply only at session build time).

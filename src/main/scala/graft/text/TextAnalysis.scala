@@ -59,6 +59,17 @@ object TextAnalysis {
       least(stopwordRatio(text) * 4, lit(1.0)) * lit(0.25))
   }
 
+  /** Deflate-compression ratio (compressed/raw bytes) — the Gopher-style
+    * redundancy signal that catches repetition the token-level heuristics
+    * (duplicateLineFraction, topTokenFraction) miss: looped generations,
+    * templated boilerplate, near-identical paragraph stacks. Native
+    * codegen'd expression (graft.functions.CompressionRatio); no SQL
+    * oracle (DuckDB has no deflate), so correctness is spec-pinned on
+    * planted high/low-entropy fixtures.
+    */
+  def compressionRatio(text: Column): Column =
+    graft.functions.TextExprs.compressionRatio(text)
+
   /** Language ID via character-class + stopword heuristics. Scripts are
     * decided by Unicode ranges (cheap, codegen'd); Latin-script languages
     * split on tiny stopword sets. Returns ISO-ish codes; "und" unknown.

@@ -39,4 +39,28 @@ class ScrubSpec extends SparkSpec {
     assert(Scrub.sampleByHash(df, "id", 0.0).count() == 0)
     assert(Scrub.sampleByHash(df, "id", 1.0).count() == 10000)
   }
+
+  test("compressionRatio separates repetition from prose; SQL-registered") {
+    import spark.implicits._
+    graft.GraftExtensions.install(spark)
+    val rep = ("spam ham " * 300).trim
+    val prose = (1 to 120).map(i =>
+      s"sentence $i mixes engine${i * 7 % 13} shuffle${i * 11 % 17} terms").mkString(". ")
+    val df = Seq((1L, rep), (2L, prose), (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = df.select($"id",
+        TextAnalysis.compressionRatio($"text").as("cr"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val repCr = out(1L).asInstanceOf[Double]
+    val proseCr = out(2L).asInstanceOf[Double]
+    assert(repCr < 0.1, s"repetition should crush: $repCr")
+    assert(proseCr > repCr * 3, s"prose $proseCr vs repetition $repCr")
+    assert(out(3L) == 1.0 && out(4L) == null)
+    // same kernel through the SQL registration
+    df.createOrReplaceTempView("cr_docs")
+    val viaSql = spark.sql(
+      "SELECT compression_ratio(text) FROM cr_docs WHERE id = 1")
+      .collect()(0).getDouble(0)
+    assert(viaSql == repCr)
+  }
 }
