@@ -37,7 +37,10 @@ object ConnectedComponents {
     e.union(e.select(col("b").as("a"), col("a").as("b")))
 
   /** Large-star: every node points its STRICTLY LARGER neighbors at the
-    * minimum of its closed neighborhood min(Γ(u) ∪ {u}).
+    * minimum of its closed neighborhood min(Γ(u) ∪ {u}). Output is NOT
+    * deduplicated — small-star's aggregation tolerates duplicate edges
+    * and its own distinct restores the invariant, saving one shuffle per
+    * alternation (the loop always runs small after large).
     */
   private[graphs] def largeStar(edges: DataFrame): DataFrame = {
     val nbrs = neighbors(edges)
@@ -45,7 +48,6 @@ object ConnectedComponents {
     nbrs.join(mins, "a")
       .where(col("b") > col("a"))
       .select(col("b").as("a"), least(col("a"), col("__mb")).as("b"))
-      .distinct()
   }
 
   /** Small-star: every node points its ≤-neighbors and itself at the
