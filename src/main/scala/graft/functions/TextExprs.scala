@@ -8,6 +8,69 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Text-quality kernels that need byte-level work no builtin expresses. */
 object TextKernels {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  /** Distinct hashes of word n-grams after inline normalization (trim,
+    * lowercase, whitespace runs → one space) — ONE pass, no gram strings,
+    * no per-position array slicing. The builtin formulation
+    * (`transform(sequence, i => array_join(slice(split(text)), ' '))`)
+    * measured 12 µs per gram at sf0.1 (2.8 of q48's 3.6 s); this kernel
+    * is the word-level sibling of `HashKernels.shingleHash64`. Returns
+    * empty for texts shorter than n words. Same polynomial+splitmix hash
+    * as the shingle kernel, computed over the normalized gram substring
+    * (single-space joints included), so it equals hashing the exact gram
+    * string the SQL-path builds.
+    */
+  def wordGramHash64(input: UTF8String, n: Int): ArrayData = {
+    val raw = input.toString
+    val sb = new java.lang.StringBuilder(raw.length)
+    var prevWs = true // leading whitespace is trimmed
+    var r = 0
+    while (r < raw.length) {
+      val c = raw.charAt(r)
+      if (Character.isWhitespace(c)) {
+        if (!prevWs) sb.append(' ')
+        prevWs = true
+      } else {
+        sb.append(Character.toLowerCase(c))
+        prevWs = false
+      }
+      r += 1
+    }
+    var len = sb.length()
+    if (len > 0 && sb.charAt(len - 1) == ' ') len -= 1
+    if (len == 0) return new GenericArrayData(Array.empty[Long])
+    // word start offsets in the normalized buffer
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](len / 5 + 1)
+    var i = 0
+    while (i < len) {
+      if (sb.charAt(i) != ' ' && (i == 0 || sb.charAt(i - 1) == ' ')) starts += i
+      i += 1
+    }
+    val m = starts.length
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](m - n + 1)
+    var g = 0
+    while (g <= m - n) {
+      val from = starts(g)
+      val until = if (g + n < m) starts(g + n) - 1 else len
+      var h = 1125899906842597L
+      var j = from
+      while (j < until) { h = h * 31 + sb.charAt(j); j += 1 }
+      h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+      h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+      out(g) = h ^ (h >>> 31)
+      g += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 1
+    i = 1
+    while (i < out.length) {
+      if (out(i) != out(i - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
 
   // Deflater is stateful and ~µs to construct; one per executor thread,
   // reset() per row. raw mode (nowrap): no zlib header bytes skewing
@@ -57,9 +120,30 @@ case class CompressionRatio(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Distinct word-n-gram hashes in one codegen'd pass (see kernel doc). */
+case class WordGramHash64(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_gram_hash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.wordGramHash64(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.wordGramHash64($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramHash64 =
+    copy(child = newChild)
+}
+
 object TextExprs {
   import org.apache.spark.sql.{GraftBridge => EU}
 
   def compressionRatio(text: Column): Column =
     EU.column(CompressionRatio(EU.expression(text)))
+
+  def wordGramHash64(text: Column, n: Int): Column =
+    EU.column(WordGramHash64(EU.expression(text), n))
 }

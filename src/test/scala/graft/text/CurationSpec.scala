@@ -43,6 +43,31 @@ class CurationSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("wordGramHash64 kernel agrees with the string-gram formulation") {
+    import graft.functions.TextExprs
+    val texts = Seq(
+      (1L, "  The   quick\tbrown FOX jumps\nover the lazy dog  "),
+      (2L, "one two three four"),   // exactly n words
+      (3L, "too short"),            // < n words → empty
+      (4L, ""),
+      (5L, "rep rep rep rep rep rep")) // duplicate grams collapse
+      .toDF("id", "text")
+    val got = texts.select($"id",
+        size(TextExprs.wordGramHash64($"text", 4)).as("k"),
+        size(array_distinct(Decontaminate.wordGrams($"text", 4))).as("s"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    got.foreach { case (id, kernelN, stringN) =>
+      // string path emits one short gram for <n-word docs; kernel emits none
+      if (id == 3L || id == 4L) assert(kernelN == 0 && stringN == 1, s"id=$id")
+      else assert(kernelN == stringN, s"id=$id kernel=$kernelN string=$stringN")
+    }
+    // same normalized content ⇒ same hash set, regardless of spacing/case
+    val pair = Seq((1L, "A  B\t C d e"), (2L, "a b c D E")).toDF("id", "text")
+      .select(TextExprs.wordGramHash64($"text", 3).as("h"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(pair(0) == pair(1))
+  }
+
   test("capPerKey keeps exactly cap rows per key, deterministically") {
     val df = (1L to 200L).map(i => (s"src${i % 4}", i)).toDF("source", "doc_id")
     val a = Scrub.capPerKey(df, "source", "doc_id", cap = 7)
