@@ -521,7 +521,8 @@ object Multimodal {
     * generated on the executors (narrow, like a production ingest).
     */
   def syntheticAudio(spark: SparkSession, sfDir: String): DataFrame = {
-    val ids = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"))
+    val ids = graft.ops.Par.fanOut(
+      spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id")))
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("blob", BinaryType)))
     val enc = Encoders.row(schema)
@@ -532,7 +533,11 @@ object Multimodal {
 
   /** A real image corpus: one deterministic PNG per document id. */
   def syntheticImages(spark: SparkSession, sfDir: String): DataFrame = {
-    val ids = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"))
+    // fanOut: the ids arrive as ONE file partition at test SFs, which
+    // would serialize the render+decode pipeline onto a single core
+    // (measured 4.7 s -> 0.6 s at sf0.1 on local[32])
+    val ids = graft.ops.Par.fanOut(
+      spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id")))
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("blob", BinaryType)))
     val enc = Encoders.row(schema)

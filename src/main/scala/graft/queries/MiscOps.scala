@@ -420,7 +420,9 @@ object MiscOps {
         col("media_meta.width").as("width"),
         col("media_meta.height").as("height"),
         col("image_features.phash").as("phash"))
-      .orderBy("doc_id")
+      // sortOnce: an unguarded orderBy on this all-narrow pipeline would
+      // run the PNG decode twice (range-partitioner sampling pass)
+      .transform(Par.sortOnce(_, col("doc_id")))
   }
 
   /** Multimodal AUDIO pipeline with REAL decoding: a deterministic
@@ -445,7 +447,7 @@ object MiscOps {
         col("audio_features.rms").as("rms"),
         col("audio_features.peak").as("peak"),
         col("audio_features.zcr").as("zcr"))
-      .orderBy("doc_id")
+      .transform(Par.sortOnce(_, col("doc_id")))
   }
 
   /** Closed-form per-id expectations; mirrors Multimodal.renderWav. */
