@@ -64,10 +64,14 @@ object Decontaminate {
         explode(TextExprs.wordGramHash64(col(textCol), n)).as("__gh"))
       .join(benchHashes, Seq("__gh"), "left_semi")
       .select("doc_id").distinct()
-    // tier 2: gram STRINGS exist only for the surviving docs
+    // tier 2: gram STRINGS exist only for the surviving docs. The
+    // candidate relation is renamed before the join — it derives from
+    // `training` itself, and a same-name same-lineage column reference
+    // would ride on Spark's self-join disambiguation heuristics.
+    val cands = candidateDocs.select(col("doc_id").as("__cand_id"))
     val benchGrams = stringGrams(benchmark).select("gram").distinct()
-    stringGrams(training.join(candidateDocs,
-        training(idCol) === candidateDocs("doc_id"), "left_semi"))
+    stringGrams(training.join(cands,
+        col(idCol) === col("__cand_id"), "left_semi"))
       .join(benchGrams, Seq("gram"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("gram")).as("n_hit_grams"))
