@@ -111,16 +111,25 @@ object ConnectedComponents {
     * docs in no pair become singleton clusters of themselves. Output
     * (id, cluster_id, is_canonical) — `keep where is_canonical` is the
     * dedup survivor list.
+    *
+    * The canonical is the minimum id of the cluster's members PRESENT IN
+    * `corpusIds` — not the raw component label: stale pairs can mention
+    * ids the corpus no longer has, and labeling canonicals by component
+    * min alone would then delete every surviving copy of that cluster.
     */
   def dedupClusters(pairs: DataFrame, corpusIds: DataFrame,
       idACol: String = "id_a", idBCol: String = "id_b",
       idCol: String = "id"): DataFrame = {
     val labels = components(
       pairs.select(col(idACol).as("a"), col(idBCol).as("b")))
-    corpusIds.select(col(idCol).as("id"))
+    val labeled = corpusIds.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("component"), col("id")).as("cluster_id"))
-      .withColumn("is_canonical", col("id") === col("cluster_id"))
+    val canon = labeled.groupBy("cluster_id")
+      .agg(min(col("id")).as("__canon"))
+    labeled.join(canon, Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"),
+        (col("id") === col("__canon")).as("is_canonical"))
   }
 }

@@ -428,7 +428,10 @@ object Multimodal {
     def resample(bytes: Array[Byte], targetRate: Int): Array[Byte] = {
       val (rate, _, s) = decodePcm(bytes)
       val n = s.length
-      val m = math.max(1, (n.toLong * targetRate / math.max(1, rate)).toInt)
+      // a valid zero-frame stream resamples to a zero-frame stream (the
+      // interpolation loop below indexes s and must not run)
+      val m = if (n == 0) 0
+        else math.max(1, (n.toLong * targetRate / math.max(1, rate)).toInt)
       val pcm = new Array[Byte](m * 2)
       var j = 0
       while (j < m) {

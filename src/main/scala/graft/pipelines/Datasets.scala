@@ -120,6 +120,15 @@ object Datasets {
     //    dominates, so global order = (sheet, row) order; no shuffle, no
     //    single-task window per sheet.
     val unpivoted = sheets.zipWithIndex.map { case (sheet, si) =>
+      // the 41-bit split below assumes partitionId < 256 per sheet
+      // (monotonically_increasing_id = partitionId⋅2^33 + offset); a
+      // wider sheet would silently bleed into the next sheet's __ord
+      // range and mis-derive __sheet — fail loudly instead. Sheets are
+      // hand-edited workbooks (≤ thousands of rows); hitting this means
+      // the input is not a sheet and this pipeline is the wrong tool.
+      require(sheet.rdd.getNumPartitions <= 256,
+        s"Datasets.run: sheet $si has ${sheet.rdd.getNumPartitions} partitions; " +
+          "the __ord stamp supports at most 256 per sheet")
       val stamped = Ordering.stampOrder(sheet)
         .withColumn(Ordering.ORD, lit(si.toLong << 41) + col(Ordering.ORD))
         // derived (non-foldable) rather than lit(si): a constant-foldable

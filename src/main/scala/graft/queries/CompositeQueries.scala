@@ -142,11 +142,8 @@ object CompositeQueries {
     // collisions), built in a temp dir and atomically renamed with a
     // _DONE marker — a crash mid-build or a concurrent builder can never
     // leave a half-cache that later runs silently trust
-    val canonical = new java.io.File(dir).getCanonicalPath
-    val key = Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(canonical))
     val base = new java.io.File(
-      s"/tmp/graft_csvidx_${new java.io.File(dir).getName}_$key")
+      s"/tmp/graft_csvidx_${new java.io.File(dir).getName}_${ScratchDirs.pathKey(dir)}")
     val done = new java.io.File(base, "_DONE")
     if (!done.exists()) {
       val tmp = new java.io.File(
@@ -163,13 +160,11 @@ object CompositeQueries {
           .csv(s"$tmp/$name")
       }
       new java.io.File(tmp, "_DONE").createNewFile()
-      if (base.exists()) { // partial cache from a dead builder — clear it
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(base.toPath).iterator().asScala.toSeq
-          .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      ScratchDirs.deleteRecursively(base) // partial cache from a dead builder
+      if (!tmp.renameTo(base)) {
+        if (done.exists()) ScratchDirs.deleteRecursively(tmp) // lost the race
+        else sys.error(s"q29 fixture build: cannot move $tmp to $base")
       }
-      if (!tmp.renameTo(base) && !done.exists())
-        sys.error(s"q29 fixture build: cannot move $tmp to $base")
     }
     val fanned = CsvIndex.fanOut(spark,
       Seq("even" -> s"$base/even", "odd" -> s"$base/odd"))      // S7 + W4

@@ -70,7 +70,9 @@ object CurationQueries {
   val q48Sql: String =
     """WITH grams AS (
       |  SELECT doc_id, array_to_string(w[i:i+3], ' ') AS gram
-      |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\s+'),
+      |                      x -> x <> '') AS w
       |        FROM documents),
       |       UNNEST(generate_series(1, len(w) - 3)) AS t(i)
       |  WHERE len(w) >= 4

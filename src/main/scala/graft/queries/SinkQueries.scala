@@ -25,16 +25,9 @@ object SinkQueries {
 
   /** Per-(sf-dir, process) scratch root, wiped on entry. */
   private def freshScratch(dir: String, tag: String): String = {
-    val canonical = new java.io.File(dir).getCanonicalPath
-    val key = Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(canonical))
     val root = new java.io.File(
-      s"/tmp/graft_${tag}_${key}_${ProcessHandle.current().pid()}")
-    if (root.exists()) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root.toPath).iterator().asScala.toSeq
-        .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+      s"/tmp/graft_${tag}_${ScratchDirs.pathKey(dir)}_${ProcessHandle.current().pid()}")
+    ScratchDirs.deleteRecursively(root)
     root.getPath
   }
 

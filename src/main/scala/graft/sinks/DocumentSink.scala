@@ -66,11 +66,20 @@ object DocumentSink {
       currentRevision: Long): DataFrame = {
     // Probe existence via the Hadoop FS instead of letting the read throw:
     // Spark 4.1 logs analysis exceptions with a full stack even when the
-    // caller catches them, which pollutes Verify/Bench stderr on first run.
+    // caller catches them, which pollutes Verify/Bench stderr on first run
+    // (the common case). A path that EXISTS but won't read as parquet —
+    // e.g. only a _temporary dir left by a crashed write — still falls
+    // back to "first run" rather than wedging the sink, with a warning.
     val hPath = new org.apache.hadoop.fs.Path(storePath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing: Option[DataFrame] =
-      if (fs.exists(hPath)) Some(spark.read.parquet(storePath)) else None
+      if (!fs.exists(hPath)) None
+      else try Some(spark.read.parquet(storePath)) catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[document-sink] unreadable store at $storePath, rebuilding: ${e.getMessage}")
+          None
+      }
 
     // create_timestamp carry-over: keep the earliest first-seen stamp
     val stamped = batch.withColumn("create_timestamp",

@@ -62,14 +62,20 @@ object Xlsx {
     case c => c.toString
   }
 
-  private val NumberRe = "^-?[0-9]+(\\.[0-9]+)?$".r
+  // Typeless <v> number cells only for values a spreadsheet reads back
+  // unchanged: no leading zeros ("0123" would become 123) and ≤15
+  // significant digits (Excel's double mantissa — a 16-digit id would
+  // silently round). Everything else ships as an inline string.
+  private val NumberRe = "^-?(0|[1-9][0-9]{0,14})(\\.[0-9]+)?$".r
+  private def safeAsNumber(v: String): Boolean =
+    NumberRe.matches(v) && v.count(_.isDigit) <= 15
 
   private def sheetXml(s: Sheet): String = {
     val byRow = s.cells.groupBy(_._1._1).toSeq.sortBy(_._1)
     val rows = byRow.map { case (r, cm) =>
       val cells = cm.toSeq.sortBy(_._1._2).map { case ((_, c), v) =>
         val a = address(r, c)
-        if (v != null && NumberRe.matches(v))
+        if (v != null && safeAsNumber(v))
           s"""<c r="$a"><v>$v</v></c>"""
         else
           s"""<c r="$a" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(Option(v).getOrElse(""))}</t></is></c>"""
@@ -264,8 +270,17 @@ object Xlsx {
     val schema = StructType(
       header.map(h => StructField(h, StringType)) :+
         StructField("__sheet", StringType) :+ StructField("__sheet_row", IntegerType))
+    require(header.distinct.length == header.length,
+      s"duplicate header names in first sheet of $path: " +
+        header.diff(header.distinct).distinct.mkString(", "))
     val rows = all.flatMap { case (sheet, hdr, data) =>
-      // align this sheet's columns onto the first header by NAME
+      // align this sheet's columns onto the first header by NAME; a
+      // column the first sheet doesn't declare would be dropped
+      // SILENTLY — refuse instead, the workbook needs consistent headers
+      val unknown = hdr.filterNot(header.contains)
+      require(unknown.isEmpty,
+        s"sheet '$sheet' of $path has columns absent from the first " +
+          s"sheet's header: ${unknown.mkString(", ")}")
       val idx = hdr.map(header.indexOf(_))
       data.zipWithIndex.map { case (r, i) =>
         val vals = new Array[Any](header.length)

@@ -24,13 +24,23 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  /** Lowercased word tokens. Empty tokens are FILTERED, not trimmed
+    * away: `trim()` strips only spaces, so "\ta b" would otherwise grow
+    * a phantom empty first token and disagree with the kernel tokenizer
+    * (`TextKernels.wordGramHash64` treats every `Character.isWhitespace`
+    * run as one separator). The filter form handles all whitespace
+    * uniformly — oracles must mirror it with `list_filter`.
+    */
+  def wordTokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
   /** Word n-grams of lowercased whitespace-split text (distinct). Texts
     * shorter than n words yield their single (short) window — callers
     * that need strict n-grams filter on word count first, as [[overlap]]
     * does.
     */
   def wordGrams(text: Column, n: Int): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
+    val toks = wordTokens(text)
     array_distinct(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
@@ -51,7 +61,7 @@ object Decontaminate {
       textCol: String, idCol: String, n: Int): DataFrame = {
     import graft.functions.TextExprs
     def stringGrams(df: DataFrame) = df
-      .filter(size(split(trim(lower(col(textCol))), "\\s+")) >= n)
+      .filter(size(wordTokens(col(textCol))) >= n)
       .select(col(idCol).as("doc_id"),
         explode(wordGrams(col(textCol), n)).as("gram"))
     val benchHashes = benchmark

@@ -73,4 +73,14 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("empty edge list yields no labels") {
     assert(run(Seq.empty[(Long, Long)]).isEmpty)
   }
+
+  test("dedupClusters elects a surviving canonical when the min id left the corpus") {
+    // stale pairs mention doc 5, which the corpus no longer contains: the
+    // cluster must keep ONE of its surviving members (7), not zero
+    val pairs = Seq((5L, 7L), (7L, 9L)).toDF("id_a", "id_b")
+    val corpus = Seq(7L, 9L, 10L).toDF("id")
+    val got = ConnectedComponents.dedupClusters(pairs, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set((7L, 5L, true), (9L, 5L, false), (10L, 10L, true)))
+  }
 }
