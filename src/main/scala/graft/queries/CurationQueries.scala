@@ -131,15 +131,112 @@ object CurationQueries {
       |WHERE token <> ''
       |GROUP BY token ORDER BY total_count DESC, token LIMIT 100""".stripMargin
 
+  /** The END-TO-END training-mix pipeline in one query — every curation
+    * stage this library ships, composed and held to hash-equality
+    * against an independent SQL reconstruction:
+    *
+    *   1. quality gate (q21's score ≥ 0.75) — narrow filter;
+    *   2. benchmark decontamination (drop any doc sharing a word 4-gram
+    *      with the held-out %23 slice) — broadcast anti-join;
+    *   3. near-exact dedup, keep-first by normalized fingerprint — one
+    *      shuffle on the 16-byte digest;
+    *   4. per-source cap (12) via the TopKPerKey bounded heap — one
+    *      shuffle on source;
+    *   5. deterministic 80% hash sample — narrow filter.
+    *
+    * Three shuffles total for the whole mix; everything else rides
+    * narrow filters and broadcast joins. This is the shape a 100 TB
+    * curation run wants: corpus-sized data crosses an exchange only for
+    * dedup and capping, both on short keys.
+    */
+  def q54TrainingMix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{Decontaminate, TextAnalysis}
+    val d = Load.table(spark, dir, "documents")
+    val bench = d.filter(col("doc_id") % 23 === 0)
+    val training = d.filter(col("doc_id") % 23 =!= 0)
+    // 1. quality gate
+    val gated = training
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality") >= 0.75)
+    // 2. decontaminate (anti-join against the flagged doc ids)
+    val hits = Decontaminate.overlap(gated, bench, "text", "doc_id", n = 4)
+      .select(col("doc_id").as("__hit_id"))
+    val clean = gated.join(hits, col("doc_id") === col("__hit_id"), "left_anti")
+    // 3. keep-first fingerprint dedup (groupBy+semi-join, co-keyed — no
+    //    giant-partition window)
+    val withFp = clean.withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+    val keepers = withFp.groupBy("__fp").agg(min(col("doc_id")).as("__keep_id"))
+      .select(col("__fp"), col("__keep_id"))
+    val deduped = withFp.join(keepers,
+        withFp("__fp") === keepers("__fp") &&
+          col("doc_id") === col("__keep_id"), "left_semi")
+      // the text column's job is done — don't drag document bodies
+      // through the cap shuffle
+      .drop("__fp", "text")
+    // 4. per-source cap, 5. stable sample
+    val capped = graft.text.Scrub.capPerKey(deduped, "source", "doc_id", cap = 12)
+    graft.text.Scrub.sampleByHash(capped, "doc_id", 0.8)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  val q54Sql: String = {
+    val sw = graft.text.TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, lang, n_chars, text,
+       |    len(text) AS n,
+       |    len(string_split_regex(trim(text), '\\s+')) AS ntok,
+       |    (len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / len(text) AS alpha,
+       |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x IN ($sw)))::DOUBLE
+       |      / len(string_split_regex(lower(trim(text)), '\\s+')) AS swr
+       |  FROM documents WHERE doc_id % 23 <> 0),
+       |gated AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, source, lang, n_chars, text,
+       |      (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0 ELSE 0.5 END) * 0.25
+       |      + (CASE WHEN ntok > 0 AND n::DOUBLE/ntok >= 3 AND n::DOUBLE/ntok <= 12 THEN 1.0 ELSE 0.5 END) * 0.25
+       |      + alpha * 0.25 + least(swr * 4, 1.0) * 0.25 AS quality
+       |    FROM t)
+       |  WHERE quality >= 0.75),
+       |grams AS (
+       |  SELECT doc_id, array_to_string(w[i:i+3], ' ') AS gram
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+       |        FROM documents),
+       |       UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+       |  WHERE len(w) >= 4),
+       |hits AS (
+       |  SELECT DISTINCT g.doc_id FROM grams g
+       |  JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id % 23 = 0) b USING (gram)
+       |  WHERE g.doc_id % 23 <> 0),
+       |clean AS (
+       |  SELECT * FROM gated WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+       |deduped AS (
+       |  SELECT * FROM clean
+       |  QUALIFY doc_id = min(doc_id) OVER (
+       |    PARTITION BY md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))),
+       |capped AS (
+       |  SELECT * FROM deduped
+       |  QUALIFY row_number() OVER (PARTITION BY source
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 12)
+       |SELECT doc_id, source, lang, n_chars, quality FROM capped
+       |WHERE CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS BIGINT)
+       |  < CAST(0.8 * 4294967296.0 AS BIGINT)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_components" -> (q47Components _),
     "q48_decontaminate" -> (q48Decontaminate _),
     "q49_domain_cap" -> (q49DomainCap _),
-    "q52_vocab" -> (q52Vocab _))
+    "q52_vocab" -> (q52Vocab _),
+    "q54_training_mix" -> (q54TrainingMix _))
 
   val oracles: Map[String, String] = Map(
     "q47_components" -> q47Sql,
     "q48_decontaminate" -> q48Sql,
     "q49_domain_cap" -> q49Sql,
-    "q52_vocab" -> q52Sql)
+    "q52_vocab" -> q52Sql,
+    "q54_training_mix" -> q54Sql)
 }
