@@ -53,6 +53,58 @@ object CurationQueries {
       |SELECT s AS id, min(t) AS component FROM reach
       |GROUP BY s ORDER BY id""".stripMargin
 
+  /** The dedupClusters GLUE on top of q47's graph: pairs + corpus →
+    * (id, cluster_id, is_canonical). The corpus is customer ids ONLY, so
+    * every cluster's component label (often a 10000000+ nation-hub node
+    * or a non-%3 chain endpoint outside the corpus) exercises the
+    * min-PRESENT-IN-CORPUS canonical election — the stale-pair case — on
+    * every single cluster, not as an edge case.
+    */
+  def q55DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Load.table(spark, dir, "customer")
+    val orders = Load.table(spark, dir, "orders")
+    val stars = customer.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").cast(LongType).as("id_a"),
+        (col("c_nationkey").cast(LongType) + 10000000L).as("id_b"))
+    val chains = orders.filter(col("o_orderkey") % 500 === 0)
+      .select(col("o_custkey").cast(LongType).as("id_a"),
+        (col("o_custkey").cast(LongType) + 1L).as("id_b"))
+    val corpus = customer.select(col("c_custkey").cast(LongType).as("id"))
+    ConnectedComponents.dedupClusters(stars.unionByName(chains), corpus)
+      .select(col("id"), col("cluster_id"),
+        col("is_canonical").cast(IntegerType).as("is_canonical"))
+      .orderBy("id")
+  }
+
+  val q55Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS a, CAST(10000000 + c_nationkey AS BIGINT) AS b
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT CAST(o_custkey AS BIGINT), CAST(o_custkey + 1 AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 500 = 0
+      |), ue AS (
+      |  SELECT a, b FROM e UNION SELECT b, a FROM e
+      |  UNION SELECT a, a FROM e UNION SELECT b, b FROM e
+      |), reach(s, t) AS (
+      |  SELECT a, b FROM ue
+      |  UNION
+      |  SELECT r.s, u.b FROM reach r JOIN ue u ON r.t = u.a
+      |), labels AS (
+      |  SELECT s AS id, min(t) AS component FROM reach GROUP BY s
+      |), corpus AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+      |), labeled AS (
+      |  SELECT c.id, coalesce(l.component, c.id) AS cluster_id
+      |  FROM corpus c LEFT JOIN labels l USING (id)
+      |), canon AS (
+      |  SELECT cluster_id, min(id) AS m FROM labeled GROUP BY cluster_id
+      |)
+      |SELECT labeled.id, labeled.cluster_id,
+      |       CAST(labeled.id = canon.m AS INTEGER) AS is_canonical
+      |FROM labeled JOIN canon USING (cluster_id)
+      |ORDER BY id""".stripMargin
+
   /** Benchmark decontamination: docs with doc_id % 23 = 0 play the
     * held-out benchmark; every other doc is flagged with its count of
     * distinct leaked word 4-grams (4, not the 13 of web-scale practice,
@@ -231,6 +283,7 @@ object CurationQueries {
     "q48_decontaminate" -> (q48Decontaminate _),
     "q49_domain_cap" -> (q49DomainCap _),
     "q52_vocab" -> (q52Vocab _),
+    "q55_dedup_clusters" -> (q55DedupClusters _),
     "q54_training_mix" -> (q54TrainingMix _))
 
   val oracles: Map[String, String] = Map(
@@ -238,5 +291,6 @@ object CurationQueries {
     "q48_decontaminate" -> q48Sql,
     "q49_domain_cap" -> q49Sql,
     "q52_vocab" -> q52Sql,
+    "q55_dedup_clusters" -> q55Sql,
     "q54_training_mix" -> q54Sql)
 }
