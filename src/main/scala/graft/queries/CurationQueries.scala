@@ -267,16 +267,20 @@ object CurationQueries {
        |deduped AS (
        |  SELECT * FROM clean
        |  QUALIFY doc_id = min(doc_id) OVER (
-       |    PARTITION BY md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))),
+       |    PARTITION BY md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ֐-׿؀-ۿ]', '', 'g'), ' +', ' ', 'g')))),
        |capped AS (
        |  SELECT * FROM deduped
        |  QUALIFY row_number() OVER (PARTITION BY source
        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 12)
        |SELECT doc_id, source, lang, n_chars, quality FROM capped
        |WHERE CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS BIGINT)
-       |  < CAST(0.8 * 4294967296.0 AS BIGINT)
+       |  < CAST(trunc(0.8 * 4294967296.0) AS BIGINT)
        |ORDER BY doc_id""".stripMargin
   }
+  // trunc, not a bare CAST: DuckDB's double→BIGINT cast ROUNDS
+  // (0.8·2³² → …837) while Scala's .toLong in Scrub.sampleByHash
+  // truncates (…836) — a draw landing exactly on the boundary would
+  // split the engines
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_components" -> (q47Components _),

@@ -59,7 +59,7 @@ object DedupQueries {
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 100000, upper(regexp_replace(text, ' ', '   ', 'g')) FROM documents)
-      |SELECT md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fingerprint,
+      |SELECT md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ֐-׿؀-ۿ]', '', 'g'), ' +', ' ', 'g')) AS fingerprint,
       |       min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM uni GROUP BY 1 ORDER BY keep_id""".stripMargin
 

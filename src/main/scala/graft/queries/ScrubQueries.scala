@@ -117,7 +117,7 @@ object ScrubQueries {
        |f AS (
        |  SELECT doc_id, text, quality,
        |    'contact user' || CAST(doc_id AS VARCHAR) || '@example.org :: ' || text AS seeded,
-       |    md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
+       |    md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ֐-׿؀-ۿ]', '', 'g'), ' +', ' ', 'g')) AS fp
        |  FROM q WHERE quality >= 0.4),
        |d AS (
        |  SELECT doc_id, quality, seeded, text,
@@ -145,8 +145,8 @@ object ScrubQueries {
   val q25Sql: String =
     """SELECT doc_id, source FROM documents
       |WHERE CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS BIGINT)
-      |  < CAST((CASE source WHEN 'src0' THEN 0.0 WHEN 'src1' THEN 0.5
-      |          WHEN 'src2' THEN 1.0 ELSE 1.0 END) * 4294967296.0 AS BIGINT)
+      |  < CAST(trunc((CASE source WHEN 'src0' THEN 0.0 WHEN 'src1' THEN 0.5
+      |          WHEN 'src2' THEN 1.0 ELSE 1.0 END) * 4294967296.0) AS BIGINT)
       |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(

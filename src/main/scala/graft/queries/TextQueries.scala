@@ -35,7 +35,7 @@ object TextQueries {
        |  (len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / len(text) AS alpha_ratio,
        |  len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x IN ($sw)))::DOUBLE
        |    / len(string_split_regex(lower(trim(text)), '\\s+')) AS stopword_ratio,
-       |  md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fingerprint
+       |  md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ֐-׿؀-ۿ]', '', 'g'), ' +', ' ', 'g')) AS fingerprint
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 

@@ -64,21 +64,27 @@ object DocumentSink {
       idCol: String = "doc_id",
       revisionCol: String = "revision",
       currentRevision: Long): DataFrame = {
-    // Probe existence via the Hadoop FS instead of letting the read throw:
+    // Structural freshness probe instead of letting the read throw:
     // Spark 4.1 logs analysis exceptions with a full stack even when the
-    // caller catches them, which pollutes Verify/Bench stderr on first run
-    // (the common case). A path that EXISTS but won't read as parquet —
-    // e.g. only a _temporary dir left by a crashed write — still falls
-    // back to "first run" rather than wedging the sink, with a warning.
+    // caller catches them (stderr pollution on every first run), and a
+    // catch-all around the read would silently treat a TRANSIENT read
+    // failure as "first run" — erasing the store's history on the next
+    // overwrite. So: no parquet part files under the path (missing dir,
+    // or only _temporary debris from a crashed write) ⇒ first run; any
+    // actual read error on a real store PROPAGATES.
     val hPath = new org.apache.hadoop.fs.Path(storePath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasParquetFiles: Boolean = fs.exists(hPath) &&
+      fs.listStatus(hPath).exists { st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet")
+      }
     val existing: Option[DataFrame] =
-      if (!fs.exists(hPath)) None
-      else try Some(spark.read.parquet(storePath)) catch {
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(
-            s"[document-sink] unreadable store at $storePath, rebuilding: ${e.getMessage}")
-          None
+      if (hasParquetFiles) Some(spark.read.parquet(storePath))
+      else {
+        if (fs.exists(hPath)) System.err.println(
+          s"[document-sink] $storePath exists but holds no parquet files " +
+            "(crashed write debris?) — treating as first run")
+        None
       }
 
     // create_timestamp carry-over: keep the earliest first-seen stamp

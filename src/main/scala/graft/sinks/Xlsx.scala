@@ -63,12 +63,13 @@ object Xlsx {
   }
 
   // Typeless <v> number cells only for values a spreadsheet reads back
-  // unchanged: no leading zeros ("0123" would become 123) and ≤15
+  // unchanged: no leading zeros ("0123" would become 123), ≤15
   // significant digits (Excel's double mantissa — a 16-digit id would
-  // silently round). Everything else ships as an inline string.
-  private val NumberRe = "^-?(0|[1-9][0-9]{0,14})(\\.[0-9]+)?$".r
+  // silently round), no trailing-zero fractions ("1.10" would become
+  // 1.1), and no "-0". Everything else ships as an inline string.
+  private val NumberRe = "^-?(0|[1-9][0-9]{0,14})(\\.[0-9]*[1-9])?$".r
   private def safeAsNumber(v: String): Boolean =
-    NumberRe.matches(v) && v.count(_.isDigit) <= 15
+    NumberRe.matches(v) && v.count(_.isDigit) <= 15 && v != "-0"
 
   private def sheetXml(s: Sheet): String = {
     val byRow = s.cells.groupBy(_._1._1).toSeq.sortBy(_._1)
@@ -281,6 +282,11 @@ object Xlsx {
       require(unknown.isEmpty,
         s"sheet '$sheet' of $path has columns absent from the first " +
           s"sheet's header: ${unknown.mkString(", ")}")
+      // a LATER sheet's own duplicated header would collapse two columns
+      // onto one index (last value wins) — same silent loss, same refusal
+      require(hdr.distinct.length == hdr.length,
+        s"duplicate header names in sheet '$sheet' of $path: " +
+          hdr.diff(hdr.distinct).distinct.mkString(", "))
       val idx = hdr.map(header.indexOf(_))
       data.zipWithIndex.map { case (r, i) =>
         val vals = new Array[Any](header.length)
