@@ -282,13 +282,137 @@ object CurationQueries {
   // truncates (…836) — a draw landing exactly on the boundary would
   // split the engines
 
+  /** Cross-document boilerplate removal. The synthetic documents are
+    * single-line, so the query first assembles the multi-line "pages" a
+    * web crawl would deliver — per-source newsletter header and
+    * subscribe footer, per-language tag, global copyright stamp around
+    * the real text (the construction is part of the query; the oracle
+    * mirrors it) — then strips every line recurring in ≥ 5 distinct
+    * docs. Sources have 25 docs each and langs 60+, so all chrome lines
+    * are hot and the content line survives unless the corpus genuinely
+    * repeats it.
+    */
+  def q56Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val pages = d.withColumn("page", concat_ws("\n",
+      concat(lit("== "), col("source"), lit(" newsletter ==")),
+      col("text"),
+      concat(lit("subscribe at "), col("source"), lit(".example.com")),
+      concat(lit("lang: "), col("lang")),
+      lit("copyright 2026 example press")))
+    graft.text.Boilerplate.strip(pages, "page", "doc_id", minDocs = 5)
+      .orderBy("doc_id")
+  }
+
+  val q56Sql: String =
+    """WITH pages AS (
+      |  SELECT doc_id,
+      |         '== ' || source || ' newsletter ==' || chr(10) || text || chr(10)
+      |         || 'subscribe at ' || source || '.example.com' || chr(10)
+      |         || 'lang: ' || lang || chr(10)
+      |         || 'copyright 2026 example press' AS page
+      |  FROM documents),
+      |docs AS (
+      |  SELECT doc_id,
+      |         list_filter(list_transform(string_split(page, chr(10)),
+      |                                    x -> trim(x)), x -> x <> '') AS ls
+      |  FROM pages),
+      |lines AS (
+      |  SELECT doc_id, i AS pos, ls[i] AS line
+      |  FROM docs, UNNEST(generate_series(1, len(ls))) AS t(i)),
+      |hot AS (
+      |  SELECT line FROM lines GROUP BY line
+      |  HAVING count(DISTINCT doc_id) >= 5),
+      |kept AS (
+      |  SELECT doc_id, pos, line FROM lines
+      |  WHERE line NOT IN (SELECT line FROM hot)),
+      |agg AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+      |         count(*) AS n_kept
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+      |       coalesce(a.n_kept, 0) AS n_kept,
+      |       len(dd.ls) - coalesce(a.n_kept, 0) AS n_removed
+      |FROM documents d
+      |JOIN docs dd USING (doc_id)
+      |LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** q48's decontamination through the BLOOM tier-1
+    * ([[graft.text.Decontaminate.overlapBloom]]) at word 5-grams: the
+    * narrow `might_contain` filter replaces the broadcast semi-join
+    * when the benchmark gram-hash set itself is too big to ship. The
+    * exact tier 2 makes the output independent of the filter's false
+    * positives, so the oracle is plain SQL.
+    */
+  def q57BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val bench = d.filter(col("doc_id") % 23 === 0)
+    val training = d.filter(col("doc_id") % 23 =!= 0)
+    Decontaminate.overlapBloom(training, bench, "text", "doc_id",
+        n = 5, fpp = 0.05)
+      .orderBy("doc_id")
+  }
+
+  val q57Sql: String =
+    """WITH grams AS (
+      |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\s+'),
+      |                      x -> x <> '') AS w
+      |        FROM documents),
+      |       UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+      |  WHERE len(w) >= 5
+      |)
+      |SELECT t.doc_id, count(DISTINCT t.gram) AS n_hit_grams
+      |FROM grams t
+      |JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id % 23 = 0) b USING (gram)
+      |WHERE t.doc_id % 23 <> 0
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  /** Per-language TOKEN-budget draw ([[graft.text.Scrub.takeByBudget]]):
+    * keep documents per lang, in the stable md5 draw order, until 4 000
+    * tokens are reached (the crossing doc is kept). At sf0.01 the de/es/fr
+    * strata sit under the budget (keep-all path) while en/zh are cut —
+    * both paths of the bucket-histogram plan execute. The oracle is the
+    * full running-sum window the histogram plan provably equals.
+    */
+  def q58TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+      .withColumn("n_tokens",
+        when(length(trim(col("text"))) === 0, lit(0L))
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")))
+      .select("lang", "doc_id", "n_tokens")
+    graft.text.Scrub.takeByBudget(d, "lang", "doc_id", "n_tokens", 4000L)
+      .orderBy("lang", "doc_id")
+  }
+
+  val q58Sql: String =
+    """WITH t AS (
+      |  SELECT lang, doc_id,
+      |         CASE WHEN len(trim(text)) = 0 THEN 0
+      |              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+      |         substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS draw
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, doc_id, n_tokens,
+      |         coalesce(sum(n_tokens) OVER (PARTITION BY lang
+      |           ORDER BY draw, doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      |  FROM t)
+      |SELECT lang, doc_id, n_tokens FROM r WHERE prior < 4000
+      |ORDER BY lang, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_components" -> (q47Components _),
     "q48_decontaminate" -> (q48Decontaminate _),
     "q49_domain_cap" -> (q49DomainCap _),
     "q52_vocab" -> (q52Vocab _),
     "q55_dedup_clusters" -> (q55DedupClusters _),
-    "q54_training_mix" -> (q54TrainingMix _))
+    "q54_training_mix" -> (q54TrainingMix _),
+    "q56_boilerplate" -> (q56Boilerplate _),
+    "q57_bloom_decontaminate" -> (q57BloomDecontaminate _),
+    "q58_token_budget" -> (q58TokenBudget _))
 
   val oracles: Map[String, String] = Map(
     "q47_components" -> q47Sql,
@@ -296,5 +420,8 @@ object CurationQueries {
     "q49_domain_cap" -> q49Sql,
     "q52_vocab" -> q52Sql,
     "q55_dedup_clusters" -> q55Sql,
-    "q54_training_mix" -> q54Sql)
+    "q54_training_mix" -> q54Sql,
+    "q56_boilerplate" -> q56Sql,
+    "q57_bloom_decontaminate" -> q57Sql,
+    "q58_token_budget" -> q58Sql)
 }

@@ -101,13 +101,44 @@ object TextQueries {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** Unigram LM quality proxy ([[TextAnalysis.unigramScore]]): mean
+    * corpus frequency of each document's tokens. Exact-integer
+    * internals (counts and sums of counts) with ONE final division, so
+    * the double is bit-identical across engines; the ln() log-prob
+    * variant is the same plan but not cross-engine-verifiable.
+    */
+  def q59UnigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    TextAnalysis.unigramScore(d, "text", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val q59Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                            x -> x <> '')) AS token
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |vocab AS (
+      |  SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1)
+      |SELECT doc_id,
+      |       CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |       CAST(sum(tf * cnt) AS BIGINT) AS sum_freq,
+      |       CAST(sum(tf * cnt) AS BIGINT) / CAST(sum(tf) AS BIGINT) AS avg_freq
+      |FROM tf JOIN vocab USING (token)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_text_profile" -> q20Profile,
     "q21_quality_score" -> q21Quality,
-    "q22_lang_id" -> q22LangId)
+    "q22_lang_id" -> q22LangId,
+    "q59_unigram_lm" -> q59UnigramLm)
 
   val oracles: Map[String, String] = Map(
     "q20_text_profile" -> q20Sql,
     "q21_quality_score" -> q21Sql,
-    "q22_lang_id" -> q22Sql)
+    "q22_lang_id" -> q22Sql,
+    "q59_unigram_lm" -> q59Sql)
 }

@@ -86,4 +86,60 @@ object Decontaminate {
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("gram")).as("n_hit_grams"))
   }
+
+  /** [[overlap]] with a BLOOM-FILTER tier 1 instead of the broadcast
+    * hash-set semi-join — the membership structure for when even the
+    * 8-byte gram-hash set outgrows a comfortable broadcast (a 10⁹-gram
+    * benchmark suite is an 8 GB hash relation but a ~1.2 GB bloom at 1%
+    * fpp, and proportionally smaller at every scale below). Tier 1
+    * becomes a NARROW codegen'd filter — no join, no broadcast hash
+    * table, no shuffle; the corpus scan never touches an exchange.
+    *
+    * The filter is built once with the public distributed aggregate
+    * `DataFrame.stat.bloomFilter` over the benchmark gram hashes and
+    * embedded in the plan as a binary literal evaluated by Spark's own
+    * `BloomFilterMightContain` (the expression behind AQE runtime
+    * row-filters — codegen'd, whole-stage-fusable). False positives
+    * only ever ADMIT extra candidates; tier 2's exact string
+    * verification (identical to [[overlap]]'s) removes them, so the
+    * output is bit-equal to [[overlap]] at any fpp.
+    */
+  def overlapBloom(training: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import graft.functions.TextExprs
+    def stringGrams(df: DataFrame) = df
+      .filter(size(wordTokens(col(textCol))) >= n)
+      .select(col(idCol).as("doc_id"),
+        explode(wordGrams(col(textCol), n)).as("gram"))
+    val benchHashes = benchmark
+      .select(explode(TextExprs.wordGramHash64(col(textCol), n)).as("__gh"))
+    // two cheap jobs over the benchmark side (MBs by contract): size the
+    // filter, then fill it with the distributed sketch aggregate
+    val nGrams = math.max(benchHashes.count(), 1L)
+    val bloom = benchHashes.stat.bloomFilter("__gh", nGrams, fpp)
+    val ser = {
+      val baos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(baos)
+      baos.toByteArray
+    }
+    val mightContain = GraftBridge.column(BloomFilterMightContain(
+      Literal(ser, org.apache.spark.sql.types.BinaryType),
+      GraftBridge.expression(col("__gh"))))
+    // tier 1: narrow filter over the training gram hashes
+    val candidateDocs = training
+      .select(col(idCol).as("doc_id"),
+        explode(TextExprs.wordGramHash64(col(textCol), n)).as("__gh"))
+      .filter(mightContain)
+      .select("doc_id").distinct()
+    val cands = candidateDocs.select(col("doc_id").as("__cand_id"))
+    val benchGrams = stringGrams(benchmark).select("gram").distinct()
+    stringGrams(training.join(cands,
+        col(idCol) === col("__cand_id"), "left_semi"))
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("gram")).as("n_hit_grams"))
+  }
 }

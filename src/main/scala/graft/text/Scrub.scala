@@ -107,4 +107,62 @@ object Scrub {
         Seq(TopKPerKey.Sort("__draw"), TopKPerKey.Sort(idCol)), cap)
       .drop("__draw")
   }
+
+  /** TOKEN-BUDGET sampling per stratum — the data-mixing primitive that
+    * caps WEIGHT, not row count: walk each stratum's rows in the stable
+    * [[hashDraw]] order and keep rows while the running `weightCol` total
+    * before the row is under `budget` (so the row that crosses the budget
+    * is the last one kept; a stratum whose total is below budget keeps
+    * everything). "Give me 50 B tokens of French, 200 B of English" —
+    * deterministic across runs and engines, like [[capPerKey]].
+    *
+    * The textbook formulation is a running-sum window per stratum, which
+    * at scale serializes each stratum through ONE task (a window
+    * partitioned by `lang` has ~10 partitions for a 100 TB corpus). This
+    * implementation never windows the corpus. The draw space [0, 2³²) is
+    * cut into 2¹⁶ buckets (the draw's top 16 bits):
+    *  1. a map-side-combined aggregation builds the (stratum, bucket)
+    *    weight histogram — ≤ strata × 65 536 tiny rows cross the only
+    *    exchange;
+    *  2. the histogram alone is windowed to find each stratum's CUTOFF
+    *    bucket (first bucket where the cumulative weight reaches budget)
+    *    and the cumulative weight before it;
+    *  3. rows below the cutoff bucket pass a NARROW broadcast filter —
+    *    no shuffle, no sort, provably under budget;
+    *  4. only the cutoff bucket's rows (≈ 1/65 536 of each stratum) run
+    *    the exact running-sum window, offset by the pre-cutoff base.
+    * The result is row-identical to the full window formulation.
+    */
+  def takeByBudget(df: DataFrame, stratumCol: String, idCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = df
+      .withColumn("__draw", hashDraw(col(idCol)))
+      .withColumn("__bkt", shiftright(col("__draw"), 16))
+    val hist = bucketed.groupBy(col(stratumCol), col("__bkt"))
+      .agg(sum(col(weightCol)).as("__w"))
+    val cum = hist.withColumn("__cum",
+      sum("__w").over(Window.partitionBy(stratumCol).orderBy("__bkt")))
+    // first bucket where the running total reaches budget, and the total
+    // before it; strata that never reach budget get no row (keep-all)
+    val cut = cum.filter(col("__cum") >= budget)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(stratumCol).orderBy("__bkt")))
+      .filter(col("__rk") === 1)
+      .select(col(stratumCol), col("__bkt").as("__cutbkt"),
+        (col("__cum") - col("__w")).as("__base"))
+    val joined = bucketed.join(broadcast(cut), Seq(stratumCol), "left")
+    val below = joined
+      .filter(col("__cutbkt").isNull || col("__bkt") < col("__cutbkt"))
+      .drop("__cutbkt", "__base", "__draw", "__bkt")
+    val exact = Window.partitionBy(stratumCol)
+      .orderBy(col("__draw"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val atCut = joined.filter(col("__bkt") === col("__cutbkt"))
+      .withColumn("__prior",
+        col("__base") + coalesce(sum(col(weightCol)).over(exact), lit(0L)))
+      .filter(col("__prior") < budget)
+      .drop("__cutbkt", "__base", "__draw", "__bkt", "__prior")
+    below.unionByName(atCut)
+  }
 }

@@ -109,6 +109,40 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(graft.functions.HashExprs.fingerprintNormalize(text))
 
+  /** Unigram language-model score — the KenLM-ish quality proxy: a
+    * document whose tokens are rare in the corpus is jargon, noise, or
+    * another language; one whose tokens are all corpus-frequent is
+    * bland-but-fluent. Output per document: `n_tokens`, `sum_freq`
+    * (Σ over token instances of that token's corpus count) and
+    * `avg_freq` = sum_freq / n_tokens — the mean corpus frequency of
+    * the document's tokens, i.e. the average unigram probability times
+    * the (constant) corpus size. The log-probability variant is the
+    * same plan with `ln()` folded in; this form keeps every
+    * intermediate an exact integer (one final division), so it is
+    * verifiable bit-for-bit across engines — transcendental `ln` and
+    * float summation order are not.
+    *
+    * Plan shape: narrow tokenize/explode → per-(doc, token) counts
+    * (ONE corpus shuffle, map-side combined, and the zipf head
+    * collapses: "the" costs one row per doc, not one per instance) →
+    * vocabulary aggregate off the same relation (tiny output) → join
+    * tf⋈vocab on token (vocab broadcasts while it fits; Catalyst falls
+    * back to a shuffle join past the threshold) → final groupBy doc.
+    */
+  def unigramScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("doc_id"),
+        explode(Decontaminate.wordTokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("__tf"))
+    val vocab = tf.groupBy("token").agg(sum(col("__tf")).as("__cnt"))
+    tf.join(vocab, Seq("token"))
+      .groupBy("doc_id")
+      .agg(sum(col("__tf")).as("n_tokens"),
+        sum(col("__tf") * col("__cnt")).as("sum_freq"))
+      .withColumn("avg_freq", col("sum_freq") / col("n_tokens"))
+  }
+
   /** Full text-profile projection used by the documents pipeline. */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -82,4 +82,101 @@ class CurationSpec extends SparkSpec {
     val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("source", "doc_id")
     assert(Scrub.capPerKey(df, "source", "doc_id", cap = 10).count() == 3)
   }
+
+  test("boilerplate strip removes exactly the hot lines, keeps order") {
+    val docs = Seq(
+      (1L, "HEADER\nalpha beta\ngamma\nFOOTER"),
+      (2L, "HEADER\ndelta\nFOOTER"),
+      (3L, "HEADER\n  \nepsilon\nFOOTER"),  // blank line is not content
+      (4L, "HEADER\nFOOTER"),               // fully boilerplate
+      (5L, "zeta\nHEADER\neta\nFOOTER"))    // hot line mid-document
+      .toDF("doc_id", "text")
+    val got = Boilerplate.strip(docs, "text", "doc_id", minDocs = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == (("alpha beta\ngamma", 2L, 2L)))
+    assert(got(2L) == (("delta", 1L, 2L)))
+    assert(got(3L) == (("epsilon", 1L, 2L)))
+    assert(got(4L) == (("", 0L, 2L)))       // kept in output, emptied
+    assert(got(5L) == (("zeta\neta", 2L, 2L)))
+  }
+
+  test("boilerplate threshold counts DISTINCT docs, not occurrences") {
+    // "dup" appears 5 times but only in 2 distinct docs → NOT boilerplate
+    val docs = Seq(
+      (1L, "dup\ndup\ndup\nunique one"),
+      (2L, "dup\ndup\nunique two"),
+      (3L, "other"), (4L, "other2"), (5L, "other3"))
+      .toDF("doc_id", "text")
+    val hot = Boilerplate.hotLines(docs, "text", "doc_id", minDocs = 3)
+      .collect().map(_.getString(0)).toSet
+    assert(hot.isEmpty)
+    val hot2 = Boilerplate.hotLines(docs, "text", "doc_id", minDocs = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(hot2 == Set("dup"))
+  }
+
+  test("overlapBloom output is bit-equal to exact overlap at any fpp") {
+    val docs = (0L until 40L).map { i =>
+      (i, (0 until 25).map(j => s"w${(i * 7 + j * 3) % 19}").mkString(" "))
+    }
+    val bench = docs.filter(_._1 % 9 == 0).toDF("doc_id", "text")
+    val training = docs.filter(_._1 % 9 != 0).toDF("doc_id", "text")
+    val exact = Decontaminate.overlap(training, bench, "text", "doc_id", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a deliberately sloppy 30% fpp filter must still verify exactly
+    for (fpp <- Seq(0.3, 0.01)) {
+      val got = Decontaminate
+        .overlapBloom(training, bench, "text", "doc_id", n = 4, fpp = fpp)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == exact, s"fpp=$fpp")
+    }
+    assert(exact.nonEmpty) // the planted corpus must actually overlap
+  }
+
+  test("takeByBudget equals the running-sum window formulation") {
+    val rows = (1L to 300L).map(i => (s"lang${i % 3}", i, (i % 17) + 1))
+    val df = rows.toDF("lang", "doc_id", "w")
+    for (budget <- Seq(1L, 50L, 300L, 100000L)) {
+      val got = Scrub.takeByBudget(df, "lang", "doc_id", "w", budget)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // reference: greedy prefix in (md5(id), id) order per stratum
+      def md5hex(s: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val expect = rows.groupBy(_._1).flatMap { case (_, g) =>
+        var cum = 0L
+        g.sortBy(r => (md5hex(r._2.toString), r._2)).takeWhile { r =>
+          val keep = cum < budget; cum += r._3; keep
+        }
+      }.map(r => (r._1, r._2)).toSet
+      assert(got == expect, s"budget=$budget")
+    }
+  }
+
+  test("takeByBudget survivors are layout-independent") {
+    val df = (1L to 500L).map(i => (s"s${i % 2}", i, 5L)).toDF("k", "id", "w")
+    val a = Scrub.takeByBudget(df, "k", "id", "w", 200L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = Scrub.takeByBudget(df.repartition(17), "k", "id", "w", 200L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b)
+    // 5 tokens each, budget 200 → exactly 40 docs per stratum
+    assert(a.groupBy(_._1).forall(_._2.size == 40))
+  }
+
+  test("unigramScore: exact counts on a planted corpus") {
+    val docs = Seq(
+      (1L, "a a b"),     // tf: a=2,b=1; corpus: a=3,b=2,c=1
+      (2L, "b c A"))     // lowercased: a=1,b=1,c=1
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: 2·cnt(a)+1·cnt(b) = 2·3+1·2 = 8 over 3 tokens
+    assert(got(1L) == ((3L, 8L, 8.0 / 3.0)))
+    // doc 2: 2+3+1... b=2, c=1, a=3 → 2+1+3 = 6 over 3 tokens
+    assert(got(2L) == ((3L, 6L, 2.0)))
+  }
 }
