@@ -335,6 +335,58 @@ object DedupQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Exact sparse-cosine near-dup pairs over df-pruned word-3-gram tf
+    * vectors ([[graft.similarity.SparseCosine]]): the inverted-index
+    * tier with TRUE cosine, complementing q32/q33's probabilistic
+    * estimates. Every planted (doc, doc+100000) pair shares its whole
+    * gram multiset minus the mutated tail → cos² ≈ 0.9; the " appended
+    * tail marker" grams themselves appear in every mutated doc and are
+    * df-pruned as stop-grams. Integer-exact dot/norms, one final
+    * division → full hash-equality oracle, unlike the hash-sketch
+    * tiers.
+    */
+  def q62SparseCosine(spark: SparkSession, dir: String): DataFrame = {
+    val uni = withMutatedCopies(spark, dir)
+    graft.similarity.SparseCosine.pairs(uni, "text", "doc_id",
+        n = 3, maxDf = 50L, minCos2 = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q62Sql: String =
+    """WITH uni AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text || ' appended tail marker' FROM documents),
+      |toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |                     x -> x <> '') AS w
+      |  FROM uni),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS term
+      |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      |  WHERE len(w) >= 3),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY 1, 2),
+      |pruned AS (
+      |  SELECT * FROM tf WHERE term IN (
+      |    SELECT term FROM tf GROUP BY term HAVING count(*) <= 50)),
+      |norms AS (
+      |  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS norm
+      |  FROM pruned GROUP BY doc_id),
+      |dots AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+      |  FROM pruned a JOIN pruned b USING (term)
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id_a, id_b, dot,
+      |       CAST(dot * dot AS BIGINT) / (na.norm * nb.norm) AS cos2
+      |FROM dots
+      |JOIN norms na ON na.doc_id = id_a
+      |JOIN norms nb ON nb.doc_id = id_b
+      |WHERE CAST(dot * dot AS BIGINT) / (na.norm * nb.norm) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_exact_dedup" -> q30Exact,
     "q31_fingerprint_dedup" -> q31Fingerprint,
@@ -346,7 +398,8 @@ object DedupQueries {
     "q40_ann_brute" -> q40AnnBrute,
     "q41_ann_srp" -> q41AnnSrp,
     "q42_ann_topk_heap" -> q42AnnTopKHeap,
-    "q43_ann_ivf" -> q43AnnIvf)
+    "q43_ann_ivf" -> q43AnnIvf,
+    "q62_sparse_cosine" -> q62SparseCosine)
 
   val oracles: Map[String, String] = Map(
     "q30_exact_dedup" -> q30Sql,
@@ -357,5 +410,6 @@ object DedupQueries {
     "q40_ann_brute" -> q40Sql,
     "q41_ann_srp" -> q41Sql,
     "q42_ann_topk_heap" -> q40Sql,
-    "q43_ann_ivf" -> q41Sql)
+    "q43_ann_ivf" -> q41Sql,
+    "q62_sparse_cosine" -> q62Sql)
 }
