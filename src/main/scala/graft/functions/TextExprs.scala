@@ -21,7 +21,11 @@ object TextKernels {
     * (single-space joints included), so it equals hashing the exact gram
     * string the SQL-path builds.
     */
-  def wordGramHash64(input: UTF8String, n: Int): ArrayData = {
+  /** Shared normalization pass: lowercase, whitespace runs → one space,
+    * trim; returns (buffer, word start offsets, effective length).
+    */
+  private def normalizeWords(
+      input: UTF8String): (java.lang.StringBuilder, Array[Int], Int) = {
     val raw = input.toString
     val sb = new java.lang.StringBuilder(raw.length)
     var prevWs = true // leading whitespace is trimmed
@@ -39,14 +43,41 @@ object TextKernels {
     }
     var len = sb.length()
     if (len > 0 && sb.charAt(len - 1) == ' ') len -= 1
-    if (len == 0) return new GenericArrayData(Array.empty[Long])
-    // word start offsets in the normalized buffer
     val starts = new scala.collection.mutable.ArrayBuffer[Int](len / 5 + 1)
     var i = 0
     while (i < len) {
       if (sb.charAt(i) != ' ' && (i == 0 || sb.charAt(i - 1) == ' ')) starts += i
       i += 1
     }
+    (sb, starts.toArray, len)
+  }
+
+  /** All word n-gram STRINGS in document order, non-distinct — the exact
+    * counterpart of [[wordGramHash64]] for tf-weighted consumers
+    * ([[graft.similarity.SparseCosine]]): one normalization pass and one
+    * substring per gram, vs ~8 µs/gram for the builtin
+    * `transform(sequence, i => array_join(slice(split(…)), ' '))` chain
+    * (measured: 90% of q62's runtime before this kernel). Texts shorter
+    * than n words yield an empty array.
+    */
+  def wordGrams(input: UTF8String, n: Int): ArrayData = {
+    val (sb, starts, len) = normalizeWords(input)
+    val m = starts.length
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    var g = 0
+    while (g <= m - n) {
+      val from = starts(g)
+      val until = if (g + n < m) starts(g + n) - 1 else len
+      out(g) = UTF8String.fromString(sb.substring(from, until))
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def wordGramHash64(input: UTF8String, n: Int): ArrayData = {
+    val (sb, starts, len) = normalizeWords(input)
+    if (len == 0) return new GenericArrayData(Array.empty[Long])
     val m = starts.length
     if (m < n) return new GenericArrayData(Array.empty[Long])
     val out = new Array[Long](m - n + 1)
@@ -64,7 +95,7 @@ object TextKernels {
     }
     java.util.Arrays.sort(out)
     var w = 1
-    i = 1
+    var i = 1
     while (i < out.length) {
       if (out(i) != out(i - 1)) { out(w) = out(i); w += 1 }
       i += 1
@@ -120,6 +151,24 @@ case class CompressionRatio(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** All word-n-gram strings (ordered, non-distinct) in one codegen'd pass. */
+case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_grams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.wordGrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.wordGrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+}
+
 /** Distinct word-n-gram hashes in one codegen'd pass (see kernel doc). */
 case class WordGramHash64(child: Expression, n: Int) extends UnaryExpression {
 
@@ -146,4 +195,7 @@ object TextExprs {
 
   def wordGramHash64(text: Column, n: Int): Column =
     EU.column(WordGramHash64(EU.expression(text), n))
+
+  def wordGrams(text: Column, n: Int): Column =
+    EU.column(WordGrams(EU.expression(text), n))
 }

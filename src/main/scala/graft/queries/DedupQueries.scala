@@ -335,7 +335,7 @@ object DedupQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** Exact sparse-cosine near-dup pairs over df-pruned word-3-gram tf
+  /** Exact sparse-cosine near-dup pairs over df-pruned word-4-gram tf
     * vectors ([[graft.similarity.SparseCosine]]): the inverted-index
     * tier with TRUE cosine, complementing q32/q33's probabilistic
     * estimates. Every planted (doc, doc+100000) pair shares its whole
@@ -348,7 +348,7 @@ object DedupQueries {
   def q62SparseCosine(spark: SparkSession, dir: String): DataFrame = {
     val uni = withMutatedCopies(spark, dir)
     graft.similarity.SparseCosine.pairs(uni, "text", "doc_id",
-        n = 3, maxDf = 50L, minCos2 = 0.5)
+        n = 4, maxDf = 50L, minCos2 = 0.5)
       .orderBy("id_a", "id_b")
   }
 
@@ -363,9 +363,9 @@ object DedupQueries {
       |                     x -> x <> '') AS w
       |  FROM uni),
       |grams AS (
-      |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS term
-      |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
-      |  WHERE len(w) >= 3),
+      |  SELECT doc_id, array_to_string(w[i:i+3], ' ') AS term
+      |  FROM toks, UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+      |  WHERE len(w) >= 4),
       |tf AS (
       |  SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY 1, 2),
       |pruned AS (

@@ -31,15 +31,13 @@ import org.apache.spark.sql.types._
 object SparseCosine {
 
   /** Word n-gram terms, NON-distinct (tf counts need every occurrence);
-    * strict: documents shorter than n words get no terms.
+    * strict: documents shorter than n words get no terms. Rides the
+    * one-pass `WordGrams` kernel — the builtin
+    * `transform(sequence, slice, array_join)` chain costs ~8 µs/gram
+    * and was 90% of q62's runtime.
     */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = graft.text.Decontaminate.wordTokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
-      .otherwise(array().cast(ArrayType(StringType)))
-  }
+  def wordNgrams(text: Column, n: Int): Column =
+    graft.functions.TextExprs.wordGrams(text, n)
 
   /** (doc_id, term, tf) term-frequency triples over word n-grams. */
   def termFreq(df: DataFrame, textCol: String, idCol: String,
@@ -54,7 +52,11 @@ object SparseCosine {
     */
   def pairs(df: DataFrame, textCol: String, idCol: String, n: Int,
       maxDf: Long, minCos2: Double): DataFrame = {
-    val tf = termFreq(df, textCol, idCol, n)
+    // tf feeds the df histogram, both posting-join sides, and the norms —
+    // materialize it once ((doc, term, tf) triples, far smaller than the
+    // text they derive from). At cluster scale this persist becomes a
+    // checkpoint or a bucketed-by-term write.
+    val tf = termFreq(df, textCol, idCol, n).persist()
     val keepTerms = tf.groupBy("term")
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)

@@ -57,13 +57,23 @@ object Decontaminate {
     * alone and exact-verifies against the benchmark gram strings, so a
     * 2⁻⁶⁴ kernel-hash collision can never flag a clean document.
     */
+  /** (doc_id, gram) exploded DISTINCT word n-gram strings — the exact
+    * verify tier's input. One-pass `WordGrams` kernel: the builtin
+    * slice/join chain costs ~8 µs/gram and dominated tier 2 whenever
+    * the candidate set was not tiny. Empty arrays (texts shorter than
+    * n words) vanish in the explode.
+    */
+  private def stringGrams(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    import graft.functions.TextExprs
+    df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextExprs.wordGrams(col(textCol), n))).as("gram"))
+  }
+
   def overlap(training: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int): DataFrame = {
     import graft.functions.TextExprs
-    def stringGrams(df: DataFrame) = df
-      .filter(size(wordTokens(col(textCol))) >= n)
-      .select(col(idCol).as("doc_id"),
-        explode(wordGrams(col(textCol), n)).as("gram"))
+    def sg(df: DataFrame) = stringGrams(df, textCol, idCol, n)
     val benchHashes = benchmark
       .select(explode(TextExprs.wordGramHash64(col(textCol), n)).as("__gh"))
       .distinct()
@@ -79,8 +89,8 @@ object Decontaminate {
     // `training` itself, and a same-name same-lineage column reference
     // would ride on Spark's self-join disambiguation heuristics.
     val cands = candidateDocs.select(col("doc_id").as("__cand_id"))
-    val benchGrams = stringGrams(benchmark).select("gram").distinct()
-    stringGrams(training.join(cands,
+    val benchGrams = sg(benchmark).select("gram").distinct()
+    sg(training.join(cands,
         col(idCol) === col("__cand_id"), "left_semi"))
       .join(benchGrams, Seq("gram"), "left_semi")
       .groupBy(col("doc_id"))
@@ -110,10 +120,7 @@ object Decontaminate {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import graft.functions.TextExprs
-    def stringGrams(df: DataFrame) = df
-      .filter(size(wordTokens(col(textCol))) >= n)
-      .select(col(idCol).as("doc_id"),
-        explode(wordGrams(col(textCol), n)).as("gram"))
+    def sg(df: DataFrame) = stringGrams(df, textCol, idCol, n)
     val benchHashes = benchmark
       .select(explode(TextExprs.wordGramHash64(col(textCol), n)).as("__gh"))
     // two cheap jobs over the benchmark side (MBs by contract): size the
@@ -135,8 +142,8 @@ object Decontaminate {
       .filter(mightContain)
       .select("doc_id").distinct()
     val cands = candidateDocs.select(col("doc_id").as("__cand_id"))
-    val benchGrams = stringGrams(benchmark).select("gram").distinct()
-    stringGrams(training.join(cands,
+    val benchGrams = sg(benchmark).select("gram").distinct()
+    sg(training.join(cands,
         col(idCol) === col("__cand_id"), "left_semi"))
       .join(benchGrams, Seq("gram"), "left_semi")
       .groupBy(col("doc_id"))

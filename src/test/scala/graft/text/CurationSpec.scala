@@ -68,6 +68,30 @@ class CurationSpec extends SparkSpec {
     assert(pair(0) == pair(1))
   }
 
+  test("wordGrams kernel equals the builtin slice/join formulation") {
+    import graft.functions.TextExprs
+    val texts = Seq(
+      (1L, "  The   quick\tbrown FOX jumps\nover the lazy dog  "),
+      (2L, "one two three four"),
+      (3L, "too short"),
+      (4L, ""),
+      (5L, "rep rep rep rep rep rep")) // non-distinct: repeats preserved
+      .toDF("id", "text")
+    val builtin = {
+      val toks = Decontaminate.wordTokens(lower($"text"))
+      when(size(toks) >= 4,
+        transform(sequence(lit(0), size(toks) - 4),
+          i => array_join(slice(toks, i + 1, lit(4)), " ")))
+        .otherwise(array_remove(array(lit("")), ""))
+    }
+    val rows = texts
+      .select($"id", TextExprs.wordGrams($"text", 4).as("k"), builtin.as("s"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"id=${r.getLong(0)}")
+    }
+  }
+
   test("capPerKey keeps exactly cap rows per key, deterministically") {
     val df = (1L to 200L).map(i => (s"src${i % 4}", i)).toDF("source", "doc_id")
     val a = Scrub.capPerKey(df, "source", "doc_id", cap = 7)
