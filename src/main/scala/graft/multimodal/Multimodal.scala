@@ -37,6 +37,15 @@ object Multimodal {
   final case class ImageFeatures(
       mean_luma: Double, sharpness: Double, phash: Long)
 
+  /** Integer per-plane pixel sums — the decode-EXACTNESS checksum. All
+    * values are exact integers, so (for a corpus whose pixels are
+    * closed-form in the id, like [[renderPng]]) an independent engine
+    * can recompute them from ids alone and hash-gate the whole
+    * encode → container → decode path: one mis-parsed byte anywhere
+    * changes a sum.
+    */
+  final case class PixelStats(n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
   /** The image/video-frame codec seam: image decoding is REAL (JDK
     * ImageIO — see [[ImageIoDecoder]]); video containers (mp4/webm) have
     * no JDK codec and use the deterministic fake. Swap in a JNI/FFI
@@ -46,6 +55,7 @@ object Multimodal {
   trait Decoder extends Serializable {
     def sniff(bytes: Array[Byte]): MediaMeta
     def imageFeatures(bytes: Array[Byte]): ImageFeatures
+    def pixelStats(bytes: Array[Byte]): PixelStats
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
     def sampleFrames(bytes: Array[Byte], everyMs: Long): Seq[Array[Byte]]
   }
@@ -202,6 +212,20 @@ object Multimodal {
       ImageFeatures(meanLuma, sharp, hash)
     }
 
+    def pixelStats(bytes: Array[Byte]): PixelStats = {
+      val img = decode(bytes)
+      val w = img.getWidth; val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        i += 1
+      }
+      PixelStats(w.toLong * h, sr, sg, sb)
+    }
+
     private def encodePng(img: BufferedImage): Array[Byte] = {
       val bos = new ByteArrayOutputStream()
       ImageIO.write(img, "png", bos)
@@ -243,6 +267,14 @@ object Multimodal {
         sharpness = (math.abs(k / 13) % 1000) / 1000.0,
         phash = k)
     }
+    def pixelStats(bytes: Array[Byte]): PixelStats = {
+      val k = h(bytes, 41)
+      PixelStats(
+        n_px = 1L + math.abs(k) % 4096,
+        sum_r = math.abs(k / 3) % 1000000,
+        sum_g = math.abs(k / 5) % 1000000,
+        sum_b = math.abs(k / 7) % 1000000)
+    }
     def resize(bytes: Array[Byte], w: Int, h0: Int): Array[Byte] =
       bytes.take(math.max(16, math.min(bytes.length, w * h0 / 64)))
     def sampleFrames(bytes: Array[Byte], everyMs: Long): Seq[Array[Byte]] =
@@ -280,6 +312,24 @@ object Multimodal {
       rows.map { r =>
         val f = decoder.imageFeatures(r.get(blobIdx).asInstanceOf[Array[Byte]])
         Row.fromSeq(r.toSeq :+ Row(f.mean_luma, f.sharpness, f.phash))
+      }
+    }(enc)
+  }
+
+  /** Per-blob integer pixel-plane sums, batch-shaped — the decode
+    * checksum column for hash-gating the image path (see [[PixelStats]]).
+    */
+  def withPixelStats(df: DataFrame, blobCol: String, decoder: Decoder): DataFrame = {
+    val statSchema = StructType(Seq(
+      StructField("n_px", LongType), StructField("sum_r", LongType),
+      StructField("sum_g", LongType), StructField("sum_b", LongType)))
+    val schema = df.schema.add("pixel_stats", statSchema)
+    val enc = Encoders.row(schema)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val s = decoder.pixelStats(r.get(blobIdx).asInstanceOf[Array[Byte]])
+        Row.fromSeq(r.toSeq :+ Row(s.n_px, s.sum_r, s.sum_g, s.sum_b))
       }
     }(enc)
   }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.graphs.ConnectedComponents
 import graft.ops.Load
-import graft.text.{Decontaminate, Scrub}
+import graft.text.{Decontaminate, Scrub, Sequences, Splits, TextAnalysis}
 
 /** Corpus-curation queries: near-dup cluster formation (connected
   * components), benchmark decontamination, and per-source cap sampling —
@@ -403,7 +403,117 @@ object CurationQueries {
       |SELECT lang, doc_id, n_tokens FROM r WHERE prior < 4000
       |ORDER BY lang, doc_id""".stripMargin
 
+  /** CLUSTER-AWARE train/val/test split ([[graft.text.Splits.byUnit]]):
+    * the q55 near-dup graph's cluster ids are the split unit, so a doc
+    * and its near-duplicates can never straddle splits — the leakage a
+    * per-doc hash split has. 80/10/10 by md5 of the cluster id; the
+    * oracle recomputes the clusters by recursive-CTE closure and the
+    * split by the same md5 bucket arithmetic.
+    */
+  def q63ClusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Load.table(spark, dir, "customer")
+    val orders = Load.table(spark, dir, "orders")
+    val stars = customer.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").cast(LongType).as("id_a"),
+        (col("c_nationkey").cast(LongType) + 10000000L).as("id_b"))
+    val chains = orders.filter(col("o_orderkey") % 500 === 0)
+      .select(col("o_custkey").cast(LongType).as("id_a"),
+        (col("o_custkey").cast(LongType) + 1L).as("id_b"))
+    val corpus = customer.select(col("c_custkey").cast(LongType).as("id"))
+    val clustered =
+      ConnectedComponents.dedupClusters(stars.unionByName(chains), corpus)
+    Splits.byUnit(clustered, "cluster_id",
+        Seq("train" -> 8, "val" -> 1, "test" -> 1))
+      .select(col("id"), col("cluster_id"), col("split"))
+      .orderBy("id")
+  }
+
+  val q63Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS a, CAST(10000000 + c_nationkey AS BIGINT) AS b
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT CAST(o_custkey AS BIGINT), CAST(o_custkey + 1 AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 500 = 0
+      |), ue AS (
+      |  SELECT a, b FROM e UNION SELECT b, a FROM e
+      |  UNION SELECT a, a FROM e UNION SELECT b, b FROM e
+      |), reach(s, t) AS (
+      |  SELECT a, b FROM ue
+      |  UNION
+      |  SELECT r.s, u.b FROM reach r JOIN ue u ON r.t = u.a
+      |), labels AS (
+      |  SELECT s AS id, min(t) AS component FROM reach GROUP BY s
+      |), labeled AS (
+      |  SELECT c.id, coalesce(l.component, c.id) AS cluster_id
+      |  FROM (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer) c
+      |  LEFT JOIN labels l USING (id)
+      |), b AS (
+      |  SELECT id, cluster_id,
+      |    CAST('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 AS bkt
+      |  FROM labeled
+      |)
+      |SELECT id, cluster_id,
+      |  CASE WHEN bkt < 8 THEN 'train' WHEN bkt < 9 THEN 'val' ELSE 'test' END AS split
+      |FROM b ORDER BY id""".stripMargin
+
+  /** Sliding-window token chunking ([[graft.text.Sequences.chunkTokens]]):
+    * every document → overlapping 64-token windows advancing 48 tokens
+    * (16-token overlap). One narrow codegen'd map stage; the oracle
+    * rebuilds each window by list slicing.
+    */
+  def q64Chunk(spark: SparkSession, dir: String): DataFrame =
+    Sequences.chunkTokens(Load.table(spark, dir, "documents"),
+        "text", "doc_id", window = 64, stride = 48)
+      .orderBy("doc_id", "chunk_ix")
+
+  val q64Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(text), '\s+'),
+      |                     x -> x <> '') AS w
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, w,
+      |         1 + (greatest(len(w) - 64, 0) + 47) // 48 AS nchunks
+      |  FROM t
+      |)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_ix,
+      |       CAST(len(w[i*48+1 : i*48+64]) AS BIGINT) AS chunk_tokens,
+      |       array_to_string(w[i*48+1 : i*48+64], ' ') AS chunk_text
+      |FROM c, UNNEST(generate_series(0, nchunks - 1)) AS s(i)
+      |ORDER BY doc_id, chunk_ix""".stripMargin
+
+  /** Deterministic sequence packing ([[graft.text.Sequences
+    * .packByBudget]]): corpus in stable md5 order cut into contiguous
+    * 2 048-token bins. The bucket-histogram plan is held row-identical to
+    * the single global running-sum window the oracle computes.
+    */
+  def q65Pack(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+      .withColumn("n_tokens", TextAnalysis.tokenCountWs(col("text")))
+      .select("doc_id", "n_tokens")
+    Sequences.packByBudget(d, "doc_id", "n_tokens", 2048L)
+      .orderBy("doc_id")
+  }
+
+  val q65Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(trim(text)) = 0 THEN 0
+      |              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+      |         substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS draw
+      |  FROM documents)
+      |SELECT doc_id, n_tokens,
+      |       CAST(coalesce(sum(n_tokens) OVER (ORDER BY draw, doc_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+      |         AS BIGINT) AS seq_ix
+      |FROM t ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_cluster_split" -> (q63ClusterSplit _),
+    "q64_chunk_windows" -> (q64Chunk _),
+    "q65_pack_sequences" -> (q65Pack _),
     "q47_components" -> (q47Components _),
     "q48_decontaminate" -> (q48Decontaminate _),
     "q49_domain_cap" -> (q49DomainCap _),
@@ -415,6 +525,9 @@ object CurationQueries {
     "q58_token_budget" -> (q58TokenBudget _))
 
   val oracles: Map[String, String] = Map(
+    "q63_cluster_split" -> q63Sql,
+    "q64_chunk_windows" -> q64Sql,
+    "q65_pack_sequences" -> q65Sql,
     "q47_components" -> q47Sql,
     "q48_decontaminate" -> q48Sql,
     "q49_domain_cap" -> q49Sql,

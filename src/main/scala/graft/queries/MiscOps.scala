@@ -467,6 +467,49 @@ object MiscOps {
       |       CAST(n // hp - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS zcr
       |FROM p ORDER BY doc_id""".stripMargin
 
+  /** Image-decode EXACTNESS gate: the per-doc PNG corpus is pixel-wise
+    * closed-form in the doc id (Multimodal.renderPng), so integer RGB
+    * plane sums computed by the REAL decode path (PNG container → JDK
+    * ImageIO → pixel reads) are recomputable by DuckDB from doc_id
+    * arithmetic alone — the q61-audio trick for the image seam. A single
+    * mis-parsed byte anywhere in the encode → decode round-trip breaks
+    * the hash match. q60 carries the float features (luma/sharpness/
+    * pHash, no SQL mirror); this carries the decode PROOF.
+    */
+  def q66ImagePixels(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.syntheticImages(spark, dir)
+    Multimodal.withPixelStats(media, "blob", Multimodal.ImageIoDecoder)
+      .select(col("doc_id"),
+        col("pixel_stats.n_px").as("n_px"),
+        col("pixel_stats.sum_r").as("sum_r"),
+        col("pixel_stats.sum_g").as("sum_g"),
+        col("pixel_stats.sum_b").as("sum_b"))
+      .transform(Par.sortOnce(_, col("doc_id")))
+  }
+
+  /** Mirrors Multimodal.renderPng's per-pixel formulas. */
+  val q66Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         32 + doc_id % 29 AS w,
+      |         24 + doc_id % 23 AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+      |  FROM d,
+      |       UNNEST(generate_series(0, w - 1)) AS xs(x),
+      |       UNNEST(generate_series(0, h - 1)) AS ys(y)
+      |)
+      |SELECT doc_id,
+      |  CAST(max(w) * max(h) AS BIGINT) AS n_px,
+      |  CAST(sum((x * 7 + doc_id * 31) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((y * 13 + doc_id * 17) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum(((x + y) * 5 + doc_id * 11 +
+      |            CASE WHEN (x + y + doc_id) % 11 < 3 THEN 96 ELSE 0 END) % 256)
+      |       AS BIGINT) AS sum_b
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_set_type" -> q11SetType,
     "q12_year_expand" -> q12YearExpand,
@@ -483,6 +526,7 @@ object MiscOps {
     "q53_funnel_join" -> q53FunnelJoin,
     "q60_multimodal" -> q60Multimodal,
     "q61_audio" -> q61Audio,
+    "q66_image_pixels" -> q66ImagePixels,
     "q72_asof_join" -> q72AsOfJoin)
 
   val oracles: Map[String, String] = Map(
@@ -498,5 +542,6 @@ object MiscOps {
     "q51_sessionize" -> q51Sql,
     "q53_funnel_join" -> q53Sql,
     "q61_audio" -> q61Sql,
+    "q66_image_pixels" -> q66Sql,
     "q72_asof_join" -> q72Sql)
 }

@@ -120,11 +120,65 @@ object SinkQueries {
       |FROM part WHERE p_partkey % 9 <> 0
       |ORDER BY row_id""".stripMargin
 
+  /** S6+K6 — XLSX workbook round-trip (reference:
+    * load_publications_from_gdrive.py:30-67 multi-sheet reader,
+    * dataset_assets.py XLSX writer): shape `nation` into the reference's
+    * workbook convention — first sheet declares the header, a sheet named
+    * 'deleted…' is skipped, a CONTINUATION sheet carries data rows with no
+    * header of its own (stitched onto the first sheet's) — write it
+    * through the pure-JDK OOXML codec and read it back via
+    * `Xlsx.loadWorkbook`. The net effect (including the per-sheet rownum
+    * provenance) is plain SQL over `nation`. Workbooks are single small
+    * files built on the driver by design, exactly like the reference's
+    * gdrive loader; MANY workbooks fan out per path like CsvIndex.
+    */
+  def q39XlsxRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.Xlsx
+    val path = freshScratch(dir, "xlsx") + "/book.xlsx"
+    val rows = Load.table(spark, dir, "nation")
+      .select(col("n_nationkey").cast(LongType).as("key"),
+        col("n_name"), col("n_regionkey").cast(LongType))
+      .orderBy("key").collect() // 25 rows, fixed at every sf — driver-side by design
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val header = Seq("migdar_id", "nation", "region")
+    def sheet(name: String, withHeader: Boolean,
+        data: Seq[(Long, String, Long)]): Xlsx.Sheet = {
+      val hdr = if (withHeader) Seq(header) else Nil
+      val body = data.map { case (k, n, rk) => Seq(f"K$k%05d", n, rk.toString) }
+      val cells = (hdr ++ body).zipWithIndex.flatMap { case (vals, r) =>
+        vals.zipWithIndex.map { case (v, c) => (r + 1, c + 1) -> v }
+      }.toMap
+      Xlsx.Sheet(name, cells)
+    }
+    val (first, rest) = rows.toSeq.partition(_._1 < 13)
+    new java.io.File(path).getParentFile.mkdirs()
+    Xlsx.write(path, Seq(
+      sheet("part1", withHeader = true, first),
+      // junk that the 'deleted' skip must drop before header stitching
+      sheet("part1 deleted", withHeader = false, Seq((999L, "JUNK", 9L))),
+      sheet("part2", withHeader = false, rest))) // continuation: no own header
+    Xlsx.loadWorkbook(spark, path)
+      .select(col("migdar_id"), col("nation"), col("region"),
+        col("__sheet").as("sheet"), col("__sheet_row").cast(LongType).as("sheet_row"))
+      .orderBy("migdar_id")
+  }
+
+  val q39Sql: String =
+    """SELECT printf('K%05d', n_nationkey) AS migdar_id,
+      |  n_name AS nation,
+      |  CAST(n_regionkey AS VARCHAR) AS region,
+      |  CASE WHEN n_nationkey < 13 THEN 'part1' ELSE 'part2' END AS sheet,
+      |  CAST(row_number() OVER (PARTITION BY n_nationkey < 13
+      |                          ORDER BY n_nationkey) AS BIGINT) AS sheet_row
+      |FROM nation ORDER BY migdar_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_xlsx_roundtrip" -> q39XlsxRoundtrip,
     "q45_sink_lifecycle" -> q45SinkLifecycle,
     "q46_dump_roundtrip" -> q46DumpRoundtrip)
 
   val oracles: Map[String, String] = Map(
+    "q39_xlsx_roundtrip" -> q39Sql,
     "q45_sink_lifecycle" -> q45Sql,
     "q46_dump_roundtrip" -> q46Sql)
 }

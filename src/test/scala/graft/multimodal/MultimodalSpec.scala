@@ -84,6 +84,31 @@ class MultimodalSpec extends SparkSpec {
     assert(ff.sharpness == 0.0)
   }
 
+  test("pixelStats: exact integer plane sums, matching the renderPng closed form") {
+    val d = Multimodal.ImageIoDecoder
+    // known pixels: 2×1 image with (10,20,30) and (40,50,60)
+    val img = new BufferedImage(2, 1, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, (10 << 16) | (20 << 8) | 30)
+    img.setRGB(1, 0, (40 << 16) | (50 << 8) | 60)
+    assert(d.pixelStats(encode(img, "png")) ==
+      Multimodal.PixelStats(2L, 50L, 70L, 90L))
+    // renderPng closed form: recompute the sums from the id directly
+    val id = 137L
+    val w = 32 + (id % 29).toInt; val h = 24 + (id % 23).toInt
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val stripe = if (((x + y + id) % 11) < 3) 96 else 0
+      sr += (x * 7 + id * 31) % 256
+      sg += (y * 13 + id * 17) % 256
+      sb += ((x + y) * 5 + id * 11 + stripe) % 256
+    }
+    assert(d.pixelStats(Multimodal.renderPng(id)) ==
+      Multimodal.PixelStats(w.toLong * h, sr, sg, sb))
+    // container independence: the same pixels through bmp sum identically
+    assert(d.pixelStats(encode(checker(16, 16), "png")) ==
+      d.pixelStats(encode(checker(16, 16), "bmp")))
+  }
+
   test("pHash depends on pixels, not the container: png == bmp, near for jpeg") {
     val d = Multimodal.ImageIoDecoder
     val hp = d.imageFeatures(encode(checker(40, 40), "png")).phash
