@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.ScrubQueries.queries ++
       graft.queries.CompositeQueries.queries ++
       graft.queries.SinkQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.SearchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.ScrubQueries.oracles ++
       graft.queries.CompositeQueries.oracles ++
       graft.queries.SinkQueries.oracles ++
-      graft.queries.CurationQueries.oracles
+      graft.queries.CurationQueries.oracles ++
+      graft.queries.SearchQueries.oracles
 }

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import graft.ops.Load
+import graft.text.{QualityRules, SpanDedup}
+import graft.similarity.TfIdfSearch
+
+/** Driver queries for the span-dedup / quality-rules / lexical-search
+  * tier (beyond-reference training-data operators; see COVERAGE.md).
+  * Each has an independent DuckDB oracle over the same parquet.
+  */
+object SearchQueries {
+
+  /** q67: maximal duplicated word-4-gram spans across documents —
+    * substring-granularity dedup (Lee et al. ACL'22 shape). The oracle
+    * reconstructs grams, doc-frequencies, and the island merge with SQL
+    * window algebra; the Spark side must agree on every span boundary.
+    */
+  def q67SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    SpanDedup.dupSpans(d, "text", "doc_id", n = 4, minDocs = 2)
+      .orderBy("doc_id", "span_start")
+  }
+
+  val q67Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x <> '') AS w
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+3], ' ') AS gram
+      |  FROM toks, UNNEST(generate_series(1, len(w) - 3)) t(i)
+      |  WHERE len(w) >= 4),
+      |hot AS (
+      |  SELECT gram FROM (
+      |    SELECT gram, count(DISTINCT doc_id) AS nd FROM grams GROUP BY gram) x
+      |  WHERE nd >= 2),
+      |hits AS (SELECT DISTINCT doc_id, pos FROM grams JOIN hot USING (gram)),
+      |grp AS (
+      |  SELECT doc_id, pos,
+      |         sum(CASE WHEN prev IS NULL OR pos - prev > 4 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      |  FROM (SELECT doc_id, pos,
+      |               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |        FROM hits) y)
+      |SELECT doc_id, min(pos) AS span_start,
+      |       max(pos) + 4 - min(pos) AS span_len
+      |FROM grp GROUP BY doc_id, g
+      |ORDER BY doc_id, span_start""".stripMargin
+
+  /** q68: the Gopher/C4 rule-bundle quality gate — every statistic and
+    * flag recomputed independently by the oracle (flags surfaced as
+    * 0/1 INTEGER on both sides; comparisons sit on exactly-reproducible
+    * single-division doubles).
+    */
+  def q68QualityRules(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents").select("doc_id", "text")
+    val f = QualityRules.flags(d, "text")
+    val flagCols = Seq("flag_word_count", "flag_mean_word_len",
+      "flag_alpha_words", "flag_stopwords", "flag_dup_lines",
+      "flag_bullet", "flag_ellipsis", "keep")
+    flagCols.foldLeft(f)((df, c) => df.withColumn(c, col(c).cast(IntegerType)))
+      .drop("text")
+      .orderBy("doc_id")
+  }
+
+  val q68Sql: String = {
+    val stopList = graft.text.TextAnalysis.Stopwords
+      .map(s => s"'$s'").mkString("[", ",", "]")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |                x -> x <> '') AS w,
+       |    list_filter(list_transform(string_split(text, chr(10)),
+       |                x -> trim(x)), x -> x <> '') AS ls
+       |  FROM documents),
+       |stats AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CASE WHEN len(w) > 0 THEN
+       |      CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+       |        / CAST(len(w) AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+       |    CASE WHEN len(w) > 0 THEN
+       |      CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+       |        / CAST(len(w) AS DOUBLE) ELSE 0.0 END AS alpha_word_ratio,
+       |    CAST(len(list_filter($stopList,
+       |      s -> list_contains(w, s))) AS BIGINT) AS stopword_hits,
+       |    CASE WHEN len(ls) > 0 THEN
+       |      CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)
+       |        / CAST(len(ls) AS DOUBLE) ELSE 0.0 END AS dup_line_ratio,
+       |    CASE WHEN len(ls) > 0 THEN
+       |      CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%'
+       |        OR l LIKE '•%')) AS DOUBLE)
+       |        / CAST(len(ls) AS DOUBLE) ELSE 0.0 END AS bullet_line_ratio,
+       |    CASE WHEN len(ls) > 0 THEN
+       |      CAST(len(list_filter(ls, l -> l LIKE '%...')) AS DOUBLE)
+       |        / CAST(len(ls) AS DOUBLE) ELSE 0.0 END AS ellipsis_line_ratio
+       |  FROM base),
+       |flagged AS (
+       |  SELECT *,
+       |    CAST(n_words >= 10 AND n_words <= 100000 AS INTEGER) AS flag_word_count,
+       |    CAST(mean_word_len >= 2.0 AND mean_word_len <= 12.0 AS INTEGER) AS flag_mean_word_len,
+       |    CAST(alpha_word_ratio >= 0.8 AS INTEGER) AS flag_alpha_words,
+       |    CAST(stopword_hits >= 2 AS INTEGER) AS flag_stopwords,
+       |    CAST(dup_line_ratio <= 0.5 AS INTEGER) AS flag_dup_lines,
+       |    CAST(bullet_line_ratio <= 0.9 AS INTEGER) AS flag_bullet,
+       |    CAST(ellipsis_line_ratio <= 0.3 AS INTEGER) AS flag_ellipsis
+       |  FROM stats)
+       |SELECT *, flag_word_count * flag_mean_word_len * flag_alpha_words
+       |         * flag_stopwords * flag_dup_lines * flag_bullet
+       |         * flag_ellipsis AS keep
+       |FROM flagged ORDER BY doc_id""".stripMargin
+  }
+
+  /** q69: inverted-index TF-IDF top-5 retrieval; query set = every 31st
+    * document searching the whole corpus. Fixed-point ln-free idf keeps
+    * scores exact int64 (see [[TfIdfSearch]]), so the oracle's window
+    * formulation must hash-match, ties and all.
+    */
+  def q69TfIdfSearch(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val queries = d.filter(col("doc_id") % 31 === 0)
+    TfIdfSearch.topK(d, queries, "text", "doc_id", "doc_id", k = 5)
+      .orderBy("query_id", "doc_id")
+  }
+
+  val q69Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x <> '') AS w
+      |  FROM documents),
+      |postings AS (
+      |  SELECT doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM toks, UNNEST(w) AS t(term) GROUP BY doc_id, t.term),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+      |wt AS (
+      |  SELECT term,
+      |         CAST(floor((nd - df + 0.5) / (df + 0.5) * 1048576.0) AS BIGINT) AS w
+      |  FROM (SELECT term, CAST(count(*) AS BIGINT) AS df
+      |        FROM postings GROUP BY term), nn),
+      |q AS (SELECT DISTINCT doc_id AS query_id, t.term
+      |      FROM toks, UNNEST(w) AS t(term) WHERE doc_id % 31 = 0),
+      |scored AS (
+      |  SELECT q.query_id, p.doc_id, CAST(sum(p.tf * wt.w) AS BIGINT) AS score
+      |  FROM q JOIN postings p USING (term) JOIN wt USING (term)
+      |  GROUP BY q.query_id, p.doc_id)
+      |SELECT query_id, doc_id, score FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |            ORDER BY score DESC, doc_id) AS rn
+      |  FROM scored) x
+      |WHERE rn <= 5 ORDER BY query_id, doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_span_dedup" -> (q67SpanDedup _),
+    "q68_quality_rules" -> (q68QualityRules _),
+    "q69_tfidf_search" -> (q69TfIdfSearch _))
+
+  val oracles: Map[String, String] = Map(
+    "q67_span_dedup" -> q67Sql,
+    "q68_quality_rules" -> q68Sql,
+    "q69_tfidf_search" -> q69Sql)
+}
