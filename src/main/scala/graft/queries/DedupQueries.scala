@@ -387,6 +387,42 @@ object DedupQueries {
       |WHERE CAST(dot * dot AS BIGINT) / (na.norm * nb.norm) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q73: SemDeDup — semantic dedup through the cluster-pruned path.
+    * Corpus = embeddings ∪ two rescaled copies (+1e5 ×2, +2e5 ×4; float
+    * ×2ⁿ is exact, so after L2 normalization the copies are BIT-IDENTICAL
+    * to their originals and land in the same k-means cluster by
+    * construction, while no unplanted pair reaches cosine 0.6 — verified
+    * 0.513 max at sf0.01). The DuckDB oracle brute-forces cosine over ALL
+    * pairs with no clustering, so the cluster tier's recall is held to
+    * hash-equality: a single duplicate straddling clusters breaks it.
+    */
+  def q73SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Load.table(spark, dir, "embeddings").select("vec_id", "embedding")
+    def scaled(offset: Int, f: Float) = e.select(
+      (col("vec_id") + offset).as("vec_id"),
+      transform(col("embedding"), v => v * lit(f)).as("embedding"))
+    val uni = e.unionByName(scaled(100000, 2.0f)).unionByName(scaled(200000, 4.0f))
+    graft.similarity.SemDedup
+      .droppedDocs(uni, "vec_id", "embedding", nClusters = 16, threshold = 0.98)
+      .orderBy("dropped_id")
+  }
+
+  /** Brute-force mirror: every pair, no clusters; same keep-min election. */
+  val q73Sql: String =
+    """WITH uni AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, list_transform(embedding, x -> x * 2.0)::DOUBLE[] FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 200000, list_transform(embedding, x -> x * 4.0)::DOUBLE[] FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS kept_id, b.vec_id AS dropped_id
+      |  FROM uni a JOIN uni b ON a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.v, b.v)
+      |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.98)
+      |SELECT dropped_id, min(kept_id) AS kept_id
+      |FROM p GROUP BY dropped_id ORDER BY dropped_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_exact_dedup" -> q30Exact,
     "q31_fingerprint_dedup" -> q31Fingerprint,
@@ -399,7 +435,8 @@ object DedupQueries {
     "q41_ann_srp" -> q41AnnSrp,
     "q42_ann_topk_heap" -> q42AnnTopKHeap,
     "q43_ann_ivf" -> q43AnnIvf,
-    "q62_sparse_cosine" -> q62SparseCosine)
+    "q62_sparse_cosine" -> q62SparseCosine,
+    "q73_semdedup" -> q73SemDedup)
 
   val oracles: Map[String, String] = Map(
     "q30_exact_dedup" -> q30Sql,
@@ -411,5 +448,6 @@ object DedupQueries {
     "q41_ann_srp" -> q41Sql,
     "q42_ann_topk_heap" -> q40Sql,
     "q43_ann_ivf" -> q41Sql,
-    "q62_sparse_cosine" -> q62Sql)
+    "q62_sparse_cosine" -> q62Sql,
+    "q73_semdedup" -> q73Sql)
 }

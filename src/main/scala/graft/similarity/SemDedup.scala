@@ -1,0 +1,82 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantic deduplication — the SemDeDup shape (Abbas et al. 2023,
+  * arXiv:2303.09540): cluster unit-normalized embeddings with a k-means
+  * coarse quantizer, then compare documents ONLY within a cluster and
+  * drop every document that has a more-canonical (smaller-id) neighbor
+  * with cosine ≥ `threshold`.
+  *
+  * Scale shape (100 TB): the only corpus-wide exchange is ONE shuffle on
+  * the cluster id; the within-cluster self-join is bounded by the largest
+  * cluster (≈ corpus / nClusters with k-means balance — at real scale the
+  * corpus is written bucketed by `__cluster` and the join is co-located,
+  * with an oversized-cluster cap applied the way the LSH tier caps
+  * buckets). Centroid training reads a seeded uniform SAMPLE of the
+  * vector column ([[Ann.ivfTrain]]), never the full corpus; assignment is
+  * the narrow one-pass argmin kernel ([[Ann.ivfListId]]) — no crossJoin,
+  * no per-row centroid shuffle.
+  *
+  * Unlike near-dup LSH (shingle overlap) this catches SEMANTIC
+  * duplicates — rewordings with the same embedding direction — which
+  * n-gram tiers are blind to. Cosine is computed on the normalized
+  * vectors ([[Embeddings.l2Normalize]]): clustering and comparison see
+  * the same geometry, so a duplicated direction cannot straddle clusters.
+  */
+object SemDedup {
+
+  /** (dropped_id, kept_id) for every document SemDeDup removes; kept_id
+    * is the smallest same-cluster id with cosine ≥ threshold (the
+    * canonical survivor the duplicate collapses into). Documents that
+    * survive do not appear. Join `dropped_id` back as an anti-join key to
+    * materialize the deduplicated corpus.
+    */
+  def droppedDocs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int,
+      threshold: Double,
+      iterations: Int = 5,
+      sampleRows: Int = 2000,
+      seed: Long = 42L): DataFrame = {
+    val normed = corpus.select(
+      col(idCol), Embeddings.l2Normalize(col(vecCol)).as("__nv"))
+    val centroids = Ann.ivfTrain(normed, "__nv", nClusters, iterations,
+      sampleRows, seed)
+    val assigned = normed
+      .withColumn("__cluster", Ann.ivfListId(col("__nv"), centroids))
+    val a = assigned.select(col("__cluster"),
+      col(idCol).as("kept_id"), col("__nv").as("__va"))
+    val b = assigned.select(col("__cluster"),
+      col(idCol).as("dropped_id"), col("__nv").as("__vb"))
+    a.join(b, Seq("__cluster"))
+      .filter(col("kept_id") < col("dropped_id"))
+      .filter(Ann.cosine(col("__va"), col("__vb")) >= threshold)
+      .groupBy("dropped_id")
+      .agg(min("kept_id").as("kept_id"))
+      .select("dropped_id", "kept_id")
+  }
+
+  /** The deduplicated corpus: drop every [[droppedDocs]] row via an
+    * anti-join on the dropped-id set (ids only cross the shuffle; AQE
+    * broadcasts the side that turns out small — at aggressive thresholds
+    * the dropped set can be a large corpus fraction, so it is not forced).
+    */
+  def dedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int,
+      threshold: Double,
+      iterations: Int = 5,
+      sampleRows: Int = 2000,
+      seed: Long = 42L): DataFrame = {
+    val dropped = droppedDocs(corpus, idCol, vecCol, nClusters, threshold,
+      iterations, sampleRows, seed)
+      .select(col("dropped_id").as(idCol))
+    corpus.join(dropped, Seq(idCol), "left_anti")
+  }
+}

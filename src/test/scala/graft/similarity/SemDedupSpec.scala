@@ -1,0 +1,59 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embeddings =
+    spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+
+  private def withScaledCopies = {
+    def scaled(offset: Int, f: Float) = embeddings.select(
+      ($"vec_id" + offset).as("vec_id"),
+      transform($"embedding", v => v * lit(f)).as("embedding"))
+    embeddings.unionByName(scaled(100000, 2.0f)).unionByName(scaled(200000, 0.5f))
+  }
+
+  test("droppedDocs removes every planted rescaled copy, keeps originals") {
+    val ids = embeddings.select("vec_id").as[Long].collect().toSet
+    val dropped = SemDedup.droppedDocs(withScaledCopies, "vec_id", "embedding",
+      nClusters = 8, threshold = 0.98).collect()
+    val droppedIds = dropped.map(_.getAs[Long]("dropped_id")).toSet
+    assert(droppedIds == ids.map(_ + 100000) ++ ids.map(_ + 200000),
+      "exactly the planted copies must be dropped")
+    // survivor election: the smallest similar id, i.e. the original
+    dropped.foreach { r =>
+      assert(r.getAs[Long]("kept_id") == r.getAs[Long]("dropped_id") % 100000)
+    }
+  }
+
+  test("no false positives on the raw corpus (no pair reaches 0.98)") {
+    assert(SemDedup.droppedDocs(embeddings, "vec_id", "embedding",
+      nClusters = 8, threshold = 0.98).isEmpty)
+  }
+
+  test("dedup materializes the surviving corpus") {
+    val n = embeddings.count()
+    val out = SemDedup.dedup(withScaledCopies, "vec_id", "embedding",
+      nClusters = 8, threshold = 0.98)
+    assert(out.count() == n)
+    assert(out.agg(max("vec_id")).as[Long].head() < 100000)
+  }
+
+  test("identical directions never straddle clusters (normalized assign)") {
+    // the scaled copies must land in the original's cluster: normalization
+    // of a ×2^n copy is bit-identical, so argmin ties break identically
+    val normed = withScaledCopies.select($"vec_id",
+      Embeddings.l2Normalize($"embedding").as("__nv"))
+    val cents = Ann.ivfTrain(normed, "__nv", nLists = 8, iterations = 3,
+      sampleRows = 500)
+    val assigned = normed
+      .select($"vec_id", Ann.ivfListId($"__nv", cents).as("c"))
+      .withColumn("orig", $"vec_id" % 100000)
+    assert(assigned.groupBy("orig").agg(countDistinct("c").as("nc"))
+      .filter($"nc" > 1).isEmpty)
+  }
+}
