@@ -64,7 +64,10 @@ object GraftExtensions {
         BoundedCollectLong(c, intArg(cap, "cap")).toAggregateExpression() }),
     ("compression_ratio", info("compression_ratio",
       "compression_ratio(text) - deflate(text)/len(text), the redundancy signal"),
-      { case Seq(c) => CompressionRatio(c) }))
+      { case Seq(c) => CompressionRatio(c) }),
+    ("morton2", info("morton2",
+      "morton2(a, b) - 64-bit Z-order interleave of two bigints (low 32 bits each)"),
+      { case Seq(a, b) => Morton2(a, b) }))
 
   /** Install everything into an already-running session (extensions
     * normally apply only at session build time).

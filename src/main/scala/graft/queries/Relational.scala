@@ -280,6 +280,32 @@ object Relational {
       |      CAST(c_acctbal AS VARCHAR) || '|' || CAST(c_mktsegment AS VARCHAR)) AS row_hash
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** q74: the Z-order clustering key (ops.ZOrder / morton2) computed for
+    * every order — the multi-dimensional data-skipping layout. Runs
+    * through the full re-cluster (range shuffle on the Morton key +
+    * in-partition sort), and the oracle recomputes the interleave
+    * bit-by-bit in SQL, so the codegen kernel's five shift-mask rounds
+    * are held to hash-equality on every row.
+    */
+  def q74ZOrder(spark: SparkSession, dir: String): DataFrame = {
+    val o = Load.table(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey")
+    graft.ops.ZOrder.cluster(o, "o_custkey", "o_orderkey", numFiles = 8)
+      .withColumn("zval",
+        graft.ops.ZOrder.zValue(col("o_custkey"), col("o_orderkey")))
+      .orderBy("o_orderkey")
+  }
+
+  /** Independent bit-arithmetic reconstruction of the Morton interleave. */
+  val q74Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(list_sum([((o_custkey >> i) & 1) * (1::BIGINT << (2 * i))
+      |                 FOR i IN generate_series(0, 30)])
+      |     + list_sum([((o_orderkey >> i) & 1) * (1::BIGINT << (2 * i + 1))
+      |                 FOR i IN generate_series(0, 30)])
+      |    AS BIGINT) AS zval
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "q2_filter_project" -> q2FilterProject,
@@ -291,7 +317,8 @@ object Relational {
     "q8_unpivot" -> q8Unpivot,
     "q9_concatenate" -> q9Concatenate,
     "q10_doc_id" -> q10DocId,
-    "q44_salted_join" -> q44SaltedJoin)
+    "q44_salted_join" -> q44SaltedJoin,
+    "q74_zorder" -> q74ZOrder)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -304,5 +331,6 @@ object Relational {
     "q8_unpivot" -> q8Sql,
     "q9_concatenate" -> q9Sql,
     "q10_doc_id" -> q10Sql,
-    "q44_salted_join" -> q44Sql)
+    "q44_salted_join" -> q44Sql,
+    "q74_zorder" -> q74Sql)
 }
