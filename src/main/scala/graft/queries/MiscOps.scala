@@ -510,6 +510,27 @@ object MiscOps {
       |       AS BIGINT) AS sum_b
       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q75: image near-dup through the two-tier pHash path. Corpus =
+    * synthetic PNGs ∪ byte-identical copies at id+1e5; identical bytes
+    * share a pHash trivially, distinct gradient images never collide
+    * AND survive the exact-pixel-checksum verify tier, so the output is
+    * exactly the planted pairs — which the oracle states closed-form
+    * from doc_id arithmetic. A pair missed by blocking, or a collision
+    * surviving verification, breaks the hash match.
+    */
+  def q75PhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{ImageDedup, Multimodal}
+    val base = Multimodal.syntheticImages(spark, dir)
+    val dup = base.select((col("doc_id") + 100000).as("doc_id"), col("blob"))
+    ImageDedup.phashDupPairs(base.unionByName(dup), "doc_id", "blob",
+      Multimodal.ImageIoDecoder)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q75Sql: String =
+    """SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+      |FROM documents ORDER BY id_a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_set_type" -> q11SetType,
     "q12_year_expand" -> q12YearExpand,
@@ -527,7 +548,8 @@ object MiscOps {
     "q60_multimodal" -> q60Multimodal,
     "q61_audio" -> q61Audio,
     "q66_image_pixels" -> q66ImagePixels,
-    "q72_asof_join" -> q72AsOfJoin)
+    "q72_asof_join" -> q72AsOfJoin,
+    "q75_phash_dedup" -> q75PhashDedup)
 
   val oracles: Map[String, String] = Map(
     "q11_set_type" -> q11Sql,
@@ -543,5 +565,6 @@ object MiscOps {
     "q53_funnel_join" -> q53Sql,
     "q61_audio" -> q61Sql,
     "q66_image_pixels" -> q66Sql,
-    "q72_asof_join" -> q72Sql)
+    "q72_asof_join" -> q72Sql,
+    "q75_phash_dedup" -> q75Sql)
 }
