@@ -510,6 +510,40 @@ object CurationQueries {
       |         AS BIGINT) AS seq_ix
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** q76: DSIR-shaped importance tagging — hashed-unigram target/source
+    * masses with target = the English slice of the corpus. Every number
+    * is an integer count and the keep decision is a cross-multiplied
+    * integer comparison, so the oracle (which re-derives the md5 buckets,
+    * the histogram, the per-doc masses, and the decision from scratch in
+    * SQL) is hash-exact.
+    */
+  def q76Dsir(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.ops.Load.table(spark, dir, "documents")
+      .select("doc_id", "text", "lang")
+    graft.text.ImportanceSampling
+      .importanceTag(d, "doc_id", "text", col("lang") === "en")
+      .orderBy("doc_id")
+  }
+
+  val q76Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang = 'en' AS t,
+      |         CAST('0x' || substring(md5(u.tok), 1, 8) AS BIGINT) % 16384 AS b
+      |  FROM documents,
+      |       UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+      |                          x -> x <> '')) u(tok)),
+      |hist AS (
+      |  SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS tc,
+      |            sum(CASE WHEN NOT t THEN 1 ELSE 0 END)::BIGINT AS sc
+      |  FROM toks GROUP BY b),
+      |tot AS (SELECT sum(tc)::BIGINT AS nt, sum(sc)::BIGINT AS ns FROM hist),
+      |masses AS (
+      |  SELECT doc_id, sum(tc)::BIGINT AS tgt_mass, sum(sc)::BIGINT AS src_mass
+      |  FROM toks JOIN hist USING (b) GROUP BY doc_id)
+      |SELECT doc_id, tgt_mass, src_mass,
+      |       CAST(tgt_mass * ns > src_mass * nt AS INTEGER) AS keep
+      |FROM masses, tot ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_cluster_split" -> (q63ClusterSplit _),
     "q64_chunk_windows" -> (q64Chunk _),
@@ -522,7 +556,8 @@ object CurationQueries {
     "q54_training_mix" -> (q54TrainingMix _),
     "q56_boilerplate" -> (q56Boilerplate _),
     "q57_bloom_decontaminate" -> (q57BloomDecontaminate _),
-    "q58_token_budget" -> (q58TokenBudget _))
+    "q58_token_budget" -> (q58TokenBudget _),
+    "q76_dsir" -> (q76Dsir _))
 
   val oracles: Map[String, String] = Map(
     "q63_cluster_split" -> q63Sql,
@@ -536,5 +571,6 @@ object CurationQueries {
     "q54_training_mix" -> q54Sql,
     "q56_boilerplate" -> q56Sql,
     "q57_bloom_decontaminate" -> q57Sql,
-    "q58_token_budget" -> q58Sql)
+    "q58_token_budget" -> q58Sql,
+    "q76_dsir" -> q76Sql)
 }
