@@ -544,6 +544,42 @@ object CurationQueries {
       |       CAST(tgt_mass * ns > src_mass * nt AS INTEGER) AS keep
       |FROM masses, tot ORDER BY doc_id""".stripMargin
 
+  /** q77: per-source length-distribution profile — the corpus-stats pass
+    * behind sequence-length budgeting and outlier trimming. Quartiles use
+    * Spark's EXACT `percentile` (sort-based linear interpolation), which
+    * DuckDB's `quantile_cont` reproduces bit-for-bit on integer inputs —
+    * so even the float quartile array is hash-gated. At 100 TB the exact
+    * percentile is the one operator here you'd swap for
+    * `percentile_approx` (t-digest, mergeable partial aggs); the schema
+    * and grouping stay identical, which is why the exact form is worth
+    * having as the verified baseline.
+    */
+  def q77LengthStats(spark: SparkSession, dir: String): DataFrame = {
+    Load.table(spark, dir, "documents")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        expr("percentile(n_chars, array(0.25, 0.5, 0.75))").as("__q"),
+        sum("n_chars").as("total_chars"))
+      .select(col("source"), col("n_docs"), col("min_chars"), col("max_chars"),
+        col("__q").getItem(0).as("p25"),
+        col("__q").getItem(1).as("p50"),
+        col("__q").getItem(2).as("p75"),
+        col("total_chars"))
+      .orderBy("source")
+  }
+
+  val q77Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |       quantile_cont(n_chars, 0.25) AS p25,
+      |       quantile_cont(n_chars, 0.50) AS p50,
+      |       quantile_cont(n_chars, 0.75) AS p75,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_cluster_split" -> (q63ClusterSplit _),
     "q64_chunk_windows" -> (q64Chunk _),
@@ -557,7 +593,8 @@ object CurationQueries {
     "q56_boilerplate" -> (q56Boilerplate _),
     "q57_bloom_decontaminate" -> (q57BloomDecontaminate _),
     "q58_token_budget" -> (q58TokenBudget _),
-    "q76_dsir" -> (q76Dsir _))
+    "q76_dsir" -> (q76Dsir _),
+    "q77_length_stats" -> (q77LengthStats _))
 
   val oracles: Map[String, String] = Map(
     "q63_cluster_split" -> q63Sql,
@@ -572,5 +609,6 @@ object CurationQueries {
     "q56_boilerplate" -> q56Sql,
     "q57_bloom_decontaminate" -> q57Sql,
     "q58_token_budget" -> q58Sql,
-    "q76_dsir" -> q76Sql)
+    "q76_dsir" -> q76Sql,
+    "q77_length_stats" -> q77Sql)
 }
