@@ -510,6 +510,43 @@ object MiscOps {
       |       AS BIGINT) AS sum_b
       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q78: the stream-static dedup probe's batch twin. History = every
+    * third document, persisted as a fingerprint index; the arriving
+    * batch = the remaining docs plus REPLAYED copies of the history docs
+    * under new ids. `Streams.dedupAgainstIndex` (left-outer + IS NULL —
+    * stream-static left-anti emulation) must pass exactly the genuinely
+    * new documents and drop every replay. StreamingSpec drives the same
+    * operator through readStream and asserts stream == batch.
+    */
+  def q78StreamDedupTwin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val d = Load.table(spark, dir, "documents").select("doc_id", "text")
+    val history = d.filter(col("doc_id") % 3 === 0)
+    val arriving = d.filter(col("doc_id") % 3 =!= 0)
+      .unionByName(history.select(
+        (col("doc_id") + 100000).as("doc_id"), col("text")))
+    val index = history.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    graft.streaming.Streams.dedupAgainstIndex(
+      arriving.withColumn("fp", TextAnalysis.fingerprint(col("text"))),
+      index, Seq("fp"))
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+  }
+
+  val q78Sql: String =
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |         md5(regexp_replace(regexp_replace(lower(text),
+      |             '[^a-z0-9 ֐-׿؀-ۿ]', '', 'g'), ' +', ' ', 'g')) AS fp
+      |  FROM documents),
+      |arr AS (
+      |  SELECT doc_id, fp FROM fp WHERE doc_id % 3 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, fp FROM fp WHERE doc_id % 3 = 0)
+      |SELECT doc_id, fp FROM arr
+      |WHERE fp NOT IN (SELECT fp FROM fp WHERE doc_id % 3 = 0)
+      |ORDER BY doc_id""".stripMargin
+
   /** q75: image near-dup through the two-tier pHash path. Corpus =
     * synthetic PNGs ∪ byte-identical copies at id+1e5; identical bytes
     * share a pHash trivially, distinct gradient images never collide
@@ -549,7 +586,8 @@ object MiscOps {
     "q61_audio" -> q61Audio,
     "q66_image_pixels" -> q66ImagePixels,
     "q72_asof_join" -> q72AsOfJoin,
-    "q75_phash_dedup" -> q75PhashDedup)
+    "q75_phash_dedup" -> q75PhashDedup,
+    "q78_stream_dedup" -> q78StreamDedupTwin)
 
   val oracles: Map[String, String] = Map(
     "q11_set_type" -> q11Sql,
@@ -566,5 +604,6 @@ object MiscOps {
     "q61_audio" -> q61Sql,
     "q66_image_pixels" -> q66Sql,
     "q72_asof_join" -> q72Sql,
-    "q75_phash_dedup" -> q75Sql)
+    "q75_phash_dedup" -> q75Sql,
+    "q78_stream_dedup" -> q78Sql)
 }

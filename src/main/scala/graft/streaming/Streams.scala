@@ -75,6 +75,29 @@ object Streams {
         col("right_id"), col("right_ts"))
   }
 
+  /** Stream-STATIC dedup probe: drop arriving rows whose `keys` already
+    * exist in a static index (the persisted fingerprint store of all
+    * previously-ingested documents — [[graft.dedup.Dedup.buildSignatureIndex]]'s
+    * exact-tier sibling). Structured Streaming supports stream-static
+    * inner/left-outer/left-semi joins but NOT left-anti, so the anti is
+    * the standard emulation: left-outer against the key-projected index
+    * + IS NULL filter. The static side never grows per-batch state — each
+    * micro-batch plans a fresh join against it (broadcast when small, at
+    * scale a bucketed store makes it co-located); the stream side carries
+    * no state at all, unlike `dropDuplicatesWithinWatermark`, because
+    * history lives in the index, not in the state store.
+    */
+  def dedupAgainstIndex(
+      stream: DataFrame,
+      index: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val marked = index.select(keys.map(col): _*).distinct()
+      .withColumn("__seen", lit(1))
+    stream.join(marked, keys, "left_outer")
+      .filter(col("__seen").isNull)
+      .drop("__seen")
+  }
+
   final case class Event(event_id: Long, user_id: Long, ts_s: Long)
   final case class SessionState(sessionId: Long, lastTs: Long)
   final case class SessionizedEvent(event_id: Long, user_id: Long, ts_s: Long, session_id: Long)

@@ -89,4 +89,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
     assert(batch.nonEmpty, "fixture must produce at least one funnel pair")
   }
+
+  test("stream-static dedup probe == batch twin (q78 twin)") {
+    import graft.text.TextAnalysis
+    // arriving stream source: the documents file (ids %3<>0 are new)
+    // plus a replay of the history slice under shifted ids
+    val dir = java.nio.file.Files.createTempDirectory("docs_stream")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val history = docs.filter(col("doc_id") % 3 === 0)
+    docs.filter(col("doc_id") % 3 =!= 0)
+      .write.mode("overwrite").parquet(dir.resolve("a").toString)
+    history.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(dir.resolve("b").toString)
+    val index = history.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"${dir.toString}/{a,b}")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val out = Streams.dedupAgainstIndex(stream, index, Seq("fp"))
+    val qname = "stream_static_dedup"
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(qname).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val batch = graft.queries.MiscOps.q78StreamDedupTwin(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty && streamed.forall(_ < 100000),
+      "every replayed copy must be dropped by the index probe")
+  }
 }
