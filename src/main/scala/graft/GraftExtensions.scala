@@ -67,7 +67,11 @@ object GraftExtensions {
       { case Seq(c) => CompressionRatio(c) }),
     ("morton2", info("morton2",
       "morton2(a, b) - 64-bit Z-order interleave of two bigints (low 32 bits each)"),
-      { case Seq(a, b) => Morton2(a, b) }))
+      { case Seq(a, b) => Morton2(a, b) }),
+    ("freq_items", info("freq_items",
+      "freq_items(tokens, capacity) - Misra-Gries heavy hitters over array<string>"),
+      { case Seq(c, cap) =>
+        FreqItems(c, intArg(cap, "capacity")).toAggregateExpression() }))
 
   /** Install everything into an already-running session (extensions
     * normally apply only at session build time).

@@ -580,6 +580,34 @@ object CurationQueries {
       |       CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** q79: token heavy hitters through the Misra–Gries one-pass aggregate
+    * — q52's vocabulary question answered with NO token-keyed shuffle:
+    * each task condenses its slice into one O(capacity) summary and only
+    * summaries cross the wire. Capacity 4096 far exceeds the synthetic
+    * vocabulary, so the sketch is in its EXACT regime and the oracle is
+    * the plain groupBy count — at web scale the same plan holds with the
+    * documented n/(capacity+1) undercount bound.
+    */
+  def q79FreqItems(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Load.table(spark, dir, "documents")
+      .select(split(trim(lower(col("text"))), "\\s+").as("toks"))
+    toks
+      .agg(graft.functions.FreqItemsAgg.freqItems(col("toks"), 4096).as("hh"))
+      .select(posexplode(col("hh")).as(Seq("rank0", "e")))
+      .select((col("rank0") + 1).cast(LongType).as("rank"),
+        col("e.item").as("token"), col("e.cnt").as("cnt"))
+      .filter(col("rank") <= 50)
+  }
+
+  val q79Sql: String =
+    """WITH toks AS (
+      |  SELECT u.tok FROM documents,
+      |       UNNEST(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                          x -> x <> '')) u(tok)),
+      |c AS (SELECT tok AS token, count(*)::BIGINT AS cnt FROM toks GROUP BY tok)
+      |SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank, token, cnt
+      |FROM c ORDER BY rank LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_cluster_split" -> (q63ClusterSplit _),
     "q64_chunk_windows" -> (q64Chunk _),
@@ -594,7 +622,8 @@ object CurationQueries {
     "q57_bloom_decontaminate" -> (q57BloomDecontaminate _),
     "q58_token_budget" -> (q58TokenBudget _),
     "q76_dsir" -> (q76Dsir _),
-    "q77_length_stats" -> (q77LengthStats _))
+    "q77_length_stats" -> (q77LengthStats _),
+    "q79_freq_items" -> (q79FreqItems _))
 
   val oracles: Map[String, String] = Map(
     "q63_cluster_split" -> q63Sql,
@@ -610,5 +639,6 @@ object CurationQueries {
     "q57_bloom_decontaminate" -> q57Sql,
     "q58_token_budget" -> q58Sql,
     "q76_dsir" -> q76Sql,
-    "q77_length_stats" -> q77Sql)
+    "q77_length_stats" -> q77Sql,
+    "q79_freq_items" -> q79Sql)
 }
