@@ -46,8 +46,12 @@ object SemDedup {
       col(idCol), Embeddings.l2Normalize(col(vecCol)).as("__nv"))
     val centroids = Ann.ivfTrain(normed, "__nv", nClusters, iterations,
       sampleRows, seed)
+    // persist: the self-join reads the assignment from BOTH sides —
+    // without it each side re-runs scan + normalize + argmin (and at
+    // scale the assignment is the thing you'd write bucketed by cluster)
     val assigned = normed
       .withColumn("__cluster", Ann.ivfListId(col("__nv"), centroids))
+      .persist()
     val a = assigned.select(col("__cluster"),
       col(idCol).as("kept_id"), col("__nv").as("__va"))
     val b = assigned.select(col("__cluster"),

@@ -44,11 +44,15 @@ object TfIdfSearch {
     */
   def topK(corpus: DataFrame, queries: DataFrame, textCol: String,
       idCol: String, qidCol: String, k: Int): DataFrame = {
+    // persist: postings feed BOTH the probe join and the df/weight agg —
+    // without it the corpus tokenize+explode+combine subtree runs twice
+    // (at scale: the index is written once and reused, same idea)
     val postings = corpus
       .select(col(idCol).cast(LongType).as("doc_id"),
         explode(Decontaminate.wordTokens(col(textCol))).as("term"))
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"))
+      .persist()
     // N and df off the postings relation; both outputs are tiny.
     val n = corpus.select(count(lit(1)).as("__n"))
     val weights = postings.groupBy("term")
@@ -61,9 +65,11 @@ object TfIdfSearch {
     val qTerms = queries
       .select(col(qidCol).cast(LongType).as("query_id"),
         explode(array_distinct(Decontaminate.wordTokens(col(textCol)))).as("term"))
+    // both probe sides are query-vocabulary-sized -> broadcast; the
+    // postings side never reshuffles before the (query,doc) agg
     val scored = postings
       .join(broadcast(qTerms), Seq("term"))
-      .join(weights, Seq("term"))
+      .join(broadcast(weights), Seq("term"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("tf") * col("__w")).as("score"))
     graft.plans.TopKPerKey.topK(scored, Seq("query_id"),

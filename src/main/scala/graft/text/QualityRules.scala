@@ -43,8 +43,13 @@ object QualityRules {
       maxDupLineRatio: Double = 0.5, maxBulletRatio: Double = 0.9,
       maxEllipsisRatio: Double = 0.3): DataFrame = {
     val t = col(textCol)
-    val w = words(t)
-    val ls = lines(t)
+    // materialize the token/line arrays ONCE behind a projection barrier:
+    // CollapseProject will not inline a non-cheap alias referenced many
+    // times, so the regex split / line scan runs once per row instead of
+    // once per statistic (~5x less tokenization work)
+    val staged = df.withColumn("__w", words(t)).withColumn("__ls", lines(t))
+    val w = col("__w")
+    val ls = col("__ls")
     val nWords = size(w).cast(LongType)
     // Σ word lengths is exact-integer; the mean is one IEEE division.
     val sumLen = aggregate(w, lit(0L), (a, x) => a + length(x).cast(LongType))
@@ -72,7 +77,7 @@ object QualityRules {
     val fBullet = bulletRatio <= maxBulletRatio
     val fEllipsis = ellipsisRatio <= maxEllipsisRatio
 
-    df.withColumn("n_words", nWords)
+    staged.withColumn("n_words", nWords)
       .withColumn("mean_word_len", meanWordLen)
       .withColumn("alpha_word_ratio", alphaWordRatio)
       .withColumn("stopword_hits", stopHits)
@@ -89,5 +94,6 @@ object QualityRules {
       .withColumn("keep",
         fWordCount && fMeanLen && fAlpha && fStop && fDupLines &&
           fBullet && fEllipsis)
+      .drop("__w", "__ls")
   }
 }

@@ -23,32 +23,24 @@ object Scratch {
 
     val d = spark.read.parquet(s"$dir/documents.parquet")
     d.count() // warmup
-    val bench = d.filter(col("doc_id") % 23 === 0)
-    val training = d.filter(col("doc_id") % 23 =!= 0)
 
-    import graft.functions.TextExprs
+    graft.GraftExtensions.install(spark)
     for (i <- 1 to 2) {
-      val benchHashes = bench
-        .select(explode(TextExprs.wordGramHash64(col("text"), 5)).as("__gh"))
-      val nG = time(s"bench gram count #$i")(benchHashes.count())
-      val bloom = time(s"bloom build #$i")(
-        benchHashes.stat.bloomFilter("__gh", math.max(nG, 1L), 0.05))
-      println("[scratch]   bloom bits=" + bloom.bitSize())
-      val ser = { val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b); b.toByteArray }
-      println("[scratch]   ser bytes=" + ser.length)
-      import org.apache.spark.sql.GraftBridge
-      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-      val mc = GraftBridge.column(BloomFilterMightContain(
-        Literal(ser, org.apache.spark.sql.types.BinaryType),
-        GraftBridge.expression(col("__gh"))))
-      val cand = training
-        .select(col("doc_id"), explode(TextExprs.wordGramHash64(col("text"), 5)).as("__gh"))
-        .filter(mc).select("doc_id").distinct()
-      time(s"tier1 candidates #$i")(println("[scratch]   cands=" + cand.count()))
-      time(s"q57 full #$i")(println("[scratch]   out=" +
-        graft.text.Decontaminate.overlapBloom(training, bench, "text", "doc_id", 5, 0.05).count()))
-      time(s"q48-style full n=5 #$i")(println("[scratch]   out=" +
-        graft.text.Decontaminate.overlap(training, bench, "text", "doc_id", 5).count()))
+      time(s"q68_quality_rules $i") {
+        graft.queries.SearchQueries.q68QualityRules(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache()
+      time(s"q69_tfidf_search $i") {
+        graft.queries.SearchQueries.q69TfIdfSearch(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache()
+      time(s"q73_semdedup $i") {
+        graft.queries.DedupQueries.q73SemDedup(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
