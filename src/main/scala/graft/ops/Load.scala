@@ -44,6 +44,12 @@ object Load {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC — the other columnar format Spark ships natively; same
+    * predicate-pushdown/column-pruning machinery as parquet.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   def json(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
     val r = spark.read.option("multiLine", true)
     schema.fold(r)(s => r.schema(s)).json(path)

@@ -559,7 +559,8 @@ object MiscOps {
     import graft.multimodal.{ImageDedup, Multimodal}
     val base = Multimodal.syntheticImages(spark, dir)
     val dup = base.select((col("doc_id") + 100000).as("doc_id"), col("blob"))
-    ImageDedup.phashDupPairs(base.unionByName(dup), "doc_id", "blob",
+    val media = base.unionByName(dup)
+    ImageDedup.phashDupPairs(media, "doc_id", "blob",
       Multimodal.ImageIoDecoder)
       .orderBy("id_a", "id_b")
   }

@@ -172,13 +172,37 @@ object SinkQueries {
       |                          ORDER BY n_nationkey) AS BIGINT) AS sheet_row
       |FROM nation ORDER BY migdar_id""".stripMargin
 
+  /** q80 — ORC round-trip: write a projected slice of `documents` as
+    * ORC (Spark's other native columnar format, same pushdown/pruning
+    * machinery as parquet), read it back WITH a pushed filter, and
+    * project. The oracle restates the selection from the original
+    * parquet table, so type fidelity and the filter path through the
+    * ORC reader are both hash-gated.
+    */
+  def q80OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = freshScratch(dir, "orc") + "/docs_orc"
+    Load.table(spark, dir, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+      .write.mode("overwrite").orc(out)
+    Load.orc(spark, out)
+      .filter(col("n_chars") > 200 && col("lang") =!= "en")
+      .orderBy("doc_id")
+  }
+
+  val q80Sql: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE n_chars > 200 AND lang <> 'en'
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_xlsx_roundtrip" -> q39XlsxRoundtrip,
     "q45_sink_lifecycle" -> q45SinkLifecycle,
-    "q46_dump_roundtrip" -> q46DumpRoundtrip)
+    "q46_dump_roundtrip" -> q46DumpRoundtrip,
+    "q80_orc_roundtrip" -> q80OrcRoundtrip)
 
   val oracles: Map[String, String] = Map(
     "q39_xlsx_roundtrip" -> q39Sql,
     "q45_sink_lifecycle" -> q45Sql,
-    "q46_dump_roundtrip" -> q46Sql)
+    "q46_dump_roundtrip" -> q46Sql,
+    "q80_orc_roundtrip" -> q80Sql)
 }

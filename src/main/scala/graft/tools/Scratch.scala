@@ -26,18 +26,8 @@ object Scratch {
 
     graft.GraftExtensions.install(spark)
     for (i <- 1 to 2) {
-      time(s"q68_quality_rules $i") {
-        graft.queries.SearchQueries.q68QualityRules(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-      }
-      spark.catalog.clearCache()
-      time(s"q69_tfidf_search $i") {
-        graft.queries.SearchQueries.q69TfIdfSearch(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-      }
-      spark.catalog.clearCache()
-      time(s"q73_semdedup $i") {
-        graft.queries.DedupQueries.q73SemDedup(spark, dir)
+      time(s"q75_phash_dedup $i") {
+        graft.queries.MiscOps.q75PhashDedup(spark, dir)
           .write.format("noop").mode("overwrite").save()
       }
       spark.catalog.clearCache()
