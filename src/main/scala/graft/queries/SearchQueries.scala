@@ -155,10 +155,44 @@ object SearchQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_span_dedup" -> (q67SpanDedup _),
     "q68_quality_rules" -> (q68QualityRules _),
-    "q69_tfidf_search" -> (q69TfIdfSearch _))
+    "q69_tfidf_search" -> (q69TfIdfSearch _),
+    "q81_cooccurrence" -> (q81Cooccurrence _))
+
+  /** q81: co-occurrence + exact-integer PMI over window-2 token pairs —
+    * word-association mining / skip-gram pair prep. Pair generation is a
+    * narrow per-row array expression (no position self-join); the oracle
+    * regenerates pairs, unigram counts, and the cross-multiplied PMI
+    * flag from scratch with SQL list comprehensions.
+    */
+  def q81Cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    graft.text.Cooccurrence.pmiStats(d, "text", window = 2)
+      .orderBy(col("c_pair").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  val q81Sql: String =
+    """WITH toks AS (
+      |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+      |                     x -> x <> '') AS w
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT least(w[i], w[i+d]) AS w1, greatest(w[i], w[i+d]) AS w2
+      |  FROM toks, UNNEST(generate_series(1, len(w) - 1)) t(i),
+      |       UNNEST(generate_series(1, 2)) s(d)
+      |  WHERE i + d <= len(w)),
+      |pc AS (SELECT w1, w2, count(*)::BIGINT AS c_pair FROM pairs GROUP BY w1, w2),
+      |uni AS (SELECT u.tok, count(*)::BIGINT AS c
+      |        FROM toks, UNNEST(w) u(tok) GROUP BY u.tok),
+      |n AS (SELECT sum(c)::BIGINT AS n_tokens FROM uni)
+      |SELECT w1, w2, c_pair, a.c AS c1, b.c AS c2, n_tokens,
+      |       CAST(c_pair * n_tokens > a.c * b.c AS INTEGER) AS pmi_pos
+      |FROM pc JOIN uni a ON a.tok = pc.w1 JOIN uni b ON b.tok = pc.w2, n
+      |ORDER BY c_pair DESC, w1, w2 LIMIT 100""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q67_span_dedup" -> q67Sql,
     "q68_quality_rules" -> q68Sql,
-    "q69_tfidf_search" -> q69Sql)
+    "q69_tfidf_search" -> q69Sql,
+    "q81_cooccurrence" -> q81Sql)
 }
