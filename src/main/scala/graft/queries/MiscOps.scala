@@ -510,6 +510,38 @@ object MiscOps {
       |       AS BIGINT) AS sum_b
       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q82: nested-JSON round trip — serialize orders into a nested JSON
+    * document (struct-in-struct + array), parse it back with an explicit
+    * schema (`from_json`), and flatten (dotted field access + explode).
+    * The semi-structured ingestion path every log/API source needs; the
+    * oracle restates the flattened relation from the ORIGINAL columns,
+    * so schema-directed parsing (including the double round trip through
+    * JSON text) is hash-gated.
+    */
+  def q82JsonFlatten(spark: SparkSession, dir: String): DataFrame = {
+    val o = Load.table(spark, dir, "orders")
+    val js = o.select(col("o_orderkey"), to_json(struct(
+      col("o_custkey").as("cust"),
+      struct(col("o_orderstatus").as("s"), col("o_totalprice").as("p")).as("meta"),
+      array(col("o_orderpriority"), col("o_orderstatus")).as("tags"))).as("js"))
+    val schema = new StructType()
+      .add("cust", LongType)
+      .add("meta", new StructType().add("s", StringType).add("p", DoubleType))
+      .add("tags", ArrayType(StringType))
+    js.select(col("o_orderkey"), from_json(col("js"), schema).as("d"))
+      .select(col("o_orderkey"), col("d.cust").as("cust"),
+        col("d.meta.s").as("status"), col("d.meta.p").as("price"),
+        posexplode(col("d.tags")).as(Seq("tag_idx", "tag")))
+      .transform(Par.sortOnce(_, col("o_orderkey"), col("tag_idx")))
+  }
+
+  val q82Sql: String =
+    """SELECT o_orderkey, o_custkey AS cust, o_orderstatus AS status,
+      |       o_totalprice AS price, t.i - 1 AS tag_idx,
+      |       CASE t.i WHEN 1 THEN o_orderpriority ELSE o_orderstatus END AS tag
+      |FROM orders, UNNEST(generate_series(1, 2)) t(i)
+      |ORDER BY o_orderkey, tag_idx""".stripMargin
+
   /** q78: the stream-static dedup probe's batch twin. History = every
     * third document, persisted as a fingerprint index; the arriving
     * batch = the remaining docs plus REPLAYED copies of the history docs
@@ -588,7 +620,8 @@ object MiscOps {
     "q66_image_pixels" -> q66ImagePixels,
     "q72_asof_join" -> q72AsOfJoin,
     "q75_phash_dedup" -> q75PhashDedup,
-    "q78_stream_dedup" -> q78StreamDedupTwin)
+    "q78_stream_dedup" -> q78StreamDedupTwin,
+    "q82_json_flatten" -> q82JsonFlatten)
 
   val oracles: Map[String, String] = Map(
     "q11_set_type" -> q11Sql,
@@ -606,5 +639,6 @@ object MiscOps {
     "q66_image_pixels" -> q66Sql,
     "q72_asof_join" -> q72Sql,
     "q75_phash_dedup" -> q75Sql,
-    "q78_stream_dedup" -> q78Sql)
+    "q78_stream_dedup" -> q78Sql,
+    "q82_json_flatten" -> q82Sql)
 }
