@@ -184,4 +184,60 @@ class PropertiesSpec extends AnyFunSuite {
       got == model
     })
   }
+
+  // --- ZOrder ----------------------------------------------------------
+
+  test("morton2 de-interleaves back to its operands (low 32 bits)") {
+    def unspread(z0: Long): Long = {
+      var x = z0 & 0x5555555555555555L
+      x = (x | (x >>> 1)) & 0x3333333333333333L
+      x = (x | (x >>> 2)) & 0x0f0f0f0f0f0f0f0fL
+      x = (x | (x >>> 4)) & 0x00ff00ff00ff00ffL
+      x = (x | (x >>> 8)) & 0x0000ffff0000ffffL
+      (x | (x >>> 16)) & 0xffffffffL
+    }
+    check(Prop.forAll { (a: Long, b: Long) =>
+      val z = graft.functions.ZOrderKernels.morton2(a, b)
+      unspread(z) == (a & 0xffffffffL) && unspread(z >>> 1) == (b & 0xffffffffL)
+    })
+  }
+
+  test("morton2 interleaves into disjoint bit positions") {
+    check(Prop.forAll { (a: Long, b: Long) =>
+      import graft.functions.ZOrderKernels.morton2
+      (morton2(a, 0) & morton2(0, b)) == 0L &&
+        morton2(a, b) == (morton2(a, 0) | morton2(0, b))
+    })
+  }
+
+  // --- FreqSummary (Misra–Gries) ---------------------------------------
+
+  private def mgSummary(tokens: Seq[String], cap: Int) = {
+    val s = new graft.functions.FreqSummary(
+      new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]())
+    tokens.foreach(t => s.add(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t), 1L, cap))
+    import scala.jdk.CollectionConverters._
+    s.m.asScala.map { case (k, v) => k.toString -> v.longValue }.toMap
+  }
+
+  test("Misra–Gries: exact when distinct fits, undercount bound otherwise") {
+    val tokenGen = Gen.listOf(Gen.oneOf((0 until 12).map(i => s"t$i")))
+    check(Prop.forAll(tokenGen, Gen.choose(2, 16)) { (tokens, cap) =>
+      val got = mgSummary(tokens, cap)
+      val truth = tokens.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val bound = tokens.size.toLong / (cap + 1)
+      val sizeOk = got.size <= cap
+      val exactOk = truth.size > cap || got == truth
+      // every reported count is a lower bound within n/(cap+1); every
+      // untracked item's true count is within the same bound
+      val trackedOk = got.forall { case (k, c) =>
+        c <= truth(k) && truth(k) - c <= bound
+      }
+      val untrackedOk = truth.forall { case (k, c) =>
+        got.contains(k) || c <= bound
+      }
+      sizeOk && exactOk && trackedOk && untrackedOk
+    })
+  }
 }
