@@ -426,6 +426,38 @@ object DedupQueries {
       |SELECT dropped_id, min(kept_id) AS kept_id
       |FROM p GROUP BY dropped_id ORDER BY dropped_id""".stripMargin
 
+  /** q83: semantic decontamination — flag training embeddings whose
+    * direction appears in a (rescaled, so surface-identical-free)
+    * benchmark set. Bench = every 5th vector ×2 under shifted ids; the
+    * oracle brute-forces the full train×bench cosine matrix with no
+    * clustering, so the cluster-pruned cross-probe's recall is
+    * hash-gated exactly like q73's.
+    */
+  def q83SemanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val e = Load.table(spark, dir, "embeddings").select("vec_id", "embedding")
+    val bench = e.filter(col("vec_id") % 5 === 0).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), v => v * lit(2.0f)).as("embedding"))
+    graft.similarity.SemDedup
+      .crossFlagged(e, bench, "vec_id", "embedding",
+        nClusters = 16, threshold = 0.98)
+      .orderBy("train_id")
+  }
+
+  val q83Sql: String =
+    """WITH t AS (
+      |  SELECT vec_id AS train_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |b AS (
+      |  SELECT vec_id + 100000 AS bench_id,
+      |         list_transform(embedding, x -> x * 2.0)::DOUBLE[] AS v
+      |  FROM embeddings WHERE vec_id % 5 = 0),
+      |p AS (
+      |  SELECT train_id, bench_id FROM t JOIN b ON
+      |    list_dot_product(t.v, b.v)
+      |      / (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.98)
+      |SELECT train_id, min(bench_id) AS bench_id
+      |FROM p GROUP BY train_id ORDER BY train_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_exact_dedup" -> q30Exact,
     "q31_fingerprint_dedup" -> q31Fingerprint,
@@ -439,7 +471,8 @@ object DedupQueries {
     "q42_ann_topk_heap" -> q42AnnTopKHeap,
     "q43_ann_ivf" -> q43AnnIvf,
     "q62_sparse_cosine" -> q62SparseCosine,
-    "q73_semdedup" -> q73SemDedup)
+    "q73_semdedup" -> q73SemDedup,
+    "q83_semantic_decontaminate" -> q83SemanticDecontaminate)
 
   val oracles: Map[String, String] = Map(
     "q30_exact_dedup" -> q30Sql,
@@ -452,5 +485,6 @@ object DedupQueries {
     "q42_ann_topk_heap" -> q40Sql,
     "q43_ann_ivf" -> q41Sql,
     "q62_sparse_cosine" -> q62Sql,
-    "q73_semdedup" -> q73Sql)
+    "q73_semdedup" -> q73Sql,
+    "q83_semantic_decontaminate" -> q83Sql)
 }

@@ -64,6 +64,42 @@ object SemDedup {
       .select("dropped_id", "kept_id")
   }
 
+  /** Semantic DECONTAMINATION: flag every training document whose
+    * embedding direction appears in the benchmark set at cosine ≥
+    * threshold — the embedding-space complement of the n-gram overlap
+    * tier ([[graft.text.Decontaminate]]), catching paraphrases that
+    * share no surface n-grams. Same cluster-pruned shape as
+    * [[droppedDocs]]: centroids train on the benchmark side (small),
+    * BOTH relations assign with the same centroid table (identical
+    * directions can't straddle), and comparison happens within a
+    * cluster only. Output: (train_id, bench_id, one row per flagged
+    * training doc with its closest-qualifying benchmark id = min id).
+    */
+  def crossFlagged(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int,
+      threshold: Double,
+      iterations: Int = 5,
+      sampleRows: Int = 2000,
+      seed: Long = 42L): DataFrame = {
+    val bNorm = bench.select(
+      col(idCol).as("bench_id"), Embeddings.l2Normalize(col(vecCol)).as("__bv"))
+    val centroids = Ann.ivfTrain(bNorm, "__bv", nClusters, iterations,
+      sampleRows, seed)
+    val b = bNorm.withColumn("__cluster", Ann.ivfListId(col("__bv"), centroids))
+    val t = train.select(
+      col(idCol).as("train_id"), Embeddings.l2Normalize(col(vecCol)).as("__tv"))
+      .withColumn("__cluster", Ann.ivfListId(col("__tv"), centroids))
+    t.join(b, Seq("__cluster"))
+      .filter(Ann.cosine(col("__tv"), col("__bv")) >= threshold)
+      .groupBy("train_id")
+      .agg(min("bench_id").as("bench_id"))
+      .select("train_id", "bench_id")
+  }
+
   /** The deduplicated corpus: drop every [[droppedDocs]] row via an
     * anti-join on the dropped-id set (ids only cross the shuffle; AQE
     * broadcasts the side that turns out small — at aggressive thresholds

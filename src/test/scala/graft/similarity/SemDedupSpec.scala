@@ -43,6 +43,18 @@ class SemDedupSpec extends SparkSpec {
     assert(out.agg(max("vec_id")).as[Long].head() < 100000)
   }
 
+  test("crossFlagged: exactly the planted cross-relation matches") {
+    val bench = embeddings.filter($"vec_id" % 4 === 0).select(
+      ($"vec_id" + 5000).as("vec_id"),
+      transform($"embedding", v => v * lit(2.0f)).as("embedding"))
+    val flagged = SemDedup.crossFlagged(embeddings, bench, "vec_id",
+      "embedding", nClusters = 8, threshold = 0.98)
+      .collect().map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("bench_id")))
+    val expect = embeddings.filter($"vec_id" % 4 === 0)
+      .select("vec_id").as[Long].collect().map(id => (id, id + 5000))
+    assert(flagged.sorted.toSeq == expect.sorted.toSeq)
+  }
+
   test("identical directions never straddle clusters (normalized assign)") {
     // the scaled copies must land in the original's cluster: normalization
     // of a ×2^n copy is bit-identical, so argmin ties break identically
