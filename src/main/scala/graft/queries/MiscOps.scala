@@ -542,6 +542,37 @@ object MiscOps {
       |FROM orders, UNNEST(generate_series(1, 2)) t(i)
       |ORDER BY o_orderkey, tag_idx""".stripMargin
 
+  /** q84: snapshot diff between two corpus versions — v2 deletes every
+    * 13th doc, rewrites the text of every 7th surviving doc, and adds
+    * copies under shifted ids for every 11th. The full-outer hash
+    * compare must classify all four ways; the oracle re-derives the
+    * same classification from the construction arithmetic.
+    */
+  def q84SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Load.table(spark, dir, "documents").select("doc_id", "text")
+    val surviving = v1.filter(col("doc_id") % 13 =!= 0)
+    val v2 = surviving
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+      .unionByName(v1.filter(col("doc_id") % 11 === 0).select(
+        (col("doc_id") + 100000).as("doc_id"), col("text")))
+    SnapshotDiff.diff(v1, v2, Seq("doc_id"), Seq("text"))
+      .orderBy("doc_id")
+  }
+
+  val q84Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id >= 100000 THEN 'added'
+      |       WHEN doc_id % 13 = 0 THEN 'removed'
+      |       WHEN doc_id % 7 = 0 THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM (
+      |  SELECT doc_id FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 FROM documents WHERE doc_id % 11 = 0)
+      |ORDER BY doc_id""".stripMargin
+
   /** q78: the stream-static dedup probe's batch twin. History = every
     * third document, persisted as a fingerprint index; the arriving
     * batch = the remaining docs plus REPLAYED copies of the history docs
@@ -621,7 +652,8 @@ object MiscOps {
     "q72_asof_join" -> q72AsOfJoin,
     "q75_phash_dedup" -> q75PhashDedup,
     "q78_stream_dedup" -> q78StreamDedupTwin,
-    "q82_json_flatten" -> q82JsonFlatten)
+    "q82_json_flatten" -> q82JsonFlatten,
+    "q84_snapshot_diff" -> q84SnapshotDiff)
 
   val oracles: Map[String, String] = Map(
     "q11_set_type" -> q11Sql,
@@ -640,5 +672,6 @@ object MiscOps {
     "q72_asof_join" -> q72Sql,
     "q75_phash_dedup" -> q75Sql,
     "q78_stream_dedup" -> q78Sql,
-    "q82_json_flatten" -> q82Sql)
+    "q82_json_flatten" -> q82Sql,
+    "q84_snapshot_diff" -> q84Sql)
 }
