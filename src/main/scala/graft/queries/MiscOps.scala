@@ -573,6 +573,36 @@ object MiscOps {
       |  SELECT doc_id + 100000 FROM documents WHERE doc_id % 11 = 0)
       |ORDER BY doc_id""".stripMargin
 
+  /** q85: URL canonicalization — dirty URLs are BUILT from order
+    * columns (upper-case scheme/host, default port, tracking params in
+    * scrambled order, fragment), run through the parse_url-based
+    * canonicalizer, and the oracle states the expected canonical form
+    * closed-form from the same columns — so every rule (port strip,
+    * tracking drop, param sort, fragment drop, case fold) is
+    * independently hash-gated.
+    */
+  def q85UrlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val o = Load.table(spark, dir, "orders")
+    val dirty = o.select(col("o_orderkey"), concat(
+      lit("HTTP://Example"), col("o_custkey") % 5, lit(".ORG"),
+      when(col("o_orderkey") % 3 === 0, lit(":80")).otherwise(lit("")),
+      lit("/p/"), col("o_orderkey"),
+      lit("?utm_source=feed&b="), col("o_orderstatus"),
+      lit("&a="), col("o_custkey") % 97,
+      lit("#sec"), col("o_orderkey") % 7).as("url"))
+    dirty.select(col("o_orderkey"),
+      UrlOps.canonicalize(col("url")).as("canonical_url"),
+      UrlOps.host(col("url")).as("host"))
+      .orderBy("o_orderkey")
+  }
+
+  val q85Sql: String =
+    """SELECT o_orderkey,
+      |  'http://example' || (o_custkey % 5) || '.org/p/' || o_orderkey ||
+      |    '?a=' || (o_custkey % 97) || '&b=' || o_orderstatus AS canonical_url,
+      |  'example' || (o_custkey % 5) || '.org' AS host
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** q78: the stream-static dedup probe's batch twin. History = every
     * third document, persisted as a fingerprint index; the arriving
     * batch = the remaining docs plus REPLAYED copies of the history docs
@@ -653,7 +683,8 @@ object MiscOps {
     "q75_phash_dedup" -> q75PhashDedup,
     "q78_stream_dedup" -> q78StreamDedupTwin,
     "q82_json_flatten" -> q82JsonFlatten,
-    "q84_snapshot_diff" -> q84SnapshotDiff)
+    "q84_snapshot_diff" -> q84SnapshotDiff,
+    "q85_url_canonical" -> q85UrlCanonical)
 
   val oracles: Map[String, String] = Map(
     "q11_set_type" -> q11Sql,
@@ -673,5 +704,6 @@ object MiscOps {
     "q75_phash_dedup" -> q75Sql,
     "q78_stream_dedup" -> q78Sql,
     "q82_json_flatten" -> q82Sql,
-    "q84_snapshot_diff" -> q84Sql)
+    "q84_snapshot_diff" -> q84Sql,
+    "q85_url_canonical" -> q85Sql)
 }
