@@ -194,15 +194,41 @@ object SinkQueries {
       |WHERE n_chars > 200 AND lang <> 'en'
       |ORDER BY doc_id""".stripMargin
 
+  /** q86 — schema evolution: generation 1 of a corpus store lacks the
+    * `lang` column, generation 2 adds it; `mergeSchema` must read both
+    * generations as one relation with NULLs where gen-1 predates the
+    * column. The oracle restates the union from the source table with a
+    * CASE on the generation split.
+    */
+  def q86SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = freshScratch(dir, "evo") + "/store"
+    val d = Load.table(spark, dir, "documents")
+    d.filter(col("doc_id") % 2 === 0).select("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    d.filter(col("doc_id") % 2 =!= 0).select("doc_id", "source", "n_chars", "lang")
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    spark.read.option("mergeSchema", true).parquet(out)
+      .select("doc_id", "source", "n_chars", "lang", "gen")
+      .orderBy("doc_id")
+  }
+
+  val q86Sql: String =
+    """SELECT doc_id, source, n_chars,
+      |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang,
+      |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS gen
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_xlsx_roundtrip" -> q39XlsxRoundtrip,
     "q45_sink_lifecycle" -> q45SinkLifecycle,
     "q46_dump_roundtrip" -> q46DumpRoundtrip,
-    "q80_orc_roundtrip" -> q80OrcRoundtrip)
+    "q80_orc_roundtrip" -> q80OrcRoundtrip,
+    "q86_schema_evolution" -> q86SchemaEvolution)
 
   val oracles: Map[String, String] = Map(
     "q39_xlsx_roundtrip" -> q39Sql,
     "q45_sink_lifecycle" -> q45Sql,
     "q46_dump_roundtrip" -> q46Sql,
-    "q80_orc_roundtrip" -> q80Sql)
+    "q80_orc_roundtrip" -> q80Sql,
+    "q86_schema_evolution" -> q86Sql)
 }

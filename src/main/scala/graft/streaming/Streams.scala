@@ -98,6 +98,27 @@ object Streams {
       .drop("__seen")
   }
 
+  /** One micro-batch of the idempotent sink: each batch lands in its
+    * own `batch=<id>` directory with overwrite semantics, so a REPLAYED
+    * batch (crash before the checkpoint commit → re-delivery with the
+    * SAME batch id) overwrites its own previous output instead of
+    * appending duplicates. Idempotence per batch id + the checkpoint's
+    * at-least-once delivery = effectively-once file output.
+    */
+  def writeBatchIdempotent(batch: DataFrame, path: String, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
+  /** foreachBatch file sink built on [[writeBatchIdempotent]]; the
+    * checkpoint directory rides next to the data.
+    */
+  def idempotentParquetSink(df: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeBatchIdempotent(b.toDF(), path, id))
+      .option("checkpointLocation", s"$path/_checkpoint")
+      .start()
+
   final case class Event(event_id: Long, user_id: Long, ts_s: Long)
   final case class SessionState(sessionId: Long, lastTs: Long)
   final case class SessionizedEvent(event_id: Long, user_id: Long, ts_s: Long, session_id: Long)

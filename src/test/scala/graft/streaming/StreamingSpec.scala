@@ -123,4 +123,24 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed.forall(_ < 100000),
       "every replayed copy must be dropped by the index probe")
   }
+
+  test("idempotent foreachBatch sink: a replayed batch does not duplicate") {
+    val src = java.nio.file.Files.createTempDirectory("idem_src")
+    val out = java.nio.file.Files.createTempDirectory("idem_out").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      src.resolve("part-0.parquet"))
+    val q = Streams.idempotentParquetSink(
+      Streams.readEvents(spark, src.toString).select("event_id", "ts"), out)
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(spark.read.parquet(out).count() == n)
+    // simulate crash-before-commit re-delivery: the SAME batch id arrives
+    // again — overwrite semantics must leave the store unchanged
+    Streams.writeBatchIdempotent(
+      spark.read.parquet(s"$sf/events.parquet").select(col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts")), out, batchId = 0L)
+    assert(spark.read.parquet(out).count() == n,
+      "replaying batch 0 must not change the row count")
+  }
 }
