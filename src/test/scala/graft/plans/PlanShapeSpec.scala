@@ -67,4 +67,36 @@ class PlanShapeSpec extends SparkSpec {
       spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id"))
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
+
+  test("q74: the Morton key stays inside whole-stage codegen; one range exchange") {
+    val p = plan(Relational.q74ZOrder(spark, sf))
+    assert(p.contains("morton2"), s"morton expression missing:\n$p")
+    assert(p.contains("rangepartitioning"), s"no range partitioning:\n$p")
+    // the interleave must not fall out of codegen (no CodegenFallback wrapper)
+    assert(!p.contains("Fallback"), s"morton fell out of codegen:\n$p")
+  }
+
+  test("q76: the bucket histogram broadcasts back; masses agg is partial") {
+    val p = plan(graft.queries.CurationQueries.q76Dsir(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"histogram not broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial/final pairs for histogram + masses:\n$p")
+  }
+
+  test("q79: heavy hitters run with NO token-keyed exchange") {
+    val p = plan(graft.queries.CurationQueries.q79FreqItems(spark, sf))
+    assert(p.contains("freq_items"), s"aggregate missing:\n$p")
+    // ObjectHashAggregate pair around a SINGLE-partition exchange of
+    // summaries — never a shuffle keyed on the token itself
+    assert(p.contains("SinglePartition"), s"expected summary gather:\n$p")
+    assert(!p.contains("hashpartitioning(token"),
+      s"token-keyed shuffle crept in:\n$p")
+  }
+
+  test("q73: SemDeDup self-join reads the persisted assignment from both sides") {
+    val p = plan(DedupQueries.q73SemDedup(spark, sf))
+    assert(p.contains("InMemoryTableScan"),
+      s"cluster assignment not reused via persist:\n$p")
+    assert(p.contains("nearest_centroid"), s"narrow argmin assignment missing:\n$p")
+  }
 }
