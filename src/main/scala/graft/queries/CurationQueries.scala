@@ -608,6 +608,36 @@ object CurationQueries {
       |SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank, token, cnt
       |FROM c ORDER BY rank LIMIT 50""".stripMargin
 
+  /** q87: frequency-sorted vocabulary + integer corpus encoding — the
+    * text→tensor boundary. Output is the exploded (doc, position, id)
+    * encoding, so vocab ranking, unknown handling, and positional
+    * fidelity are all hash-gated against the oracle's independent rank
+    * + per-position join reconstruction.
+    */
+  def q87VocabEncode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.VocabEncode
+    val d = Load.table(spark, dir, "documents").select("doc_id", "text")
+    val vocab = VocabEncode.buildVocab(d, "text")
+    VocabEncode.encode(spark, d, "text", vocab)
+      .select(col("doc_id"), posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+      .select(col("doc_id"), col("pos").cast(LongType), col("token_id"))
+      .transform(graft.ops.Par.sortOnce(_, col("doc_id"), col("pos")))
+  }
+
+  val q87Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x <> '') AS w
+      |  FROM documents),
+      |uni AS (SELECT u.tok, count(*)::BIGINT AS c
+      |        FROM toks, UNNEST(w) u(tok) GROUP BY u.tok),
+      |vocab AS (
+      |  SELECT tok, row_number() OVER (ORDER BY c DESC, tok) - 1 AS id FROM uni)
+      |SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos, v.id AS token_id
+      |FROM toks, UNNEST(generate_series(1, len(w))) t(i)
+      |JOIN vocab v ON v.tok = w[i]
+      |ORDER BY doc_id, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_cluster_split" -> (q63ClusterSplit _),
     "q64_chunk_windows" -> (q64Chunk _),
@@ -623,7 +653,8 @@ object CurationQueries {
     "q58_token_budget" -> (q58TokenBudget _),
     "q76_dsir" -> (q76Dsir _),
     "q77_length_stats" -> (q77LengthStats _),
-    "q79_freq_items" -> (q79FreqItems _))
+    "q79_freq_items" -> (q79FreqItems _),
+    "q87_vocab_encode" -> (q87VocabEncode _))
 
   val oracles: Map[String, String] = Map(
     "q63_cluster_split" -> q63Sql,
@@ -640,5 +671,6 @@ object CurationQueries {
     "q58_token_budget" -> q58Sql,
     "q76_dsir" -> q76Sql,
     "q77_length_stats" -> q77Sql,
-    "q79_freq_items" -> q79Sql)
+    "q79_freq_items" -> q79Sql,
+    "q87_vocab_encode" -> q87Sql)
 }
