@@ -90,11 +90,49 @@ object PipelineQueries {
        |ORDER BY judge_id""".stripMargin
   }
 
+  /** q88: a pipeline authored DECLARATIVELY in the reference's
+    * pipeline-spec format (JSON form) and executed by the
+    * SpecInterpreter — load two tables, OR-of-equals filter, keyed join
+    * with field pick/rename, format-computed field, regex field deletes,
+    * sort. The oracle re-derives the result in plain SQL, so the whole
+    * interpretation layer (processor semantics + param plumbing + plan
+    * composition) is hash-gated end to end.
+    */
+  def q88SpecPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val spec =
+      """{"pipeline": [
+        | {"run": "load", "params": {"table": "orders"}},
+        | {"run": "load", "params": {"table": "customer"}},
+        | {"run": "filter_rows", "params": {"resource": "orders",
+        |   "equals": [{"o_orderstatus": "F"}, {"o_orderstatus": "P"}]}},
+        | {"run": "join", "params": {"source": "customer", "target": "orders",
+        |   "target_keys": ["o_custkey"], "source_keys": ["c_custkey"],
+        |   "fields": {"segment": "c_mktsegment", "cust_name": "c_name"},
+        |   "mode": "left"}},
+        | {"run": "add_computed_field", "params": {"resource": "orders",
+        |   "target": "label", "with": "order-{o_orderkey}/{segment}"}},
+        | {"run": "delete_fields", "params": {"resource": "orders",
+        |   "fields": ["o_order(date|priority)", "o_totalprice", "o_orderstatus"]}},
+        | {"run": "sort", "params": {"resource": "orders", "by": ["o_orderkey"]}}
+        |]}""".stripMargin
+    graft.runner.SpecInterpreter.run(spark, dir, spec)("orders").df
+  }
+
+  val q88Sql: String =
+    """SELECT o_orderkey, o_custkey, c_mktsegment AS segment,
+      |       c_name AS cust_name,
+      |       'order-' || o_orderkey || '/' || c_mktsegment AS label
+      |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderstatus IN ('F', 'P')
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_judges_events" -> q70JudgesEvents,
-    "q71_judges_join" -> q71JudgesJoin)
+    "q71_judges_join" -> q71JudgesJoin,
+    "q88_spec_pipeline" -> (q88SpecPipeline _))
 
   val oracles: Map[String, String] = Map(
     "q70_judges_events" -> q70Sql,
-    "q71_judges_join" -> q71Sql)
+    "q71_judges_join" -> q71Sql,
+    "q88_spec_pipeline" -> q88Sql)
 }

@@ -1,0 +1,118 @@
+package graft.runner
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.core.{Flow, Resource}
+import graft.ops.{Joins, Ordering, Reshape, RowOps}
+
+/** Declarative pipeline-spec interpreter — the reference's user-facing
+  * surface (datapackage-pipelines `pipeline-spec.yaml`: an ordered list
+  * of named processors with params; reference pipeline-spec.yaml drives
+  * every production pipeline this library re-implements). A reference
+  * user ports their spec by converting YAML to the isomorphic JSON (the
+  * one manual step — no YAML parser ships with Spark) and keeps the
+  * processor names and params.
+  *
+  * Each step is `{"run": "<processor>", "params": {...}}`; the chain
+  * folds over the [[Flow.Ctx]] package exactly like the reference's
+  * processor chain folds over the datapackage. Interpretation builds ONE
+  * Catalyst plan — steps are plan transformations, so a 40-step spec
+  * still optimizes (pushdown through every step, fused codegen) as if it
+  * were hand-written.
+  */
+object SpecInterpreter {
+
+  private implicit val fmt: Formats = DefaultFormats
+
+  /** Run a JSON pipeline spec against a base dir of parquet tables.
+    * Returns the final package.
+    */
+  def run(spark: SparkSession, dir: String, specJson: String): Flow.Ctx = {
+    val steps = (JsonMethods.parse(specJson) \ "pipeline").extract[List[JValue]]
+    val stages: Seq[Flow.Stage] = steps.map(step => stage(spark, dir, step))
+    Flow(stages: _*)(Flow.empty)
+  }
+
+  private def params(step: JValue): JValue = step \ "params"
+
+  private def stage(spark: SparkSession, dir: String, step: JValue): Flow.Stage = {
+    val p = params(step)
+    def str(k: String): String = (p \ k).extract[String]
+    def strs(k: String): Seq[String] = (p \ k).extract[Seq[String]]
+    def resourceName: String = (p \ "resource").extractOpt[String].getOrElse("res")
+
+    (step \ "run").extract[String] match {
+      case "load" =>
+        // {"table": "...", "name": "..."} — parquet table from the sf dir
+        val name = (p \ "name").extractOpt[String].getOrElse(str("table"))
+        ctx => ctx.updated(name,
+          Resource(graft.ops.Load.table(spark, dir, str("table")), name))
+      case "filter_rows" =>
+        // {"resource": r, "equals": [{field: value, ...}, ...]} — OR of ANDs,
+        // the reference's equals-spec form
+        val conds = (p \ "equals").extract[List[Map[String, JValue]]]
+        Flow.on(resourceName)(df => RowOps.filterRowsEquals(df,
+          conds.map(_.map { case (k, v) => k -> jvalueToAny(v) })))
+      case "select_fields" =>
+        Flow.on(resourceName)(RowOps.selectFields(_, strs("fields")))
+      case "delete_fields" =>
+        Flow.on(resourceName)(RowOps.deleteFields(_, strs("fields")))
+      case "add_computed_field" =>
+        // {"target": f, "operation": "format", "with": "tmpl-{col}"}
+        Flow.on(resourceName)(RowOps.addFormatField(_, str("target"), str("with")))
+      case "set_constant" =>
+        Flow.on(resourceName)(_.withColumn(str("target"), lit(str("value"))))
+      case "join" =>
+        // {"source": a, "target": b, "keys": [...] | target_keys/source_keys,
+        //  "fields": {out: in}, "mode": "left"}
+        val fields = (p \ "fields").extract[Map[String, String]]
+        val mode = (p \ "mode").extractOpt[String].getOrElse("left")
+        val tks = (p \ "target_keys").extractOpt[Seq[String]].getOrElse(strs("keys"))
+        val sks = (p \ "source_keys").extractOpt[Seq[String]].getOrElse(strs("keys"))
+        ctx => {
+          val joined = Joins.joinResources(
+            ctx(str("target")).df, ctx(str("source")).df,
+            tks, sks, fields.map(_.swap), how = mode)
+          ctx.updated(str("target"), ctx(str("target")).copy(df = joined))
+        }
+      case "concatenate" =>
+        // {"sources": [...], "target": t, "fields": {out: [aliases...]}}
+        val fields = (p \ "fields").extract[Map[String, List[String]]]
+        ctx => {
+          val srcs = strs("sources").map(ctx(_).df)
+          val out = Joins.concatenate(srcs, fields)
+          (ctx -- strs("sources")).updated(str("target"),
+            Resource(out, str("target")))
+        }
+      case "unwind" =>
+        // {"resource": r, "field": f, "target": t} — explode w/ global dedup
+        Flow.on(resourceName)(df =>
+          Reshape.unwindDistinct(df.select(str("field")), str("field"), str("target")))
+      case "sort" =>
+        Flow.on(resourceName)(_.orderBy(strs("by").map(col): _*))
+      case "row_number" =>
+        // arrival-order numbering: stamp the order first (parquet loads
+        // don't carry the CSV loader's __ord), number, drop the stamp
+        Flow.on(resourceName)(df =>
+          Ordering.orderIndex(Ordering.stampOrder(df), str("target"))
+            .drop(Ordering.ORD))
+      case "dedup" =>
+        Flow.on(resourceName)(_.dropDuplicates(strs("keys")))
+      case other =>
+        sys.error(s"SpecInterpreter: unknown processor '$other'")
+    }
+  }
+
+  private def jvalueToAny(v: JValue): Any = v match {
+    case JString(s) => s
+    case JInt(i) => i.toLong
+    case JLong(l) => l
+    case JDouble(d) => d
+    case JBool(b) => b
+    case JNull => null
+    case other => other.values
+  }
+}

@@ -1,0 +1,47 @@
+package graft.pipelines
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.runner.SpecInterpreter
+
+class SpecInterpreterSpec extends SparkSpec {
+
+  test("concatenate + unwind + dedup + row_number processors") {
+    val spec =
+      """{"pipeline": [
+        | {"run": "load", "params": {"table": "nation", "name": "n1"}},
+        | {"run": "load", "params": {"table": "nation", "name": "n2"}},
+        | {"run": "concatenate", "params": {"sources": ["n1", "n2"],
+        |   "target": "all", "fields": {"n_name": [], "n_regionkey": []}}},
+        | {"run": "dedup", "params": {"resource": "all", "keys": ["n_name"]}},
+        | {"run": "sort", "params": {"resource": "all", "by": ["n_name"]}},
+        | {"run": "row_number", "params": {"resource": "all", "target": "rn"}}
+        |]}""".stripMargin
+    val ctx = SpecInterpreter.run(spark, sf, spec)
+    assert(ctx.keySet == Set("all"), "concatenate must consume its sources")
+    val out = ctx("all").df
+    assert(out.count() == 25, "dedup over the doubled nations")
+    assert(out.columns.toSet == Set("n_name", "n_regionkey", "rn"))
+    val rns = out.orderBy("rn").select("rn").collect().map(_.getLong(0)).toSeq
+    assert(rns == (1L to 25L), s"row numbers not dense: $rns")
+  }
+
+  test("set_constant and select_fields; unknown processor rejects") {
+    val spec =
+      """{"pipeline": [
+        | {"run": "load", "params": {"table": "region", "name": "r"}},
+        | {"run": "set_constant", "params": {"resource": "r",
+        |   "target": "language", "value": "heb,eng"}},
+        | {"run": "select_fields", "params": {"resource": "r",
+        |   "fields": ["r_name", "language"]}}
+        |]}""".stripMargin
+    val out = SpecInterpreter.run(spark, sf, spec)("r").df
+    assert(out.columns.toSeq == Seq("r_name", "language"))
+    assert(out.select("language").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("heb,eng"))
+    val bad = """{"pipeline": [{"run": "no_such_processor", "params": {}}]}"""
+    val e = intercept[RuntimeException](SpecInterpreter.run(spark, sf, bad))
+    assert(e.getMessage.contains("no_such_processor"))
+  }
+}
