@@ -156,7 +156,8 @@ object SearchQueries {
     "q67_span_dedup" -> (q67SpanDedup _),
     "q68_quality_rules" -> (q68QualityRules _),
     "q69_tfidf_search" -> (q69TfIdfSearch _),
-    "q81_cooccurrence" -> (q81Cooccurrence _))
+    "q81_cooccurrence" -> (q81Cooccurrence _),
+    "q89_bpe_step" -> (q89BpeStep _))
 
   /** q81: co-occurrence + exact-integer PMI over window-2 token pairs —
     * word-association mining / skip-gram pair prep. Pair generation is a
@@ -190,9 +191,67 @@ object SearchQueries {
       |FROM pc JOIN uni a ON a.tok = pc.w1 JOIN uni b ON b.tok = pc.w2, n
       |ORDER BY c_pair DESC, w1, w2 LIMIT 100""".stripMargin
 
+  /** q89: one BPE tokenizer-training merge round — learn the most
+    * frequent adjacent ordered pair corpus-wide, rewrite every document
+    * with greedy-leftmost application. The oracle reproduces the greedy
+    * scan with the island trick (consecutive match positions → take
+    * even offsets), so the fold-with-pending-state rewrite is held to
+    * positional hash-equality.
+    */
+  def q89BpeStep(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents").select("doc_id", "text")
+    val (out, _) = graft.text.Bpe.mergeRound(d, "text", sep = "_")
+    out.select(col("doc_id"), posexplode(col("tokens")).as(Seq("pos", "token")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+      .transform(graft.ops.Par.sortOnce(_, col("doc_id"), col("pos")))
+  }
+
+  val q89Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x <> '') AS w
+      |  FROM documents),
+      |pc AS (
+      |  SELECT w[i] AS l, w[i+1] AS r, count(*) AS c
+      |  FROM toks, UNNEST(generate_series(1, len(w) - 1)) t(i)
+      |  WHERE len(w) >= 2 GROUP BY 1, 2),
+      |best AS (SELECT l, r FROM pc ORDER BY c DESC, l, r LIMIT 1),
+      |cand AS (
+      |  SELECT doc_id, i
+      |  FROM toks, UNNEST(generate_series(1, len(w) - 1)) t(i), best
+      |  WHERE len(w) >= 2 AND w[i] = best.l AND w[i+1] = best.r),
+      |isl AS (
+      |  SELECT doc_id, i,
+      |         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+      |  FROM cand),
+      |taken AS (
+      |  SELECT doc_id, i FROM (
+      |    SELECT doc_id, i,
+      |           row_number() OVER (PARTITION BY doc_id, g ORDER BY i) - 1 AS k
+      |    FROM isl) x
+      |  WHERE k % 2 = 0),
+      |flat AS (
+      |  SELECT toks.doc_id, t.i, toks.w[t.i] AS raw
+      |  FROM toks, UNNEST(generate_series(1, len(w))) t(i)),
+      |merged AS (
+      |  SELECT f.doc_id, f.i,
+      |         CASE WHEN tk.i IS NOT NULL
+      |              THEN (SELECT l || '_' || r FROM best)
+      |              ELSE f.raw END AS token
+      |  FROM flat f
+      |  LEFT JOIN taken tk ON tk.doc_id = f.doc_id AND tk.i = f.i
+      |  LEFT JOIN taken sk ON sk.doc_id = f.doc_id AND sk.i = f.i - 1
+      |  WHERE sk.i IS NULL)
+      |SELECT doc_id,
+      |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+      |            AS BIGINT) AS pos,
+      |       token
+      |FROM merged ORDER BY doc_id, pos""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q67_span_dedup" -> q67Sql,
     "q68_quality_rules" -> q68Sql,
     "q69_tfidf_search" -> q69Sql,
-    "q81_cooccurrence" -> q81Sql)
+    "q81_cooccurrence" -> q81Sql,
+    "q89_bpe_step" -> q89Sql)
 }

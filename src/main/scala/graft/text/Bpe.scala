@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One BPE merge round — the inner step of byte-pair-encoding tokenizer
+  * TRAINING (Sennrich et al. 2016): count adjacent ordered token pairs
+  * over the corpus, pick the most frequent, and rewrite every document
+  * with that pair merged greedily left-to-right (so `a a a` under merge
+  * (a,a) becomes `[a∘a, a]`, never `[a, a∘a]`). Training loops this
+  * step; the loop is a driver-side fold exactly like k-means training —
+  * each round is one counting shuffle + one narrow rewrite.
+  *
+  * The greedy rewrite is a per-row `aggregate` fold with (accumulated
+  * tokens, pending token) state — a single narrow expression, no
+  * explode, no join, no UDF. Exact semantics, so a SQL oracle can
+  * reproduce it with the island trick (consecutive match positions →
+  * take even offsets).
+  */
+object Bpe {
+
+  /** Ordered adjacent-pair counts: (l, r, cnt). One counting shuffle. */
+  def pairCounts(df: DataFrame, textCol: String): DataFrame = {
+    val toks = Decontaminate.wordTokens(col(textCol))
+    val idx = sequence(lit(1), size(toks)) // to size: tail slice is empty
+    val pairs = flatten(transform(idx, i =>
+      transform(slice(toks, i + 1, lit(1)),
+        x => struct(element_at(toks, i).as("l"), x.as("r")))))
+    df.select(explode(pairs).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The merge rule this round would learn: highest count, ties broken
+    * (l, r) lexically. Driver-side scalar — the learned merge TABLE is a
+    * tokenizer artifact, like the k-means centroids.
+    */
+  def topPair(df: DataFrame, textCol: String): Option[(String, String)] =
+    pairCounts(df, textCol)
+      .orderBy(col("cnt").desc, col("l"), col("r"))
+      .limit(1).collect().headOption
+      .map(r => (r.getString(0), r.getString(1)))
+
+  /** Greedy leftmost application of merge (l, r) to a token array:
+    * a fold with (acc, pending) state — pending is the previous token
+    * not yet committed; seeing r after pending == l commits the merged
+    * token and clears pending.
+    */
+  def applyMerge(tokens: Column, l: String, r: String,
+      sep: String = "▁"): Column = {
+    val zero = struct(
+      array().cast(ArrayType(StringType)).as("acc"),
+      lit(null).cast(StringType).as("pending"))
+    val merged = l + sep + r
+    aggregate(tokens, zero,
+      (s, t) => {
+        val acc = s.getField("acc")
+        val p = s.getField("pending")
+        when(p.isNull,
+          struct(acc.as("acc"), t.as("pending")))
+          .when(p === lit(l) && t === lit(r),
+            struct(concat(acc, array(lit(merged))).as("acc"),
+              lit(null).cast(StringType).as("pending")))
+          .otherwise(
+            struct(concat(acc, array(p)).as("acc"), t.as("pending")))
+      },
+      s => when(s.getField("pending").isNull, s.getField("acc"))
+        .otherwise(concat(s.getField("acc"), array(s.getField("pending")))))
+  }
+
+  /** One full merge round over a corpus: learn the top pair, rewrite
+    * every document. Returns (rewritten df with `tokens` column, rule).
+    */
+  def mergeRound(df: DataFrame, textCol: String,
+      sep: String = "▁"): (DataFrame, Option[(String, String)]) = {
+    val rule = topPair(df, textCol)
+    val toks = Decontaminate.wordTokens(col(textCol))
+    val out = rule match {
+      case Some((l, r)) => df.withColumn("tokens", applyMerge(toks, l, r, sep))
+      case None => df.withColumn("tokens", toks)
+    }
+    (out, rule)
+  }
+}

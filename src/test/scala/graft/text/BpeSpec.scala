@@ -1,0 +1,39 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def merge(tokens: Seq[String], l: String, r: String): Seq[String] =
+    Seq(tokens).toDF("t")
+      .select(Bpe.applyMerge(col("t"), l, r, sep = "_"))
+      .as[Seq[String]].head()
+
+  test("greedy leftmost merge, chains never double-consume") {
+    assert(merge(Seq("a", "b", "c"), "a", "b") == Seq("a_b", "c"))
+    assert(merge(Seq("a", "a", "a"), "a", "a") == Seq("a_a", "a"))
+    assert(merge(Seq("a", "a", "a", "a"), "a", "a") == Seq("a_a", "a_a"))
+    assert(merge(Seq("x", "a", "b", "a", "b"), "a", "b") ==
+      Seq("x", "a_b", "a_b"))
+    assert(merge(Seq("b", "a"), "a", "b") == Seq("b", "a"))
+    assert(merge(Seq.empty, "a", "b") == Seq.empty)
+    assert(merge(Seq("a"), "a", "b") == Seq("a"))
+  }
+
+  test("topPair picks highest count with lexical tie-break") {
+    val docs = Seq("p q p q", "p q r", "r r").toDF("text")
+    // pairs: (p,q) x3, (q,p) x1, (q,r) x1, (r,r) x1
+    assert(Bpe.topPair(docs, "text").contains(("p", "q")))
+  }
+
+  test("mergeRound rewrites the corpus with the learned rule") {
+    val docs = Seq((1L, "p q p q"), (2L, "q p")).toDF("doc_id", "text")
+    val (out, rule) = Bpe.mergeRound(docs, "text", sep = "_")
+    assert(rule.contains(("p", "q")))
+    val got = out.orderBy("doc_id").select("tokens").as[Seq[String]].collect()
+    assert(got(0) == Seq("p_q", "p_q") && got(1) == Seq("q", "p"))
+  }
+}
