@@ -82,4 +82,49 @@ object Bpe {
     }
     (out, rule)
   }
+
+  /** Pair counts over an existing token-array column (rounds ≥ 2 recount
+    * the REWRITTEN corpus, exactly like real BPE training).
+    */
+  def pairCountsTokens(df: DataFrame, tokensCol: String): DataFrame = {
+    val toks = col(tokensCol)
+    val idx = sequence(lit(1), size(toks))
+    val pairs = flatten(transform(idx, i =>
+      transform(slice(toks, i + 1, lit(1)),
+        x => struct(element_at(toks, i).as("l"), x.as("r")))))
+    df.select(explode(pairs).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The full training loop: `rounds` merge rounds, each re-counting the
+    * rewritten corpus. Returns (final df with `tokens`, ordered merge
+    * table — the tokenizer artifact). The per-round rewritten corpus is
+    * persisted and the previous round unpersisted (the k-means-style
+    * driver fold; at cluster scale each round is a checkpoint). Stops
+    * early when the best remaining pair occurs only once.
+    */
+  def train(df: DataFrame, textCol: String, rounds: Int,
+      sep: String = "▁"): (DataFrame, Seq[(String, String)]) = {
+    var cur = df.withColumn("tokens", Decontaminate.wordTokens(col(textCol))).persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    for (_ <- 0 until rounds if !done) {
+      val top = pairCountsTokens(cur, "tokens")
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect().headOption
+        .collect { case r if r.getLong(2) > 1 => (r.getString(0), r.getString(1)) }
+      top match {
+        case Some((l, r)) =>
+          merges += ((l, r))
+          val next = cur.withColumn("tokens",
+            applyMerge(col("tokens"), l, r, sep)).persist()
+          next.count() // materialize before dropping the parent
+          cur.unpersist()
+          cur = next
+        case None => done = true
+      }
+    }
+    (cur, merges.toSeq)
+  }
 }

@@ -29,6 +29,25 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.topPair(docs, "text").contains(("p", "q")))
   }
 
+  test("train: rounds compose, learned merges can nest") {
+    // round 1 learns (p,q); round 2 sees p_q tokens and learns (p_q,r)
+    val docs = Seq((1L, "p q r p q r"), (2L, "p q r"), (3L, "z z")).toDF("doc_id", "text")
+    val (out, merges) = Bpe.train(docs, "text", rounds = 2, sep = "_")
+    assert(merges == Seq(("p", "q"), ("p_q", "r")))
+    val got = out.orderBy("doc_id").select("tokens").as[Seq[String]].collect()
+    assert(got(0) == Seq("p_q_r", "p_q_r"))
+    assert(got(1) == Seq("p_q_r"))
+    assert(got(2) == Seq("z", "z"), "untouched tokens survive verbatim")
+    out.unpersist()
+  }
+
+  test("train stops early when no pair repeats") {
+    val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val (out, merges) = Bpe.train(docs, "text", rounds = 5, sep = "_")
+    assert(merges.isEmpty, "singleton pairs must not be merged")
+    out.unpersist()
+  }
+
   test("mergeRound rewrites the corpus with the learned rule") {
     val docs = Seq((1L, "p q p q"), (2L, "q p")).toDF("doc_id", "text")
     val (out, rule) = Bpe.mergeRound(docs, "text", sep = "_")
