@@ -20,17 +20,15 @@ import org.apache.spark.sql.types._
   */
 object Bpe {
 
-  /** Ordered adjacent-pair counts: (l, r, cnt). One counting shuffle. */
-  def pairCounts(df: DataFrame, textCol: String): DataFrame = {
-    val toks = Decontaminate.wordTokens(col(textCol))
-    val idx = sequence(lit(1), size(toks)) // to size: tail slice is empty
-    val pairs = flatten(transform(idx, i =>
-      transform(slice(toks, i + 1, lit(1)),
-        x => struct(element_at(toks, i).as("l"), x.as("r")))))
-    df.select(explode(pairs).as("p"))
-      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-      .agg(count(lit(1)).as("cnt"))
-  }
+  /** Ordered adjacent-pair counts: (l, r, cnt). One counting shuffle.
+    * The token array is BOUND AS A COLUMN before the pair lambda:
+    * inlining the tokenizer expression would re-evaluate it per element
+    * access inside the higher-order functions (O(tokens²) re-splits per
+    * row — measured 8.6 s vs 0.9 s at sf0.1).
+    */
+  def pairCounts(df: DataFrame, textCol: String): DataFrame =
+    pairCountsTokens(
+      df.select(Decontaminate.wordTokens(col(textCol)).as("__w")), "__w")
 
   /** The merge rule this round would learn: highest count, ties broken
     * (l, r) lexically. Driver-side scalar — the learned merge TABLE is a
@@ -42,32 +40,15 @@ object Bpe {
       .limit(1).collect().headOption
       .map(r => (r.getString(0), r.getString(1)))
 
-  /** Greedy leftmost application of merge (l, r) to a token array:
-    * a fold with (acc, pending) state — pending is the previous token
-    * not yet committed; seeing r after pending == l commits the merged
-    * token and clears pending.
+  /** Greedy leftmost application of merge (l, r) to a token array — the
+    * codegen'd O(n) kernel ([[graft.functions.BpeMerge]]). (The same
+    * scan is expressible as a builtin `aggregate` fold with
+    * (acc, pending) state, but that copies the accumulator array per
+    * element and runs interpreted: 10.2 s → 0.7 s at sf0.1.)
     */
   def applyMerge(tokens: Column, l: String, r: String,
-      sep: String = "▁"): Column = {
-    val zero = struct(
-      array().cast(ArrayType(StringType)).as("acc"),
-      lit(null).cast(StringType).as("pending"))
-    val merged = l + sep + r
-    aggregate(tokens, zero,
-      (s, t) => {
-        val acc = s.getField("acc")
-        val p = s.getField("pending")
-        when(p.isNull,
-          struct(acc.as("acc"), t.as("pending")))
-          .when(p === lit(l) && t === lit(r),
-            struct(concat(acc, array(lit(merged))).as("acc"),
-              lit(null).cast(StringType).as("pending")))
-          .otherwise(
-            struct(concat(acc, array(p)).as("acc"), t.as("pending")))
-      },
-      s => when(s.getField("pending").isNull, s.getField("acc"))
-        .otherwise(concat(s.getField("acc"), array(s.getField("pending")))))
-  }
+      sep: String = "▁"): Column =
+    graft.functions.BpeExprs.bpeMerge(tokens, l, r, sep)
 
   /** One full merge round over a corpus: learn the top pair, rewrite
     * every document. Returns (rewritten df with `tokens` column, rule).
