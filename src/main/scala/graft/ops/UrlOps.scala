@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   * Rules (the conservative, always-safe subset): lowercase scheme and
   * authority, strip the scheme's default port, drop the fragment, drop
   * tracking parameters (utm_*, fbclid, gclid), and sort the surviving
-  * query parameters. Everything is builtin expressions around Spark's
-  * codegen'd `try_parse_url` (the try_ form: a malformed URL maps to
-  * NULL instead of failing the job — at corpus scale there is ALWAYS a
-  * malformed URL) — one narrow map stage.
+  * query parameters. A malformed URL maps to NULL instead of failing
+  * the job — at corpus scale there is ALWAYS a malformed URL.
+  *
+  * The URL is parsed ONCE into a parts struct by the codegen'd
+  * [[graft.functions.UrlParts]] kernel (the builtin `try_parse_url`
+  * route constructs a `java.net.URI` per extracted part — five parses
+  * per row; measured 3.8 s → 1.3 s at sf0.1); everything downstream is
+  * builtin expressions over the struct fields. One narrow map stage.
   */
 object UrlOps {
 
@@ -22,23 +26,24 @@ object UrlOps {
 
   /** Canonical form of an absolute http(s) URL column. */
   def canonicalize(url: Column): Column = {
-    val scheme = lower(try_parse_url(url, lit("PROTOCOL")))
-    val auth0 = lower(try_parse_url(url, lit("AUTHORITY")))
+    val u = graft.functions.UrlExprs.urlParts(url)
+    val scheme = lower(u.getField("protocol"))
+    val auth0 = lower(u.getField("authority"))
     val auth = when(scheme === "http", regexp_replace(auth0, ":80$", ""))
       .when(scheme === "https", regexp_replace(auth0, ":443$", ""))
       .otherwise(auth0)
-    val path = coalesce(try_parse_url(url, lit("PATH")), lit(""))
+    val path = coalesce(u.getField("path"), lit(""))
     val params = array_sort(filter(
-      split(coalesce(try_parse_url(url, lit("QUERY")), lit("")), "&"),
+      split(coalesce(u.getField("query"), lit("")), "&"),
       p => p =!= "" && !p.rlike(TrackingParam)))
     val qstr = when(size(params) > 0,
       concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
-    when(scheme.isNull || auth0.isNull, lit(null).cast("string"))
-      .otherwise(concat(scheme, lit("://"), auth, path, qstr))
+    concat(scheme, lit("://"), auth, path, qstr)
   }
 
   /** Registrable host of a URL (lowercased), for host-level caps and
     * per-domain mixing.
     */
-  def host(url: Column): Column = lower(try_parse_url(url, lit("HOST")))
+  def host(url: Column): Column =
+    lower(graft.functions.UrlExprs.urlParts(url).getField("host"))
 }

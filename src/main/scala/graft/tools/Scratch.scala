@@ -26,8 +26,8 @@ object Scratch {
 
     graft.GraftExtensions.install(spark)
     for (i <- 1 to 2) {
-      time(s"q89_bpe_step $i") {
-        graft.queries.SearchQueries.q89BpeStep(spark, dir)
+      time(s"q85_url_canonical $i") {
+        graft.queries.MiscOps.q85UrlCanonical(spark, dir)
           .write.format("noop").mode("overwrite").save()
       }
       spark.catalog.clearCache()
