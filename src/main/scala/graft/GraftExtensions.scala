@@ -38,6 +38,12 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def strArg(e: Expression, what: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", null, name, usage, "")
 
@@ -71,7 +77,14 @@ object GraftExtensions {
     ("freq_items", info("freq_items",
       "freq_items(tokens, capacity) - Misra-Gries heavy hitters over array<string>"),
       { case Seq(c, cap) =>
-        FreqItems(c, intArg(cap, "capacity")).toAggregateExpression() }))
+        FreqItems(c, intArg(cap, "capacity")).toAggregateExpression() }),
+    ("url_parts", info("url_parts",
+      "url_parts(url) - one-pass struct<protocol,authority,path,query,host>, NULL on malformed"),
+      { case Seq(c) => UrlParts(c) }),
+    ("bpe_merge", info("bpe_merge",
+      "bpe_merge(tokens, l, r, sep) - greedy leftmost single-rule BPE rewrite"),
+      { case Seq(c, l, r, sep) =>
+        BpeMerge(c, strArg(l, "l"), strArg(r, "r"), strArg(sep, "sep")) }))
 
   /** Install everything into an already-running session (extensions
     * normally apply only at session build time).
