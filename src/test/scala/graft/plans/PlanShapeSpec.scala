@@ -93,6 +93,12 @@ class PlanShapeSpec extends SparkSpec {
       s"token-keyed shuffle crept in:\n$p")
   }
 
+  test("q89: the BPE rewrite is the codegen'd kernel in a narrow stage") {
+    val p = plan(graft.queries.SearchQueries.q89BpeStep(spark, sf))
+    assert(p.contains("bpe_merge"), s"kernel expression missing:\n$p")
+    assert(!p.contains("Fallback"), s"kernel fell out of codegen:\n$p")
+  }
+
   test("q73: SemDeDup self-join reads the persisted assignment from both sides") {
     val p = plan(DedupQueries.q73SemDedup(spark, sf))
     assert(p.contains("InMemoryTableScan"),
