@@ -157,7 +157,8 @@ object SearchQueries {
     "q68_quality_rules" -> (q68QualityRules _),
     "q69_tfidf_search" -> (q69TfIdfSearch _),
     "q81_cooccurrence" -> (q81Cooccurrence _),
-    "q89_bpe_step" -> (q89BpeStep _))
+    "q89_bpe_step" -> (q89BpeStep _),
+    "q90_cdc_chunks" -> (q90CdcChunks _))
 
   /** q81: co-occurrence + exact-integer PMI over window-2 token pairs —
     * word-association mining / skip-gram pair prep. Pair generation is a
@@ -248,10 +249,58 @@ object SearchQueries {
       |       token
       |FROM merged ORDER BY doc_id, pos""".stripMargin
 
+  /** q90: content-defined chunking — every document cut at Rabin-style
+    * window-fingerprint boundaries (block-level dedup / delta-storage
+    * prep; an edit shifts one boundary instead of re-aligning every
+    * fixed block). The oracle recomputes every window hash, boundary,
+    * and chunk substring from scratch in SQL — position-local
+    * fingerprints make the greedy-free cut set fully declarative.
+    */
+  def q90CdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents").select("doc_id", "text")
+    d.select(col("doc_id"),
+        posexplode(graft.functions.CdcExprs.cdcChunks(col("text")))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        md5(col("chunk")).as("chunk_md5"),
+        length(col("chunk")).cast("long").as("chunk_len"))
+      .transform(graft.ops.Par.sortOnce(_, col("doc_id"), col("chunk_idx")))
+  }
+
+  val q90Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text AS t, length(text) AS n FROM documents
+      |  WHERE length(text) > 0),
+      |cuts AS (
+      |  SELECT doc_id, t, n, list_filter(
+      |    [CASE WHEN (ord(substr(t, i, 1))::BIGINT
+      |              + ord(substr(t, i + 1, 1))::BIGINT * 31
+      |              + ord(substr(t, i + 2, 1))::BIGINT * 961
+      |              + ord(substr(t, i + 3, 1))::BIGINT * 29791
+      |              + ord(substr(t, i + 4, 1))::BIGINT * 923521
+      |              + ord(substr(t, i + 5, 1))::BIGINT * 28629151
+      |              + ord(substr(t, i + 6, 1))::BIGINT * 887503681
+      |              + ord(substr(t, i + 7, 1))::BIGINT * 27512614111) % 64 = 0
+      |            AND i + 7 < n THEN i + 7 END
+      |     FOR i IN generate_series(1, greatest(n - 7, 0))],
+      |    x -> x IS NOT NULL) AS cs
+      |  FROM d),
+      |spans AS (
+      |  SELECT doc_id, t,
+      |         list_prepend(1, list_transform(cs, c -> c + 1)) AS ss,
+      |         list_append(cs, n) AS es
+      |  FROM cuts)
+      |SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_idx,
+      |       md5(substr(t, ss[k], es[k] - ss[k] + 1)) AS chunk_md5,
+      |       CAST(es[k] - ss[k] + 1 AS BIGINT) AS chunk_len
+      |FROM spans, UNNEST(generate_series(1, len(ss))) u(k)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q67_span_dedup" -> q67Sql,
     "q68_quality_rules" -> q68Sql,
     "q69_tfidf_search" -> q69Sql,
     "q81_cooccurrence" -> q81Sql,
-    "q89_bpe_step" -> q89Sql)
+    "q89_bpe_step" -> q89Sql,
+    "q90_cdc_chunks" -> q90Sql)
 }
