@@ -84,7 +84,10 @@ object GraftExtensions {
     ("bpe_merge", info("bpe_merge",
       "bpe_merge(tokens, l, r, sep) - greedy leftmost single-rule BPE rewrite"),
       { case Seq(c, l, r, sep) =>
-        BpeMerge(c, strArg(l, "l"), strArg(r, "r"), strArg(sep, "sep")) }))
+        BpeMerge(c, strArg(l, "l"), strArg(r, "r"), strArg(sep, "sep")) }),
+    ("cdc_chunks", info("cdc_chunks",
+      "cdc_chunks(text) - content-defined chunk array (Rabin-style boundaries)"),
+      { case Seq(c) => CdcChunks(c) }))
 
   /** Install everything into an already-running session (extensions
     * normally apply only at session build time).

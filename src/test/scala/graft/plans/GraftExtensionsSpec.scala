@@ -76,6 +76,6 @@ class GraftExtensionsSpec extends SparkSpec {
     new graft.GraftExtensions().apply(ext)
     // building the extensions must at minimum not throw; behavior is
     // covered by the live-install tests above
-    assert(graft.GraftExtensions.sqlFunctions.size == 11)
+    assert(graft.GraftExtensions.sqlFunctions.size == 12)
   }
 }
