@@ -158,7 +158,8 @@ object SearchQueries {
     "q69_tfidf_search" -> (q69TfIdfSearch _),
     "q81_cooccurrence" -> (q81Cooccurrence _),
     "q89_bpe_step" -> (q89BpeStep _),
-    "q90_cdc_chunks" -> (q90CdcChunks _))
+    "q90_cdc_chunks" -> (q90CdcChunks _),
+    "q91_chunk_dedup" -> (q91ChunkDedup _))
 
   /** q81: co-occurrence + exact-integer PMI over window-2 token pairs —
     * word-association mining / skip-gram pair prep. Pair generation is a
@@ -296,11 +297,75 @@ object SearchQueries {
       |FROM spans, UNNEST(generate_series(1, len(ss))) u(k)
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** q91: block-level dedup accounting over the CDC chunks — the point
+    * of content-defined chunking: a corpus with duplicated passages
+    * (every 9th document replayed with a new tail) stores each shared
+    * chunk ONCE. Output: per duplicated chunk, its reference count and
+    * the bytes dedup saves; the oracle recomputes chunking AND the
+    * accounting from scratch.
+    */
+  def q91ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents").select("doc_id", "text")
+    val replayed = d.filter(col("doc_id") % 9 === 0).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" fresh tail after the replay")).as("text"))
+    val corpus = d.unionByName(replayed)
+    corpus
+      .select(explode(graft.functions.CdcExprs.cdcChunks(col("text"))).as("chunk"))
+      .groupBy(md5(col("chunk")).as("chunk_md5"))
+      .agg(count(lit(1)).as("refs"),
+        first(length(col("chunk"))).cast("long").as("chunk_len"))
+      .filter(col("refs") > 1)
+      .withColumn("bytes_saved", (col("refs") - 1) * col("chunk_len"))
+      .select("chunk_md5", "refs", "chunk_len", "bytes_saved")
+      .orderBy("chunk_md5")
+  }
+
+  val q91Sql: String = {
+    // same chunker as q90Sql, over the corpus ∪ replayed slice
+    """WITH uni AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text || ' fresh tail after the replay'
+      |  FROM documents WHERE doc_id % 9 = 0),
+      |d AS (SELECT doc_id, text AS t, length(text) AS n FROM uni
+      |      WHERE length(text) > 0),
+      |cuts AS (
+      |  SELECT doc_id, t, n, list_filter(
+      |    [CASE WHEN (ord(substr(t, i, 1))::BIGINT
+      |              + ord(substr(t, i + 1, 1))::BIGINT * 31
+      |              + ord(substr(t, i + 2, 1))::BIGINT * 961
+      |              + ord(substr(t, i + 3, 1))::BIGINT * 29791
+      |              + ord(substr(t, i + 4, 1))::BIGINT * 923521
+      |              + ord(substr(t, i + 5, 1))::BIGINT * 28629151
+      |              + ord(substr(t, i + 6, 1))::BIGINT * 887503681
+      |              + ord(substr(t, i + 7, 1))::BIGINT * 27512614111) % 64 = 0
+      |            AND i + 7 < n THEN i + 7 END
+      |     FOR i IN generate_series(1, greatest(n - 7, 0))],
+      |    x -> x IS NOT NULL) AS cs
+      |  FROM d),
+      |spans AS (
+      |  SELECT doc_id, t,
+      |         list_prepend(1, list_transform(cs, c -> c + 1)) AS ss,
+      |         list_append(cs, n) AS es
+      |  FROM cuts),
+      |chunks AS (
+      |  SELECT substr(t, ss[k], es[k] - ss[k] + 1) AS chunk
+      |  FROM spans, UNNEST(generate_series(1, len(ss))) u(k)),
+      |acc AS (
+      |  SELECT md5(chunk) AS chunk_md5, count(*)::BIGINT AS refs,
+      |         CAST(min(length(chunk)) AS BIGINT) AS chunk_len
+      |  FROM chunks GROUP BY md5(chunk))
+      |SELECT chunk_md5, refs, chunk_len, (refs - 1) * chunk_len AS bytes_saved
+      |FROM acc WHERE refs > 1 ORDER BY chunk_md5""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q67_span_dedup" -> q67Sql,
     "q68_quality_rules" -> q68Sql,
     "q69_tfidf_search" -> q69Sql,
     "q81_cooccurrence" -> q81Sql,
     "q89_bpe_step" -> q89Sql,
-    "q90_cdc_chunks" -> q90Sql)
+    "q90_cdc_chunks" -> q90Sql,
+    "q91_chunk_dedup" -> q91Sql)
 }
