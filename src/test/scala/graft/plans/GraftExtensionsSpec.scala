@@ -67,6 +67,22 @@ class GraftExtensionsSpec extends SparkSpec {
         |FROM VALUES (1L), (2L), (3L) t(v)""".stripMargin)
       .collect().head.getSeq[Long](0).sorted
     assert(bc == Seq(1L, 2L, 3L))
+    // the round-4 additions: morton2, freq_items, url_parts, bpe_merge,
+    // cdc_chunks — each callable and behaviorally sane from SQL
+    assert(spark.sql("SELECT morton2(3L, 1L)").collect().head.getLong(0) == 7L)
+    val hh = spark.sql(
+      """SELECT freq_items(t, 8) FROM VALUES (array('a','a','b')) v(t)""")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.map(r => (r.getString(0), r.getLong(1))) == Seq(("a", 2L), ("b", 1L)))
+    val up = spark.sql(
+      "SELECT url_parts('https://Ex.com:8443/p?a=1').host").collect().head
+    assert(up.getString(0) == "Ex.com")
+    val bm = spark.sql(
+      """SELECT bpe_merge(array('a','b','c'), 'a', 'b', '_')""")
+      .collect().head.getSeq[String](0)
+    assert(bm == Seq("a_b", "c"))
+    val cc = spark.sql("SELECT size(cdc_chunks('tiny'))").collect().head
+    assert(cc.getInt(0) == 1)
   }
 
   test("GraftExtensions class applies cleanly at session build time") {
