@@ -510,6 +510,50 @@ object MiscOps {
       |       AS BIGINT) AS sum_b
       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q92: OHLC-style time-series downsampling — per (hour, event_type):
+    * open/close (value of the first/last event, tie-broken by the unique
+    * event_id via min_by/max_by on an exact integer key), high/low, and
+    * the event count. The classic resampling pass for telemetry and
+    * market data; one shuffle on the bucket key, all partial-aggregable.
+    * Values are COPIED (never float-summed), so the oracle's
+    * arg_min/arg_max reconstruction is hash-exact.
+    */
+  def q92Ohlc(spark: SparkSession, dir: String): DataFrame = {
+    val e = Load.events(spark, dir)
+    // deterministic total order inside a bucket: (nanos, event_id) as a
+    // struct — lexicographic struct comparison on both engines; a scalar
+    // ts_ns*k+id key would overflow int64
+    val key = struct(col("ts_ns"), col("event_id"))
+    e.groupBy(
+        (unix_timestamp(date_trunc("hour", col("ts")))).as("hour_start"),
+        col("event_type"))
+      .agg(
+        min_by(col("value"), key).as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        max_by(col("value"), key).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  val q92Sql: String =
+    """WITH e AS (
+      |  SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_start,
+      |         event_type, value,
+      |         row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+      |           ORDER BY epoch_ns(ts), event_id) AS rn_a,
+      |         row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+      |           ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn_d
+      |  FROM events)
+      |SELECT hour_start, event_type,
+      |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |       max(value) AS high,
+      |       min(value) AS low,
+      |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |       count(*)::BIGINT AS n
+      |FROM e GROUP BY 1, 2
+      |ORDER BY hour_start, event_type""".stripMargin
+
   /** q82: nested-JSON round trip — serialize orders into a nested JSON
     * document (struct-in-struct + array), parse it back with an explicit
     * schema (`from_json`), and flatten (dotted field access + explode).
@@ -684,6 +728,7 @@ object MiscOps {
     "q78_stream_dedup" -> q78StreamDedupTwin,
     "q82_json_flatten" -> q82JsonFlatten,
     "q84_snapshot_diff" -> q84SnapshotDiff,
+    "q92_ohlc" -> q92Ohlc,
     "q85_url_canonical" -> q85UrlCanonical)
 
   val oracles: Map[String, String] = Map(
@@ -705,5 +750,6 @@ object MiscOps {
     "q78_stream_dedup" -> q78Sql,
     "q82_json_flatten" -> q82Sql,
     "q84_snapshot_diff" -> q84Sql,
+    "q92_ohlc" -> q92Sql,
     "q85_url_canonical" -> q85Sql)
 }
