@@ -306,6 +306,51 @@ object Relational {
       |    AS BIGINT) AS zval
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** q93: long→wide PIVOT — per-user event-type counts as columns (the
+    * inverse of R1's unpivot). Explicit pivot values keep the plan
+    * single-pass (no distinct-values pre-query); missing combinations
+    * coalesce to 0 to match SQL's FILTER counts.
+    */
+  def q93Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val p = Load.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(p)((df, t) =>
+        df.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy("user_id")
+  }
+
+  val q93Sql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (WHERE event_type = 'click')::BIGINT AS click,
+      |  count(*) FILTER (WHERE event_type = 'view')::BIGINT AS view,
+      |  count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS signup,
+      |  count(*) FILTER (WHERE event_type = 'error')::BIGINT AS error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q94: ROLLUP subtotals over (source, lang) with the grouping-id
+    * marker — the reporting aggregation shape (per-source-and-lang,
+    * per-source, grand total in ONE pass of partial aggregates).
+    */
+  def q94Rollup(spark: SparkSession, dir: String): DataFrame = {
+    Load.table(spark, dir, "documents")
+      .rollup("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        grouping_id().as("gid"))
+      .orderBy("gid", "source", "lang")
+  }
+
+  val q94Sql: String =
+    """SELECT source, lang, count(*)::BIGINT AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(GROUPING(source, lang) AS BIGINT) AS gid
+      |FROM documents GROUP BY ROLLUP(source, lang)
+      |ORDER BY gid, source, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "q2_filter_project" -> q2FilterProject,
@@ -318,7 +363,9 @@ object Relational {
     "q9_concatenate" -> q9Concatenate,
     "q10_doc_id" -> q10DocId,
     "q44_salted_join" -> q44SaltedJoin,
-    "q74_zorder" -> q74ZOrder)
+    "q74_zorder" -> q74ZOrder,
+    "q93_pivot" -> q93Pivot,
+    "q94_rollup" -> q94Rollup)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -332,5 +379,7 @@ object Relational {
     "q9_concatenate" -> q9Sql,
     "q10_doc_id" -> q10Sql,
     "q44_salted_join" -> q44Sql,
-    "q74_zorder" -> q74Sql)
+    "q74_zorder" -> q74Sql,
+    "q93_pivot" -> q93Sql,
+    "q94_rollup" -> q94Sql)
 }
