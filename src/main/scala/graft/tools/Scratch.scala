@@ -25,9 +25,12 @@ object Scratch {
     d.count() // warmup
 
     graft.GraftExtensions.install(spark)
+    // profile any query twice (2nd iteration ~ bench steady state);
+    // swap the target when hunting a regression
+    val target = sys.env.getOrElse("SPARK_GRAFT_SCRATCH_Q", "q1_agg")
     for (i <- 1 to 2) {
-      time(s"q85_url_canonical $i") {
-        graft.queries.MiscOps.q85UrlCanonical(spark, dir)
+      time(s"$target $i") {
+        graft.SparkEntry.queries(target)(spark, dir)
           .write.format("noop").mode("overwrite").save()
       }
       spark.catalog.clearCache()
