@@ -42,8 +42,14 @@ val jdk17AddOpens = Seq(
 // (gating it on SPARK_DRIVER_MEM cost the round-3 bench +8% on the default
 // heap); at 8g the boot-time cost is ~1 s, noise for tests/Verify too.
 val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+// 95 queries of whole-stage codegen in one JVM overflow the JDK-17 default
+// 240 MB reserved code cache; once it fills, the sweeper deoptimizes hot
+// methods and later queries run partly interpreted (the round-4 +17%
+// common-set regression). Reserve enough for the full suite's JIT output.
+val codeCache = sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "512m")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx$driverMem", s"-Xms$driverMem", "-XX:+AlwaysPreTouch",
+  s"-XX:ReservedCodeCacheSize=$codeCache", "-XX:+UseCodeCacheFlushing",
 )

@@ -5,6 +5,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    // dev convenience: comma-separated query subset (e.g. the round-3
+    // 50-query set for regression isolation); absent = full suite
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val benchQueries = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,7 +25,7 @@ object Bench {
     // before its timed run — the timed section then measures steady-state
     // execution, not first-run compilation
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    benchQueries.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
@@ -37,7 +43,7 @@ object Bench {
     System.gc()
     Thread.sleep(3000)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every output column —
       // count() would let Catalyst prune the projection away
@@ -50,29 +56,45 @@ object Bench {
       spark.catalog.clearCache()
       name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // ms precision on the stdout line keeps the 95-query record compact;
+    // BENCH_LOCAL.json keeps full nanosecond-derived precision.
+    def ms(v: Double): String = "%.3f".format(v)
     val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsShort = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val jsonFull =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+    val jsonDetail =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}"""
+    // The driver's tail capture keeps only the last ~2 KB of stdout; a
+    // 95-query detail line is bigger than that, so its head (with
+    // "value":total) gets truncated and the round scores parsed:null
+    // (round-4 verdict #1). Emit the detail line first, then a SHORT
+    // self-contained total record as the very last line — whatever prefix
+    // the tail loses, the final line always fits and always parses.
+    val jsonTail =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size}}"""
     // Durable copy so a harness that misses the stdout line can still
     // recover the record from disk. Best-effort: an unwritable path must
     // not abort the run before the primary stdout metric line prints.
     try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
-      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+      java.nio.file.Files.write(out, jsonFull.getBytes("UTF-8"))
     } catch {
       // NonFatal only: an OOM/VM error must kill the run, not be masked
       // by a clean-looking metric line
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] durable write failed: $e")
     }
-    // Stop Spark BEFORE emitting the metric line so shutdown chatter can
-    // never land after it — the JSON must be the very last stdout line.
+    // Stop Spark BEFORE emitting the metric lines so shutdown chatter can
+    // never land after them — the short JSON must be the very last line.
     spark.stop()
     System.out.flush()
-    println(json)
+    println(jsonDetail)
+    println(jsonTail)
     System.out.flush()
   }
 }

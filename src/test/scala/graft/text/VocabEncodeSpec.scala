@@ -29,4 +29,29 @@ class VocabEncodeSpec extends SparkSpec {
       .select("token_ids").as[Seq[Long]].head()
     assert(enc == Seq(1L, -7L))
   }
+
+  test("topK bounds the vocab to the most frequent tokens") {
+    val v = VocabEncode.buildVocab(docs, "text", topK = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v == Map("b" -> 0L, "a" -> 1L)) // c (cnt 1) capped away
+  }
+
+  test("join-strategy encode matches the literal path incl. degenerate rows") {
+    val vocab = VocabEncode.buildVocab(docs, "text")
+    val in = Seq((1L, "b a b"), (2L, "a zzz c"), (3L, ""), (4L, null))
+      .toDF("doc_id", "text")
+    // maxLiteralVocab=1 forces the broadcast-join strategy
+    val out = VocabEncode.encode(spark, in, "text", vocab, unkId = -7L,
+        maxLiteralVocab = 1, keyCol = Some("doc_id"))
+      .orderBy("doc_id").select("token_ids").as[Option[Seq[Long]]].collect()
+    val lit = VocabEncode.encode(spark, in, "text", vocab, unkId = -7L)
+      .orderBy("doc_id").select("token_ids").as[Option[Seq[Long]]].collect()
+    assert(out.toSeq == lit.toSeq)
+    assert(out(0).get == Seq(0L, 1L, 0L) && out(1).get == Seq(1L, -7L, 2L))
+    // no-key fallback (monotonically_increasing_id) on a narrow plan
+    val noKey = VocabEncode.encode(spark, in, "text", vocab, unkId = -7L,
+        maxLiteralVocab = 1)
+      .orderBy("doc_id").select("token_ids").as[Option[Seq[Long]]].collect()
+    assert(noKey.toSeq == lit.toSeq)
+  }
 }
