@@ -58,6 +58,28 @@ object Reshape {
       .drop(arrayCol)
       .dropDuplicates(out)
 
+  /** R4, full-row form (reference broken_links.py:34-43 exactly): each
+    * row fans out to one row per DISTINCT element of its array with every
+    * other column preserved, and an element already emitted by an earlier
+    * row (arrival order) is dropped corpus-wide — the first row to carry
+    * a URL owns it. Survivor election is a per-element window (row_number
+    * over the stamped arrival order), so the shuffle keys on the element
+    * value and distributes — no global window, scale-safe.
+    */
+  def unwindFirstSeen(df: DataFrame, arrayCol: String, out: String,
+      ordCol: String = Ordering.ORD): DataFrame = {
+    val stamped = df.columns.contains(ordCol)
+    val base = if (stamped) df else Ordering.stampOrder(df)
+    val exploded = base
+      .withColumn(out, explode(array_distinct(col(arrayCol))))
+      .drop(arrayCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(out)).orderBy(col(ordCol))
+    val won = exploded.withColumn("__unwind_rn", row_number().over(w))
+      .filter(col("__unwind_rn") === 1).drop("__unwind_rn")
+    if (stamped) won else won.drop(ordCol)
+  }
+
   /** R5 URL harvesting: regex-findall over the entire row rendered as one
     * string → `urls` array (reference: broken_links.py:99, regex at
     * broken_links.py:7-8).

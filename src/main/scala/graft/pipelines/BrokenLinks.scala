@@ -35,15 +35,10 @@ object BrokenLinks {
     val cat = harvested.reduce(_ unionByName _)
 
     // unwind with global first-URL-wins dedup (broken_links.py:34-43):
-    // min __ord per URL keeps the first emitting row
-    val exploded = cat.select(col("name"), col("title"), col("link"),
-      col(Ordering.ORD), explode(array_distinct(col("urls"))).as("url"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("url")).orderBy(col(Ordering.ORD))
-    val unwound = exploded
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", Ordering.ORD)
+    // per-URL window on the stamped order keeps the first emitting row
+    val unwound = Reshape
+      .unwindFirstSeen(cat, "urls", "url", Ordering.ORD)
+      .drop(Ordering.ORD)
 
     // parallel HEAD check, keep failures (broken_links.py:111-112)
     Http.checkLinks(unwound, "url", checker, parallelism)

@@ -589,8 +589,10 @@ object CurationQueries {
     * documented n/(capacity+1) undercount bound.
     */
   def q79FreqItems(spark: SparkSession, dir: String): DataFrame = {
+    // wordTokens filters the "" token a whitespace-only doc would emit,
+    // matching the oracle's list_filter(x <> '')
     val toks = Load.table(spark, dir, "documents")
-      .select(split(trim(lower(col("text"))), "\\s+").as("toks"))
+      .select(graft.text.Decontaminate.wordTokens(col("text")).as("toks"))
     toks
       .agg(graft.functions.FreqItemsAgg.freqItems(col("toks"), 4096).as("hh"))
       .select(posexplode(col("hh")).as(Seq("rank0", "e")))

@@ -634,10 +634,16 @@ object MiscOps {
       lit("?utm_source=feed&b="), col("o_orderstatus"),
       lit("&a="), col("o_custkey") % 97,
       lit("#sec"), col("o_orderkey") % 7).as("url"))
-    dirty.select(col("o_orderkey"),
-      UrlOps.canonicalize(col("url")).as("canonical_url"),
-      UrlOps.host(col("url")).as("host"))
-      .orderBy("o_orderkey")
+    // Sort FIRST, on the cheap scan-side relation, then apply the parse
+    // kernel: a bare final orderBy would make the range partitioner's
+    // sampling pass re-execute the whole narrow pipeline (kernel
+    // included) a second time — sorting early leaves only the concat
+    // under the sampler and runs the kernel exactly once, post-shuffle,
+    // with no persist needed (projection preserves sort order).
+    dirty.orderBy("o_orderkey")
+      .select(col("o_orderkey"),
+        UrlOps.canonicalize(col("url")).as("canonical_url"),
+        UrlOps.host(col("url")).as("host"))
   }
 
   val q85Sql: String =

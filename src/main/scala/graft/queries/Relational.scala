@@ -296,15 +296,26 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
-  /** Independent bit-arithmetic reconstruction of the Morton interleave. */
+  /** Independent bit-arithmetic reconstruction of the Morton interleave
+    * over the kernel's FULL 32-bit-per-dimension domain: bits run 0..31
+    * (bit 31 of the odd dimension lands at position 63), so the sum is
+    * carried in HUGEINT and wrapped to int64 two's-complement exactly as
+    * the kernel's long arithmetic does — values ≥ 2³¹ and the resulting
+    * negative z-values are covered, not just TPC-H-small keys.
+    */
   val q74Sql: String =
     """SELECT o_orderkey, o_custkey,
-      |  CAST(list_sum([((o_custkey >> i) & 1) * (1::BIGINT << (2 * i))
-      |                 FOR i IN generate_series(0, 30)])
-      |     + list_sum([((o_orderkey >> i) & 1) * (1::BIGINT << (2 * i + 1))
-      |                 FOR i IN generate_series(0, 30)])
-      |    AS BIGINT) AS zval
-      |FROM orders ORDER BY o_orderkey""".stripMargin
+      |  CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+      |            THEN s - 18446744073709551616::HUGEINT ELSE s END
+      |       AS BIGINT) AS zval
+      |FROM (
+      |  SELECT o_orderkey, o_custkey,
+      |    list_sum([((o_custkey >> i) & 1)::HUGEINT * (1::HUGEINT << (2 * i))
+      |              FOR i IN generate_series(0, 31)])
+      |  + list_sum([((o_orderkey >> i) & 1)::HUGEINT * (1::HUGEINT << (2 * i + 1))
+      |              FOR i IN generate_series(0, 31)]) AS s
+      |  FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
 
   /** q93: long→wide PIVOT — per-user event-type counts as columns (the
     * inverse of R1's unpivot). Explicit pivot values keep the plan

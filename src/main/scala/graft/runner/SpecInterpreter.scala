@@ -88,17 +88,34 @@ object SpecInterpreter {
             Resource(out, str("target")))
         }
       case "unwind" =>
-        // {"resource": r, "field": f, "target": t} — explode w/ global dedup
+        // {"resource": r, "field": f, "target": t} — full-row fan-out with
+        // global first-seen-wins dedup on the target, matching the
+        // reference generator (broken_links.py:34-43): every non-array
+        // column rides along, and the first row (arrival order) to carry
+        // a value owns it corpus-wide
         Flow.on(resourceName)(df =>
-          Reshape.unwindDistinct(df.select(str("field")), str("field"), str("target")))
+          Reshape.unwindFirstSeen(df, str("field"), str("target")))
       case "sort" =>
         Flow.on(resourceName)(_.orderBy(strs("by").map(col): _*))
       case "row_number" =>
         // arrival-order numbering: stamp the order first (parquet loads
-        // don't carry the CSV loader's __ord), number, drop the stamp
-        Flow.on(resourceName)(df =>
-          Ordering.orderIndex(Ordering.stampOrder(df), str("target"))
-            .drop(Ordering.ORD))
+        // don't carry the CSV loader's __ord), number, drop the stamp.
+        // Optional {"partition_by": [...]} switches to per-key occurrence
+        // numbering — the scale path. WITHOUT it this is dpp's global
+        // arrival-order semantics: a single-task window, safe only on
+        // already-reduced resources (the reference's order-dependent
+        // tables are hand-edited sheets, ≤ thousands of rows).
+        val partitionBy = (p \ "partition_by").extractOpt[Seq[String]]
+        Flow.on(resourceName)(df => {
+          val stamped = Ordering.stampOrder(df)
+          val numbered = partitionBy match {
+            case Some(keys) if keys.nonEmpty =>
+              Ordering.occurrenceIndex(stamped, keys, str("target"))
+                .withColumn(str("target"), col(str("target")).cast("long"))
+            case _ => Ordering.orderIndex(stamped, str("target"))
+          }
+          numbered.drop(Ordering.ORD)
+        })
       case "dedup" =>
         Flow.on(resourceName)(_.dropDuplicates(strs("keys")))
       case other =>

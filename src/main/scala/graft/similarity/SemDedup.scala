@@ -32,6 +32,12 @@ object SemDedup {
     * canonical survivor the duplicate collapses into). Documents that
     * survive do not appear. Join `dropped_id` back as an anti-join key to
     * materialize the deduplicated corpus.
+    *
+    * Cache contract: the cluster assignment is persisted (the self-join
+    * consumes it twice). The caller owns the cache lifetime — after
+    * materializing the result, release it with
+    * `spark.catalog.clearCache()` (what Verify/Bench do per query), the
+    * same contract as [[graft.ops.Par.sortOnce]].
     */
   def droppedDocs(
       corpus: DataFrame,

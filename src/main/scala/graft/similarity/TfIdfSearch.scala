@@ -41,6 +41,12 @@ object TfIdfSearch {
   /** Top-k corpus docs per query row. Queries carry (qidCol, textCol);
     * output: (query_id, doc_id, score) with score = Σ tf·w fixed-point
     * int64, ties broken by doc_id.
+    *
+    * Cache contract: the postings index is persisted (it feeds both the
+    * probe join and the df/weight aggregation). The caller owns the
+    * cache lifetime — release with `spark.catalog.clearCache()` after
+    * materializing (what Verify/Bench do per query), the same contract
+    * as [[graft.ops.Par.sortOnce]].
     */
   def topK(corpus: DataFrame, queries: DataFrame, textCol: String,
       idCol: String, qidCol: String, k: Int): DataFrame = {

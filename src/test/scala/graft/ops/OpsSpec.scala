@@ -35,6 +35,26 @@ class OpsSpec extends SparkSpec {
     assert(out.columns.contains("other"))
   }
 
+  test("unwindFirstSeen keeps all columns; first row owns each element") {
+    val df = Seq(
+      (1L, "a", Seq("u1", "u2", "u2")), // u2 twice in-row: one output
+      (2L, "b", Seq("u2", "u3")),       // u2 already owned by row 1
+      (3L, "c", Seq.empty[String]),     // no elements: no output rows
+      (4L, "d", Seq("u3", "u4"))        // u3 owned by row 2
+    ).toDF("id", "payload", "urls")
+      .withColumn(Ordering.ORD, col("id")) // explicit arrival order
+    val out = Reshape.unwindFirstSeen(df, "urls", "url")
+      .orderBy("url")
+      .select("id", "payload", "url").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq == Seq((1L, "a", "u1"), (1L, "a", "u2"),
+      (2L, "b", "u3"), (4L, "d", "u4")))
+    // caller-stamped __ord is preserved; auto-stamped one is dropped
+    assert(Reshape.unwindFirstSeen(df, "urls", "url").columns.contains(Ordering.ORD))
+    assert(!Reshape.unwindFirstSeen(df.drop(Ordering.ORD), "urls", "url")
+      .columns.contains(Ordering.ORD))
+  }
+
   test("dedupSuffix appends .1, .2 in arrival order") {
     val df = Seq(("x", 1L), ("x", 2L), ("y", 3L), ("x", 4L)).toDF("doc_id", "ord")
     val out = Ordering.dedupSuffix(df, "doc_id", "ord")

@@ -27,6 +27,22 @@ class SpecInterpreterSpec extends SparkSpec {
     assert(rns == (1L to 25L), s"row numbers not dense: $rns")
   }
 
+  test("row_number with partition_by numbers per key (the scale path)") {
+    val spec =
+      """{"pipeline": [
+        | {"run": "load", "params": {"table": "nation", "name": "n"}},
+        | {"run": "row_number", "params": {"resource": "n", "target": "rn",
+        |   "partition_by": ["n_regionkey"]}}
+        |]}""".stripMargin
+    val out = SpecInterpreter.run(spark, sf, spec)("n").df
+    val perRegion = out.groupBy("n_regionkey")
+      .agg(max("rn").as("mx"), count(lit(1)).as("n"))
+      .collect()
+    assert(perRegion.nonEmpty)
+    perRegion.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"rn not dense within region: $r"))
+  }
+
   test("set_constant and select_fields; unknown processor rejects") {
     val spec =
       """{"pipeline": [

@@ -85,6 +85,30 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(cc.getInt(0) == 1)
   }
 
+  test("cdc_chunks is codepoint-indexed — non-BMP text cannot shift cuts") {
+    import spark.implicits._
+    // emoji (U+1F600, a surrogate pair in UTF-16) mixed into the text:
+    // positions must count it as ONE character, like DuckDB substr/ord
+    val text = (0 until 40).map(i => s"ab😀cd${('a' + i % 26).toChar}").mkString
+    val got = Seq(text).toDF("t")
+      .selectExpr("cdc_chunks(t) AS cs").as[Seq[String]].head()
+    // independent recompute over codepoints (the oracle's view of strings)
+    val cps = text.codePoints().toArray
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for (i <- 0 to cps.length - 8) {
+      var h = 0L; var p = 1L
+      for (j <- 0 until 8) { h += cps(i + j).toLong * p; p *= 31 }
+      if (h % 64 == 0 && i + 8 < cps.length) cuts += (i + 8)
+    }
+    val bounds: Seq[Int] = (0 +: cuts.toSeq) :+ cps.length
+    val expected = bounds.sliding(2).map {
+      case Seq(a, b) => new String(cps, a, b - a)
+    }.toSeq
+    assert(got == expected)
+    assert(got.mkString == text)
+    assert(cuts.nonEmpty, "fixture produced no cuts — strengthen it")
+  }
+
   test("GraftExtensions class applies cleanly at session build time") {
     // the shared session already exists, so exercise the extensions
     // object directly against a fresh SparkSessionExtensions
