@@ -19,8 +19,13 @@ import org.apache.spark.sql.types._
   */
 object Translate {
 
-  /** One dictionary entry: canonical Hebrew key → (english, arabic). */
-  final case class Entry(hebrew: String, english: String, arabic: String)
+  /** One dictionary entry: canonical Hebrew key → (english, arabic,
+    * alias values). `values` mirrors the reference row's `values` column
+    * (the value* alias cells, i18n.py:35-41) — it is what `f__all`
+    * receives on a hit (COLS/SUFFIXES zip, i18n.py:83-84).
+    */
+  final case class Entry(hebrew: String, english: String, arabic: String,
+      values: Seq[String] = Nil)
 
   /** Normalization applied to both dict keys and lookup tokens
     * (reference `clean`, i18n.py:31-32: nbsp → space, strip, lower).
@@ -42,8 +47,9 @@ object Translate {
       val heb = get("hebrew")
       if (clean(heb).isEmpty) Iterator.empty
       else {
-        val e = Entry(heb, get("english"), get("arabic"))
-        val keys = (heb +: aliasCols.map(get)).map(clean).filter(_.nonEmpty)
+        val aliases = aliasCols.map(get).filter(_.trim.nonEmpty)
+        val e = Entry(heb, get("english"), get("arabic"), aliases.toSeq)
+        val keys = (heb +: aliases).map(clean).filter(_.nonEmpty)
         keys.distinct.iterator.map(_ -> e)
       }
     }.toMap
@@ -53,7 +59,15 @@ object Translate {
       f: Seq[String], f__en: Seq[String], f__ar: Seq[String], f__all: Seq[String],
       misses: Seq[String], ambiguous: Seq[String])
 
-  /** Translate one raw delimited cell value against the dict. */
+  /** Translate one raw delimited cell value against the dict.
+    *
+    * Divergence note: tokens are TRIMMED before the length-3 skip check;
+    * the reference checks the unstripped split piece (i18n.py:103-104)
+    * and appends the unstripped piece on a miss. Its production inputs
+    * are pre-stripped upstream (extract_values, i18n.py:35-41), so the
+    * distinction is unobservable there; trimming makes the behavior
+    * independent of delimiter padding.
+    */
   def translateValue(
       dict: Map[String, Entry],
       raw: String,
@@ -68,24 +82,43 @@ object Translate {
       Vector.empty[String], Vector.empty[String])
     var misses = Vector.empty[String]
     var ambiguous = Vector.empty[String]
+    // reference append semantics (i18n.py:117-131): per-column first-seen
+    // dedup; hit values are CLEANED translations; an empty translation
+    // cell falls back to the raw token
+    def put(v: Vector[String], x: String): Vector[String] =
+      if (v.contains(x)) v else v :+ x
+    def emit(v: Vector[String], toVals: Seq[String], rawTok: String): Vector[String] =
+      toVals.foldLeft(v) { (acc, tv) =>
+        val cleaned = clean(tv)
+        if (cleaned.nonEmpty) put(acc, cleaned) else put(acc, rawTok)
+      }
     tokens.foreach { tok =>
       val key = clean(tok)
-      val hit = dict.get(key).orElse {
-        val cands = Fuzzy.extract(key, keys, limit = 2, cutoff = fuzzyCutoff)
-        if (cands.size > 1 && cands(1)._2 >= fuzzyCutoff)
-          ambiguous :+= s"$tok -> ${cands.map(_._1).mkString(" | ")}"
-        cands.headOption.map(c => dict(c._1))
-      }
-      hit match {
-        case Some(e) =>
-          f :+= e.hebrew; en :+= e.english; ar :+= e.arabic
-          all ++= Seq(e.hebrew, e.english, e.arabic).filter(_.nonEmpty)
-        case None =>
-          misses :+= tok
-          f :+= tok; en :+= tok; ar :+= tok; all :+= tok
+      // i18n.py:103-104: empty-after-clean or raw length < 3 → skipped
+      // entirely (the token reaches NO output column)
+      if (key.nonEmpty && tok.length >= 3) {
+        val hit = dict.get(key).orElse {
+          val cands = Fuzzy.extract(key, keys, limit = 2, cutoff = fuzzyCutoff)
+          if (cands.size > 1 && cands(1)._2 >= fuzzyCutoff)
+            ambiguous :+= s"$tok -> ${cands.map(_._1).mkString(" | ")}"
+          cands.headOption.map(c => dict(c._1))
+        }
+        hit match {
+          case Some(e) =>
+            f = emit(f, Seq(e.hebrew), tok)
+            en = emit(en, Seq(e.english), tok)
+            ar = emit(ar, Seq(e.arabic), tok)
+            // the 'values' column: alias list; an entry WITHOUT aliases
+            // contributes nothing to __all (empty loop), like the reference
+            all = emit(all, e.values, tok)
+          case None =>
+            misses :+= tok
+            f = put(f, tok); en = put(en, tok); ar = put(ar, tok)
+            all = put(all, tok)
+        }
       }
     }
-    Translated(f, en, ar, all.distinct, misses, ambiguous)
+    Translated(f, en, ar, all, misses, ambiguous)
   }
 
   /** The DataFrame stage: replaces `field` with array column `field` and

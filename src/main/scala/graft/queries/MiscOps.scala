@@ -198,6 +198,51 @@ object MiscOps {
       .orderBy("c_custkey")
   }
 
+  /** J3's EXACT tier, hash-gated (the path ~all production rows take,
+    * reference i18n.py:91-107: clean → dictionary lookup): the planted
+    * dictionary guarantees no token ever falls through to the fuzzy
+    * scorer as a HIT — every token either exact-matches after clean or
+    * misses outright — so the whole observable behavior (clean
+    * normalization, length-3 skip, per-column first-seen dedup, cleaned
+    * translation emit incl. the alias-valued __all column, raw miss
+    * passthrough) is SQL-expressible and oracled. q17 keeps the fuzzy
+    * tier (imperative string DP, no SQL mirror) rows-only.
+    */
+  def q17bExactTranslate(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Load.table(spark, dir, "nation")
+    val dict = Translate.buildDict(
+      nat.select(
+        col("n_name").as("hebrew"),
+        concat(lit("en_"), lower(col("n_name"))).as("english"),
+        concat(lit("ar_"), lower(col("n_name"))).as("arabic"),
+        concat(lit("alias "), lower(col("n_name"))).as("value1")))
+    // tokens: exact hit (mixed case), a len<3 skip, a guaranteed miss,
+    // and a duplicate hit exercising per-column dedup — no padding, so
+    // the trimmed/unstripped length distinction (scaladoc note) is moot
+    val cust = Load.table(spark, dir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("nation_field", concat(
+        initcap(lower(col("n_name"))),
+        lit(",ab,zzz_"), col("c_custkey"),
+        lit(","), lower(col("n_name"))))
+    Translate.splitAndTranslate(cust, "nation_field", dict)
+      .select(col("c_custkey"),
+        array_join(col("nation_field"), "|").as("f"),
+        array_join(col("nation_field__en"), "|").as("f_en"),
+        array_join(col("nation_field__ar"), "|").as("f_ar"),
+        array_join(col("nation_field__all"), "|").as("f_all"))
+      .orderBy("c_custkey")
+  }
+
+  val q17bSql: String =
+    """SELECT c_custkey,
+      |  lower(n_name) || '|zzz_' || c_custkey AS f,
+      |  'en_' || lower(n_name) || '|zzz_' || c_custkey AS f_en,
+      |  'ar_' || lower(n_name) || '|zzz_' || c_custkey AS f_ar,
+      |  'alias ' || lower(n_name) || '|zzz_' || c_custkey AS f_all
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY c_custkey""".stripMargin
+
   /** R2 nested construction: per-order point arrays {x,y,q} ordered by
     * line number, flag = membership in a per-order "extrapolated" set.
     * Rows-only (nested JSON rendering differs per engine); golden-tested
@@ -720,6 +765,7 @@ object MiscOps {
     "q15_recode" -> q15Recode,
     "q16_scd_merge" -> q16ScdMerge,
     "q17_fuzzy_translate" -> q17FuzzyTranslate,
+    "q17b_exact_translate" -> q17bExactTranslate,
     "q18_nested_series" -> q18NestedSeries,
     "q18b_series_explode" -> q18bSeriesExplode,
     "q19_validate_units" -> q19ValidateUnits,
@@ -744,6 +790,7 @@ object MiscOps {
     "q14_links" -> q14Sql,
     "q15_recode" -> q15Sql,
     "q16_scd_merge" -> q16Sql,
+    "q17b_exact_translate" -> q17bSql,
     "q18b_series_explode" -> q18bSql,
     "q19_validate_units" -> q19Sql,
     "q50_windowed_events" -> q50Sql,

@@ -59,9 +59,10 @@ class DatasetsSpec extends SparkSpec {
     assert(ds2.map(p => (p.getAs[String]("x"), p.getAs[Double]("y"))).toSeq ==
       Seq(("2001", 1.0), ("2002", 2.0), ("2003", 3000.0)))
 
-    // language translated into three languages
+    // language translated into three languages; outputs are CLEANED
+    // (lowercased) per reference i18n.py:117-127
     assert(doc.getAs[scala.collection.Seq[String]]("language__en").toSeq ==
-      Seq("Hebrew", "English", "Arabic"))
+      Seq("hebrew", "english", "arabic"))
   }
 
   test("forward-fill carries chart_title; missing-title leading rows drop") {

@@ -36,8 +36,10 @@ class PipelinesSpec extends SparkSpec {
     assert(out(0).getAs[scala.collection.Seq[String]]("alt_names").toSeq ==
       Seq("שם חלופי", "ארגון א"))
     assert(out(0).getAs[String]("org_website") == "http://example.org")
+    // translations are emitted CLEANED (lowercased) per reference
+    // i18n.py:117-127 (to_val = clean(to_val) before append)
     assert(out(0).getAs[scala.collection.Seq[String]]("life_areas__en").toSeq ==
-      Seq("Health", "Education"))
+      Seq("health", "education"))
     assert(out(0).getAs[String]("objective").contains("<a href=\"http://a.example\""))
     assert(out(0).getAs[Int]("year") == 2026)
   }
