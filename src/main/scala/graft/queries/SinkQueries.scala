@@ -218,7 +218,63 @@ object SinkQueries {
       |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS gen
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** K5 sitemap round-trip, hash-gated (reference sitemap.py:8-26,73-79):
+    * one sitemap per document source plus the index file, written by the
+    * REAL sink (escaping, urlset/index serialization, file IO) and read
+    * straight back — one row per produced file. URLs embed an `&` so the
+    * XML-escape path is exercised; per-sitemap URL order is pinned by
+    * doc_id and the index follows sorted insertion order (ListMap), so
+    * DuckDB reconstructs every byte with string_agg.
+    */
+  def q95Sitemap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.Sitemap
+    val out = freshScratch(dir, "sitemap")
+    val docs = Load.table(spark, dir, "documents")
+      .withColumn("url", concat(lit("https://yodaat.org/item/"), col("doc_id"),
+        lit("?lang=he&kind="), col("source")))
+    val names = docs.select("source").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val resources = scala.collection.immutable.ListMap(
+      names.map(n =>
+        n -> docs.filter(col("source") === n).orderBy("doc_id").select("url")): _*)
+    Sitemap.dump(resources, "url", "https://yodaat.org", out)
+    val rows = new java.io.File(out).listFiles().sortBy(_.getName).toSeq.map { f =>
+      val name =
+        if (f.getName == "sitemap.xml") "index"
+        else f.getName.stripPrefix("sitemap.").stripSuffix(".xml")
+      (name, java.nio.file.Files.readString(f.toPath))
+    }
+    import spark.implicits._
+    rows.toDF("name", "xml").orderBy("name")
+  }
+
+  val q95Sql: String =
+    """WITH u AS (
+      |  SELECT source, doc_id,
+      |    '  <url><loc>https://yodaat.org/item/' || doc_id ||
+      |    '?lang=he&amp;kind=' || source || '</loc></url>' AS entry
+      |  FROM documents),
+      |s AS (
+      |  SELECT source AS name,
+      |    '<?xml version="1.0" encoding="UTF-8"?>' || chr(10) ||
+      |    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' || chr(10) ||
+      |    string_agg(entry, chr(10) ORDER BY doc_id) || chr(10) ||
+      |    '</urlset>' AS xml
+      |  FROM u GROUP BY source),
+      |i AS (
+      |  SELECT 'index' AS name,
+      |    '<?xml version="1.0" encoding="UTF-8"?>' || chr(10) ||
+      |    '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' || chr(10) ||
+      |    string_agg('  <sitemap><loc>https://yodaat.org/sitemap.' || name ||
+      |               '.xml</loc></sitemap>', chr(10) ORDER BY name) || chr(10) ||
+      |    '</sitemapindex>' AS xml
+      |  FROM (SELECT DISTINCT source AS name FROM documents))
+      |SELECT name, xml FROM s
+      |UNION ALL SELECT name, xml FROM i
+      |ORDER BY name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_sitemap" -> (q95Sitemap _),
     "q39_xlsx_roundtrip" -> q39XlsxRoundtrip,
     "q45_sink_lifecycle" -> q45SinkLifecycle,
     "q46_dump_roundtrip" -> q46DumpRoundtrip,
@@ -226,6 +282,7 @@ object SinkQueries {
     "q86_schema_evolution" -> q86SchemaEvolution)
 
   val oracles: Map[String, String] = Map(
+    "q95_sitemap" -> q95Sql,
     "q39_xlsx_roundtrip" -> q39Sql,
     "q45_sink_lifecycle" -> q45Sql,
     "q46_dump_roundtrip" -> q46Sql,
