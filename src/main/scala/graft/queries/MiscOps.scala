@@ -245,8 +245,12 @@ object MiscOps {
 
   /** R2 nested construction: per-order point arrays {x,y,q} ordered by
     * line number, flag = membership in a per-order "extrapolated" set.
-    * Rows-only (nested JSON rendering differs per engine); golden-tested
-    * in the spec.
+    * Hash-gated through the JSON rendering: Spark's to_json of the
+    * struct array is byte-reconstructed in DuckDB by string_agg (both
+    * engines print doubles in shortest round-trip form, booleans
+    * lowercase, and compact JSON with struct-field key order), so the
+    * two-level nesting is no longer rows-only. The exploded twin (q18b)
+    * keeps gating element/order semantics independently of rendering.
     */
   def q18NestedSeries(spark: SparkSession, dir: String): DataFrame = {
     // ord packed into one long (linenumber ≪ 44 | partkey) — same order
@@ -292,6 +296,19 @@ object MiscOps {
         col("col.x").as("x"), col("col.y").as("y"), col("col.q").as("q"))
       .transform(Par.sortOnce(_, col("l_orderkey"), col("point_idx")))
   }
+
+  /** Byte-level reconstruction of q18's to_json output: per-point JSON
+    * objects concatenated in the same (linenumber, partkey, quantity,
+    * returnflag) order joinSelf's packed-__ord array_sort pins.
+    */
+  val q18Sql: String =
+    """SELECT l_orderkey,
+      |  '[' || string_agg(
+      |    '{"x":"' || l_linenumber || '","y":' || l_quantity || ',"q":' ||
+      |    CASE WHEN l_linenumber IN (1, 2) THEN 'true' ELSE 'false' END || '}',
+      |    ',' ORDER BY l_linenumber, l_partkey, l_quantity, l_returnflag)
+      |  || ']' AS dataset
+      |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
   /** The ROW_NUMBER ordering mirrors joinSelf's array_sort exactly: the
     * packed struct compares (__ord, l_linenumber, l_quantity,
@@ -791,6 +808,7 @@ object MiscOps {
     "q15_recode" -> q15Sql,
     "q16_scd_merge" -> q16Sql,
     "q17b_exact_translate" -> q17bSql,
+    "q18_nested_series" -> q18Sql,
     "q18b_series_explode" -> q18bSql,
     "q19_validate_units" -> q19Sql,
     "q50_windowed_events" -> q50Sql,
