@@ -116,15 +116,20 @@ object Http {
 
   /** Real checker with the reference's politeness policy: 3 attempts,
     * backoff 10 s ×2 on 429, 1 s pause, 10 s timeout, UA spoof.
+    * `initialBackoffMs`/`pauseMs` default to the reference values
+    * (broken_links.py:49,58,66); tests shrink them to drive the retry
+    * path against a real socket without wall-clock cost.
     */
   final class HeadChecker(
       timeoutMs: Int = 10000,
       userAgent: String =
-        "Mozilla/5.0 (Macintosh; Intel Mac OS X 10.15; rv:147.0) Gecko/20100101 Firefox/147.0")
+        "Mozilla/5.0 (Macintosh; Intel Mac OS X 10.15; rv:147.0) Gecko/20100101 Firefox/147.0",
+      initialBackoffMs: Long = 10000L,
+      pauseMs: Long = 1000L)
       extends LinkChecker {
     def check(url: String): CheckResult = {
       var error: String = null
-      var backoffMs = 10000L
+      var backoffMs = initialBackoffMs
       try {
         var attempts = 0
         var done = false
@@ -142,7 +147,7 @@ object Http {
             Thread.sleep(backoffMs); backoffMs *= 2; error = "Server Overload"
           } else {
             error = if (code >= 300) s"$code: ${conn.getResponseMessage}" else null
-            Thread.sleep(1000)
+            Thread.sleep(pauseMs)
             done = true
           }
           conn.disconnect()
