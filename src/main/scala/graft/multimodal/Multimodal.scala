@@ -46,6 +46,9 @@ object Multimodal {
     */
   final case class PixelStats(n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long)
 
+  /** Interior milli-luma Laplacian sums (spatial-layout checksum). */
+  final case class LumaLapStats(n_interior: Long, lap_sum: Long, lap_sq: Long)
+
   /** The image/video-frame codec seam: image decoding is REAL (JDK
     * ImageIO — see [[ImageIoDecoder]]); video containers (mp4/webm) have
     * no JDK codec and use the deterministic fake. Swap in a JNI/FFI
@@ -226,6 +229,43 @@ object Multimodal {
       PixelStats(w.toLong * h, sr, sg, sb)
     }
 
+    /** Integer milli-luma (299r+587g+114b) 4-neighbour Laplacian sums
+      * over the interior — exact int64, so the decode's SPATIAL layout
+      * (row-major indexing, x/y orientation, interior bounds) is
+      * SQL-oracle-able. Complements [[pixelStats]], whose channel sums
+      * are orientation-invariant: a transposed or mirrored decode passes
+      * pixelStats but breaks these sums. The float features
+      * ([[imageFeatures]]: Rec.601 mean, Laplacian variance) are this
+      * same arithmetic in double precision — gating the integer form
+      * pins their pixel addressing without a float-equality oracle.
+      */
+    def lumaLaplacian(bytes: Array[Byte]): LumaLapStats = {
+      val img = decode(bytes)
+      val w = img.getWidth; val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val lum = new Array[Long](px.length)
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        lum(i) = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+          114L * (p & 0xff)
+        i += 1
+      }
+      var n = 0L; var s = 0L; var sq = 0L
+      var y = 1
+      while (y < h - 1) {
+        var x = 1
+        while (x < w - 1) {
+          val l = 4 * lum(y * w + x) - lum(y * w + x - 1) - lum(y * w + x + 1) -
+            lum((y - 1) * w + x) - lum((y + 1) * w + x)
+          n += 1; s += l; sq += l * l
+          x += 1
+        }
+        y += 1
+      }
+      LumaLapStats(n, s, sq)
+    }
+
     private def encodePng(img: BufferedImage): Array[Byte] = {
       val bos = new ByteArrayOutputStream()
       ImageIO.write(img, "png", bos)
@@ -330,6 +370,26 @@ object Multimodal {
       rows.map { r =>
         val s = decoder.pixelStats(r.get(blobIdx).asInstanceOf[Array[Byte]])
         Row.fromSeq(r.toSeq :+ Row(s.n_px, s.sum_r, s.sum_g, s.sum_b))
+      }
+    }(enc)
+  }
+
+  /** Integer milli-luma Laplacian sums (see
+    * [[ImageIoDecoder.lumaLaplacian]]), batch-shaped. ImageIO-specific:
+    * it gates the REAL decode's spatial layout, which a fake decoder has
+    * no notion of.
+    */
+  def withLumaLaplacian(df: DataFrame, blobCol: String): DataFrame = {
+    val statSchema = StructType(Seq(
+      StructField("n_interior", LongType), StructField("lap_sum", LongType),
+      StructField("lap_sq", LongType)))
+    val schema = df.schema.add("luma_lap", statSchema)
+    val enc = Encoders.row(schema)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val s = ImageIoDecoder.lumaLaplacian(r.get(blobIdx).asInstanceOf[Array[Byte]])
+        Row.fromSeq(r.toSeq :+ Row(s.n_interior, s.lap_sum, s.lap_sq))
       }
     }(enc)
   }

@@ -487,6 +487,53 @@ object MiscOps {
       .transform(Par.sortOnce(_, col("doc_id")))
   }
 
+  /** q60b — the image path's SPATIAL gate: integer milli-luma Laplacian
+    * sums over the decoded interior. q66's channel sums are
+    * orientation-invariant (a transposed decode passes them); the
+    * 4-neighbour Laplacian is not — row-major indexing, x/y orientation
+    * and interior bounds all change it. Exact int64 arithmetic on both
+    * sides, and every pixel (and hence every shifted neighbour) is
+    * closed-form in doc_id, so DuckDB recomputes the sums from id
+    * arithmetic alone. This pins the pixel addressing that q60's float
+    * features (mean luma, Laplacian-variance sharpness) share, without
+    * needing a float-equality oracle.
+    */
+  def q60bLumaLaplacian(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.syntheticImages(spark, dir)
+    Multimodal.withLumaLaplacian(media, "blob")
+      .select(col("doc_id"),
+        col("luma_lap.n_interior").as("n_interior"),
+        col("luma_lap.lap_sum").as("lap_sum"),
+        col("luma_lap.lap_sq").as("lap_sq"))
+      .transform(Par.sortOnce(_, col("doc_id")))
+  }
+
+  /** Mirrors Multimodal.renderPng's per-pixel formulas; lum(x,y) inlined
+    * five times with shifted coordinates for the 4-neighbour stencil.
+    */
+  val q60bSql: String = {
+    def lum(x: String, y: String): String =
+      s"(299*(($x*7 + doc_id*31) % 256) + 587*(($y*13 + doc_id*17) % 256) + " +
+        s"114*((($x+$y)*5 + doc_id*11 + CASE WHEN ($x+$y+doc_id) % 11 < 3 THEN 96 ELSE 0 END) % 256))"
+    s"""WITH d AS (
+       |  SELECT doc_id, 32 + doc_id % 29 AS w, 24 + doc_id % 23 AS h
+       |  FROM documents
+       |), px AS (
+       |  SELECT doc_id,
+       |    4*${lum("x", "y")} - ${lum("(x-1)", "y")} - ${lum("(x+1)", "y")}
+       |      - ${lum("x", "(y-1)")} - ${lum("x", "(y+1)")} AS lap
+       |  FROM d,
+       |       UNNEST(generate_series(1, w - 2)) AS xs(x),
+       |       UNNEST(generate_series(1, h - 2)) AS ys(y)
+       |)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_interior,
+       |  CAST(sum(lap) AS BIGINT) AS lap_sum,
+       |  CAST(sum(lap * lap) AS BIGINT) AS lap_sq
+       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Multimodal AUDIO pipeline with REAL decoding: a deterministic
     * square-wave WAV corpus (one 8 kHz mono file per doc id, rendered on
     * the executors) is container-parsed back through the JDK's
@@ -790,6 +837,7 @@ object MiscOps {
     "q51_sessionize" -> q51Sessionize,
     "q53_funnel_join" -> q53FunnelJoin,
     "q60_multimodal" -> q60Multimodal,
+    "q60b_luma_laplacian" -> (q60bLumaLaplacian _),
     "q61_audio" -> q61Audio,
     "q66_image_pixels" -> q66ImagePixels,
     "q72_asof_join" -> q72AsOfJoin,
@@ -814,6 +862,7 @@ object MiscOps {
     "q50_windowed_events" -> q50Sql,
     "q51_sessionize" -> q51Sql,
     "q53_funnel_join" -> q53Sql,
+    "q60b_luma_laplacian" -> q60bSql,
     "q61_audio" -> q61Sql,
     "q66_image_pixels" -> q66Sql,
     "q72_asof_join" -> q72Sql,
