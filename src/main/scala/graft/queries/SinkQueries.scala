@@ -273,8 +273,54 @@ object SinkQueries {
       |UNION ALL SELECT name, xml FROM i
       |ORDER BY name""".stripMargin
 
+  /** Bucketed co-located join layout (the 100 TB fact↔fact join tool)
+    * driven through the oracle gate: both fact tables are laid out
+    * hash-bucketed on the join key, a merge hint keeps the broadcast
+    * path out, and the plan is ASSERTED Exchange-free before execution —
+    * scan → sort-merge join → per-key agg with zero shuffles, because
+    * the bucket distribution satisfies the join AND the groupBy
+    * (HashPartitioning(l_orderkey) clusters both). Values are then
+    * hash-checked against DuckDB's plain join+agg, so the layout op is
+    * plan-shape- and value-verified in one query.
+    */
+  def q96BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Bucketing
+    val key = ScratchDirs.pathKey(dir)
+    val tLi = s"b96_li_$key"; val tO = s"b96_o_$key"
+    Seq(tLi, tO).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a fresh in-memory catalog doesn't know tables from prior JVMs,
+      // but their warehouse directories survive — clear them too
+      ScratchDirs.deleteRecursively(java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t).toFile)
+    }
+    Bucketing.writeBucketed(Load.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity"), tLi, "l_orderkey", numBuckets = 8)
+    Bucketing.writeBucketed(Load.table(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice"), tO, "o_orderkey", numBuckets = 8)
+    val joined = Bucketing.read(spark, tLi).hint("merge")
+      .join(Bucketing.read(spark, tO), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_totalprice")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+      .select("l_orderkey", "n_lines", "sum_qty", "o_totalprice")
+    require(Bucketing.isShuffleFree(joined),
+      s"bucketed join planned an Exchange:\n${joined.queryExecution.executedPlan}")
+    graft.ops.Par.sortOnce(joined, col("l_orderkey"))
+  }
+
+  val q96Sql: String =
+    """SELECT l_orderkey,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  o_totalprice
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY l_orderkey, o_totalprice
+      |ORDER BY l_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_sitemap" -> (q95Sitemap _),
+    "q96_bucketed_join" -> (q96BucketedJoin _),
     "q39_xlsx_roundtrip" -> q39XlsxRoundtrip,
     "q45_sink_lifecycle" -> q45SinkLifecycle,
     "q46_dump_roundtrip" -> q46DumpRoundtrip,
@@ -283,6 +329,7 @@ object SinkQueries {
 
   val oracles: Map[String, String] = Map(
     "q95_sitemap" -> q95Sql,
+    "q96_bucketed_join" -> q96Sql,
     "q39_xlsx_roundtrip" -> q39Sql,
     "q45_sink_lifecycle" -> q45Sql,
     "q46_dump_roundtrip" -> q46Sql,
