@@ -63,10 +63,16 @@ object DedupQueries {
       |       min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM uni GROUP BY 1 ORDER BY keep_id""".stripMargin
 
-  /** MinHash+LSH near-dup pairs: every original must pair with its planted
-    * mutation (high Jaccard); unrelated docs must not flood in. Rows-only
-    * check (hash internals have no SQL mirror); correctness = planted-pair
-    * recall, asserted in the ScalaTest spec.
+  /** MinHash+LSH near-dup pairs, hash-gated bit-for-bit: the DuckDB
+    * oracle re-derives the ENTIRE hash stack in SQL — polynomial 5-gram
+    * shingle hashes with the splitmix finalizer, the one-permutation
+    * signature (top-6-bit binning, remix, SIGNED mins, rotation
+    * densification, int32 truncation), band membership as slot-quad
+    * equality (band bucket = xxhash of the quad on the Spark side, so
+    * sharing a bucket ⇔ sharing the quad), the ≤100 bucket cap, and the
+    * agreeing-slots estimator. All mod-2⁶⁴ arithmetic is carried in
+    * HUGEINT with an explicit 64×64 multiply decomposition (see
+    * `mulModLit` below); xors/shifts run in UBIGINT.
     */
   def q32Minhash(spark: SparkSession, dir: String): DataFrame = {
     val uni = withMutatedCopies(spark, dir)
@@ -75,9 +81,11 @@ object DedupQueries {
       col("id_a"), col("id_b"))
   }
 
-  /** SimHash hamming-≤12 pairs over the same planted corpus (64-bit
-    * fingerprints of ~50-word docs differ by a few bits after a one-word
-    * append). Rows-only.
+  /** SimHash hamming-≤12 pairs over the same planted corpus, hash-gated:
+    * the oracle recomputes the 64-bit fingerprint by per-bit majority
+    * vote over the mirrored shingle hashes, mirrors the 4×16-bit block
+    * index (incl. the ≤100 block cap) for candidates, and verifies
+    * hamming via bit_count(xor).
     */
   def q33Simhash(spark: SparkSession, dir: String): DataFrame = {
     val uni = withMutatedCopies(spark, dir)
@@ -85,6 +93,149 @@ object DedupQueries {
       Dedup.simhashNearDupPairs(uni, "text", "doc_id", maxDist = 12),
       col("id_a"), col("id_b"))
   }
+
+  // ---- SQL mirror of the 64-bit hash kernels (q32/q33 oracles) --------
+  //
+  // DuckDB has no wrapping 64-bit integer arithmetic: BIGINT/UBIGINT ops
+  // error on overflow and `1::BIGINT << 63` throws. The mirror therefore
+  // carries values as non-negative HUGEINT < 2^64, reduces mod 2^64
+  // explicitly, and decomposes 64×64-bit multiplies into 32-bit halves
+  // ((a·bl + ((a·bh) mod 2^32)·2^32) mod 2^64 — each term < 2^96, safely
+  // inside HUGEINT). Xors and logical shifts run in UBIGINT. Validated
+  // slot-for-slot against the JVM kernels (splitmix, shingleHash64,
+  // minhashSig/Oph) before wiring.
+
+  private val Mod64 = "18446744073709551616::HUGEINT"
+
+  /** (a * b) mod 2^64 for a HUGEINT expression and a 64-bit constant. */
+  private def mulModLit(a: String, b: BigInt): String = {
+    val bl = b & 0xFFFFFFFFL
+    val bh = b >> 32
+    s"((($a) * $bl + ((($a) * $bh) % 4294967296) * 4294967296) % $Mod64)"
+  }
+
+  /** h ^ (h >>> s) in UBIGINT, back as HUGEINT. */
+  private def xorShift(h: String, s: Int): String =
+    s"(xor(CAST(($h) AS UBIGINT), CAST(($h) AS UBIGINT) >> $s)::HUGEINT)"
+
+  /** The shingle-hash / splitmix finalizer: xs30 ·C1 xs27 ·C2 xs31. */
+  private def finalizerSql(h: String): String = {
+    val e1 = mulModLit(xorShift(h, 30), BigInt("BF58476D1CE4E5B9", 16))
+    val e2 = mulModLit(xorShift(e1, 27), BigInt("94D049BB133111EB", 16))
+    xorShift(e2, 31)
+  }
+
+  /** Shared CTE prefix: mutated-union corpus → normalized text → char
+    * codes → distinct 5-gram polynomial+finalizer shingle hashes
+    * (`hlist`, HUGEINT < 2^64), mirroring ShingleHash64 exactly.
+    */
+  private def shingleCtes: String = {
+    val poly = "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+      "codes[i:least(i+4, n_ch)]), (acc, c) -> (acc * 31 + c) % " + Mod64 + ")"
+    s"""uni AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' appended tail marker' FROM documents),
+       |nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM uni),
+       |cds AS (SELECT doc_id, length(s) AS n_ch,
+       |          list_transform(generate_series(1, length(s)),
+       |                         c -> ord(substring(s, c, 1))::HUGEINT) AS codes
+       |        FROM nrm),
+       |shl AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(1, n_ch - 4)), i -> ${finalizerSql(poly)})) AS hlist
+       |  FROM cds)""".stripMargin
+  }
+
+  /** Full OPH signature + LSH band + estimator mirror. */
+  val q32Sql: String = {
+    // per-shingle remix: m = h·C1 mod 2^64; m ^= m>>>29; SIGNED min/bin
+    val remix = xorShift(mulModLit("uh.hv", BigInt("BF58476D1CE4E5B9", 16)), 29)
+    val signedRemix =
+      s"CAST(CASE WHEN ($remix) >= 9223372036854775808::HUGEINT " +
+        s"THEN ($remix) - $Mod64 ELSE ($remix) END AS BIGINT)"
+    // rotation densification of an empty bin from source `g.src` (signed
+    // long) at distance `g.d`: m = src + d·gamma; (m ^ m>>>30)·C2; ^>>>31
+    val srcU = s"(CASE WHEN g.src < 0 THEN g.src::HUGEINT + $Mod64 ELSE g.src::HUGEINT END" +
+      s" + g.d * 11400714819323198485::HUGEINT) % $Mod64"
+    val dens = xorShift(
+      mulModLit(xorShift(srcU, 30), BigInt("94D049BB133111EB", 16)), 31)
+    s"""WITH $shingleCtes,
+       |present AS (
+       |  SELECT shl.doc_id, CAST(CAST(uh.hv AS UBIGINT) >> 58 AS INT) AS bin,
+       |         min($signedRemix) AS m
+       |  FROM shl, unnest(shl.hlist) AS uh(hv)
+       |  GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT p.doc_id, js.j,
+       |         min((p.bin - js.j + 64) % 64) AS d,
+       |         arg_min(p.m, (p.bin - js.j + 64) % 64) AS src
+       |  FROM (SELECT DISTINCT doc_id FROM present) dd
+       |       JOIN present p ON p.doc_id = dd.doc_id,
+       |       (SELECT unnest(generate_series(0, 63)) AS j) js
+       |  GROUP BY 1, 2),
+       |slots AS (
+       |  SELECT doc_id, j,
+       |    CAST(CASE WHEN lv % 4294967296 >= 2147483648
+       |              THEN lv % 4294967296 - 4294967296
+       |              ELSE lv % 4294967296 END AS INT) AS slot
+       |  FROM (
+       |    SELECT g.doc_id, g.j,
+       |      CASE WHEN g.d = 0
+       |           THEN (CASE WHEN g.src < 0 THEN g.src::HUGEINT + $Mod64
+       |                      ELSE g.src::HUGEINT END)
+       |           ELSE $dens END AS lv
+       |    FROM grid g)),
+       |sig AS (SELECT doc_id, list(slot ORDER BY j) AS sg FROM slots GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b, sg[4*b+1:4*b+4] AS bkey
+       |  FROM sig, (SELECT unnest(generate_series(0, 15)) AS b)),
+       |okb AS (
+       |  SELECT b, bkey, list(doc_id) AS ids FROM bands
+       |  GROUP BY b, bkey HAVING count(*) <= 100),
+       |cand AS (
+       |  SELECT DISTINCT aa.id_a, bb.id_b FROM
+       |    (SELECT b, bkey, unnest(ids) AS id_a FROM okb) aa
+       |    JOIN (SELECT b, bkey, unnest(ids) AS id_b FROM okb) bb USING (b, bkey)
+       |  WHERE aa.id_a < bb.id_b),
+       |est AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_filter(list_zip(sa.sg, sb.sg), p -> p[1] = p[2])) AS DOUBLE) / 64
+       |      AS est_jaccard
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b)
+       |SELECT id_a, id_b, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** SimHash fingerprint + block index + hamming mirror. */
+  val q33Sql: String =
+    s"""WITH $shingleCtes,
+       |bitc AS (
+       |  SELECT shl.doc_id, bs.b,
+       |    CASE WHEN 2 * sum(CAST((CAST(uh.hv AS UBIGINT) >> bs.b) & 1 AS BIGINT))
+       |              >= count(*) THEN 1::UBIGINT ELSE 0::UBIGINT END AS bit
+       |  FROM shl, unnest(shl.hlist) AS uh(hv),
+       |       (SELECT unnest(generate_series(0, 63)) AS b) bs
+       |  GROUP BY 1, 2),
+       |sh64 AS (
+       |  SELECT doc_id, sum(bit << b)::UBIGINT AS h FROM bitc GROUP BY doc_id),
+       |blocks AS (
+       |  SELECT doc_id, b * 65536 + CAST((h >> (b * 16)) & 65535 AS BIGINT) AS bucket
+       |  FROM sh64, (SELECT unnest(generate_series(0, 3)) AS b)),
+       |okb AS (
+       |  SELECT bucket, list(doc_id) AS ids FROM blocks
+       |  GROUP BY bucket HAVING count(*) <= 100),
+       |cand AS (
+       |  SELECT DISTINCT aa.id_a, bb.id_b FROM
+       |    (SELECT bucket, unnest(ids) AS id_a FROM okb) aa
+       |    JOIN (SELECT bucket, unnest(ids) AS id_b FROM okb) bb USING (bucket)
+       |  WHERE aa.id_a < bb.id_b),
+       |hdist AS (
+       |  SELECT c.id_a, c.id_b, CAST(bit_count(xor(ha.h, hb.h)) AS INT) AS dist
+       |  FROM cand c JOIN sh64 ha ON ha.doc_id = c.id_a
+       |              JOIN sh64 hb ON hb.doc_id = c.id_b)
+       |SELECT id_a, id_b, dist FROM hdist WHERE dist <= 12
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Exact n-gram Jaccard verification over MinHash candidates. The
     * DuckDB oracle brute-forces EXACT Jaccard over all pairs (feasible at
@@ -477,6 +628,8 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "q30_exact_dedup" -> q30Sql,
     "q31_fingerprint_dedup" -> q31Sql,
+    "q32_minhash_pairs" -> q32Sql,
+    "q33_simhash_pairs" -> q33Sql,
     "q34_ngram_jaccard" -> q34Sql,
     "q35_embed_neardup" -> q35Sql,
     "q36_incremental_dedup" -> q36Sql,
