@@ -77,8 +77,75 @@ object Fuzzy {
     * on ties like fuzzywuzzy (stable sort over input order).
     */
   def extract(query: String, choices: Seq[String], limit: Int = 2, cutoff: Int = 90): Seq[(String, Int)] =
-    choices.map(c => (c, qratio(query, c)))
-      .filter(_._2 >= cutoff)
-      .sortBy(-_._2)
-      .take(limit)
+    extractPrepared(query, choices, choices.map(fullProcess), limit, cutoff)
+
+  /** `extract` with the choices' `fullProcess` precomputed once (the dict
+    * side is identical for every row — recomputing it per row dominated
+    * the translate stage). Two sound upper bounds skip the O(n·m)
+    * Ratcliff/Obershelp DP wherever the cutoff is provably unreachable:
+    *
+    *  - length bound: M ≤ min(|a|,|b|)
+    *  - character-multiset bound: M ≤ |count-vector intersection| —
+    *    matching blocks consume one occurrence per matched char, so the
+    *    shared-character count caps M. This is the bound that actually
+    *    fires on unrelated strings of similar length.
+    *
+    * Both cap score = round(200·M/T); round is monotone, so bound <
+    * cutoff ⟹ score < cutoff. Results are bit-identical to the
+    * unfiltered scan.
+    */
+  def extractPrepared(query: String, choices: Seq[String],
+      processedChoices: Seq[String], limit: Int = 2, cutoff: Int = 90): Seq[(String, Int)] = {
+    val pq = fullProcess(query)
+    val qCounts = charCounts(pq)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    var i = 0
+    while (i < choices.length) {
+      val pc = processedChoices(i)
+      val score =
+        if (pq.isEmpty || pc.isEmpty) 0
+        else {
+          val t = pq.length + pc.length
+          val lenBound = math.round(200.0 * math.min(pq.length, pc.length) / t).toInt
+          if (lenBound < cutoff) -1
+          else {
+            val interBound = math.round(200.0 * countIntersection(qCounts, pc) / t).toInt
+            if (interBound < cutoff) -1
+            else math.round(ratio(pq, pc) * 100).toInt
+          }
+        }
+      if (score >= cutoff) out += ((choices(i), score))
+      i += 1
+    }
+    out.sortBy(-_._2).take(limit).toSeq
+  }
+
+  private def charCounts(s: String): java.util.HashMap[Character, Integer] = {
+    val m = new java.util.HashMap[Character, Integer]()
+    var i = 0
+    while (i < s.length) {
+      val c: Character = s.charAt(i)
+      val prev = m.get(c)
+      m.put(c, if (prev == null) 1 else prev + 1)
+      i += 1
+    }
+    m
+  }
+
+  private def countIntersection(qc: java.util.HashMap[Character, Integer], b: String): Int = {
+    val seen = new java.util.HashMap[Character, Integer]()
+    var inter = 0
+    var i = 0
+    while (i < b.length) {
+      val c: Character = b.charAt(i)
+      val avail = qc.get(c)
+      if (avail != null) {
+        val used = seen.get(c)
+        val u = if (used == null) 0 else used.intValue()
+        if (u < avail.intValue()) { inter += 1; seen.put(c, u + 1) }
+      }
+      i += 1
+    }
+    inter
+  }
 }

@@ -73,11 +73,27 @@ object Translate {
       raw: String,
       delimiter: String,
       fuzzyCutoff: Int = 90): Translated = {
+    val keys = dict.keys.toSeq.sorted
+    translateValuePrepared(dict, keys, keys.map(Fuzzy.fullProcess), raw,
+      delimiter, fuzzyCutoff)
+  }
+
+  /** [[translateValue]] with the dictionary's sorted keys and their
+    * `fullProcess` forms precomputed — the per-row cost of re-deriving
+    * both for every cell dominated the stage (the dict side never
+    * changes across rows).
+    */
+  private[i18n] def translateValuePrepared(
+      dict: Map[String, Entry],
+      keys: Seq[String],          // sorted → deterministic fuzzy tie order
+      processedKeys: Seq[String],
+      raw: String,
+      delimiter: String,
+      fuzzyCutoff: Int): Translated = {
     val tokens =
       if (raw == null) Seq.empty
       else raw.split(java.util.regex.Pattern.quote(delimiter)).toSeq
         .map(_.trim).filter(_.nonEmpty)
-    val keys = dict.keys.toSeq.sorted // sorted → deterministic fuzzy tie order
     var (f, en, ar, all) = (Vector.empty[String], Vector.empty[String],
       Vector.empty[String], Vector.empty[String])
     var misses = Vector.empty[String]
@@ -98,7 +114,8 @@ object Translate {
       // entirely (the token reaches NO output column)
       if (key.nonEmpty && tok.length >= 3) {
         val hit = dict.get(key).orElse {
-          val cands = Fuzzy.extract(key, keys, limit = 2, cutoff = fuzzyCutoff)
+          val cands = Fuzzy.extractPrepared(key, keys, processedKeys,
+            limit = 2, cutoff = fuzzyCutoff)
           if (cands.size > 1 && cands(1)._2 >= fuzzyCutoff)
             ambiguous :+= s"$tok -> ${cands.map(_._1).mkString(" | ")}"
           cands.headOption.map(c => dict(c._1))
@@ -132,9 +149,14 @@ object Translate {
       delimiter: String = ",",
       fuzzyCutoff: Int = 90): DataFrame = {
     val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(dict)
+    // the sorted keys + their fullProcess forms are per-DICT state, not
+    // per-row state — compute once and ship with the broadcast
+    val keys = dict.keys.toSeq.sorted
+    val processedKeys = keys.map(Fuzzy.fullProcess)
+    val bc = spark.sparkContext.broadcast((dict, keys, processedKeys))
     val tUdf = udf { raw: String =>
-      val t = translateValue(bc.value, raw, delimiter, fuzzyCutoff)
+      val (d, ks, pks) = bc.value
+      val t = translateValuePrepared(d, ks, pks, raw, delimiter, fuzzyCutoff)
       (t.f, t.f__en, t.f__ar, t.f__all)
     }
     df.withColumn("__t", tUdf(col(field).cast(StringType)))
