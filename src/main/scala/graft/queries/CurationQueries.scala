@@ -428,6 +428,51 @@ object CurationQueries {
       .orderBy("id")
   }
 
+  /** q97: fixed-point integer PageRank over a closed-form link graph —
+    * the authority prior a web-curation pipeline weights documents by.
+    * Every doc emits three deterministic outlinks (affine maps of its id
+    * mod N), so both engines construct the identical multigraph, and the
+    * all-integer iteration (floor contributions, 85/100 damping) lets
+    * DuckDB replay all three rounds to hash equality — summation-order
+    * float drift is designed out.
+    */
+  def q97PageRank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.graphs.PageRank
+    val docs = Load.table(spark, dir, "documents").select(col("doc_id").as("id"))
+    val n = docs.count()
+    val edges = docs.select(col("id").as("src"),
+        explode(array(
+          (col("id") * 7 + 13) % n,
+          (col("id") * 31 + 7) % n,
+          (col("id") * 13 + 101) % n)).as("dst"))
+    PageRank.fixedPoint(edges, docs, iterations = 3)
+      .select(col("id").as("doc_id"), col("rank"))
+      .orderBy("doc_id")
+  }
+
+  val q97Sql: String =
+    """WITH nn AS (SELECT count(*) AS cnt FROM documents),
+      |nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+      |edges AS (
+      |  SELECT id AS src, (id * 7 + 13) % cnt AS dst FROM nodes, nn
+      |  UNION ALL SELECT id, (id * 31 + 7) % cnt FROM nodes, nn
+      |  UNION ALL SELECT id, (id * 13 + 101) % cnt FROM nodes, nn),
+      |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+      |r0 AS (SELECT id, 1048576::BIGINT AS r FROM nodes),
+      |s1 AS (SELECT e.dst, sum(r0.r // deg.d) AS s
+      |       FROM edges e JOIN deg USING (src) JOIN r0 ON r0.id = e.src GROUP BY e.dst),
+      |r1 AS (SELECT nodes.id, CAST(157286 + 85 * coalesce(s1.s, 0) // 100 AS BIGINT) AS r
+      |       FROM nodes LEFT JOIN s1 ON s1.dst = nodes.id),
+      |s2 AS (SELECT e.dst, sum(r1.r // deg.d) AS s
+      |       FROM edges e JOIN deg USING (src) JOIN r1 ON r1.id = e.src GROUP BY e.dst),
+      |r2 AS (SELECT nodes.id, CAST(157286 + 85 * coalesce(s2.s, 0) // 100 AS BIGINT) AS r
+      |       FROM nodes LEFT JOIN s2 ON s2.dst = nodes.id),
+      |s3 AS (SELECT e.dst, sum(r2.r // deg.d) AS s
+      |       FROM edges e JOIN deg USING (src) JOIN r2 ON r2.id = e.src GROUP BY e.dst),
+      |r3 AS (SELECT nodes.id, CAST(157286 + 85 * coalesce(s3.s, 0) // 100 AS BIGINT) AS r
+      |       FROM nodes LEFT JOIN s3 ON s3.dst = nodes.id)
+      |SELECT id AS doc_id, r AS rank FROM r3 ORDER BY doc_id""".stripMargin
+
   val q63Sql: String =
     """WITH RECURSIVE e AS (
       |  SELECT CAST(c_custkey AS BIGINT) AS a, CAST(10000000 + c_nationkey AS BIGINT) AS b
@@ -656,7 +701,8 @@ object CurationQueries {
     "q76_dsir" -> (q76Dsir _),
     "q77_length_stats" -> (q77LengthStats _),
     "q79_freq_items" -> (q79FreqItems _),
-    "q87_vocab_encode" -> (q87VocabEncode _))
+    "q87_vocab_encode" -> (q87VocabEncode _),
+    "q97_pagerank" -> (q97PageRank _))
 
   val oracles: Map[String, String] = Map(
     "q63_cluster_split" -> q63Sql,
@@ -674,5 +720,6 @@ object CurationQueries {
     "q76_dsir" -> q76Sql,
     "q77_length_stats" -> q77Sql,
     "q79_freq_items" -> q79Sql,
-    "q87_vocab_encode" -> q87Sql)
+    "q87_vocab_encode" -> q87Sql,
+    "q97_pagerank" -> q97Sql)
 }
