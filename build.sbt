@@ -42,11 +42,14 @@ val jdk17AddOpens = Seq(
 // (gating it on SPARK_DRIVER_MEM cost the round-3 bench +8% on the default
 // heap); at 8g the boot-time cost is ~1 s, noise for tests/Verify too.
 val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
-// 95 queries of whole-stage codegen in one JVM overflow the JDK-17 default
+// 100 queries of whole-stage codegen in one JVM overflow the JDK-17 default
 // 240 MB reserved code cache; once it fills, the sweeper deoptimizes hot
 // methods and later queries run partly interpreted (the round-4 +17%
-// common-set regression). Reserve enough for the full suite's JIT output.
-val codeCache = sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "512m")
+// common-set regression). Measured: 512m still showed per-query crowding
+// (q69 5.1s crowded vs 3.7s isolated); 1g removes it (q69 3.2s in the
+// full run, common-50 set 36.8s vs round-3's 39.6s). Reserved ≠ committed
+// — the OS only backs pages actually JIT'd, so 1g costs address space.
+val codeCache = sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "1g")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -130,15 +130,53 @@ object TextQueries {
       |FROM tf JOIN vocab USING (token)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q98: Kneser–Ney-discounted bigram LM ([[KneserNey.bigramModel]]) —
+    * the n-gram quality-filter model with fixed-point integer
+    * probabilities (d = 3/4, staged floor divisions), so the whole
+    * estimator — bigram/left/right marginal counts, continuation
+    * counts, discount, interpolation weight — is hash-gated against
+    * DuckDB's replay of the identical integer formula. q59 gates the
+    * unigram proxy; this adds the backoff structure a real perplexity
+    * gate needs.
+    */
+  def q98KneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    graft.text.KneserNey.bigramModel(d, "text")
+      .orderBy("v", "w")
+  }
+
+  val q98Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x <> '') AS tk
+      |  FROM documents),
+      |bg AS (
+      |  SELECT tk[i] AS v, tk[i + 1] AS w
+      |  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) t(i)
+      |  WHERE len(tk) >= 2),
+      |cvw AS (SELECT v, w, count(*)::BIGINT AS c_vw FROM bg GROUP BY v, w),
+      |by_v AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v,
+      |                count(*)::BIGINT AS n1_v FROM cvw GROUP BY v),
+      |by_w AS (SELECT w, count(*)::BIGINT AS n1_w FROM cvw GROUP BY w),
+      |tot AS (SELECT count(*)::BIGINT AS n_bb FROM cvw)
+      |SELECT v, w, c_vw,
+      |  CAST((1073741824::BIGINT * (4 * c_vw - 3)) // (4 * c_v)
+      |     + ((1073741824::BIGINT * 3 * n1_v) // (4 * c_v)) * n1_w // n_bb
+      |    AS BIGINT) AS p_fix
+      |FROM cvw JOIN by_v USING (v) JOIN by_w USING (w), tot
+      |ORDER BY v, w""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_text_profile" -> q20Profile,
     "q21_quality_score" -> q21Quality,
     "q22_lang_id" -> q22LangId,
-    "q59_unigram_lm" -> q59UnigramLm)
+    "q59_unigram_lm" -> q59UnigramLm,
+    "q98_kneser_ney" -> (q98KneserNey _))
 
   val oracles: Map[String, String] = Map(
     "q20_text_profile" -> q20Sql,
     "q21_quality_score" -> q21Sql,
     "q22_lang_id" -> q22Sql,
-    "q59_unigram_lm" -> q59Sql)
+    "q59_unigram_lm" -> q59Sql,
+    "q98_kneser_ney" -> q98Sql)
 }

@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Kneser–Ney-discounted bigram language model in fixed-point integer
+  * arithmetic — the quality-filter ingredient (CCNet-style perplexity
+  * gating trains an n-gram LM on a clean corpus and scores candidates)
+  * with the float drift designed out.
+  *
+  * Probabilities are scaled integers (`scale` = probability 1) computed
+  * by a FIXED formula with explicit floor divisions, discount d = 3/4:
+  *
+  *   t1 = (scale · (4·c(v,w) − 3)) div (4·c(v))            (seen mass)
+  *   t2 = ((scale · 3 · N1+(v·)) div (4·c(v))) · N1+(·w) div N1+(··)
+  *   p_fix(w|v) = t1 + t2
+  *
+  * t2 is interpolated continuation mass — λ(v)·p_cont(w) with the two
+  * divisions floored in a fixed order, so every engine reproduces the
+  * identical integer. The staged form also keeps every intermediate
+  * below 2⁵⁰ for realistic vocabularies (a single fused numerator
+  * scale·3·N1+(v·)·N1+(·w) would overflow int64 at web vocab sizes).
+  *
+  * Scale shape: one bigram-count shuffle (map-side combined) + two
+  * aggregations of the ALREADY-REDUCED bigram relation (by v, by w) +
+  * one broadcast scalar — the wordcount family, no corpus re-shuffle.
+  */
+object KneserNey {
+
+  /** (v, w, c_vw, p_fix) for every observed bigram of the lowercased
+    * whitespace tokenization. Documents with fewer than two tokens
+    * contribute nothing.
+    */
+  def bigramModel(df: DataFrame, textCol: String,
+      scale: Long = 1L << 30): DataFrame = {
+    val toks = Decontaminate.wordTokens(col(textCol))
+    // bind the token array once (HOF lambdas re-evaluate inline exprs
+    // per element), guard docs with < 2 tokens (sequence() descends when
+    // stop < start)
+    val pairs = df
+      .select(toks.as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(
+          element_at(col("__toks"), i).as("v"),
+          element_at(col("__toks"), i + 1).as("w")))).as("bg"))
+      .select(col("bg.v"), col("bg.w"))
+    val cvw = pairs.groupBy("v", "w").agg(count(lit(1)).as("c_vw"))
+    val byV = cvw.groupBy("v").agg(
+      sum("c_vw").as("c_v"), count(lit(1)).as("n1_v"))
+    val byW = cvw.groupBy("w").agg(count(lit(1)).as("n1_w"))
+    val total = cvw.select(count(lit(1)).as("n_bb"))
+    cvw.join(byV, "v").join(byW, "w")
+      .crossJoin(broadcast(total))
+      .select(col("v"), col("w"), col("c_vw"),
+        // ${scale}L: a bare int literal would multiply as 32-bit first
+        // (ANSI overflow) before promotion to long
+        (expr(s"(${scale}L * (4L * c_vw - 3L)) div (4L * c_v)") +
+          expr(s"((${scale}L * 3L * n1_v) div (4L * c_v)) * n1_w div n_bb"))
+          .as("p_fix"))
+  }
+}
