@@ -38,11 +38,43 @@ object ScrubQueries {
       |       ELSE 0.0 END AS top_token_frac
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** q99: epoch-weighted domain mixing ([[Scrub.epochMix]]) — src0
+    * oversamples at 2.5 epochs, src1 subsamples to 0.5, everything else
+    * passes once. The fractional epoch is an exact integer compare on
+    * the stable md5 draw, so DuckDB reconstructs every replica and its
+    * copy_idx; replica counts per source double-check the weights.
+    */
+  def q99EpochMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents").select("doc_id", "source")
+    Scrub.epochMix(d, "source", "doc_id",
+        Map("src0" -> 2500L, "src1" -> 500L))
+      .select("doc_id", "source", "copy_idx")
+      .orderBy("doc_id", "copy_idx")
+  }
+
+  val q99Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 500
+      |                ELSE 1000 END AS w,
+      |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS draw
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, source,
+      |    w // 1000 + CASE WHEN draw * 1000 < (w % 1000) * 4294967296
+      |                     THEN 1 ELSE 0 END AS n_copies
+      |  FROM d)
+      |SELECT doc_id, source, CAST(t.i AS BIGINT) AS copy_idx
+      |FROM n, UNNEST(generate_series(1, n_copies)) t(i)
+      |WHERE n_copies >= 1
+      |ORDER BY doc_id, copy_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_repetition" -> q23Repetition,
     "q24_pii_redact" -> q24Redact,
     "q25_hash_sample" -> q25HashSample,
-    "q26_curation" -> q26Curation)
+    "q26_curation" -> q26Curation,
+    "q99_epoch_mix" -> (q99EpochMix _))
 
   /** PII redaction: text seeded with synthetic PII derived from the row
     * itself — both engines construct and redact the same strings.
@@ -153,5 +185,6 @@ object ScrubQueries {
     "q23_repetition" -> q23Sql,
     "q24_pii_redact" -> q24Sql,
     "q25_hash_sample" -> q25Sql,
-    "q26_curation" -> q26Sql)
+    "q26_curation" -> q26Sql,
+    "q99_epoch_mix" -> q99Sql)
 }

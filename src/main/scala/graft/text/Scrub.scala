@@ -86,6 +86,34 @@ object Scrub {
       (rateExpr * lit(4294967296.0)).cast(LongType))
   }
 
+  /** Epoch oversampling — the other half of domain mixing: a weight in
+    * MILLI-epochs replicates each row `w div 1000` times plus one more
+    * when its stable draw falls under the fractional part (exact
+    * integer compare draw·1000 < (w mod 1000)·2³², no float rate).
+    * Sub-unit weights subsample exactly like [[mixBySource]]; weights
+    * over 1000 oversample small domains — the Pile/DoReMi-style epoch
+    * factors a training mix applies to rare high-quality sources.
+    * Output adds `copy_idx` (1..n) so replicas stay distinguishable
+    * downstream. Narrow: the fan-out is an in-place explode, no
+    * shuffle, and determinism is per-row — identical on any cluster
+    * layout.
+    */
+  def epochMix(df: DataFrame, sourceCol: String, key: String,
+      weightsMilli: Map[String, Long],
+      defaultMilli: Long = 1000L): DataFrame = {
+    val wExpr = weightsMilli.foldLeft(lit(defaultMilli)) {
+      case (acc, (src, w)) => when(col(sourceCol) === src, lit(w)).otherwise(acc)
+    }
+    df.withColumn("__w", wExpr)
+      .withColumn("__n",
+        expr("__w div 1000") +
+          when(hashDraw(col(key)) * 1000 < (col("__w") % 1000) * lit(4294967296L),
+            1L).otherwise(0L))
+      .filter(col("__n") >= 1)
+      .withColumn("copy_idx", explode(sequence(lit(1L), col("__n"))))
+      .drop("__w", "__n")
+  }
+
   /** Cap every stratum (domain/source/language) at `cap` docs, picking a
     * DETERMINISTIC uniform subset per key: rows rank by md5(id) — a
     * stable shuffle-independent draw (same survivors on every run and

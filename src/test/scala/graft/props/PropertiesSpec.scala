@@ -54,6 +54,23 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("extract's DP short-circuit bounds are lossless vs brute force") {
+    // extractPrepared skips the Ratcliff/Obershelp DP when the length or
+    // character-multiset bound proves the cutoff unreachable — results
+    // must be IDENTICAL to scoring every candidate
+    val gen = for {
+      q <- Gen.alphaStr
+      choices <- Gen.listOf(Gen.alphaStr)
+      cutoff <- Gen.choose(1, 100)
+      limit <- Gen.choose(1, 4)
+    } yield (q, choices, cutoff, limit)
+    check(Prop.forAll(gen) { case (q, choices, cutoff, limit) =>
+      val brute = choices.map(c => (c, Fuzzy.qratio(q, c)))
+        .filter(_._2 >= cutoff).sortBy(-_._2).take(limit)
+      Fuzzy.extract(q, choices, limit, cutoff) == brute
+    })
+  }
+
   // --- parseCvEvents ---------------------------------------------------
 
   test("event count never exceeds CV line count; all events carry the judge id") {
