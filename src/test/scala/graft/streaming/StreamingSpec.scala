@@ -124,6 +124,49 @@ class StreamingSpec extends SparkSpec {
       "every replayed copy must be dropped by the index probe")
   }
 
+  test("late rows beyond the watermark are dropped from closed windows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("late_stream")
+    def addFile(tag: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"late_$tag")
+      rows.toDF("event_id", "ts_s")
+        .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, dir.resolve(s"$tag.parquet"))
+    }
+    // batch A: two rows in the 00:00 window + a sentinel at 10:00 that
+    // pushes the watermark to 09:00 (1 hour delay)
+    addFile("a", Seq(
+      (1L, "2026-01-01 00:10:00"), (2L, "2026-01-01 00:20:00"),
+      (3L, "2026-01-01 10:00:00")))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType)))
+    val agg = spark.readStream.schema(schema).parquet(dir.toString)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("n"))
+    val qname = "late_agg"
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      q.processAllAvailable()
+      // batch B: a LATE row for the already-expired 00:00 window — the
+      // watermark (09:00) must evict it instead of reopening the window
+      addFile("b", Seq((4L, "2026-01-01 00:30:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(qname).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime / 1000
+    assert(out.get(w0).contains(2L),
+      s"closed 00:00 window must hold ONLY the on-time rows: $out")
+    // the 10:00 window is still open (watermark has not passed its end)
+    assert(out.size == 1, s"no other window may have closed: $out")
+  }
+
   test("idempotent foreachBatch sink: a replayed batch does not duplicate") {
     val src = java.nio.file.Files.createTempDirectory("idem_src")
     val out = java.nio.file.Files.createTempDirectory("idem_out").toString

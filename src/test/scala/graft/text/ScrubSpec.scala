@@ -63,4 +63,30 @@ class ScrubSpec extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(viaSql == repCr)
   }
+
+  test("epochMix: whole epochs replicate, fractions draw, subunit subsamples") {
+    val df = (1L to 400L).map(i =>
+      (i, if (i <= 200) "rare" else "common")).toDF("id", "source")
+    val out = Scrub.epochMix(df, "source", "id",
+        Map("rare" -> 2500L, "common" -> 500L))
+      .groupBy("id", "source").agg(count(lit(1)).as("n"), max("copy_idx").as("mx"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val rare = out.filter(_._2 == "rare")
+    val common = out.filter(_._2 == "common")
+    // every rare doc appears 2 or 3 times; copy_idx is dense 1..n
+    assert(rare.length == 200)
+    assert(rare.forall(r => (r._3 == 2L || r._3 == 3L) && r._4 == r._3))
+    // ~half the rare docs get the third epoch (fraction 0.5) — loose bound
+    val thirds = rare.count(_._3 == 3L)
+    assert(thirds > 60 && thirds < 140, s"fractional draw off: $thirds/200")
+    // common subsamples to ~half, never replicates
+    assert(common.forall(r => r._3 == 1L && r._4 == 1L))
+    assert(common.length > 60 && common.length < 140, s"${common.length}/200")
+    // determinism: same input -> identical output
+    val again = Scrub.epochMix(df, "source", "id",
+        Map("rare" -> 2500L, "common" -> 500L))
+      .groupBy("id", "source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again == out.map(r => (r._1, r._3)).toSet)
+  }
 }
