@@ -486,6 +486,28 @@ object DedupQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** q43b: the IVF index as a PERSISTED artifact — train, save the
+    * coarse quantizer to parquet, RELOAD it, and probe with the reloaded
+    * centroids. Same oracle as q43: the round-trip must change nothing,
+    * which gates the artifact schema, list ordering, and double fidelity
+    * of the save/load path — the cross-run pattern that lets a 100 TB
+    * corpus answer ANN probes without retraining.
+    */
+  def q43bAnnIvfReload(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, queries) = withPlantedDuplicates(spark, dir)
+    val path = s"/tmp/graft_ivf_${ScratchDirs.pathKey(dir)}_${ProcessHandle.current().pid()}"
+    val trained = Ann.ivfTrain(corpus, "embedding", nLists = 16)
+    Ann.saveCentroids(spark, trained, path)
+    val reloaded = Ann.loadCentroids(spark, path)
+    require(reloaded.length == trained.length &&
+      reloaded.zip(trained).forall { case (a, b) => a.sameElements(b) },
+      "centroid artifact round-trip must be bit-exact")
+    Ann.ivfTopKWithCentroids(corpus, queries, "vec_id", "embedding",
+        k = 3, centroids = reloaded, nprobe = 4)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
   /** Exact sparse-cosine near-dup pairs over df-pruned word-4-gram tf
     * vectors ([[graft.similarity.SparseCosine]]): the inverted-index
     * tier with TRUE cosine, complementing q32/q33's probabilistic
@@ -621,6 +643,7 @@ object DedupQueries {
     "q41_ann_srp" -> q41AnnSrp,
     "q42_ann_topk_heap" -> q42AnnTopKHeap,
     "q43_ann_ivf" -> q43AnnIvf,
+    "q43b_ann_ivf_reload" -> (q43bAnnIvfReload _),
     "q62_sparse_cosine" -> q62SparseCosine,
     "q73_semdedup" -> q73SemDedup,
     "q83_semantic_decontaminate" -> q83SemanticDecontaminate)
@@ -637,6 +660,7 @@ object DedupQueries {
     "q41_ann_srp" -> q41Sql,
     "q42_ann_topk_heap" -> q40Sql,
     "q43_ann_ivf" -> q41Sql,
+    "q43b_ann_ivf_reload" -> q41Sql,
     "q62_sparse_cosine" -> q62Sql,
     "q73_semdedup" -> q73Sql,
     "q83_semantic_decontaminate" -> q83Sql)

@@ -280,6 +280,39 @@ object Ann {
       iterations: Int = 5,
       sampleRows: Int = 2000): DataFrame = {
     val centroids = ivfTrain(corpus, vecCol, nLists, iterations, sampleRows)
+    ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k, centroids, nprobe)
+  }
+
+  /** Persist a trained coarse quantizer as a parquet artifact
+    * (list_id, centroid) — the cross-run ANN pattern matching
+    * [[graft.dedup.Dedup.buildSignatureIndex]]: train once, reload for
+    * every later probe run. At scale the ASSIGNED corpus is also written
+    * bucketed by list_id ([[graft.ops.Bucketing]]) so reload-probes
+    * co-locate and read only the probed buckets.
+    */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a [[saveCentroids]] artifact (list order restored by id). */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] =
+    spark.read.parquet(path).orderBy("list_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** [[ivfTopK]] against an ALREADY-TRAINED (e.g. reloaded) quantizer. */
+  def ivfTopKWithCentroids(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[Array[Double]],
+      nprobe: Int = 4): DataFrame = {
     val c = graft.ops.Par.fanOut(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("list_id", ivfListId(col("__cv"), centroids))
