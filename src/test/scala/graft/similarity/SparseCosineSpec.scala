@@ -50,6 +50,12 @@ class SparseCosineSpec extends SparkSpec {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
     assert(got == expect)
     assert(expect.nonEmpty)
+    // the Bayardo prefix-filtered plan must be pruning-only: identical
+    // pairs, dots, and cos2 to the plain inverted-index join
+    val filtered = SparseCosine.pairs(df, "text", "doc_id",
+        n = 3, maxDf = maxDf, minCos2 = 0.3, prefixFilter = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(filtered == expect)
   }
 
   test("df pruning drops stop-grams from the candidate space") {
