@@ -685,7 +685,63 @@ object CurationQueries {
       |JOIN vocab v ON v.tok = w[i]
       |ORDER BY doc_id, pos""".stripMargin
 
+  /** Corpus-wide exact paragraph dedup ([[graft.text.ParagraphDedup]]):
+    * pages are synthesized with three paragraphs — a shared intro block
+    * (repeats across every doc in the same mod-37 class), the document
+    * body (repeats only where the corpus has duplicate texts), and a
+    * per-source footer (repeats across every doc of the source) — so the
+    * first-wins rule, cross-doc drops, and reassembly all fire. Oracle
+    * partitions by the paragraph STRING; the Spark side partitions by
+    * xxhash64(para) with the collision escape, which agrees exactly when
+    * no 64-bit collision occurs (none at any test SF).
+    */
+  def q100ParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val pages = d.withColumn("page", concat_ws("\n\n",
+      concat(lit("shared intro block "), col("doc_id") % 37),
+      col("text"),
+      concat(lit("brought to you by "), col("source"))))
+    graft.text.ParagraphDedup.dedup(pages, "page", "doc_id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val q100Sql: String =
+    """WITH pages AS (
+      |  SELECT doc_id,
+      |         'shared intro block ' || (doc_id % 37) || chr(10) || chr(10)
+      |         || text || chr(10) || chr(10)
+      |         || 'brought to you by ' || source AS page
+      |  FROM documents),
+      |docs AS (
+      |  SELECT doc_id,
+      |         list_filter(list_transform(
+      |           string_split(page, chr(10) || chr(10)), x -> trim(x)),
+      |           x -> x <> '') AS ps
+      |  FROM pages),
+      |paras AS (
+      |  SELECT doc_id, i AS pos, ps[i] AS para
+      |  FROM docs, UNNEST(generate_series(1, len(ps))) AS t(i)),
+      |kept AS (
+      |  SELECT doc_id, pos, para FROM (
+      |    SELECT doc_id, pos, para,
+      |           row_number() OVER (PARTITION BY para
+      |                              ORDER BY doc_id, pos) AS rn
+      |    FROM paras) WHERE rn = 1),
+      |agg AS (
+      |  SELECT doc_id,
+      |         string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean_text,
+      |         count(*)::BIGINT AS n_kept
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+      |       coalesce(a.n_kept, 0) AS n_kept,
+      |       len(dd.ps)::BIGINT - coalesce(a.n_kept, 0) AS n_dropped
+      |FROM documents d
+      |JOIN docs dd USING (doc_id)
+      |LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_paragraph_dedup" -> (q100ParagraphDedup _),
     "q63_cluster_split" -> (q63ClusterSplit _),
     "q64_chunk_windows" -> (q64Chunk _),
     "q65_pack_sequences" -> (q65Pack _),
@@ -705,6 +761,7 @@ object CurationQueries {
     "q97_pagerank" -> (q97PageRank _))
 
   val oracles: Map[String, String] = Map(
+    "q100_paragraph_dedup" -> q100Sql,
     "q63_cluster_split" -> q63Sql,
     "q64_chunk_windows" -> q64Sql,
     "q65_pack_sequences" -> q65Sql,

@@ -158,6 +158,7 @@ object SearchQueries {
     "q69_tfidf_search" -> (q69TfIdfSearch _),
     "q81_cooccurrence" -> (q81Cooccurrence _),
     "q89_bpe_step" -> (q89BpeStep _),
+    "q101_bpe_encode" -> (q101BpeEncode _),
     "q90_cdc_chunks" -> (q90CdcChunks _),
     "q91_chunk_dedup" -> (q91ChunkDedup _))
 
@@ -200,6 +201,55 @@ object SearchQueries {
     * even offsets), so the fold-with-pending-state rewrite is held to
     * positional hash-equality.
     */
+  /** q101: BPE ENCODE — apply a trained merge table to the corpus (the
+    * inference half of the q89 training step; together they are the full
+    * tokenizer lifecycle). The planted 7-rule table exercises multi-level
+    * merges ("table" → one token through 4 chained rules) and rank
+    * priority ((l,e) outranks (a,l), so "ale" → [a, l+e], not [a+l, e]).
+    * The oracle mirrors the priority-queue kernel with sequential
+    * replaces over a framed-token representation (' tok ' per token):
+    * rank-order replacement equals the priority-queue encode because
+    * every pair involving a merged token ranks after the merge that
+    * created it, and the frame makes prefix collisions (' a  l ' vs
+    * ' a  l+e ') and shared-boundary runs exact.
+    */
+  def q101BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents").select("doc_id", "text")
+    graft.text.Bpe.encode(d, "text", q101Merges, sep = "+")
+      .select(col("doc_id"), col("widx").cast("long").as("widx"),
+        col("tidx").cast("long").as("tidx"), col("token"))
+      .transform(graft.ops.Par.sortOnce(_, col("doc_id"), col("widx"),
+        col("tidx")))
+  }
+
+  private val q101Merges: Seq[(String, String)] = Seq(
+    "t" -> "a", "t+a" -> "b", "l" -> "e", "t+a+b" -> "l+e",
+    "r" -> "o", "r+o" -> "w", "a" -> "l")
+
+  val q101Sql: String = {
+    // framed-token replace chain, rank order — ' l  r ' → ' l+sep+r '
+    val chain = q101Merges.foldLeft(
+      """regexp_replace(word, '(.)', ' \1 ', 'g')""") { case (acc, (l, r)) =>
+      s"replace($acc, ' $l  $r ', ' $l+$r ')"
+    }
+    s"""WITH words AS (
+       |  SELECT doc_id, i - 1 AS widx, w[i] AS word
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text), '\\s+'),
+       |                      x -> x <> '') AS w
+       |        FROM documents),
+       |       UNNEST(generate_series(1, len(w))) t(i)),
+       |enc AS (SELECT doc_id, widx, $chain AS s FROM words),
+       |toks AS (
+       |  SELECT doc_id, widx,
+       |         list_filter(string_split(s, ' '), x -> x <> '') AS ts
+       |  FROM enc)
+       |SELECT doc_id, CAST(widx AS BIGINT) AS widx,
+       |       CAST(i - 1 AS BIGINT) AS tidx, ts[i] AS token
+       |FROM toks, UNNEST(generate_series(1, len(ts))) t(i)
+       |ORDER BY doc_id, widx, tidx""".stripMargin
+  }
+
   def q89BpeStep(spark: SparkSession, dir: String): DataFrame = {
     val d = Load.table(spark, dir, "documents").select("doc_id", "text")
     val (out, _) = graft.text.Bpe.mergeRound(d, "text", sep = "_")
@@ -366,6 +416,7 @@ object SearchQueries {
     "q69_tfidf_search" -> q69Sql,
     "q81_cooccurrence" -> q81Sql,
     "q89_bpe_step" -> q89Sql,
+    "q101_bpe_encode" -> q101Sql,
     "q90_cdc_chunks" -> q90Sql,
     "q91_chunk_dedup" -> q91Sql)
 }

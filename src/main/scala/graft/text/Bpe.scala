@@ -78,6 +78,26 @@ object Bpe {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** ENCODE (inference) against a trained merge table: split `textCol`
+    * into words, tokenize each word with the table-driven priority-queue
+    * kernel ([[graft.functions.BpeEncode]]). Output: one row per token —
+    * (original columns…, widx, tidx, token). A pure narrow map + explode:
+    * no shuffle; the table ships once per executor as a reference object,
+    * never per row. This is the apply half of [[train]] — together they
+    * are the full tokenizer lifecycle.
+    */
+  def encode(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], sep: String = "▁"): DataFrame = {
+    val words = df.withColumn("__ws", Decontaminate.wordTokens(col(textCol)))
+      .select(col("*"), posexplode(col("__ws")).as(Seq("widx", "__word")))
+      .drop("__ws")
+    words
+      .withColumn("__toks",
+        graft.functions.BpeExprs.bpeEncode(col("__word"), merges, sep))
+      .select(col("*"), posexplode(col("__toks")).as(Seq("tidx", "token")))
+      .drop("__toks", "__word")
+  }
+
   /** The full training loop: `rounds` merge rounds, each re-counting the
     * rewritten corpus. Returns (final df with `tokens`, ordered merge
     * table — the tokenizer artifact). The per-round rewritten corpus is

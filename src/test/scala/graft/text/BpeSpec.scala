@@ -55,4 +55,47 @@ class BpeSpec extends SparkSpec {
     val got = out.orderBy("doc_id").select("tokens").as[Seq[String]].collect()
     assert(got(0) == Seq("p_q", "p_q") && got(1) == Seq("q", "p"))
   }
+
+  private def enc(word: String, merges: Seq[(String, String)]): Seq[String] =
+    Seq(word).toDF("w")
+      .select(graft.functions.BpeExprs.bpeEncode(col("w"), merges, "_"))
+      .as[Seq[String]].head()
+
+  test("bpeEncode: priority-queue semantics, rank beats position") {
+    val m = Seq("t" -> "a", "t_a" -> "b", "l" -> "e", "t_a_b" -> "l_e",
+      "a" -> "l")
+    assert(enc("table", m) == Seq("t_a_b_l_e"))
+    // (l,e) rank 2 outranks (a,l) rank 4 even though (a,l) comes first
+    // positionally — the priority-queue picks the global min rank
+    assert(enc("ale", m) == Seq("a", "l_e"))
+    assert(enc("tab", m) == Seq("t_a_b"))
+    assert(enc("bat", m) == Seq("b", "a", "t"))
+    assert(enc("t", m) == Seq("t"))
+    assert(enc("", m) == Seq.empty)
+  }
+
+  test("bpeEncode: merge-all per round, greedy leftmost on runs") {
+    val m = Seq("a" -> "a")
+    assert(enc("aaa", m) == Seq("a_a", "a"))
+    assert(enc("aaaa", m) == Seq("a_a", "a_a"),
+      "aaaa: two (a,a) merges; (a_a,a_a) is not in the table")
+  }
+
+  test("bpeEncode: surrogate pairs split by codepoint, not char") {
+    val emoji = "😀" // 😀
+    assert(enc(s"a${emoji}b", Seq.empty) == Seq("a", emoji, "b"))
+  }
+
+  test("word-level encodeTokens agrees with iterated train applyMerge") {
+    // applying the learned table in one priority-queue pass reproduces
+    // train's round-by-round corpus rewrite (rank order == learn order)
+    val docs = Seq((1L, "p q r p q r z z")).toDF("doc_id", "text")
+    val (out, merges) = Bpe.train(docs, "text", rounds = 2, sep = "_")
+    val viaTrain = out.select("tokens").as[Seq[String]].head()
+    val viaEncode = docs.select(
+      graft.functions.BpeExprs.bpeEncodeTokens(
+        Decontaminate.wordTokens(col("text")), merges, "_"))
+      .as[Seq[String]].head()
+    assert(viaTrain == viaEncode)
+  }
 }

@@ -203,4 +203,31 @@ class CurationSpec extends SparkSpec {
     // doc 2: 2+3+1... b=2, c=1, a=3 → 2+1+3 = 6 over 3 tokens
     assert(got(2L) == ((3L, 6L, 2.0)))
   }
+
+  test("paragraph dedup: first occurrence wins across and within docs") {
+    val docs = Seq(
+      (1L, "alpha\n\nbeta\n\nalpha"),   // within-doc repeat of alpha drops
+      (2L, "beta\n\ngamma"),            // beta seen in doc 1 → drops
+      (3L, "alpha\n\nbeta"),            // fully duplicate → emptied
+      (4L, "  \n\n\n\ndelta"))          // blank paragraphs filtered
+      .toDF("doc_id", "text")
+    val got = ParagraphDedup.dedup(docs, "text", "doc_id", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == (("alpha\n\nbeta", 2L, 1L)))
+    assert(got(2L) == (("gamma", 1L, 1L)))
+    assert(got(3L) == (("", 0L, 2L)))
+    assert(got(4L) == (("delta", 1L, 0L)))
+  }
+
+  test("paragraph dedup: ord column (not doc_id) decides the winner") {
+    // doc 10 arrives FIRST (ord 0) so its copy of 'x' wins over doc 1's
+    val docs = Seq((10L, 0L, "x\n\nten"), (1L, 1L, "x\n\none"))
+      .toDF("doc_id", "ord", "text")
+    val got = ParagraphDedup.dedup(docs, "text", "doc_id", "ord")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(10L) == "x\n\nten")
+    assert(got(1L) == "one")
+  }
 }
