@@ -166,17 +166,87 @@ object TextQueries {
       |FROM cvw JOIN by_v USING (v) JOIN by_w USING (w), tot
       |ORDER BY v, w""".stripMargin
 
+  /** q102: the perplexity GATE the q98 model exists for (CCNet-style
+    * LM quality filtering), float-free end to end: per-document total
+    * surprisal in 16.16 fixed-point bits via the exact integer binary
+    * log ([[graft.functions.FixedLogKernel]]), and the keep decision is
+    * the integer comparison bits_fix·100 ≤ 495·2¹⁶·n_bigrams (τ = 4.95
+    * bits/bigram ≈ the corpus p90). The oracle replays the identical
+    * square-and-shift log with a 16-step recursive CTE over the model
+    * relation — every bit of every surprisal is cross-engine checked.
+    */
+  def q102PerplexityGate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val model = graft.text.KneserNey.bigramModel(d, "text")
+    graft.text.KneserNey.perplexityBits(model, d, "text", "doc_id")
+      .withColumn("keep",
+        (col("bits_fix") * 100 <= lit(32440320L) * col("n_bigrams"))
+          .cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val q102Sql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x <> '') AS tk
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, tk[i] AS v, tk[i + 1] AS w
+      |  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) t(i)
+      |  WHERE len(tk) >= 2),
+      |cvw AS (SELECT v, w, count(*)::BIGINT AS c_vw FROM bg GROUP BY v, w),
+      |by_v AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v,
+      |                count(*)::BIGINT AS n1_v FROM cvw GROUP BY v),
+      |by_w AS (SELECT w, count(*)::BIGINT AS n1_w FROM cvw GROUP BY w),
+      |tot AS (SELECT count(*)::BIGINT AS n_bb FROM cvw),
+      |model AS (
+      |  SELECT v, w,
+      |    CAST((1073741824::BIGINT * (4 * c_vw - 3)) // (4 * c_v)
+      |       + ((1073741824::BIGINT * 3 * n1_v) // (4 * c_v)) * n1_w // n_bb
+      |      AS BIGINT) AS p_fix
+      |  FROM cvw JOIN by_v USING (v) JOIN by_w USING (w), tot),
+      |nrm AS (
+      |  SELECT v, w, greatest(p_fix, 1) AS m, 0::BIGINT AS k FROM model
+      |  UNION ALL
+      |  SELECT v, w, m * 2, k + 1 FROM nrm WHERE m < 1073741824),
+      |normed AS (SELECT v, w, m, k FROM nrm WHERE m >= 1073741824),
+      |sq AS (
+      |  SELECT v, w, k, m, 0 AS i, 0::BIGINT AS acc FROM normed
+      |  UNION ALL
+      |  SELECT v, w, k,
+      |         CASE WHEN m2 >= 2147483648::BIGINT THEN m2 // 2 ELSE m2 END,
+      |         i + 1,
+      |         acc * 2 + CASE WHEN m2 >= 2147483648::BIGINT THEN 1 ELSE 0 END
+      |  FROM (SELECT v, w, k, (m * m) // 1073741824 AS m2, i, acc
+      |        FROM sq WHERE i < 16) s),
+      |surp AS (SELECT v, w, k * 65536 - acc AS bits FROM sq WHERE i = 16),
+      |docb AS (SELECT doc_id, v, w, count(*)::BIGINT AS cnt
+      |         FROM bg GROUP BY doc_id, v, w),
+      |scored AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+      |         CAST(sum(cnt * bits) AS BIGINT) AS bits_fix
+      |  FROM docb JOIN surp USING (v, w) GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+      |       coalesce(s.bits_fix, 0) AS bits_fix,
+      |       CAST(coalesce(s.bits_fix, 0) * 100
+      |            <= 32440320::BIGINT * coalesce(s.n_bigrams, 0)
+      |         AS INTEGER) AS keep
+      |FROM documents d LEFT JOIN scored s USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_text_profile" -> q20Profile,
     "q21_quality_score" -> q21Quality,
     "q22_lang_id" -> q22LangId,
     "q59_unigram_lm" -> q59UnigramLm,
-    "q98_kneser_ney" -> (q98KneserNey _))
+    "q98_kneser_ney" -> (q98KneserNey _),
+    "q102_perplexity_gate" -> (q102PerplexityGate _))
 
   val oracles: Map[String, String] = Map(
     "q20_text_profile" -> q20Sql,
     "q21_quality_score" -> q21Sql,
     "q22_lang_id" -> q22Sql,
     "q59_unigram_lm" -> q59Sql,
-    "q98_kneser_ney" -> q98Sql)
+    "q98_kneser_ney" -> q98Sql,
+    "q102_perplexity_gate" -> q102Sql)
 }

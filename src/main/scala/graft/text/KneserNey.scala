@@ -60,4 +60,52 @@ object KneserNey {
           expr(s"((${scale}L * 3L * n1_v) div (4L * c_v)) * n1_w div n_bb"))
           .as("p_fix"))
   }
+
+  /** CCNet-style LM scoring, float-free: total surprisal of each
+    * document under a trained bigram `model` (as produced by
+    * [[bigramModel]]), in fixed-point bits — bits_fix = Σ −log₂ p(w|v)
+    * · 2^fracBits over the document's bigram occurrences, computed with
+    * the exact integer binary log ([[graft.functions.FixedLogKernel]]).
+    * Perplexity gating is then an integer comparison:
+    * keep ⇔ bits_fix ≤ τ · n_bigrams · 2^fracBits.
+    *
+    * A document bigram absent from the model scores the maximum-surprise
+    * floor (probability 2^−scaleBits), so scoring a corpus the model was
+    * NOT trained on degrades gracefully instead of dropping rows.
+    *
+    * Scale shape: the model relation first reduces to per-bigram
+    * surprisal (narrow); documents reduce to per-doc DISTINCT bigrams
+    * with multiplicity (one map-side-combined shuffle) before the
+    * (v, w)-keyed join — so the join carries one row per distinct
+    * doc-bigram, not one per token — then one per-doc aggregation.
+    * No corpus re-shuffle, no driver collect: the model stays
+    * distributed (at web scale it outgrows any broadcast).
+    */
+  def perplexityBits(model: DataFrame, docs: DataFrame, textCol: String,
+      idCol: String, scaleBits: Int = 30, fracBits: Int = 16): DataFrame = {
+    val surprisal = model.select(col("v"), col("w"),
+      (-graft.functions.FixedLogExprs.log2fix(col("p_fix"), scaleBits,
+        fracBits)).as("__bits"))
+    val toks = Decontaminate.wordTokens(col(textCol))
+    val docBigrams = docs
+      .select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).as("__nt"), col("__toks"))
+      .select(col("doc_id"), explode(when(col("__nt") >= 2,
+        transform(sequence(lit(1), col("__nt") - 1),
+          i => struct(element_at(col("__toks"), i).as("v"),
+            element_at(col("__toks"), i + 1).as("w"))))
+        .otherwise(array())).as("bg"))
+      .groupBy(col("doc_id"), col("bg.v").as("v"), col("bg.w").as("w"))
+      .agg(count(lit(1)).as("__cnt"))
+    val floorBits = (scaleBits.toLong << fracBits)
+    val scored = docBigrams.join(surprisal, Seq("v", "w"), "left")
+      .groupBy("doc_id")
+      .agg(sum("__cnt").as("n_bigrams"),
+        sum(col("__cnt") * coalesce(col("__bits"), lit(floorBits)))
+          .as("bits_fix"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("bits_fix"), lit(0L)).as("bits_fix"))
+  }
 }

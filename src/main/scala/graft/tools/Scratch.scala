@@ -28,10 +28,14 @@ object Scratch {
     // profile any query twice (2nd iteration ~ bench steady state);
     // swap the target when hunting a regression
     val target = sys.env.getOrElse("SPARK_GRAFT_SCRATCH_Q", "q1_agg")
-    for (i <- 1 to 2) {
-      time(s"$target $i") {
+    val iters = sys.env.getOrElse("SPARK_GRAFT_SCRATCH_ITERS", "2").toInt
+    for (i <- 1 to iters) {
+      val df = time(s"$target $i build") {
         graft.SparkEntry.queries(target)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"$target $i plan") { df.queryExecution.executedPlan }
+      time(s"$target $i") {
+        df.write.format("noop").mode("overwrite").save()
       }
       spark.catalog.clearCache()
     }

@@ -26,4 +26,47 @@ class KneserNeySpec extends SparkSpec {
     assert(m.forall(r => r.getLong(3) > 0 && r.getLong(3) <= (1L << 30)))
     assert(!m.exists(r => r.getString(0) == "x" || r.getString(1) == "x"))
   }
+
+  test("log2fix is the exact floor of the binary log, never off by one") {
+    import graft.functions.FixedLogKernel.log2fix
+    // powers of two are exact
+    assert(log2fix(1L << 30, 30, 16) == 0L)
+    assert(log2fix(1L << 29, 30, 16) == -65536L)
+    assert(log2fix(1L, 30, 16) == -30L * 65536)
+    assert(log2fix(0L, 30, 16) == -30L * 65536, "clamps non-positive to p=1")
+    assert(log2fix(-5L, 30, 16) == -30L * 65536)
+    // against double math on a deterministic sweep (boundary cases land
+    // within one ulp of the true floor; allow only exact or -1 when the
+    // double itself rounds up across the floor)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 2000) {
+      val p = 1L + (rnd.nextLong(1L << 30) - 1).abs
+      val got = log2fix(p, 30, 16)
+      val exact = math.log(p.toDouble / (1L << 30)) / math.log(2.0) * 65536
+      assert(math.abs(got - math.floor(exact)) <= 1,
+        s"p=$p got=$got exact=$exact")
+    }
+  }
+
+  test("perplexityBits: hand-checked surprisal and unseen-bigram floor") {
+    val train = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val model = KneserNey.bigramModel(train, "text")
+    // every bigram in train has p = 671088640+201326592 = 872415232
+    // → -log2(872415232/2^30) = 0.2996... bits; fixed: floor(.2996·65536)
+    val got = KneserNey.perplexityBits(model, train, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val perBg = -graft.functions.FixedLogKernel.log2fix(872415232L, 30, 16)
+    assert(got.toSeq == Seq((1L, 3L, 3 * perBg), (2L, 1L, perBg)))
+    // a doc full of unseen bigrams hits the 30-bit floor per bigram
+    val unseen = Seq((9L, "zz qq")).toDF("doc_id", "text")
+    val g2 = KneserNey.perplexityBits(model, unseen, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(g2.toSeq == Seq((9L, 1L, 30L * 65536)))
+    // and a doc too short for bigrams scores (0, 0)
+    val short = Seq((8L, "solo")).toDF("doc_id", "text")
+    val g3 = KneserNey.perplexityBits(model, short, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(g3.toSeq == Seq((8L, 0L, 0L)))
+  }
 }
