@@ -398,6 +398,38 @@ object DedupQueries {
       |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3
       |ORDER BY query_id, rank""".stripMargin
 
+  /** q103: contrastive hard-negative mining ([[Ann.hardNegatives]]) —
+    * per query, the 5 most similar DIFFERENT-label vectors below the
+    * near-dup ceiling (0.99). The negative-sampling stage of
+    * dense-retriever / embedding training prep; oracle is the q40-style
+    * brute-force reconstruction with the label and ceiling predicates.
+    */
+  def q103HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Load.table(spark, dir, "embeddings")
+      .select("vec_id", "embedding", "label")
+    val queries = e.filter(col("vec_id") < 20)
+    Ann.hardNegatives(e, queries, "vec_id", "embedding", "label", k = 5)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
+  val q103Sql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+      |           FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label AS cl
+      |      FROM embeddings),
+      |s AS (
+      |  SELECT query_id, neighbor_id,
+      |    list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+      |  FROM q CROSS JOIN c
+      |  WHERE neighbor_id <> query_id AND cl <> ql),
+      |f AS (SELECT query_id, neighbor_id, sim FROM s WHERE sim < 0.99),
+      |r AS (SELECT query_id, neighbor_id,
+      |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |      FROM f)
+      |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Brute-force top-3 through the custom TopKPerKey physical operator
     * (bounded heap per key — no per-key sort, no Window) — same oracle as
     * q40, so the custom plan is held to hash-equality with DuckDB.
@@ -642,6 +674,7 @@ object DedupQueries {
     "q40_ann_brute" -> q40AnnBrute,
     "q41_ann_srp" -> q41AnnSrp,
     "q42_ann_topk_heap" -> q42AnnTopKHeap,
+    "q103_hard_negatives" -> (q103HardNegatives _),
     "q43_ann_ivf" -> q43AnnIvf,
     "q43b_ann_ivf_reload" -> (q43bAnnIvfReload _),
     "q62_sparse_cosine" -> q62SparseCosine,
@@ -659,6 +692,7 @@ object DedupQueries {
     "q40_ann_brute" -> q40Sql,
     "q41_ann_srp" -> q41Sql,
     "q42_ann_topk_heap" -> q40Sql,
+    "q103_hard_negatives" -> q103Sql,
     "q43_ann_ivf" -> q41Sql,
     "q43b_ann_ivf_reload" -> q41Sql,
     "q62_sparse_cosine" -> q62Sql,

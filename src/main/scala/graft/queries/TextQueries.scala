@@ -234,7 +234,40 @@ object TextQueries {
       |FROM documents d LEFT JOIN scored s USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q104: n-gram novelty scoring ([[TextAnalysis.ngramNovelty]]) — per
+    * doc, the share of distinct word 3-grams unseen in any earlier doc
+    * (arrival order = doc_id). The incremental-crawl triage signal:
+    * syndicated re-crawls score ~0, new material ~100. First-seen is a
+    * per-gram-hash window minimum with the ParagraphDedup collision
+    * escape; the oracle recomputes first-seen from gram STRINGS.
+    */
+  def q104NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    graft.text.TextAnalysis.ngramNovelty(d, "text", "doc_id", "doc_id", n = 3)
+      .orderBy("doc_id")
+  }
+
+  val q104Sql: String =
+    """WITH toksd AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x <> '') AS w
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+      |  FROM toksd,
+      |       UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)),
+      |firsts AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram)
+      |SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+      |       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_novel,
+      |       CAST(100 * sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+      |            // count(*) AS BIGINT) AS novelty_pct
+      |FROM grams g JOIN firsts f USING (gram)
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_ngram_novelty" -> (q104NgramNovelty _),
     "q20_text_profile" -> q20Profile,
     "q21_quality_score" -> q21Quality,
     "q22_lang_id" -> q22LangId,
@@ -248,5 +281,6 @@ object TextQueries {
     "q22_lang_id" -> q22Sql,
     "q59_unigram_lm" -> q59Sql,
     "q98_kneser_ney" -> q98Sql,
-    "q102_perplexity_gate" -> q102Sql)
+    "q102_perplexity_gate" -> q102Sql,
+    "q104_ngram_novelty" -> q104Sql)
 }

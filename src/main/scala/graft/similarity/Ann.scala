@@ -75,6 +75,41 @@ object Ann {
     top.withColumn("rank", row_number().over(w)).drop("__negSim")
   }
 
+  /** Contrastive hard-negative mining: for each query, the k most
+    * SIMILAR corpus items with a DIFFERENT label, excluding the
+    * near-duplicate band (sim ≥ dupCeiling — an almost-identical vector
+    * under another label is a labeling error or an unflagged duplicate,
+    * and training on it as a negative teaches the model noise). This is
+    * the negative-sampling stage of contrastive/embedding training data
+    * prep (e.g. dense-retriever mining à la DPR): the highest-similarity
+    * non-matches are exactly the pairs the model learns most from.
+    *
+    * Same scale shape as [[bruteForceTopK]]: queries broadcast, corpus
+    * scanned once, label filter and similarity ceiling applied BEFORE
+    * the TopKPerKey bounded heaps, so the exchange moves ≤ partitions ×
+    * queries × k rows regardless of corpus size.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int,
+      dupCeiling: Double = 0.99): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), col(labelCol).as("__ql")))
+    val c = graft.ops.Par.fanOut(corpus).select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), col(labelCol).as("__cl"))
+    val scored = c.crossJoin(q)
+      .filter(col("__cl") =!= col("__ql"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("sim"))
+      .filter(col("sim") < dupCeiling)
+      .withColumn("__negSim", -col("sim"))
+    val top = graft.plans.TopKPerKey.topK(scored, Seq("query_id"),
+      Seq(graft.plans.TopKPerKey.Sort("__negSim"),
+        graft.plans.TopKPerKey.Sort("neighbor_id")), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w)).drop("__negSim")
+  }
+
   /** Two-tier exact-ish top-k: tier 1 scores int8-QUANTIZED codes
     * (Embeddings.quantizeInt8 — 4× less data through the scan) and keeps
     * `candidateFactor × k` candidates per query via TopKPerKey; tier 2

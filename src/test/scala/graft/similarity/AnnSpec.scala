@@ -63,6 +63,38 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall $recall too low")
   }
 
+  test("hardNegatives: different label only, dup ceiling excludes clones") {
+    // two labels along one axis: label 0 at x≈1, label 1 at x≈-1, plus a
+    // mislabeled exact clone of the query (sim 1.0 ≥ ceiling → excluded)
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f), 0),   // query
+      (1L, Array(0.9f, 0.1f), 0),   // same label → never a negative
+      (2L, Array(1.0f, 0.0f), 1),   // clone under another label → ceiling
+      (3L, Array(0.8f, 0.6f), 1),   // the hard negative (closest legit)
+      (4L, Array(-1.0f, 0.0f), 1))  // easy negative
+      .toDF("vec_id", "embedding", "label")
+    val q = rows.filter($"vec_id" === 0L)
+    val got = Ann.hardNegatives(rows, q, "vec_id", "embedding", "label",
+      k = 2, dupCeiling = 0.99)
+      .orderBy("rank")
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(got.toSeq == Seq((1, 3L), (2, 4L)))
+  }
+
+  test("ngramNovelty: first doc all novel, re-crawl scores zero") {
+    val docs = Seq(
+      (1L, "a b c d"),   // grams: "a b c", "b c d" — both novel
+      (2L, "a b c d"),   // exact re-crawl → 0 novel
+      (3L, "a b c e"))   // "a b c" seen, "b c e" novel → 50%
+      .toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis
+      .ngramNovelty(docs, "text", "doc_id", "doc_id", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 2L, 100L), (2L, 2L, 0L, 0L),
+      (3L, 2L, 1L, 50L)))
+  }
+
   test("ivfTrain samples uniformly: centroids span a CLUSTER-SORTED corpus") {
     // corpus sorted so that all of cluster A precedes cluster B: a
     // first-rows "sample" would only ever see cluster A and leave B
