@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Single-pass column profiling — the data-quality monitoring step a
+  * production pipeline runs on every ingest (the reference bakes its
+  * expectations into per-field `set_type`/`validate` steps; this is the
+  * observability complement: measure, then decide what to validate).
+  *
+  * One scan produces per-column null counts, exact distinct counts, and
+  * min/max rendered to strings: all requested columns aggregate in a
+  * SINGLE `agg` (Catalyst plans the multi-column exact COUNT(DISTINCT)
+  * via one Expand — the scan happens once, not once per column), and the
+  * wide single row unpivots to (column, n_rows, n_nulls, n_distinct,
+  * min_str, max_str) with a narrow explode.
+  *
+  * Exact distinct (not approx_count_distinct) is deliberate: profiles
+  * feed validation thresholds and the driver's hash-equality oracle;
+  * HLL estimates would make both nondeterministic. At 100 TB, profile a
+  * sampled partition or swap in approx_count_distinct — the plan shape
+  * (one Expand) is the same.
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val packed = wide.select(explode(array(cols.map(c => struct(
+      lit(c).as("column"),
+      col("__n").as("n_rows"),
+      col(s"__nn_$c").as("n_nulls"),
+      col(s"__nd_$c").as("n_distinct"),
+      col(s"__mn_$c").as("min_str"),
+      col(s"__mx_$c").as("max_str"))): _*)).as("p"))
+    packed.select(col("p.column"), col("p.n_rows"), col("p.n_nulls"),
+      col("p.n_distinct"), col("p.min_str"), col("p.max_str"))
+  }
+}

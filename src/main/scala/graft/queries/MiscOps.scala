@@ -821,7 +821,105 @@ object MiscOps {
     """SELECT doc_id AS id_a, doc_id + 100000 AS id_b
       |FROM documents ORDER BY id_a""".stripMargin
 
+  /** q105: single-pass column profiling ([[graft.ops.Profile]]) over the
+    * orders table — null counts, exact distincts, min/max rendered to
+    * strings, all columns in one scan (one Expand for the multi-column
+    * COUNT DISTINCT). The double column is deliberately excluded from
+    * the PROFILED set: double→string rendering differs across engines,
+    * and the oracle's job is to pin the counting semantics.
+    */
+  def q105Profile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Load.table(spark, dir, "orders")
+    graft.ops.Profile.profile(o,
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_orderdate"))
+      .orderBy("column")
+  }
+
+  val q105Sql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority", "o_orderdate")
+    cols.map { c =>
+      s"""SELECT '$c' AS "column", count(*)::BIGINT AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  count(DISTINCT $c)::BIGINT AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_str,
+         |  CAST(max($c) AS VARCHAR) AS max_str
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
+  /** q106: Unicode NFC normalization ([[graft.functions.UnicodeNormalize]])
+    * — fold decomposed accents back to composed codepoints before any
+    * hashing/dedup/tokenization. The corpus is ASCII, so the query
+    * plants decomposed text (every 'a' → 'a' + combining acute U+0301)
+    * and both engines normalize it: Java's Normalizer and DuckDB's
+    * utf8proc must produce identical bytes, and the codepoint-count
+    * delta (len_pre − len_nfc = number of recomposed pairs) is gated
+    * too.
+    */
+  def q106NfcNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val decorated = regexp_replace(col("text"), "a", "a\u0301")
+    d.select(col("doc_id"),
+        decorated.as("__pre"),
+        graft.functions.NormalizeExprs.unicodeNormalize(decorated, "NFC")
+          .as("text_nfc"))
+      .select(col("doc_id"), col("text_nfc"),
+        length(col("__pre")).cast(LongType).as("len_pre"),
+        length(col("text_nfc")).cast(LongType).as("len_nfc"))
+      .orderBy("doc_id")
+  }
+
+  val q106Sql: String =
+    """WITH pre AS (
+      |  SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS p
+      |  FROM documents)
+      |SELECT doc_id, nfc_normalize(p) AS text_nfc,
+      |       length(p)::BIGINT AS len_pre,
+      |       length(nfc_normalize(p))::BIGINT AS len_nfc
+      |FROM pre ORDER BY doc_id""".stripMargin
+
+  /** q107: bucketized interval join ([[graft.ops.RangeJoin]]) — clicks
+    * matched to ±30-minute windows around same-user purchases. Spark
+    * would plan the raw range predicate as a nested-loop join; the
+    * operator turns it into an equi-join on (user, 10-min bucket) with
+    * interval replication ≤ 7, plus a key-partitioned fallback for
+    * over-long intervals (none here; spec covers that path). Oracle is
+    * DuckDB's native range join (IEJoin) over the same windows.
+    */
+  def q107RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Load.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("iv_id"), col("user_id"),
+        (unix_micros(col("ts")) - 1800000000L).as("w_start"),
+        (unix_micros(col("ts")) + 1800000000L).as("w_end"))
+    RangeJoin.overlapJoin(clicks, windows, "t", "w_start", "w_end",
+      Seq("user_id"), bucketWidth = 600000000L)
+      .select("event_id", "iv_id", "user_id", "t")
+      .transform(Par.sortOnce(_, col("event_id"), col("iv_id")))
+  }
+
+  val q107Sql: String =
+    """WITH c AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS t
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT event_id AS iv_id, user_id,
+      |         epoch_us(ts) - 1800000000 AS w_start,
+      |         epoch_us(ts) + 1800000000 AS w_end
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id, p.iv_id, c.user_id, c.t
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |              AND c.t BETWEEN p.w_start AND p.w_end
+      |ORDER BY c.event_id, p.iv_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_profile" -> (q105Profile _),
+    "q107_range_join" -> (q107RangeJoin _),
+    "q106_nfc_normalize" -> (q106NfcNormalize _),
     "q11_set_type" -> q11SetType,
     "q12_year_expand" -> q12YearExpand,
     "q13_explode_dedup" -> q13ExplodeDedup,
@@ -849,6 +947,9 @@ object MiscOps {
     "q85_url_canonical" -> q85UrlCanonical)
 
   val oracles: Map[String, String] = Map(
+    "q105_profile" -> q105Sql,
+    "q107_range_join" -> q107Sql,
+    "q106_nfc_normalize" -> q106Sql,
     "q11_set_type" -> q11Sql,
     "q12_year_expand" -> q12Sql,
     "q13_explode_dedup" -> q13Sql,

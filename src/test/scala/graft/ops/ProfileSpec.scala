@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile: nulls, exact distincts, min/max as strings, one row per column") {
+    val df = Seq(
+      (1L, Some("x"), Some(10)),
+      (2L, None, Some(20)),
+      (3L, Some("y"), None),
+      (4L, Some("x"), Some(20)))
+      .toDF("id", "s", "v")
+    val got = Profile.profile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getString(5)))).toMap
+    assert(got("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(got("s") == ((4L, 1L, 2L, "x", "y")))
+    assert(got("v") == ((4L, 1L, 2L, "10", "20")))
+  }
+
+  test("profile plan scans the input once (a single Expand, no union of scans)") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val plan = Profile.profile(df, Seq("id", "s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"expected one Expand-based plan:\n$plan")
+    assert(!plan.contains("Union"), s"must not union per-column scans:\n$plan")
+  }
+
+  test("unicode_normalize: NFC recomposes, NFD decomposes, ASCII fast path") {
+    import java.text.Normalizer
+    import graft.functions.NormalizeExprs.unicodeNormalize
+    val decomposed = "e\u0301cole"
+    val composed = "\u00e9cole"
+    val df = Seq(decomposed, composed, "plain ascii").toDF("s")
+    val got = df.select(
+      unicodeNormalize(col("s"), "NFC").as("nfc"),
+      unicodeNormalize(col("s"), "NFD").as("nfd"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got(0) == ((composed, decomposed)))
+    assert(got(1) == ((composed, decomposed)))
+    assert(got(2) == (("plain ascii", "plain ascii")))
+    // parity with the JDK reference on compatibility forms (ligature,
+    // vulgar fraction)
+    val sMixed = "\ufb01n \u00bd"
+    val viaExpr = Seq(sMixed).toDF("s")
+      .select(unicodeNormalize(col("s"), "NFKC")).as[String].head()
+    assert(viaExpr == Normalizer.normalize(sMixed, Normalizer.Form.NFKC))
+  }
+}
