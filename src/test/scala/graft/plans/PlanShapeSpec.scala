@@ -105,4 +105,39 @@ class PlanShapeSpec extends SparkSpec {
       s"cluster assignment not reused via persist:\n$p")
     assert(p.contains("nearest_centroid"), s"narrow argmin assignment missing:\n$p")
   }
+
+  test("q107: the range join plans as an equi-join, never a nested loop") {
+    val p = plan(graft.queries.MiscOps.q107RangeJoin(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range predicate degenerated to a nested loop:\n$p")
+    assert(p.contains("Join"), s"expected a hash/sort-merge equi-join:\n$p")
+  }
+
+  test("q100/q104: dedup and novelty windows are hash-partitioned, not global") {
+    for ((q, key) <- Seq("q100_paragraph_dedup" -> "__ph",
+      "q104_ngram_novelty" -> "__gh")) {
+      val p = plan(graft.SparkEntry.queries(q)(spark, sf))
+      val winLines = p.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(winLines.nonEmpty && winLines.forall(_.contains(key)),
+        s"$q window lost its $key partition key:\n${winLines.mkString("\n")}")
+    }
+  }
+
+  test("q101: the encode stage is narrow — table ships as one reference, no shuffle before the sink sort") {
+    val df = graft.queries.SearchQueries.q101BpeEncode(spark, sf)
+    val p = plan(df)
+    assert(p.contains("bpe_encode"), s"kernel expression missing:\n$p")
+    // exactly the sortOnce exchange at the top; the tokenize pipeline
+    // below it must not shuffle
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"encode pipeline shuffles:\n$p")
+  }
+
+  test("q105: profiling is one scan — a single Expand, no union of scans") {
+    val p = plan(graft.queries.MiscOps.q105Profile(spark, sf))
+    assert(p.contains("Expand"), s"expected Expand-based multi-distinct:\n$p")
+    assert(!p.contains("Union"), s"per-column scan union:\n$p")
+    assert("FileScan".r.findAllIn(p).size <= 1, s"multiple scans:\n$p")
+  }
 }
