@@ -42,7 +42,13 @@ object ExplainDump {
     "q85_url_canonical" -> "sort-early: range exchange samples only the cheap concat child; URL-parse kernel runs ONCE, post-shuffle",
     "q96_bucketed_join" -> "zero-Exchange scan → sort-merge join → agg: bucket distribution satisfies join AND groupBy",
     "q97_pagerank" -> "three join+agg rounds; only (dst, contribution) pairs cross each exchange",
-    "q98_kneser_ney" -> "wordcount family: one bigram shuffle, then aggs of the reduced relation; scalar total broadcasts")
+    "q98_kneser_ney" -> "wordcount family: one bigram shuffle, then aggs of the reduced relation; scalar total broadcasts",
+    "q100_paragraph_dedup" -> "para-hash-partitioned window (fixed-width key) + one doc-keyed reassembly; no global window",
+    "q101_bpe_encode" -> "narrow tokenize: bpe_encode kernel with the merge table as one reference object; the only exchange is the output sort",
+    "q102_perplexity_gate" -> "model join keyed (v,w) over per-doc DISTINCT bigrams; integer log2fix surprisal; doc rollup",
+    "q103_hard_negatives" -> "label filter + dup ceiling BEFORE TopKPerKey bounded heaps; queries broadcast",
+    "q105_profile" -> "one scan, one Expand for all-column exact distincts; no per-column scan union",
+    "q107_range_join" -> "interval join as equi-join on (user, bucket) + range post-filter; no nested loop")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
