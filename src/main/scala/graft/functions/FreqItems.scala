@@ -148,6 +148,79 @@ case class FreqItems(
     copy(child = newChild)
 }
 
+/** `freq_items_weighted(item, weight, capacity)`: Misra–Gries over
+  * PRE-COUNTED rows — the merge half of the cross-run heavy-hitters
+  * artifact. A run's summary persists as plain (item, cnt) rows; a later
+  * run re-aggregates the union of persisted summaries with this weighted
+  * insert, which is exactly the MG summary-merge (weighted add with
+  * batch decrement). With total distinct ≤ capacity the merged counts
+  * equal a single pass over the concatenated corpus; over capacity the
+  * standard undercount bound holds on the combined stream.
+  */
+case class FreqItemsWeighted(
+    left: Expression,
+    right: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[FreqSummary]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+  require(capacity > 0, "capacity must be positive")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "freq_items_weighted"
+
+  override def createAggregationBuffer(): FreqSummary =
+    new FreqSummary(new java.util.HashMap[UTF8String, java.lang.Long]())
+
+  override def update(buf: FreqSummary, input: InternalRow): FreqSummary = {
+    val item = left.eval(input)
+    val w = right.eval(input)
+    if (item != null && w != null) {
+      val inc = w.asInstanceOf[Long]
+      require(inc >= 0, "freq_items_weighted: negative weight")
+      buf.add(item.asInstanceOf[UTF8String].clone(), inc, capacity)
+    }
+    buf
+  }
+
+  override def merge(a: FreqSummary, b: FreqSummary): FreqSummary = {
+    val it = b.m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      a.add(e.getKey, e.getValue.longValue, capacity)
+    }
+    a
+  }
+
+  override def eval(buf: FreqSummary): Any = {
+    val entries = new Array[(UTF8String, Long)](buf.m.size)
+    val it = buf.m.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey, e.getValue.longValue); i += 1 }
+    val sorted = entries.sortBy { case (item, cnt) => (-cnt, item) }
+    new GenericArrayData(sorted.map { case (item, cnt) =>
+      InternalRow(item, cnt)
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: FreqSummary): Array[Byte] =
+    FreqItems(left, capacity).serialize(buf)
+  override def deserialize(bytes: Array[Byte]): FreqSummary =
+    FreqItems(left, capacity).deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqItemsWeighted =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqItemsWeighted =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): FreqItemsWeighted =
+    copy(left = newLeft, right = newRight)
+}
+
 object FreqItemsAgg {
   import org.apache.spark.sql.{GraftBridge => EU}
 
@@ -156,4 +229,11 @@ object FreqItemsAgg {
     */
   def freqItems(tokens: Column, capacity: Int): Column =
     EU.column(FreqItems(EU.expression(tokens), capacity).toAggregateExpression())
+
+  /** Weighted Misra–Gries over (item, count) rows — merges persisted
+    * run summaries; see [[FreqItemsWeighted]].
+    */
+  def freqItemsWeighted(item: Column, weight: Column, capacity: Int): Column =
+    EU.column(FreqItemsWeighted(EU.expression(item), EU.expression(weight),
+      capacity).toAggregateExpression())
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -740,8 +740,53 @@ object CurationQueries {
       |LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q108: cross-run heavy-hitters ARTIFACT ([[graft.functions
+    * .FreqItemsWeighted]]) — the q79 sketch as a persisted, mergeable
+    * object. Two "runs" (even/odd docs) each condense to an O(capacity)
+    * Misra–Gries summary, persist to parquet, and a later pass merges
+    * the RELOADED summaries with the weighted insert. Capacity (4096)
+    * exceeds the corpus vocabulary, so the merged artifact must equal
+    * exact counting over the concatenated corpus — which is precisely
+    * what the oracle computes. Gates the artifact schema round-trip AND
+    * the weighted-merge algebra; the approximate regime's bound is
+    * spec-tested (FreqItemsSpec).
+    */
+  def q108SketchMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_hh_${ScratchDirs.pathKey(dir)}_${ProcessHandle.current().pid()}"
+    ScratchDirs.deleteRecursively(new java.io.File(base))
+    val docs = Load.table(spark, dir, "documents")
+    def runSummary(filter: Column, path: String): DataFrame = {
+      docs.filter(filter)
+        .select(graft.text.Decontaminate.wordTokens(col("text")).as("toks"))
+        .agg(graft.functions.FreqItemsAgg.freqItems(col("toks"), 4096).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("token"), col("e.cnt").as("cnt"))
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    val runA = runSummary(col("doc_id") % 2 === 0, s"$base/runA")
+    val runB = runSummary(col("doc_id") % 2 =!= 0, s"$base/runB")
+    runA.unionByName(runB)
+      .agg(graft.functions.FreqItemsAgg
+        .freqItemsWeighted(col("token"), col("cnt"), 4096).as("hh"))
+      .select(posexplode(col("hh")).as(Seq("rank0", "e")))
+      .select((col("rank0") + 1).cast(LongType).as("rank"),
+        col("e.item").as("token"), col("e.cnt").as("cnt"))
+      .filter(col("rank") <= 50)
+  }
+
+  val q108Sql: String =
+    """WITH toks AS (
+      |  SELECT u.tok FROM documents,
+      |       UNNEST(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                          x -> x <> '')) u(tok)),
+      |c AS (SELECT tok AS token, count(*)::BIGINT AS cnt FROM toks GROUP BY tok)
+      |SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank, token, cnt
+      |FROM c ORDER BY rank LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_paragraph_dedup" -> (q100ParagraphDedup _),
+    "q108_sketch_merge" -> (q108SketchMerge _),
     "q63_cluster_split" -> (q63ClusterSplit _),
     "q64_chunk_windows" -> (q64Chunk _),
     "q65_pack_sequences" -> (q65Pack _),
@@ -762,6 +807,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q100_paragraph_dedup" -> q100Sql,
+    "q108_sketch_merge" -> q108Sql,
     "q63_cluster_split" -> q63Sql,
     "q64_chunk_windows" -> q64Sql,
     "q65_pack_sequences" -> q65Sql,

@@ -47,4 +47,36 @@ class FreqItemsSpec extends SparkSpec {
     ).toDF("id", "toks").select($"toks")
     assert(hh(df, 8) == Seq(("x", 1L), ("y", 1L)))
   }
+
+  private def hhw(df: org.apache.spark.sql.DataFrame, cap: Int) =
+    df.agg(FreqItemsAgg.freqItemsWeighted($"item", $"cnt", cap).as("hh"))
+      .select(explode($"hh").as("e"))
+      .select($"e.item", $"e.cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  test("weighted merge of two run summaries == one pass over the union") {
+    val runA = Seq(("a", 5L), ("b", 2L), ("c", 1L)).toDF("item", "cnt")
+    val runB = Seq(("a", 3L), ("c", 4L), ("d", 1L)).toDF("item", "cnt")
+    val merged = hhw(runA.unionByName(runB), 16)
+    assert(merged == Seq(("a", 8L), ("c", 5L), ("b", 2L), ("d", 1L)))
+  }
+
+  test("weighted merge over capacity keeps the combined undercount bound") {
+    // two summaries, combined n = 100, capacity 3 → error bound 25
+    val runA = Seq(("hot", 40L), ("w1", 8L), ("w2", 8L), ("w3", 8L))
+      .toDF("item", "cnt").coalesce(1)
+    val runB = Seq(("hot", 20L), ("w4", 8L), ("w5", 8L))
+      .toDF("item", "cnt").coalesce(1)
+    val merged = hhw(runA.unionByName(runB).coalesce(1), 3)
+    val hot = merged.find(_._1 == "hot")
+    assert(hot.isDefined, s"hot item evicted: $merged")
+    assert(hot.get._2 <= 60L && hot.get._2 >= 60L - 25L,
+      s"undercount bound violated: $merged")
+  }
+
+  test("zero and null weights are no-ops") {
+    val df = Seq(("a", Some(3L)), ("b", Some(0L)), ("c", None))
+      .toDF("item", "cnt")
+    assert(hhw(df, 8) == Seq(("a", 3L)))
+  }
 }
