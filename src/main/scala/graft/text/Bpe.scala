@@ -98,6 +98,17 @@ object Bpe {
       .drop("__toks", "__word")
   }
 
+  /** DECODE (detokenize): invert [[encode]]'s per-word tokenization —
+    * strip the merge separators from each token and concatenate. A
+    * narrow map; with `sep` absent from the alphabet (the trainer's
+    * contract), decode ∘ encode is the identity on words, which is the
+    * whole correctness story for a tokenizer round-trip (spec-tested as
+    * a law over the corpus).
+    */
+  def decodeWord(tokens: Column, sep: String = "▁"): Column =
+    array_join(transform(tokens, t => regexp_replace(t,
+      java.util.regex.Pattern.quote(sep), "")), "")
+
   /** The full training loop: `rounds` merge rounds, each re-counting the
     * rewritten corpus. Returns (final df with `tokens`, ordered merge
     * table — the tokenizer artifact). The per-round rewritten corpus is

@@ -257,4 +257,82 @@ class PropertiesSpec extends AnyFunSuite {
       sizeOk && exactOk && trackedOk && untrackedOk
     })
   }
+
+  // --- BPE encode kernel ----------------------------------------------
+
+  /** Naive reference: literal priority-queue BPE (find global min-rank
+    * adjacent pair, merge all its occurrences greedy-leftmost, repeat).
+    */
+  private def naiveBpe(word: String, merges: Seq[(String, String)],
+      sep: String): Seq[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var toks: Vector[String] = word.map(_.toString).toVector
+    var done = toks.size < 2
+    while (!done) {
+      val present = toks.indices.dropRight(1)
+        .flatMap(i => rank.get((toks(i), toks(i + 1))))
+      if (present.isEmpty) done = true
+      else {
+        val (l, r) = merges(present.min)
+        val m = l + sep + r
+        val out = Vector.newBuilder[String]
+        var k = 0
+        while (k < toks.size) {
+          if (k + 1 < toks.size && toks(k) == l && toks(k + 1) == r) {
+            out += m; k += 2
+          } else { out += toks(k); k += 1 }
+        }
+        toks = out.result()
+        done = toks.size < 2
+      }
+    }
+    toks
+  }
+
+  test("BpeEncode kernel == naive priority-queue reference, random tables") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.{BpeEncodeKernel, BpeTable}
+    val alphabet = Seq("a", "b", "c")
+    // grow a table the way training would: each rule pairs two tokens
+    // drawn from the alphabet plus earlier merge RESULTS (so rules chain)
+    val tableGen: Gen[Seq[(String, String)]] =
+      Gen.choose(0, 6).flatMap { n =>
+        (0 until n).foldLeft(Gen.const(Seq.empty[(String, String)])) {
+          case (acc, _) => acc.flatMap { rules =>
+            val pool = alphabet ++ rules.map { case (l, r) => l + "_" + r }
+            for {
+              l <- Gen.oneOf(pool)
+              r <- Gen.oneOf(pool)
+            } yield if (rules.contains((l, r))) rules else rules :+ ((l, r))
+          }
+        }
+      }
+    val wordGen = Gen.listOf(Gen.oneOf(alphabet)).map(_.mkString)
+    check(Prop.forAll(wordGen, tableGen) { (word, merges) =>
+      val table = new BpeTable(merges, "_")
+      val got = BpeEncodeKernel.encode(UTF8String.fromString(word), table)
+      val gotSeq = (0 until got.numElements())
+        .map(i => got.getUTF8String(i).toString)
+      gotSeq == naiveBpe(word, merges, "_")
+    })
+  }
+
+  // --- fixed-point binary log -----------------------------------------
+
+  test("log2fix: monotone in p; exact halving step; bounded range") {
+    import graft.functions.FixedLogKernel.log2fix
+    val pGen = Gen.choose(1L, 1L << 30)
+    check(Prop.forAll(pGen, pGen) { (p1, p2) =>
+      val (lo, hi) = if (p1 <= p2) (p1, p2) else (p2, p1)
+      log2fix(lo, 30, 16) <= log2fix(hi, 30, 16)
+    })
+    check(Prop.forAll(Gen.choose(1L, 1L << 29)) { p =>
+      // log2(2p) = log2(p) + 1 exactly, so the fixed floor shifts by 2^16
+      log2fix(2 * p, 30, 16) == log2fix(p, 30, 16) + 65536
+    })
+    check(Prop.forAll(pGen) { p =>
+      val v = log2fix(p, 30, 16)
+      v <= 0 && v >= -30L * 65536
+    })
+  }
 }

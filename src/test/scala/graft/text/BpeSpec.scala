@@ -86,6 +86,21 @@ class BpeSpec extends SparkSpec {
     assert(enc(s"a${emoji}b", Seq.empty) == Seq("a", emoji, "b"))
   }
 
+  test("decode inverts encode on every corpus word (round-trip law)") {
+    val merges = Seq("t" -> "a", "t_a" -> "b", "l" -> "e", "t_a_b" -> "l_e",
+      "a" -> "l")
+    val words = Seq("table", "ale", "tab", "bat", "x", "battle", "tattle")
+      .toDF("w")
+    val back = words
+      .select(col("w"),
+        Bpe.decodeWord(
+          graft.functions.BpeExprs.bpeEncode(col("w"), merges, "_"), "_")
+          .as("rt"))
+      .collect()
+    back.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"round-trip broke for ${r.getString(0)}"))
+  }
+
   test("word-level encodeTokens agrees with iterated train applyMerge") {
     // applying the learned table in one priority-queue pass reproduces
     // train's round-by-round corpus rewrite (rank order == learn order)
