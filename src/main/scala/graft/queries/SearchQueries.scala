@@ -159,6 +159,7 @@ object SearchQueries {
     "q81_cooccurrence" -> (q81Cooccurrence _),
     "q89_bpe_step" -> (q89BpeStep _),
     "q101_bpe_encode" -> (q101BpeEncode _),
+    "q109_tokenize_pack" -> (q109TokenizePack _),
     "q90_cdc_chunks" -> (q90CdcChunks _),
     "q91_chunk_dedup" -> (q91ChunkDedup _))
 
@@ -225,6 +226,59 @@ object SearchQueries {
   private val q101Merges: Seq[(String, String)] = Seq(
     "t" -> "a", "t+a" -> "b", "l" -> "e", "t+a+b" -> "l+e",
     "r" -> "o", "r+o" -> "w", "a" -> "l")
+
+  /** q109: the tokenizer pipeline COMPOSED — BPE-encode every document
+    * with the trained table, count its post-merge tokens (the number a
+    * training run actually packs by, not the whitespace word count), and
+    * pack documents into fixed 4096-token sequences
+    * ([[graft.text.Sequences.packByBudget]]). Integration gate: q101
+    * pins the encode and q65 pins the packing; this pins their
+    * COMPOSITION — the per-doc count flowing out of the encode must be
+    * exactly what the packer consumes. The count is a narrow
+    * transform+fold (size of each word's encoding, summed in-row — no
+    * explode, no shuffle before the packer's bounded histogram).
+    */
+  def q109TokenizePack(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents").select("doc_id", "text")
+    val counts = d
+      .withColumn("__ws", graft.text.Decontaminate.wordTokens(col("text")))
+      .withColumn("n_bpe_tokens",
+        aggregate(
+          transform(col("__ws"), w =>
+            size(graft.functions.BpeExprs.bpeEncode(w, q101Merges, "+"))),
+          lit(0L), (acc, x) => acc + x.cast("long")))
+      .select("doc_id", "n_bpe_tokens")
+    graft.text.Sequences.packByBudget(counts, "doc_id", "n_bpe_tokens", 4096L)
+      .orderBy("doc_id")
+  }
+
+  val q109Sql: String = {
+    val chain = q101Merges.foldLeft(
+      """regexp_replace(word, '(.)', ' \1 ', 'g')""") { case (acc, (l, r)) =>
+      s"replace($acc, ' $l  $r ', ' $l+$r ')"
+    }
+    s"""WITH words AS (
+       |  SELECT doc_id, w[i] AS word
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text), '\\s+'),
+       |                      x -> x <> '') AS w
+       |        FROM documents),
+       |       UNNEST(generate_series(1, len(w))) t(i)),
+       |wc AS (
+       |  SELECT doc_id,
+       |         len(list_filter(string_split($chain, ' '), x -> x <> '')) AS wn
+       |  FROM words),
+       |t0 AS (SELECT doc_id, CAST(sum(wn) AS BIGINT) AS n_bpe_tokens
+       |       FROM wc GROUP BY doc_id),
+       |t AS (SELECT d.doc_id, coalesce(t0.n_bpe_tokens, 0) AS n_bpe_tokens,
+       |             substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS draw
+       |      FROM documents d LEFT JOIN t0 USING (doc_id))
+       |SELECT doc_id, n_bpe_tokens,
+       |       CAST(coalesce(sum(n_bpe_tokens) OVER (ORDER BY draw, doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096
+       |         AS BIGINT) AS seq_ix
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
 
   val q101Sql: String = {
     // framed-token replace chain, rank order — ' l  r ' → ' l+sep+r '
@@ -417,6 +471,7 @@ object SearchQueries {
     "q81_cooccurrence" -> q81Sql,
     "q89_bpe_step" -> q89Sql,
     "q101_bpe_encode" -> q101Sql,
+    "q109_tokenize_pack" -> q109Sql,
     "q90_cdc_chunks" -> q90Sql,
     "q91_chunk_dedup" -> q91Sql)
 }
