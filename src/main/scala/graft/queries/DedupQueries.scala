@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.dedup.Dedup
 import graft.ops.Load
-import graft.similarity.Ann
+import graft.similarity.{Ann, Outliers}
 
 /** Dedup + similarity-search queries. The synthetic corpus has no real
   * duplicates, so near-dup queries build a mutated copy of the documents
@@ -430,6 +430,41 @@ object DedupQueries {
       |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** q110: embedding outlier detection ([[Outliers.globalOutliers]]) —
+    * flag vectors whose exact-integer dist² to the quantized corpus
+    * centroid exceeds 1.005× the corpus mean (the synthetic corpus
+    * concentrates tightly, so the milli-resolution threshold is what
+    * produces a non-trivial split; real junk sits orders of magnitude
+    * out, spec-tested with planted strays). Every quantity is integer-
+    * exact, so the oracle replays quantization, centroid, distances,
+    * and the cross-multiplied decision bit-for-bit.
+    */
+  def q110EmbeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Load.table(spark, dir, "embeddings")
+    Outliers.globalOutliers(e, "vec_id", "embedding", alphaMilli = 1005)
+      .orderBy("vec_id")
+  }
+
+  val q110Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding::DOUBLE[],
+      |                        x -> CAST(floor(x * 65536) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |dims AS (SELECT i, CAST(sum(qv[i]) AS BIGINT) AS s,
+      |                count(*)::BIGINT AS n
+      |         FROM q, UNNEST(generate_series(1, len(qv))) t(i) GROUP BY i),
+      |m AS (SELECT i, s // n AS mu FROM dims),
+      |d2 AS (
+      |  SELECT vec_id,
+      |         CAST(sum((qv[i] - mu) * (qv[i] - mu)) AS BIGINT) AS dist2_fix
+      |  FROM q, UNNEST(generate_series(1, len(qv))) t(i) JOIN m USING (i)
+      |  GROUP BY vec_id),
+      |tot AS (SELECT sum(dist2_fix) AS t, count(*)::BIGINT AS n FROM d2)
+      |SELECT vec_id, dist2_fix,
+      |       CAST(dist2_fix * tot.n * 1000 <= tot.t * 1005 AS INT) AS keep
+      |FROM d2, tot ORDER BY vec_id""".stripMargin
+
   /** Brute-force top-3 through the custom TopKPerKey physical operator
     * (bounded heap per key — no per-key sort, no Window) — same oracle as
     * q40, so the custom plan is held to hash-equality with DuckDB.
@@ -675,6 +710,7 @@ object DedupQueries {
     "q41_ann_srp" -> q41AnnSrp,
     "q42_ann_topk_heap" -> q42AnnTopKHeap,
     "q103_hard_negatives" -> (q103HardNegatives _),
+    "q110_embedding_outliers" -> (q110EmbeddingOutliers _),
     "q43_ann_ivf" -> q43AnnIvf,
     "q43b_ann_ivf_reload" -> (q43bAnnIvfReload _),
     "q62_sparse_cosine" -> q62SparseCosine,
@@ -693,6 +729,7 @@ object DedupQueries {
     "q41_ann_srp" -> q41Sql,
     "q42_ann_topk_heap" -> q40Sql,
     "q103_hard_negatives" -> q103Sql,
+    "q110_embedding_outliers" -> q110Sql,
     "q43_ann_ivf" -> q41Sql,
     "q43b_ann_ivf_reload" -> q41Sql,
     "q62_sparse_cosine" -> q62Sql,

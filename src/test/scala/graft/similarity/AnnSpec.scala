@@ -95,6 +95,31 @@ class AnnSpec extends SparkSpec {
       (3L, 2L, 1L, 50L)))
   }
 
+  test("globalOutliers: planted strays flagged, inliers kept, exact dist²") {
+    // 40 tight inliers around (1,0) + 2 strays far away
+    val rows = (0L until 40L).map(i =>
+      (i, Array(1.0f + (i % 5) * 0.001f, (i % 3) * 0.001f))) ++
+      Seq((100L, Array(50.0f, -50.0f)), (101L, Array(-80.0f, 0.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Outliers.globalOutliers(df, "vec_id", "embedding",
+      alphaMilli = 2000)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got(100L) == 0 && got(101L) == 0, "strays must be flagged")
+    assert((0L until 40L).forall(got(_) == 1), "inliers must be kept")
+  }
+
+  test("globalOutliers is partitioning-invariant (exact integers)") {
+    val rows = (0L until 50L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 37 + d * 11) % 97) / 97.0f)))
+    val a = Outliers.globalOutliers(rows.toDF("vec_id", "embedding")
+      .repartition(13), "vec_id", "embedding", alphaMilli = 1005)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = Outliers.globalOutliers(rows.toDF("vec_id", "embedding")
+      .coalesce(1), "vec_id", "embedding", alphaMilli = 1005)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b)
+  }
+
   test("ivfTrain samples uniformly: centroids span a CLUSTER-SORTED corpus") {
     // corpus sorted so that all of cluster A precedes cluster B: a
     // first-rows "sample" would only ever see cluster A and leave B
