@@ -51,7 +51,10 @@ object ParagraphDedup {
       ordCol: String): DataFrame = {
     val paras = df.select(col(idCol).as("doc_id"), col(ordCol).as("__ord"),
       posexplode(paragraphs(col(textCol))).as(Seq("pos", "para")))
-    val byPara = Window.partitionBy("__ph").orderBy("__ord", "pos")
+    // doc_id in the sort makes the winner deterministic when ordCol has
+    // ties across documents (ord, pos) alone would leave the choice to
+    // partition order
+    val byPara = Window.partitionBy("__ph").orderBy("__ord", "doc_id", "pos")
     val kept = paras
       .withColumn("__ph", xxhash64(col("para")))
       .withColumn("__rn", row_number().over(byPara))

@@ -230,4 +230,18 @@ class CurationSpec extends SparkSpec {
     assert(got(10L) == "x\n\nten")
     assert(got(1L) == "one")
   }
+
+  test("paragraph dedup: ord TIES resolve deterministically by doc id") {
+    // both docs share ord 0 and the paragraph 'x' at pos 0 — the smaller
+    // doc_id must win regardless of partition layout
+    val docs = Seq((7L, 0L, "x\n\nseven"), (3L, 0L, "x\n\nthree"))
+      .toDF("doc_id", "ord", "text")
+    for (parts <- Seq(1, 5)) {
+      val got = ParagraphDedup.dedup(docs.repartition(parts), "text",
+        "doc_id", "ord")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got(3L) == "x\n\nthree", s"parts=$parts")
+      assert(got(7L) == "seven", s"parts=$parts")
+    }
+  }
 }
