@@ -58,7 +58,10 @@ object Bench {
     }
     // ms precision on the stdout line keeps the 95-query record compact;
     // BENCH_LOCAL.json keeps full nanosecond-derived precision.
-    def ms(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: the default-locale format would print "1,234" on
+    // comma-decimal locales and break the JSON the driver tail-parses.
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).sum
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -164,9 +164,17 @@ case class FreqItemsWeighted(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[FreqSummary]
+  with ImplicitCastInputTypes
   with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
   require(capacity > 0, "capacity must be positive")
 
+  // Declared input types turn a mistyped weight column (e.g. IntegerType)
+  // into an analysis-time implicit widening cast instead of the
+  // executor-side ClassCastException the bare asInstanceOf[Long] in
+  // update() would throw.
+  // Seq[DataType] (not AbstractDataType, which is private[sql]) — a
+  // covariant override Spark accepts from outside org.apache.spark.sql.
+  override def inputTypes: Seq[DataType] = Seq(StringType, LongType)
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType, nullable = false),
     StructField("cnt", LongType, nullable = false))), containsNull = false)

@@ -37,7 +37,15 @@ object RangeJoin {
     def bucketOf(c: String) = expr(s"`$c` div ${bucketWidth}L")
     val pb = points.withColumn("__b", bucketOf(pointCol))
     val sb = bucketOf(startCol)
-    val eb = bucketOf(endCol)
+    // Malformed intervals (end < start) would still satisfy isShort and
+    // sequence(sb, eb) DESCENDS when stop < start, silently fanning each
+    // bad row into |sb-eb|+1 replicas that only the containment filter
+    // kills. Fail loudly instead — the guard lives INSIDE eb (which every
+    // interval row evaluates via isShort) so column pruning can't drop it;
+    // a side-channel assert column would be pruned away as unreferenced.
+    val eb = when(col(startCol) <= col(endCol), bucketOf(endCol))
+      .otherwise(raise_error(
+        lit(s"RangeJoin: interval with $endCol < $startCol")))
     val isShort = (eb - sb) < maxBuckets
     val contained = col(pointCol) >= col(startCol) &&
       col(pointCol) <= col(endCol)

@@ -45,11 +45,19 @@ object Outliers {
     val n = q.count()
     val means = sums.map(_ / n) // truncating, mirrors SQL integer division
     val meansLit = typedlit(means.toSeq)
+    val dims = means.length
     // pass 2: per-doc exact dist² to the quantized centroid (narrow)
     val dist2 = aggregate(
       zip_with(col("__q"), meansLit, (x, m) => (x - m) * (x - m)),
       lit(0L), (acc, t) => acc + t)
-    val scored = q.select(col("vec_id"), dist2.as("dist2_fix"))
+    // Ragged guard: zip_with null-pads a vector whose length differs from
+    // the corpus dimensionality, which would silently yield null
+    // dist2_fix/keep. Fail loudly instead of emitting null verdicts.
+    val checkedDist2 = when(size(col("__q")) === dims, dist2)
+      .otherwise(raise_error(concat(
+        lit(s"Outliers: embedding dimensionality != $dims for vec_id="),
+        col("vec_id").cast("string"))))
+    val scored = q.select(col("vec_id"), checkedDist2.as("dist2_fix"))
     val total = scored
       .agg(sum(col("dist2_fix").cast("decimal(38,0)")).as("__tot"))
     scored.crossJoin(broadcast(total))

@@ -79,4 +79,9 @@ class FreqItemsSpec extends SparkSpec {
       .toDF("item", "cnt")
     assert(hhw(df, 8) == Seq(("a", 3L)))
   }
+
+  test("an IntegerType weight column is cast at analysis, not CCE at run") {
+    val df = Seq(("a", 3), ("a", 2), ("b", 1)).toDF("item", "cnt")
+    assert(hhw(df, 8) == Seq(("a", 5L), ("b", 1L)))
+  }
 }

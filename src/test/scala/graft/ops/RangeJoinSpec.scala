@@ -60,4 +60,16 @@ class RangeJoinSpec extends SparkSpec {
       .select("pid").as[Long].collect().toSet
     assert(got == Set(2L))
   }
+
+  test("a malformed interval (end < start) fails loudly, not silently") {
+    val p = Seq((1L, 0L, 5L)).toDF("pid", "k", "t")
+    val bad = Seq((7L, 0L, 20L, 10L)).toDF("iid", "k", "s", "e")
+    val ex = intercept[Exception] {
+      RangeJoin.overlapJoin(p, bad, "t", "s", "e", Seq("k"), 8L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("RangeJoin")), s"got: $ex")
+  }
 }

@@ -120,6 +120,19 @@ class AnnSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("globalOutliers rejects ragged embeddings loudly") {
+    val rows = (0L until 20L).map(i => (i, Array(1.0f, 2.0f, 3.0f))) :+
+      (99L, Array(1.0f, 2.0f)) // one short vector
+    val ex = intercept[Exception] {
+      Outliers.globalOutliers(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", alphaMilli = 1005).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("dimensionality")), s"got: $ex")
+  }
+
   test("ivfTrain samples uniformly: centroids span a CLUSTER-SORTED corpus") {
     // corpus sorted so that all of cluster A precedes cluster B: a
     // first-rows "sample" would only ever see cluster A and leave B
