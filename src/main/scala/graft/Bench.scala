@@ -47,14 +47,15 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every output column —
       // count() would let Catalyst prune the projection away
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
       val t = (System.nanoTime() - t0) / 1e9
       // intra-query persists are part of the measured time; dropping them
       // AFTER the clock keeps queries independent (no cross-query memory
       // pressure / eviction noise)
       spark.catalog.clearCache()
-      name -> t
+      (name, t, ok)
     }
     // ms precision on the stdout line keeps the 95-query record compact;
     // BENCH_LOCAL.json keeps full nanosecond-derived precision.
@@ -62,15 +63,21 @@ object Bench {
     // comma-decimal locales and break the JSON the driver tail-parses.
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val total = results.map(_._2).sum
-    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // a failed query's wall time is meaningless — exclude it from the
+    // total and name it in `failed` so a broken round can never read as a
+    // speedup (round-6 advisor finding: 7 dead queries timed at ~0.06 s
+    // silently "improved" the total)
+    val failed = results.collect { case (k, _, false) => k }
+    val total = results.collect { case (_, v, true) => v }.sum
+    val qsFull = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val qsShort = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+    val qsShort = results.map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val jsonFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedJson,"sf":"$sfDir"}"""
     val jsonDetail =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"failed":$failedJson,"sf":"$sfDir"}"""
     // The driver's tail capture keeps only the last ~2 KB of stdout; a
     // 95-query detail line is bigger than that, so its head (with
     // "value":total) gets truncated and the round scores parsed:null
@@ -78,7 +85,7 @@ object Bench {
     // self-contained total record as the very last line — whatever prefix
     // the tail loses, the final line always fits and always parses.
     val jsonTail =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size}}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}}"""
     // Durable copy so a harness that misses the stdout line can still
     // recover the record from disk. Best-effort: an unwritable path must
     // not abort the run before the primary stdout metric line prints.

@@ -24,15 +24,31 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.install(spark) // strategy + rewrite rule + SQL functions
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val attempted = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      .toSeq.map { case (name, fn) =>
+      val status =
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          "ok"
+        } catch { case e: Throwable =>
+          // a failed query must be VISIBLE to the compare, not vanish: a
+          // missing result dir reads as "not attempted" and silently
+          // shrinks the round's coverage (round-6: 7 broken event queries
+          // produced an all-green 107-entry artifact). Leave an _ERROR
+          // marker in the query's own dir plus a run-level manifest.
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          try {
+            val d = new java.io.File(s"$outDir/$name")
+            d.mkdirs()
+            Files.writeString(Paths.get(s"$outDir/$name/_ERROR"),
+              s"${e.getClass.getName}: ${e.getMessage}\n")
+          } catch { case _: Throwable => () }
+          "error"
+        }
       spark.catalog.clearCache() // release intra-query persists (sortOnce etc.)
+      name -> status
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -49,6 +65,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // per-query ok/error manifest — lets the driver (or a human) diff
+    // "attempted" against "compared" and flag failures explicitly
+    val manifest = attempted
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     spark.stop()
   }
 }

@@ -49,6 +49,19 @@ object Multimodal {
   /** Interior milli-luma Laplacian sums (spatial-layout checksum). */
   final case class LumaLapStats(n_interior: Long, lap_sum: Long, lap_sq: Long)
 
+  /** ALL integer image features in ONE decode: plane sums + interior
+    * Laplacian. Every downstream float feature ([[ImageFeatures]]) has an
+    * exact fixed-point twin derivable from these in pure column
+    * arithmetic — mean luma (milli-units) = (299·Σr + 587·Σg + 114·Σb)
+    * div n_px, sharpness variance numerator = n·Σlap² − (Σlap)² — which
+    * is what lets the full feature pipeline hash-gate against a SQL
+    * oracle (q110's quantize-then-integer-sum discipline applied to the
+    * image path).
+    */
+  final case class FixedImageStats(
+      n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long,
+      n_interior: Long, lap_sum: Long, lap_sq: Long)
+
   /** The image/video-frame codec seam: image decoding is REAL (JDK
     * ImageIO — see [[ImageIoDecoder]]); video containers (mp4/webm) have
     * no JDK codec and use the deterministic fake. Swap in a JNI/FFI
@@ -266,6 +279,41 @@ object Multimodal {
       LumaLapStats(n, s, sq)
     }
 
+    /** One decode, every integer feature (see [[FixedImageStats]]).
+      * Bound check for the q60 corpus (w ≤ 60, h ≤ 46): milli-luma ≤
+      * 255·1000, |lap| ≤ 4·255000 ≈ 1.02e6, Σlap² ≤ 2552·1.05e12 ≈
+      * 2.7e15, and the variance numerator n·Σlap² ≤ 6.8e18 < 2⁶³ — all
+      * exact in int64.
+      */
+    def fixedImageStats(bytes: Array[Byte]): FixedImageStats = {
+      val img = decode(bytes)
+      val w = img.getWidth; val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val lum = new Array[Long](px.length)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        sr += r; sg += g; sb += b
+        lum(i) = 299L * r + 587L * g + 114L * b
+        i += 1
+      }
+      var n = 0L; var s = 0L; var sq = 0L
+      var y = 1
+      while (y < h - 1) {
+        var x = 1
+        while (x < w - 1) {
+          val l = 4 * lum(y * w + x) - lum(y * w + x - 1) - lum(y * w + x + 1) -
+            lum((y - 1) * w + x) - lum((y + 1) * w + x)
+          n += 1; s += l; sq += l * l
+          x += 1
+        }
+        y += 1
+      }
+      FixedImageStats(w.toLong * h, sr, sg, sb, n, s, sq)
+    }
+
     private def encodePng(img: BufferedImage): Array[Byte] = {
       val bos = new ByteArrayOutputStream()
       ImageIO.write(img, "png", bos)
@@ -390,6 +438,28 @@ object Multimodal {
       rows.map { r =>
         val s = ImageIoDecoder.lumaLaplacian(r.get(blobIdx).asInstanceOf[Array[Byte]])
         Row.fromSeq(r.toSeq :+ Row(s.n_interior, s.lap_sum, s.lap_sq))
+      }
+    }(enc)
+  }
+
+  /** All-integer image features in one decode per blob (see
+    * [[FixedImageStats]]), batch-shaped. ImageIO-specific — these sums
+    * checksum the REAL decode's plane layout and spatial addressing.
+    */
+  def withFixedImageStats(df: DataFrame, blobCol: String): DataFrame = {
+    val statSchema = StructType(Seq(
+      StructField("n_px", LongType), StructField("sum_r", LongType),
+      StructField("sum_g", LongType), StructField("sum_b", LongType),
+      StructField("n_interior", LongType), StructField("lap_sum", LongType),
+      StructField("lap_sq", LongType)))
+    val schema = df.schema.add("fixed_stats", statSchema)
+    val enc = Encoders.row(schema)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val s = ImageIoDecoder.fixedImageStats(r.get(blobIdx).asInstanceOf[Array[Byte]])
+        Row.fromSeq(r.toSeq :+ Row(s.n_px, s.sum_r, s.sum_g, s.sum_b,
+          s.n_interior, s.lap_sum, s.lap_sq))
       }
     }(enc)
   }

@@ -59,17 +59,40 @@ object Load {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events` stores TIMESTAMP(NANOS) which Spark reads only as long (via
-    * spark.sql.legacy.parquet.nanosAsLong). Expose the raw nanos as `ts_ns`
-    * and a proper TimestampType `ts` truncated to micros.
+  /** `events` — normalize the stream table to the two columns every
+    * event-time query consumes, regardless of how the parquet writer
+    * encoded time:
+    *   - `ts`    TimestampType (session-tz instant; sessions run UTC)
+    *   - `ts_ns` BIGINT nanoseconds since epoch (exact integer arithmetic
+    *             for gap/interval math — no float round-trips)
+    *
+    * Physical encodings seen across testdata generations:
+    *   - TIMESTAMP(NANOS): Spark reads it only as BIGINT via
+    *     spark.sql.legacy.parquet.nanosAsLong → derive `ts` from the long
+    *   - timestamp[us] (isAdjustedToUTC either way): Spark reads
+    *     TimestampType or TimestampNTZType → derive `ts_ns` from it
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    table(spark, sfDir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      // integer division: `/` on longs is DOUBLE division, which ROUNDS
-      // near-microsecond values up while every other engine truncates —
-      // a 1µs skew that breaks exact-time oracles (caught by q72)
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          // integer division: `/` on longs is DOUBLE division, which ROUNDS
+          // near-microsecond values up while every other engine truncates —
+          // a 1µs skew that breaks exact-time oracles (caught by q72)
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case TimestampType =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType =>
+        // naive timestamp = UTC by contract (sessions pin UTC), same as
+        // DuckDB's epoch_ns on the identical parquet
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected BIGINT nanos or a timestamp")
+    }
   }
 }

@@ -465,26 +465,86 @@ object MiscOps {
       | AND epoch_ns(p.ts) <= epoch_ns(v.ts) + 1800000000000
       |ORDER BY view_id, purchase_id""".stripMargin
 
-  /** Multimodal pipeline with REAL image decoding: a deterministic PNG
-    * corpus (one image per doc id, rendered on the executors) → header
-    * sniff → pixel features (mean luma, Laplacian sharpness, DCT pHash),
-    * all via the JDK ImageIO decoder in a narrow mapPartitions stage.
-    * Rows-only (pixel decoding has no SQL mirror).
+  /** Multimodal pipeline with REAL image decoding, now FULLY oracled: a
+    * deterministic PNG corpus (one image per doc id, rendered on the
+    * executors) → header sniff → every feature as exact fixed-point
+    * int64 in ONE decode pass (q110's quantize-then-integer-sum
+    * discipline applied to the image path):
+    *  - mean_luma_milli = (299·Σr + 587·Σg + 114·Σb) div n_px — the
+    *    Rec.601 mean in milli-units, truncating integer division on
+    *    both engines;
+    *  - sharp_num = n_interior·Σlap² − (Σlap)² — the Laplacian-variance
+    *    numerator, exact (the float sharpness is sharp_num/n², a
+    *    monotone rescale).
+    * Every pixel is closed-form in doc_id, so DuckDB recomputes all of
+    * it from id arithmetic alone. The float ImageFeatures surface (and
+    * its DCT pHash) stays for users — pinned by q75's planted-duplicate
+    * gate and FuzzySpec-style goldens — while this gate hash-checks the
+    * decode + feature arithmetic end-to-end. (PNG n_bytes is
+    * deflate-dependent, not closed-form, so it lives outside the oracled
+    * projection.)
     */
   def q60Multimodal(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Multimodal
     val media = Multimodal.syntheticImages(spark, dir)
     val withMeta = Multimodal.withMediaMeta(media, "blob", Multimodal.ImageIoDecoder)
-    Multimodal.withImageFeatures(withMeta, "blob", Multimodal.ImageIoDecoder)
+    Multimodal.withFixedImageStats(withMeta, "blob")
       .select(col("doc_id"),
         col("media_meta.format").as("format"),
-        col("media_meta.n_bytes").as("n_bytes"),
         col("media_meta.width").as("width"),
         col("media_meta.height").as("height"),
-        col("image_features.phash").as("phash"))
+        col("fixed_stats.n_px").as("n_px"),
+        expr("(299 * fixed_stats.sum_r + 587 * fixed_stats.sum_g + " +
+          "114 * fixed_stats.sum_b) div fixed_stats.n_px").as("mean_luma_milli"),
+        col("fixed_stats.n_interior").as("n_interior"),
+        (col("fixed_stats.n_interior") * col("fixed_stats.lap_sq") -
+          col("fixed_stats.lap_sum") * col("fixed_stats.lap_sum")).as("sharp_num"))
       // sortOnce: an unguarded orderBy on this all-narrow pipeline would
       // run the PNG decode twice (range-partitioner sampling pass)
       .transform(Par.sortOnce(_, col("doc_id")))
+  }
+
+  /** Mirrors Multimodal.renderPng pixel formulas: channel sums for the
+    * mean, the 4-neighbour milli-luma Laplacian for sharpness (q60b's
+    * stencil), combined per doc.
+    */
+  val q60Sql: String = {
+    def lum(x: String, y: String): String =
+      s"(299*(($x*7 + doc_id*31) % 256) + 587*(($y*13 + doc_id*17) % 256) + " +
+        s"114*((($x+$y)*5 + doc_id*11 + CASE WHEN ($x+$y+doc_id) % 11 < 3 THEN 96 ELSE 0 END) % 256))"
+    s"""WITH d AS (
+       |  SELECT doc_id, 32 + doc_id % 29 AS w, 24 + doc_id % 23 AS h
+       |  FROM documents
+       |), plane AS (
+       |  SELECT doc_id, max(w) AS w, max(h) AS h,
+       |    count(*) AS n_px,
+       |    sum(${lum("x", "y")}) AS lum_sum
+       |  FROM d,
+       |       UNNEST(generate_series(0, w - 1)) AS xs(x),
+       |       UNNEST(generate_series(0, h - 1)) AS ys(y)
+       |  GROUP BY doc_id
+       |), lap AS (
+       |  SELECT doc_id,
+       |    count(*) AS n_interior,
+       |    sum(4*${lum("x", "y")} - ${lum("(x-1)", "y")} - ${lum("(x+1)", "y")}
+       |        - ${lum("x", "(y-1)")} - ${lum("x", "(y+1)")}) AS ls,
+       |    sum((4*${lum("x", "y")} - ${lum("(x-1)", "y")} - ${lum("(x+1)", "y")}
+       |        - ${lum("x", "(y-1)")} - ${lum("x", "(y+1)")})
+       |      * (4*${lum("x", "y")} - ${lum("(x-1)", "y")} - ${lum("(x+1)", "y")}
+       |        - ${lum("x", "(y-1)")} - ${lum("x", "(y+1)")})) AS lsq
+       |  FROM d,
+       |       UNNEST(generate_series(1, w - 2)) AS xs(x),
+       |       UNNEST(generate_series(1, h - 2)) AS ys(y)
+       |  GROUP BY doc_id
+       |)
+       |SELECT p.doc_id, 'png' AS format,
+       |  CAST(p.w AS INTEGER) AS width, CAST(p.h AS INTEGER) AS height,
+       |  CAST(p.n_px AS BIGINT) AS n_px,
+       |  CAST(p.lum_sum // p.n_px AS BIGINT) AS mean_luma_milli,
+       |  CAST(l.n_interior AS BIGINT) AS n_interior,
+       |  CAST(l.n_interior * l.lsq - l.ls * l.ls AS BIGINT) AS sharp_num
+       |FROM plane p JOIN lap l ON p.doc_id = l.doc_id
+       |ORDER BY p.doc_id""".stripMargin
   }
 
   /** q60b — the image path's SPATIAL gate: integer milli-luma Laplacian
@@ -963,6 +1023,7 @@ object MiscOps {
     "q50_windowed_events" -> q50Sql,
     "q51_sessionize" -> q51Sql,
     "q53_funnel_join" -> q53Sql,
+    "q60_multimodal" -> q60Sql,
     "q60b_luma_laplacian" -> q60bSql,
     "q61_audio" -> q61Sql,
     "q66_image_pixels" -> q66Sql,

@@ -13,18 +13,25 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** readStream over a directory of events parquet (nanos ts as long —
-    * same convention as Load.events).
+  /** readStream over a directory of events parquet. Streaming sources
+    * require an explicit schema, so take it from the files already in the
+    * directory (one batch-read of FOOTERS only — no data scan), then
+    * normalize `ts` to TimestampType whatever the writer encoded
+    * (BIGINT nanos, timestamp[us], or timestamp_ntz — see Load.events).
     */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsSchema).parquet(dir)
-      // `div`, not `/`: double division rounds near-µs values up (see Load.events)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(fileSchema).parquet(dir)
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // `div`, not `/`: double division rounds near-µs values up (see Load.events)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other; expected BIGINT nanos or a timestamp")
+    }
+  }
 
   /** Tumbling-window counts+sums with watermark (bounded state). */
   def windowedAgg(events: DataFrame, window_ : String = "1 hour",

@@ -18,13 +18,7 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("part-0.parquet"))
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(schema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val stream = Streams.readEvents(spark, dir.toString)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -181,8 +175,7 @@ class StreamingSpec extends SparkSpec {
     // simulate crash-before-commit re-delivery: the SAME batch id arrives
     // again — overwrite semantics must leave the store unchanged
     Streams.writeBatchIdempotent(
-      spark.read.parquet(s"$sf/events.parquet").select(col("event_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts")), out, batchId = 0L)
+      graft.ops.Load.events(spark, sf).select("event_id", "ts"), out, batchId = 0L)
     assert(spark.read.parquet(out).count() == n,
       "replaying batch 0 must not change the row count")
   }
