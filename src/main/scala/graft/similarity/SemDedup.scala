@@ -33,11 +33,14 @@ object SemDedup {
     * survive do not appear. Join `dropped_id` back as an anti-join key to
     * materialize the deduplicated corpus.
     *
-    * Cache contract: the cluster assignment is persisted (the self-join
-    * consumes it twice). The caller owns the cache lifetime — after
-    * materializing the result, release it with
-    * `spark.catalog.clearCache()` (what Verify/Bench do per query), the
-    * same contract as [[graft.ops.Par.sortOnce]].
+    * No cache: the self-join consumes the cluster assignment twice, but
+    * both join inputs reduce to the SAME hashpartitioning(__cluster)
+    * exchange over an identical scan → normalize → argmin subtree
+    * (projection aliases canonicalize away), so Catalyst's ReuseExchange
+    * computes the assignment once and replays the shuffle files for the
+    * second side (pinned by PlanShapeSpec). The function therefore
+    * leaves nothing in executor storage after the result materializes —
+    * no caller-owned cache lifetime to forget.
     */
   def droppedDocs(
       corpus: DataFrame,
@@ -52,12 +55,12 @@ object SemDedup {
       col(idCol), Embeddings.l2Normalize(col(vecCol)).as("__nv"))
     val centroids = Ann.ivfTrain(normed, "__nv", nClusters, iterations,
       sampleRows, seed)
-    // persist: the self-join reads the assignment from BOTH sides —
-    // without it each side re-runs scan + normalize + argmin (and at
-    // scale the assignment is the thing you'd write bucketed by cluster)
+    // no persist: both self-join sides reduce to the same
+    // hashpartitioning(__cluster) exchange — ReuseExchange computes the
+    // assignment once (at scale the assignment is still the thing you'd
+    // write out bucketed by cluster between jobs)
     val assigned = normed
       .withColumn("__cluster", Ann.ivfListId(col("__nv"), centroids))
-      .persist()
     val a = assigned.select(col("__cluster"),
       col(idCol).as("kept_id"), col("__nv").as("__va"))
     val b = assigned.select(col("__cluster"),

@@ -42,40 +42,41 @@ object TfIdfSearch {
     * output: (query_id, doc_id, score) with score = Σ tf·w fixed-point
     * int64, ties broken by doc_id.
     *
-    * Cache contract: the postings index is persisted (it feeds both the
-    * probe join and the df/weight aggregation). The caller owns the
-    * cache lifetime — release with `spark.catalog.clearCache()` after
-    * materializing (what Verify/Bench do per query), the same contract
-    * as [[graft.ops.Par.sortOnce]].
+    * ONE corpus pass, no cache: the postings relation is pruned to the
+    * query vocabulary FIRST (broadcast semi-shape join), and df(t) is
+    * read off the pruned relation with a window count — pruning by TERM
+    * cannot change how many docs contain a surviving term, so the df is
+    * exactly the full-corpus df. The old shape aggregated the full
+    * corpus vocabulary a second time for the weight table; this one
+    * aggregates nothing the probe didn't already keep, and leaves
+    * nothing in executor storage after the result materializes (no
+    * caller-owned cache lifetime — asserted by SearchOpsSpec).
     */
   def topK(corpus: DataFrame, queries: DataFrame, textCol: String,
       idCol: String, qidCol: String, k: Int): DataFrame = {
-    // persist: postings feed BOTH the probe join and the df/weight agg —
-    // without it the corpus tokenize+explode+combine subtree runs twice
-    // (at scale: the index is written once and reused, same idea)
     val postings = corpus
       .select(col(idCol).cast(LongType).as("doc_id"),
         explode(Decontaminate.wordTokens(col(textCol))).as("term"))
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"))
-      .persist()
-    // N and df off the postings relation; both outputs are tiny.
-    val n = corpus.select(count(lit(1)).as("__n"))
-    val weights = postings.groupBy("term")
-      .agg(count(lit(1)).as("__df"))
-      .crossJoin(broadcast(n))
-      .select(col("term"),
-        floor(((col("__n") - col("__df") + lit(0.5)) /
-          (col("__df") + lit(0.5))) * lit(Scale.toDouble))
-          .cast(LongType).as("__w"))
     val qTerms = queries
       .select(col(qidCol).cast(LongType).as("query_id"),
         explode(array_distinct(Decontaminate.wordTokens(col(textCol)))).as("term"))
-    // both probe sides are query-vocabulary-sized -> broadcast; the
-    // postings side never reshuffles before the (query,doc) agg
+    val qVocab = qTerms.select("term").distinct()
+    // docs total (tiny single-row relation)
+    val n = corpus.select(count(lit(1)).as("__n"))
+    // prune → df window → weight → probe: postings shuffle once on
+    // (term, doc_id) for the combine, once on term (query-vocab-pruned,
+    // tiny) for the df count; the corpus is scanned exactly once
     val scored = postings
+      .join(broadcast(qVocab), Seq("term"))
+      .withColumn("__df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("term")))
+      .crossJoin(broadcast(n))
+      .withColumn("__w",
+        floor(((col("__n") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5))) * lit(Scale.toDouble)).cast(LongType))
       .join(broadcast(qTerms), Seq("term"))
-      .join(broadcast(weights), Seq("term"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("tf") * col("__w")).as("score"))
     graft.plans.TopKPerKey.topK(scored, Seq("query_id"),

@@ -99,11 +99,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Fallback"), s"kernel fell out of codegen:\n$p")
   }
 
-  test("q73: SemDeDup self-join reads the persisted assignment from both sides") {
-    val p = plan(DedupQueries.q73SemDedup(spark, sf))
-    assert(p.contains("InMemoryTableScan"),
-      s"cluster assignment not reused via persist:\n$p")
-    assert(p.contains("nearest_centroid"), s"narrow argmin assignment missing:\n$p")
+  test("q73: SemDeDup self-join reuses ONE assignment exchange (no persist, no leak)") {
+    // pin the at-scale shape: with broadcast off, both self-join sides
+    // become the same hashpartitioning(__cluster) exchange and AQE must
+    // replay its shuffle files (ReusedExchange) instead of recomputing
+    // the scan + normalize + argmin subtree
+    val thresholds = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = thresholds.map(k => k -> spark.conf.getOption(k))
+    thresholds.foreach(spark.conf.set(_, "-1"))
+    try {
+      val df = DedupQueries.q73SemDedup(spark, sf)
+      df.collect() // AQE finalizes reuse only on the executed plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"cluster assignment computed twice (no exchange reuse):\n$p")
+      assert(p.contains("nearest_centroid"), s"narrow argmin assignment missing:\n$p")
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        "q73 left blocks in executor storage after materializing")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("q69: TF-IDF builds the postings index once and leaves no cached blocks") {
+    val df = graft.queries.SearchQueries.queries("q69_tfidf_search")(spark, sf)
+    df.collect()
+    // AQE prints "Final Plan" then "Initial Plan" — count only the final
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the corpus-wide tokenize → explode → combine subtree is the
+    // expensive pass; the df/weight path must ride the PRUNED postings
+    // (window count), not rebuild the index under the weight broadcast —
+    // exactly one partial (term, doc_id) aggregate in the whole plan
+    val postingsBuilds = p.linesIterator.filter(l =>
+      l.contains("HashAggregate(keys=[term") && l.contains("partial_count")).size
+    assert(postingsBuilds == 1,
+      s"postings index built $postingsBuilds times (expected 1):\n$p")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "q69 left blocks in executor storage after materializing")
   }
 
   test("q107: the range join plans as an equi-join, never a nested loop") {

@@ -55,6 +55,21 @@ class SemDedupSpec extends SparkSpec {
     assert(flagged.sorted.toSeq == expect.sorted.toSeq)
   }
 
+  test("droppedDocs / dedup / crossFlagged leave no blocks in executor storage") {
+    // the functions persist nothing internally — the self-join sides
+    // share one exchange (ReuseExchange) — so a long-running session
+    // composing them repeatedly cannot accumulate cached partitions
+    SemDedup.droppedDocs(withScaledCopies, "vec_id", "embedding",
+      nClusters = 8, threshold = 0.98).count()
+    SemDedup.dedup(withScaledCopies, "vec_id", "embedding",
+      nClusters = 8, threshold = 0.98).count()
+    val bench = embeddings.limit(50)
+    SemDedup.crossFlagged(embeddings, bench, "vec_id", "embedding",
+      nClusters = 4, threshold = 0.98).count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "SemDedup left persisted RDDs behind after results materialized")
+  }
+
   test("identical directions never straddle clusters (normalized assign)") {
     // the scaled copies must land in the original's cluster: normalization
     // of a ×2^n copy is bit-identical, so argmin ties break identically
