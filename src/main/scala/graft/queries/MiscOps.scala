@@ -177,8 +177,19 @@ object MiscOps {
 
   /** J3 fuzzy dictionary translate: nation names as the dictionary,
     * typo'd tokens (trailing X) as input — exact tier misses, fuzzy tier
-    * (QRatio ≥ 90) recovers. No SQL mirror (imperative string DP) →
-    * rows-only; planted-recall asserted in the spec.
+    * (QRatio ≥ 90) recovers ("NATION_19X" → "nation 19x" vs "nation 19"
+    * scores 95). A second planted token ("miss_<custkey>") scores far
+    * below the cutoff against every key and must pass through raw, so
+    * the gate pins the hit AND miss sides of the score boundary.
+    *
+    * Oracle: a GOLDEN FIXTURE (fixtures/q17_expected.parquet). The fuzzy
+    * scorer is imperative string DP (difflib Ratcliff/Obershelp) DuckDB
+    * cannot express, but hash-equality needs only the expected rows: the
+    * fixture was generated once from this pipeline at sf0.01 and
+    * independently re-verified token-by-token with CPython's difflib
+    * (tools/q17_fixture_check.py) — a different implementation of the
+    * published algorithm agreeing on every row. The customer subset is
+    * key-filtered (not limit) so the fixture is partitioning-stable.
     */
   def q17FuzzyTranslate(spark: SparkSession, dir: String): DataFrame = {
     val nat = Load.table(spark, dir, "nation")
@@ -187,9 +198,11 @@ object MiscOps {
         col("n_name").as("hebrew"),
         concat(lit("en_"), lower(col("n_name"))).as("english"),
         concat(lit("ar_"), lower(col("n_name"))).as("arabic")))
-    val cust = Load.table(spark, dir, "customer").limit(200)
+    val cust = Load.table(spark, dir, "customer")
+      .filter(col("c_custkey") <= 200)
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
-      .withColumn("nation_field", concat(col("n_name"), lit("X")))
+      .withColumn("nation_field",
+        concat(col("n_name"), lit("X,miss_"), col("c_custkey")))
     Translate.splitAndTranslate(cust, "nation_field", dict)
       .select(col("c_custkey"),
         array_join(col("nation_field"), ",").as("f"),
@@ -197,6 +210,15 @@ object MiscOps {
         array_join(col("nation_field__ar"), ",").as("f_ar"))
       .orderBy("c_custkey")
   }
+
+  /** Read-and-compare against the committed golden fixture (see
+    * [[q17FuzzyTranslate]]); correctness runs at sf0.01, the factor the
+    * fixture was generated at.
+    */
+  val q17Sql: String =
+    """SELECT c_custkey, f, f_en, f_ar
+      |FROM read_parquet('/root/repo/fixtures/q17_expected.parquet')
+      |ORDER BY c_custkey""".stripMargin
 
   /** J3's EXACT tier, hash-gated (the path ~all production rows take,
     * reference i18n.py:91-107: clean → dictionary lookup): the planted
@@ -1016,6 +1038,7 @@ object MiscOps {
     "q14_links" -> q14Sql,
     "q15_recode" -> q15Sql,
     "q16_scd_merge" -> q16Sql,
+    "q17_fuzzy_translate" -> q17Sql,
     "q17b_exact_translate" -> q17bSql,
     "q18_nested_series" -> q18Sql,
     "q18b_series_explode" -> q18bSql,
