@@ -126,13 +126,79 @@ object PipelineQueries {
       |WHERE o_orderstatus IN ('F', 'P')
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q111: a FULL reference-pipeline replay through the SpecInterpreter —
+    * the datasets-flow shape (ref flows/datasets.py:456-460: load →
+    * filter → melt year columns → typed values → pack per-entity series →
+    * checkpoint → dump) as ONE spec document executing as one Catalyst
+    * plan. Exercises every processor the round added: unpivot (regex
+    * melt), set_type (grouped-digits long with policy), join_self
+    * (order-pinned collect), checkpoint (parquet materialize + resume),
+    * dump_to_path (CSV + datapackage.json side output). The sort step
+    * before join_self pins arrival order to (orderkey, linenumber,
+    * measure), which is what lets DuckDB mirror the collected arrays with
+    * ORDER BY inside list().
+    */
+  def q111SpecReplay(spark: SparkSession, dir: String): DataFrame = {
+    val spec =
+      """{"pipeline": [
+        | {"run": "load", "params": {"table": "lineitem"}},
+        | {"run": "filter_rows", "params": {"resource": "lineitem",
+        |   "equals": [{"l_returnflag": "A"}]}},
+        | {"run": "select_fields", "params": {"resource": "lineitem",
+        |   "fields": ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]}},
+        | {"run": "unpivot", "params": {"resource": "lineitem",
+        |   "regex": "^l_(quantity|extendedprice)$", "key": "measure", "value": "value"}},
+        | {"run": "add_computed_field", "params": {"resource": "lineitem",
+        |   "target": "label", "with": "{measure}-{l_linenumber}"}},
+        | {"run": "set_constant", "params": {"resource": "lineitem",
+        |   "target": "planted", "value": "1,234,567"}},
+        | {"run": "set_type", "params": {"resource": "lineitem",
+        |   "field": "planted", "type": "integer", "groupChar": ","}},
+        | {"run": "sort", "params": {"resource": "lineitem",
+        |   "by": ["l_orderkey", "l_linenumber", "measure", "value"]}},
+        | {"run": "join_self", "params": {"resource": "lineitem",
+        |   "keys": ["l_orderkey"],
+        |   "spec": {"label": "collect", "value": "collect", "n": "count", "planted": "max"}}},
+        | {"run": "checkpoint", "params": {"resource": "lineitem", "name": "q111_packed"}},
+        | {"run": "dump_to_path", "params": {"out-path": "/tmp/graft-q111-dump"}},
+        | {"run": "sort", "params": {"resource": "lineitem", "by": ["l_orderkey"]}}
+        |]}""".stripMargin
+    graft.runner.SpecInterpreter.run(spark, dir, spec)("lineitem").df
+      // rendering only (q4's precedent): the compare hashes scalars, so
+      // the collected arrays flatten to delimited strings; doubles print
+      // shortest-roundtrip identically in both engines at these
+      // magnitudes (< 1e7 — no scientific-notation divergence)
+      .select(col("l_orderkey"),
+        array_join(col("label"), ",").as("labels"),
+        array_join(transform(col("value"), _.cast("string")), ",").as("values"),
+        col("n"), col("planted"))
+  }
+
+  val q111Sql: String =
+    """WITH up AS (
+      |  SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+      |  FROM lineitem WHERE l_returnflag = 'A'
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+      |  FROM lineitem WHERE l_returnflag = 'A')
+      |SELECT l_orderkey,
+      |  array_to_string(list(measure || '-' || l_linenumber
+      |    ORDER BY l_linenumber, measure, value), ',') AS labels,
+      |  array_to_string(list(CAST(value AS VARCHAR)
+      |    ORDER BY l_linenumber, measure, value), ',') AS "values",
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(1234567 AS BIGINT) AS planted
+      |FROM up GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_judges_events" -> q70JudgesEvents,
     "q71_judges_join" -> q71JudgesJoin,
-    "q88_spec_pipeline" -> (q88SpecPipeline _))
+    "q88_spec_pipeline" -> (q88SpecPipeline _),
+    "q111_spec_replay" -> (q111SpecReplay _))
 
   val oracles: Map[String, String] = Map(
     "q70_judges_events" -> q70Sql,
     "q71_judges_join" -> q71Sql,
-    "q88_spec_pipeline" -> q88Sql)
+    "q88_spec_pipeline" -> q88Sql,
+    "q111_spec_replay" -> q111Sql)
 }

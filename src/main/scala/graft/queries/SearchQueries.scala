@@ -160,8 +160,34 @@ object SearchQueries {
     "q89_bpe_step" -> (q89BpeStep _),
     "q101_bpe_encode" -> (q101BpeEncode _),
     "q109_tokenize_pack" -> (q109TokenizePack _),
+    "q112_bpe_artifact" -> (q112BpeArtifact _),
     "q90_cdc_chunks" -> (q90CdcChunks _),
     "q91_chunk_dedup" -> (q91ChunkDedup _))
+
+  /** q112: the BPE merge table as a PERSISTED artifact — save the table
+    * to parquet (rank, left, right), RELOAD it, require exact equality,
+    * and encode the corpus with the RELOADED table. Same oracle as q101:
+    * the round-trip must change nothing, which gates the artifact
+    * schema, rank ordering (merge priority — a permuted reload would
+    * tokenize differently) and string fidelity — the q43b/q108 cross-run
+    * pattern applied to the artifact real pipelines reload most, the
+    * tokenizer. (Training → save → load → encode equality is spec-gated
+    * in BpeSpec; the driver gate uses the planted table so the oracle
+    * stays closed-form.)
+    */
+  def q112BpeArtifact(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_bpe_${ScratchDirs.pathKey(dir)}_${ProcessHandle.current().pid()}"
+    graft.text.Bpe.saveMerges(spark, q101Merges, path)
+    val reloaded = graft.text.Bpe.loadMerges(spark, path)
+    require(reloaded == q101Merges,
+      "merge-table artifact round-trip must be exact, in rank order")
+    val d = Load.table(spark, dir, "documents").select("doc_id", "text")
+    graft.text.Bpe.encode(d, "text", reloaded, sep = "+")
+      .select(col("doc_id"), col("widx").cast("long").as("widx"),
+        col("tidx").cast("long").as("tidx"), col("token"))
+      .transform(graft.ops.Par.sortOnce(_, col("doc_id"), col("widx"),
+        col("tidx")))
+  }
 
   /** q81: co-occurrence + exact-integer PMI over window-2 token pairs —
     * word-association mining / skip-gram pair prep. Pair generation is a
@@ -472,6 +498,7 @@ object SearchQueries {
     "q89_bpe_step" -> q89Sql,
     "q101_bpe_encode" -> q101Sql,
     "q109_tokenize_pack" -> q109Sql,
+    "q112_bpe_artifact" -> q101Sql, // reload must be output-identical to q101
     "q90_cdc_chunks" -> q90Sql,
     "q91_chunk_dedup" -> q91Sql)
 }

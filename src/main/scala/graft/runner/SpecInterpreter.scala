@@ -118,6 +118,58 @@ object SpecInterpreter {
         })
       case "dedup" =>
         Flow.on(resourceName)(_.dropDuplicates(strs("keys")))
+      case "unpivot" =>
+        // {"resource": r, "regex": "^...$", "key": k, "value": v} — the
+        // capture-group unpivot (R1; reference datasets.py:323-334 melts
+        // year columns by regex)
+        Flow.on(resourceName)(df => Reshape.unpivotRegex(
+          df, str("regex"), str("key"), str("value")))
+      case "set_type" =>
+        // {"resource": r, "field": f, "type": t, "groupChar": ",",
+        //  "stripPercent": bool, "bareNumber": bool, "on_error":
+        //  "raise"|"nullify"} — P6 with the frictionless option surface
+        val to: org.apache.spark.sql.types.DataType = str("type") match {
+          case "integer" => org.apache.spark.sql.types.LongType
+          case "number"  => org.apache.spark.sql.types.DoubleType
+          case "string"  => org.apache.spark.sql.types.StringType
+          case "date"    => org.apache.spark.sql.types.DateType
+          case "boolean" => org.apache.spark.sql.types.BooleanType
+          case t => sys.error(s"set_type: unknown type '$t'")
+        }
+        val onErr = (p \ "on_error").extractOpt[String] match {
+          case Some("nullify") => graft.ops.SetType.Nullify
+          case _               => graft.ops.SetType.Raise
+        }
+        Flow.on(resourceName)(df => graft.ops.SetType.setType(df,
+          str("field"), to,
+          groupChar = (p \ "groupChar").extractOpt[String].getOrElse(","),
+          stripPercent = (p \ "stripPercent").extractOpt[Boolean].getOrElse(false),
+          bareNumber = (p \ "bareNumber").extractOpt[Boolean].getOrElse(true),
+          onError = onErr))
+      case "checkpoint" =>
+        // {"resource": r, "name": n} — K9: materialize to parquet under
+        // the checkpoint root and resume the plan from the re-read copy
+        Flow.on(resourceName)(graft.ops.Checkpoint(_, str("name")))
+      case "dump_to_path" =>
+        // {"out-path": dir} — K1: CSV-per-resource + datapackage.json for
+        // EVERY resource in the package; the package flows on unchanged
+        ctx => { graft.sinks.DumpToPath.dump(ctx, str("out-path")); ctx }
+      case "join_self" =>
+        // {"resource": r, "keys": [...], "spec": {field: first|collect|
+        //  max|count}} — J2: group to one row per key, collecting in
+        // arrival order (stamped HERE, like row_number: parquet loads
+        // carry no __ord, so arrival = the resource's current order —
+        // put a sort step before this one to pin it)
+        val spec = (p \ "spec").extract[Map[String, String]].map {
+          case (f, "first")   => f -> Joins.First
+          case (f, "collect") => f -> Joins.Collect
+          case (f, "max")     => f -> Joins.Max
+          case (f, "count")   => f -> Joins.CountRows
+          case (_, a) => sys.error(s"join_self: unknown agg '$a'")
+        }
+        Flow.on(resourceName)(df =>
+          Joins.joinSelf(Ordering.stampOrder(df), strs("keys"), spec)
+            .drop(Ordering.ORD))
       case other =>
         sys.error(s"SpecInterpreter: unknown processor '$other'")
     }

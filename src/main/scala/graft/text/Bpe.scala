@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -139,4 +139,24 @@ object Bpe {
     }
     (cur, merges.toSeq)
   }
+
+  /** Persist a merge table as a parquet artifact: (rank, left, right),
+    * rank = merge priority (training order). The tokenizer artifact real
+    * pipelines reload most — encode is only correct if the reloaded
+    * table preserves EXACT rank order, which [[loadMerges]] restores by
+    * sorting on the stored rank (parquet carries no row order).
+    */
+  def saveMerges(spark: SparkSession, merges: Seq[(String, String)],
+      path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a [[saveMerges]] artifact in training order. */
+  def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
 }

@@ -113,4 +113,24 @@ class BpeSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(viaTrain == viaEncode)
   }
+
+  test("trained merge table survives the parquet artifact round-trip") {
+    // train → save → load → encode must equal encode-with-trained (the
+    // cross-run artifact contract, q112's spec half): rank order is the
+    // merge PRIORITY, so the reload sorts by the stored rank, not by
+    // parquet row order
+    val docs = Seq(
+      (1L, "s t u s t u s t"), (2L, "t u s t u v v v")).toDF("doc_id", "text")
+    val (_, merges) = Bpe.train(docs, "text", rounds = 3, sep = "_")
+    assert(merges.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_artifact").toString
+    Bpe.saveMerges(spark, merges, dir)
+    val reloaded = Bpe.loadMerges(spark, dir)
+    assert(reloaded == merges, "rank order or strings changed in round-trip")
+    val a = Bpe.encode(docs, "text", merges, sep = "_")
+      .select("doc_id", "widx", "tidx", "token").collect().toSeq
+    val b = Bpe.encode(docs, "text", reloaded, sep = "_")
+      .select("doc_id", "widx", "tidx", "token").collect().toSeq
+    assert(a.sortBy(_.toString) == b.sortBy(_.toString))
+  }
 }
