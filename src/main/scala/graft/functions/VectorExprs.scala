@@ -54,6 +54,25 @@ object VectorKernels {
     best
   }
 
+  /** Integer sparse dot product of two (sorted-index, value) pair-array
+    * representations: Σ tf[i]·w[j] over matching indices, by two-pointer
+    * merge. Returns -1 when the index sets are disjoint — values are
+    * products of non-negatives so a true score is never negative, and
+    * the caller needs "no shared term" (drop the pair) to stay distinct
+    * from "shared terms, zero weight" (keep, score 0).
+    */
+  def sparseDotLong(di: ArrayData, dt: ArrayData, qi: ArrayData, qw: ArrayData): Long = {
+    val nd = di.numElements(); val nq = qi.numElements()
+    var i = 0; var j = 0; var acc = 0L; var hit = false
+    while (i < nd && j < nq) {
+      val a = di.getInt(i); val b = qi.getInt(j)
+      if (a == b) { acc += dt.getLong(i) * qw.getLong(j); hit = true; i += 1; j += 1 }
+      else if (a < b) i += 1
+      else j += 1
+    }
+    if (hit) acc else -1L
+  }
+
   def srpBucket(v: ArrayData, planes: Array[Array[Double]]): Long = {
     var out = 0L
     var p = 0
@@ -136,6 +155,30 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Integer sparse dot over (doc idx[], doc tf[], query idx[], query w[]),
+  * -1 sentinel for disjoint index sets (see [[VectorKernels.sparseDotLong]]).
+  * One narrow codegen'd merge per (doc, query) pair — the scoring kernel
+  * of [[graft.similarity.TfIdfSearch]]'s dense tier.
+  */
+case class SparseDotLong(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sparse_dot_long"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    VectorKernels.sparseDotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.functions.VectorKernels.sparseDotLong($a, $b, $c, $d);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): SparseDotLong =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 object VectorExprs {
   import org.apache.spark.sql.{GraftBridge => EU}
 
@@ -147,4 +190,8 @@ object VectorExprs {
 
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     EU.column(NearestCentroid(EU.expression(vec), centroids))
+
+  def sparseDotLong(docIdx: Column, docTf: Column, qIdx: Column, qW: Column): Column =
+    EU.column(SparseDotLong(EU.expression(docIdx), EU.expression(docTf),
+      EU.expression(qIdx), EU.expression(qW)))
 }

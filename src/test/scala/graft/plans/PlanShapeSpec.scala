@@ -127,13 +127,18 @@ class PlanShapeSpec extends SparkSpec {
     // AQE prints "Final Plan" then "Initial Plan" — count only the final
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     // the corpus-wide tokenize → explode → combine subtree is the
-    // expensive pass; the df/weight path must ride the PRUNED postings
-    // (window count), not rebuild the index under the weight broadcast —
-    // exactly one partial (term, doc_id) aggregate in the whole plan
+    // expensive pass; every two-tier branch (stats, rare probe, common
+    // completion, fallback) must read it through ReuseExchange / AQE
+    // stage reuse — AT MOST one partial (term, doc_id) aggregate may
+    // print (reused stages print as references without re-printing the
+    // subtree, so 0 occurrences in the final-plan text is legal; 2+
+    // means the index was genuinely rebuilt). The keys=[term] stats
+    // aggregate is NOT a postings build; require the doc_id grouping key.
     val postingsBuilds = p.linesIterator.filter(l =>
-      l.contains("HashAggregate(keys=[term") && l.contains("partial_count")).size
-    assert(postingsBuilds == 1,
-      s"postings index built $postingsBuilds times (expected 1):\n$p")
+      l.contains("HashAggregate(keys=[term") && l.contains("doc_id") &&
+        l.contains("partial_count")).size
+    assert(postingsBuilds <= 1,
+      s"postings index built $postingsBuilds times (expected <=1):\n$p")
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "q69 left blocks in executor storage after materializing")
   }

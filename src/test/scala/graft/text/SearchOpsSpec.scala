@@ -109,6 +109,68 @@ class SearchOpsSpec extends SparkSpec {
     assert(top.head.getLong(1) === 1L)
   }
 
+  test("two-tier topK equals the one-tier reference at every df share") {
+    // corpus with genuinely common terms ("the"/"and" in nearly every
+    // doc) plus rare discriminative terms; queries drawn from the corpus
+    // so some are bound-safe and some (the all-common doc 8) must fall
+    // back. Shares sweep the knob across regimes: 0.0 → everything
+    // common (pure fallback), 1.0 → nothing common (pure phase A).
+    val corpus = docs(
+      1L -> "the quick zyzzyva and the lazy aardwolf ran off the cliff",
+      2L -> "the common words and the usual filler run on and on here",
+      3L -> "the zyzzyva appeared again and the observer noted the time",
+      4L -> "and the weather stayed calm the entire quiet evening there",
+      5L -> "quantum chromodynamics and the lattice the gauge the field",
+      6L -> "the aardwolf and the aardvark share the letter the prefix",
+      7L -> "the gauge field and the lattice spacing govern the theory",
+      8L -> "the and the and the and the and the and",
+      9L -> "observer effects and the measurement the problem the core",
+      10L -> "prefix trees and the suffix arrays the index the text")
+    val queries = corpus.filter(col("doc_id") % 3 === 1) // 1,4,7,10
+    val naive = TfIdfSearch.topKNaive(corpus, queries, "text", "doc_id", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    for (share <- Seq(0.0, 0.05, 0.3, 0.7, 1.0)) {
+      val tiered = TfIdfSearch.topKTiered(corpus, queries, "text", "doc_id", "doc_id",
+          k = 3, commonDfShare = share, minCommonDf = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(tiered === naive, s"two-tier diverged from reference at share=$share")
+    }
+    val dense = TfIdfSearch.topKDense(corpus, queries, "text", "doc_id", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(dense === naive, "dense tier diverged from reference")
+  }
+
+  test("dense tier drops zero-overlap pairs but keeps zero-score shared-term pairs") {
+    // doc 3 shares no term with the query → absent; docs 1-2 share terms
+    // (inner-join semantics preserved through the -1 sentinel)
+    val corpus = docs(
+      1L -> "apple banana cherry",
+      2L -> "apple dates elderberry",
+      3L -> "fig grape honeydew")
+    val queries = docs(7L -> "apple banana")
+    val out = TfIdfSearch.topKDense(corpus, queries, "text", "doc_id", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out === Array((7L, 1L), (7L, 2L)))
+  }
+
+  test("two-tier topK handles an all-common query via fallback, exactly") {
+    // every term of the query is common at share 0.2 → B_q ≥ θ_q is
+    // forced, exercising the fallback branch on its own
+    val corpus = docs(
+      1L -> "the and of rare1 words",
+      2L -> "the and of rare2 words",
+      3L -> "the and of rare3 words",
+      4L -> "the and of rare4 words",
+      5L -> "the and of here now")
+    val queries = docs(99L -> "the and of")
+    val naive = TfIdfSearch.topKNaive(corpus, queries, "text", "doc_id", "doc_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val tiered = TfIdfSearch.topKTiered(corpus, queries, "text", "doc_id", "doc_id",
+        k = 2, commonDfShare = 0.2, minCommonDf = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(tiered === naive)
+  }
+
   test("tf-idf score is the exact fixed-point sum") {
     // one shared term, tf=2 in the corpus doc: score = 2 * floor((N-df+.5)/(df+.5)*2^20)
     val corpus = docs(1L -> "term term", 2L -> "other stuff", 3L -> "more things")
