@@ -29,9 +29,10 @@ import org.apache.spark.sql.functions._
   */
 object SkewBench {
 
-  private def session(aqe: Boolean, skewJoin: Boolean): SparkSession = {
+  private def session(aqe: Boolean, skewJoin: Boolean,
+      tuned: Boolean = false): SparkSession = {
     val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
-    SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -40,7 +41,12 @@ object SkewBench {
       .config("spark.sql.adaptive.skewJoin.enabled", skewJoin)
       // force the shuffle-join path: skew mitigation is moot for broadcast
       .config("spark.sql.autoBroadcastJoinThreshold", -1)
-      .getOrCreate()
+    // defaults treat <256 MB partitions as healthy; at sub-cluster data
+    // sizes the hot partition must clear a LOWERED bar before AQE splits
+    (if (tuned) b
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    else b).getOrCreate()
   }
 
   /** 90% of lineitem rows → supplier 1; the remainder keeps its uniform
@@ -62,9 +68,10 @@ object SkewBench {
     val hotShare = if (args.length > 1) args(1).toDouble else 0.9
     val reps = if (args.length > 2) args(2).toInt else 3
 
-    def run(label: String, aqe: Boolean, skewJoin: Boolean)
+    def run(label: String, aqe: Boolean, skewJoin: Boolean,
+            tuned: Boolean = false)
            (join: (SparkSession, DataFrame, DataFrame) => DataFrame): Unit = {
-      val spark = session(aqe, skewJoin)
+      val spark = session(aqe, skewJoin, tuned)
       spark.sparkContext.setLogLevel("WARN")
       val li = skewed(spark, sfDir, hotShare)
       val supp = spark.read.parquet(s"$sfDir/supplier.parquet")
@@ -84,6 +91,8 @@ object SkewBench {
     run("plain_noAQE", aqe = false, skewJoin = false)((_, li, supp) =>
       li.join(supp, Seq("l_suppkey"), "inner"))
     run("plain_AQE", aqe = true, skewJoin = true)((_, li, supp) =>
+      li.join(supp, Seq("l_suppkey"), "inner"))
+    run("AQE_tuned", aqe = true, skewJoin = true, tuned = true)((_, li, supp) =>
       li.join(supp, Seq("l_suppkey"), "inner"))
     run("salted", aqe = true, skewJoin = false)((_, li, supp) =>
       graft.ops.Skew.saltedJoin(li, supp, "l_suppkey", factor = 8,
