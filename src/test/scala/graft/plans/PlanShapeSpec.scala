@@ -109,19 +109,23 @@ class PlanShapeSpec extends SparkSpec {
     val saved = thresholds.map(k => k -> spark.conf.getOption(k))
     thresholds.foreach(spark.conf.set(_, "-1"))
     try {
+      // delta, not global-empty: suites share one session and Bpe.train
+      // returns its corpus cached by contract
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val df = DedupQueries.q73SemDedup(spark, sf)
       df.collect() // AQE finalizes reuse only on the executed plan
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("ReusedExchange"),
         s"cluster assignment computed twice (no exchange reuse):\n$p")
       assert(p.contains("nearest_centroid"), s"narrow argmin assignment missing:\n$p")
-      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
         "q73 left blocks in executor storage after materializing")
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
   test("q69: TF-IDF builds the postings index once and leaves no cached blocks") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val df = graft.queries.SearchQueries.queries("q69_tfidf_search")(spark, sf)
     df.collect()
     // AQE prints "Final Plan" then "Initial Plan" — count only the final
@@ -139,7 +143,7 @@ class PlanShapeSpec extends SparkSpec {
         l.contains("partial_count")).size
     assert(postingsBuilds <= 1,
       s"postings index built $postingsBuilds times (expected <=1):\n$p")
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
       "q69 left blocks in executor storage after materializing")
   }
 

@@ -58,7 +58,11 @@ class SemDedupSpec extends SparkSpec {
   test("droppedDocs / dedup / crossFlagged leave no blocks in executor storage") {
     // the functions persist nothing internally — the self-join sides
     // share one exchange (ReuseExchange) — so a long-running session
-    // composing them repeatedly cannot accumulate cached partitions
+    // composing them repeatedly cannot accumulate cached partitions.
+    // Delta assertion, not global-empty: suites share one session and
+    // Bpe.train's CONTRACT is to return its final corpus cached, so an
+    // earlier BpeSpec legitimately leaves blocks behind.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     SemDedup.droppedDocs(withScaledCopies, "vec_id", "embedding",
       nClusters = 8, threshold = 0.98).count()
     SemDedup.dedup(withScaledCopies, "vec_id", "embedding",
@@ -66,8 +70,9 @@ class SemDedupSpec extends SparkSpec {
     val bench = embeddings.limit(50)
     SemDedup.crossFlagged(embeddings, bench, "vec_id", "embedding",
       nClusters = 4, threshold = 0.98).count()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "SemDedup left persisted RDDs behind after results materialized")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"SemDedup left persisted RDDs behind after results materialized: $leaked")
   }
 
   test("identical directions never straddle clusters (normalized assign)") {
