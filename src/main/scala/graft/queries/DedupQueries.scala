@@ -698,7 +698,89 @@ object DedupQueries {
       |SELECT train_id, min(bench_id) AS bench_id
       |FROM p GROUP BY train_id ORDER BY train_id""".stripMargin
 
+  /** q114: KMV distinct-count sketches ([[graft.functions.Kmv]]) — the
+    * mergeable cardinality summary that replaces `count(distinct)`'s
+    * every-distinct-value shuffle with O(k) per-task state (the dedup
+    * audit: distinct keys per shard before/after a run, cheap enough to
+    * compute on every pass). Both regimes in one query: order keys
+    * (~11k distinct per flag) exercise the k=1024 estimator, part keys
+    * (2k distinct) stay under k=4096 where the sketch is exhaustive and
+    * the estimate EXACT. The sketch content and the floor-divided
+    * estimator are pure integer set-functions, so the oracle replays
+    * the token hash (polynomial + splitmix in HUGEINT), ranks hashes
+    * per group, and reproduces every estimate bit-for-bit — a sketch
+    * whose output hash-gates across engines, which HLL's float harmonic
+    * mean cannot do.
+    */
+  def q114KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Kmv
+    val li = Load.table(spark, dir, "lineitem")
+    val (k1, k2) = (1024, 4096)
+    li.select(col("l_returnflag"), col("l_orderkey"), col("l_partkey"),
+        Kmv.hash62(col("l_orderkey").cast("string")).as("ho"),
+        Kmv.hash62(col("l_partkey").cast("string")).as("hp"))
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("exact_orders"),
+        Kmv.sketch(col("ho"), k1).as("sko"),
+        countDistinct("l_partkey").as("exact_parts"),
+        Kmv.sketch(col("hp"), k2).as("skp"))
+      .select(col("l_returnflag"),
+        col("exact_orders"),
+        size(col("sko")).cast("long").as("sketch_orders"),
+        Kmv.estimate(col("sko"), k1).as("est_orders"),
+        col("exact_parts"),
+        Kmv.estimate(col("skp"), k2).as("est_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  val q114Sql: String = {
+    // kmv_hash62 mirror: decimal-string polynomial → splitmix (WITH the
+    // golden-constant increment — unlike the shingle finalizer) → >> 2
+    def h62(sv: String): String = {
+      val poly = "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+        s"list_transform(generate_series(1, length($sv)), " +
+        s"c -> ord(substring($sv, c, 1))::HUGEINT)), " +
+        s"(acc, c) -> (acc * 31 + c) % $Mod64)"
+      val sm = finalizerSql(
+        s"((($poly) + 11400714819323198485::HUGEINT) % $Mod64)")
+      s"CAST(CAST(($sm) AS UBIGINT) >> 2 AS BIGINT)"
+    }
+    def sketchCtes(keyCol: String, pfx: String): String =
+      s"""${pfx}b AS (
+         |  SELECT DISTINCT l_returnflag AS flag,
+         |         CAST($keyCol AS VARCHAR) AS sv
+         |  FROM lineitem),
+         |${pfx}h AS (SELECT DISTINCT flag, ${h62("sv")} AS h FROM ${pfx}b),
+         |${pfx}rk AS (
+         |  SELECT flag, h,
+         |         row_number() OVER (PARTITION BY flag ORDER BY h) AS rn
+         |  FROM ${pfx}h),
+         |${pfx}a AS (
+         |  SELECT flag, count(*)::BIGINT AS nh,
+         |         max(CASE WHEN rn = K THEN h END) AS hk
+         |  FROM ${pfx}rk GROUP BY flag)""".stripMargin
+    def est(pfx: String, k: Int): String =
+      s"CASE WHEN ${pfx}a.nh < $k THEN ${pfx}a.nh " +
+        s"ELSE CAST(least((${k - 1}::HUGEINT * 4611686018427387904::HUGEINT) " +
+        s"// greatest(${pfx}a.hk, 1), 9223372036854775807::HUGEINT) AS BIGINT) END"
+    s"""WITH ${sketchCtes("l_orderkey", "o").replace("rn = K", "rn = 1024")},
+       |${sketchCtes("l_partkey", "p").replace("rn = K", "rn = 4096")},
+       |ex AS (
+       |  SELECT l_returnflag AS flag,
+       |         count(DISTINCT l_orderkey)::BIGINT AS exact_orders,
+       |         count(DISTINCT l_partkey)::BIGINT AS exact_parts
+       |  FROM lineitem GROUP BY 1)
+       |SELECT ex.flag AS l_returnflag, ex.exact_orders,
+       |       least(oa.nh, 1024)::BIGINT AS sketch_orders,
+       |       ${est("o", 1024)} AS est_orders,
+       |       ex.exact_parts,
+       |       ${est("p", 4096)} AS est_parts
+       |FROM ex JOIN oa ON oa.flag = ex.flag JOIN pa ON pa.flag = ex.flag
+       |ORDER BY ex.flag""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_kmv_distinct" -> (q114KmvDistinct _),
     "q30_exact_dedup" -> q30Exact,
     "q31_fingerprint_dedup" -> q31Fingerprint,
     "q32_minhash_pairs" -> q32Minhash,
@@ -718,6 +800,7 @@ object DedupQueries {
     "q83_semantic_decontaminate" -> q83SemanticDecontaminate)
 
   val oracles: Map[String, String] = Map(
+    "q114_kmv_distinct" -> q114Sql,
     "q30_exact_dedup" -> q30Sql,
     "q31_fingerprint_dedup" -> q31Sql,
     "q32_minhash_pairs" -> q32Sql,

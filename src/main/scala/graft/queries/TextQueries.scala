@@ -266,8 +266,106 @@ object TextQueries {
       |GROUP BY g.doc_id
       |ORDER BY g.doc_id""".stripMargin
 
+  /** q113: fixed-point multinomial Naive Bayes ([[graft.text.NaiveBayes]])
+    * — the model-based filter tier (the role fastText-style quality /
+    * language classifiers play in FineWeb-Edu/DCLM curation): train a
+    * language classifier on the labeled 4/5 of the corpus (doc_id % 5),
+    * predict the held-out 1/5. All-integer train + score (add-one
+    * smoothing, 16.16 surprisal bits via the exact binary log), so the
+    * oracle replays the whole pipeline — counts, floor-divided
+    * probabilities, the 16-step square-and-shift log, the argmin with
+    * its smaller-label tie-break — bit-for-bit.
+    *
+    * On this synthetic corpus the text is drawn from one ~31-token
+    * vocabulary regardless of `lang`, so held-out accuracy (~42%)
+    * correctly converges to the majority-class prior — the gate checks
+    * the computation, not the (absent) label signal;
+    * NaiveBayesSpec's planted-vocabulary corpus checks the learning.
+    */
+  def q113NbClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val trainDf = d.filter(col("doc_id") % 5 =!= 0)
+    val testDf = d.filter(col("doc_id") % 5 === 0)
+    val model = graft.text.NaiveBayes.train(trainDf, "text", "lang")
+    graft.text.NaiveBayes.predict(model, testDf, "text", "doc_id")
+      .join(testDf.select(col("doc_id"), col("lang").as("actual")), Seq("doc_id"))
+      .select(col("doc_id"), col("pred"), col("bits_fix"), col("actual"),
+        (col("pred") === col("actual")).cast("int").as("correct"))
+      .orderBy("doc_id")
+  }
+
+  val q113Sql: String =
+    """WITH RECURSIVE
+      |tr AS (SELECT doc_id, lang AS y, text FROM documents WHERE doc_id % 5 <> 0),
+      |te AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+      |ttoks AS (
+      |  SELECT y, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                               x -> x <> '')) AS w
+      |  FROM tr),
+      |cwy AS (SELECT w, y, count(*)::BIGINT AS c_wy FROM ttoks GROUP BY w, y),
+      |cy AS (SELECT y, CAST(sum(c_wy) AS BIGINT) AS c_y FROM cwy GROUP BY y),
+      |voc AS (SELECT count(DISTINCT w)::BIGINT AS v_sz FROM cwy),
+      |pri AS (SELECT y, count(*)::BIGINT AS n_y FROM tr GROUP BY y),
+      |ntot AS (SELECT CAST(sum(n_y) AS BIGINT) AS n_tot FROM pri),
+      |vals AS (
+      |  SELECT 'w' AS kind, w, y,
+      |         (1073741824::BIGINT * (c_wy + 1)) // (c_y + v_sz) AS p
+      |  FROM cwy JOIN cy USING (y), voc
+      |  UNION ALL
+      |  SELECT 'p', '', y, (1073741824::BIGINT * n_y) // n_tot FROM pri, ntot
+      |  UNION ALL
+      |  SELECT 'd', '', y, 1073741824::BIGINT // (c_y + v_sz) FROM cy, voc),
+      |nrm AS (
+      |  SELECT kind, w, y, greatest(p, 1) AS m, 0::BIGINT AS k FROM vals
+      |  UNION ALL
+      |  SELECT kind, w, y, m * 2, k + 1 FROM nrm WHERE m < 1073741824),
+      |normed AS (SELECT kind, w, y, m, k FROM nrm WHERE m >= 1073741824),
+      |sq AS (
+      |  SELECT kind, w, y, k, m, 0 AS i, 0::BIGINT AS acc FROM normed
+      |  UNION ALL
+      |  SELECT kind, w, y, k,
+      |         CASE WHEN m2 >= 2147483648::BIGINT THEN m2 // 2 ELSE m2 END,
+      |         i + 1,
+      |         acc * 2 + CASE WHEN m2 >= 2147483648::BIGINT THEN 1 ELSE 0 END
+      |  FROM (SELECT kind, w, y, k, (m * m) // 1073741824 AS m2, i, acc
+      |        FROM sq WHERE i < 16) s),
+      |surp AS (SELECT kind, w, y, k * 65536 - acc AS b FROM sq WHERE i = 16),
+      |wb AS (SELECT w, y, b FROM surp WHERE kind = 'w'),
+      |pb AS (SELECT y, b FROM surp WHERE kind = 'p'),
+      |db AS (SELECT y, b FROM surp WHERE kind = 'd'),
+      |ttf AS (
+      |  SELECT doc_id, w, count(*)::BIGINT AS tf
+      |  FROM (SELECT doc_id,
+      |               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                                  x -> x <> '')) AS w
+      |        FROM te)
+      |  GROUP BY doc_id, w),
+      |scored AS (
+      |  SELECT t.doc_id, p.y,
+      |         min(p.b) + CAST(sum(t.tf * coalesce(w.b, d.b)) AS BIGINT) AS bits
+      |  FROM ttf t
+      |  CROSS JOIN pb p
+      |  JOIN db d ON d.y = p.y
+      |  LEFT JOIN wb w ON w.w = t.w AND w.y = p.y
+      |  GROUP BY t.doc_id, p.y),
+      |pick AS (
+      |  SELECT doc_id, y, bits,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY bits, y) AS rn
+      |  FROM scored),
+      |po AS (SELECT y, b FROM pb ORDER BY b, y LIMIT 1)
+      |SELECT te.doc_id,
+      |       coalesce(k.y, po.y) AS pred,
+      |       coalesce(k.bits, po.b) AS bits_fix,
+      |       te.lang AS actual,
+      |       CAST(coalesce(k.y, po.y) = te.lang AS INTEGER) AS correct
+      |FROM te
+      |LEFT JOIN (SELECT doc_id, y, bits FROM pick WHERE rn = 1) k USING (doc_id)
+      |CROSS JOIN po
+      |ORDER BY te.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_ngram_novelty" -> (q104NgramNovelty _),
+    "q113_nb_classifier" -> (q113NbClassifier _),
     "q20_text_profile" -> q20Profile,
     "q21_quality_score" -> q21Quality,
     "q22_lang_id" -> q22LangId,
@@ -282,5 +380,6 @@ object TextQueries {
     "q59_unigram_lm" -> q59Sql,
     "q98_kneser_ney" -> q98Sql,
     "q102_perplexity_gate" -> q102Sql,
-    "q104_ngram_novelty" -> q104Sql)
+    "q104_ngram_novelty" -> q104Sql,
+    "q113_nb_classifier" -> q113Sql)
 }
