@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   * Exact distinct (not approx_count_distinct) is deliberate: profiles
   * feed validation thresholds and the driver's hash-equality oracle;
   * HLL estimates would make both nondeterministic. At 100 TB, profile a
-  * sampled partition or swap in approx_count_distinct — the plan shape
-  * (one Expand) is the same.
+  * sampled partition or swap in [[graft.functions.Kmv.sketch]] — the
+  * mergeable KMV summary keeps the determinism (content is a pure
+  * set-function; integer estimator, q114-gated) at O(k) state, and the
+  * plan shape (one Expand) is the same. approx_count_distinct works too
+  * when nothing audits the number.
   */
 object Profile {
 

@@ -48,7 +48,9 @@ object ExplainDump {
     "q102_perplexity_gate" -> "model join keyed (v,w) over per-doc DISTINCT bigrams; integer log2fix surprisal; doc rollup",
     "q103_hard_negatives" -> "label filter + dup ceiling BEFORE TopKPerKey bounded heaps; queries broadcast",
     "q105_profile" -> "one scan, one Expand for all-column exact distincts; no per-column scan union",
-    "q107_range_join" -> "interval join as equi-join on (user, bucket) + range post-filter; no nested loop")
+    "q107_range_join" -> "interval join as equi-join on (user, bucket) + range post-filter; no nested loop",
+    "q113_nb_classifier" -> "NB scoring: (doc,w) tf shuffle + distributed (w,y) model join; only the |Y|-row class table broadcasts; integer argmin finish",
+    "q114_kmv_distinct" -> "partial_kmv_sketch ObjectHashAggregate pair: O(k) sketches are the only agg state crossing the group exchange")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -147,6 +147,40 @@ class PlanShapeSpec extends SparkSpec {
       "q69 left blocks in executor storage after materializing")
   }
 
+  test("q114: KMV sketches condense map-side before the group exchange") {
+    val p = plan(DedupQueries.queries("q114_kmv_distinct")(spark, sf))
+    // TypedImperativeAggregates plan as ObjectHashAggregate; the scale
+    // property is the PARTIAL phase — each task reduces its slice to an
+    // O(k) sketch before anything shuffles
+    assert(p.contains("ObjectHashAggregate"), s"sketch agg missing:\n$p")
+    assert(p.contains("partial_kmv_sketch"),
+      s"no map-side sketch condensation:\n$p")
+    assert(p.contains("Exchange hashpartitioning(l_returnflag"),
+      s"expected the group-keyed exchange:\n$p")
+  }
+
+  test("q113: the NB word model joins distributed when broadcast is off") {
+    // the per-word model must NEVER require a broadcast (at web scale it
+    // outgrows one); only the |Y|-row class table and 1-row scalars may.
+    // With auto-broadcast disabled the (w, y) model join has to plan as
+    // a shuffle join — if the code forced a broadcast, this would either
+    // still print BroadcastHashJoin on the model relation or fail.
+    val thresholds = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = thresholds.map(k => k -> spark.conf.getOption(k))
+    thresholds.foreach(spark.conf.set(_, "-1"))
+    try {
+      val df = graft.queries.TextQueries.queries("q113_nb_classifier")(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"unbounded cartesian in the scoring plan:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"model join did not shuffle with broadcast off:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("q107: the range join plans as an equi-join, never a nested loop") {
     val p = plan(graft.queries.MiscOps.q107RangeJoin(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
