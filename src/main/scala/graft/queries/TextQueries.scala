@@ -363,9 +363,68 @@ object TextQueries {
       |CROSS JOIN po
       |ORDER BY te.doc_id""".stripMargin
 
+  /** q115: deterministic span corruption ([[graft.text.SpanCorruption]])
+    * — the denoising-objective construction step (T5-style masked-span
+    * input/target pairs) with the RNG replaced by a stable block hash,
+    * so the SAME corpus yields the SAME training pairs on any run,
+    * partitioning, or engine. Narrow one-fold-per-doc plan, no shuffle;
+    * the oracle replays the hash (HUGEINT), the run/sentinel numbering
+    * (window prefix sums), and both output streams byte-for-byte.
+    */
+  def q115SpanCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    graft.text.SpanCorruption.corrupt(d, "text", "doc_id").orderBy("doc_id")
+  }
+
+  val q115Sql: String = {
+    val h = DedupQueries.h62Sql(
+      "CAST(doc_id AS VARCHAR) || ':' || CAST(i // 3 AS VARCHAR)")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |                             x -> x <> '') AS tk
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, u.i - 1 AS i, tk[u.i] AS t
+       |  FROM toks, UNNEST(generate_series(1, len(tk))) u(i)
+       |  WHERE len(tk) > 0),
+       |flg AS (
+       |  SELECT doc_id, i, t, ($h < 691752902764108185) AS m
+       |  FROM pos),
+       |runs AS (
+       |  SELECT doc_id, i, t, m,
+       |         CASE WHEN m AND NOT coalesce(
+       |                lag(m) OVER (PARTITION BY doc_id ORDER BY i), FALSE)
+       |              THEN 1 ELSE 0 END AS rs
+       |  FROM flg),
+       |sid AS (
+       |  SELECT doc_id, i, t, m, rs,
+       |         CAST(sum(rs) OVER (PARTITION BY doc_id ORDER BY i)
+       |           AS BIGINT) - 1 AS k
+       |  FROM runs),
+       |agg AS (
+       |  SELECT doc_id,
+       |    string_agg(CASE WHEN NOT m THEN t
+       |                    WHEN rs = 1 THEN '<extra_id_' || k || '>' END,
+       |               ' ' ORDER BY i) AS input_text,
+       |    string_agg(CASE WHEN m AND rs = 1 THEN '<extra_id_' || k || '> ' || t
+       |                    WHEN m THEN t END,
+       |               ' ' ORDER BY i) AS targets_text,
+       |    CAST(coalesce(max(k) + 1, 0) AS BIGINT) AS n_spans,
+       |    CAST(count(*) FILTER (WHERE m) AS BIGINT) AS n_masked
+       |  FROM sid GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(a.input_text, '') AS input_text,
+       |       coalesce(a.targets_text, '') AS targets_text,
+       |       coalesce(a.n_spans, 0) AS n_spans,
+       |       coalesce(a.n_masked, 0) AS n_masked
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_ngram_novelty" -> (q104NgramNovelty _),
     "q113_nb_classifier" -> (q113NbClassifier _),
+    "q115_span_corrupt" -> (q115SpanCorrupt _),
     "q20_text_profile" -> q20Profile,
     "q21_quality_score" -> q21Quality,
     "q22_lang_id" -> q22LangId,
@@ -381,5 +440,6 @@ object TextQueries {
     "q98_kneser_ney" -> q98Sql,
     "q102_perplexity_gate" -> q102Sql,
     "q104_ngram_novelty" -> q104Sql,
-    "q113_nb_classifier" -> q113Sql)
+    "q113_nb_classifier" -> q113Sql,
+    "q115_span_corrupt" -> q115Sql)
 }

@@ -50,7 +50,8 @@ object ExplainDump {
     "q105_profile" -> "one scan, one Expand for all-column exact distincts; no per-column scan union",
     "q107_range_join" -> "interval join as equi-join on (user, bucket) + range post-filter; no nested loop",
     "q113_nb_classifier" -> "NB scoring: (doc,w) tf shuffle + distributed (w,y) model join; only the |Y|-row class table broadcasts; integer argmin finish",
-    "q114_kmv_distinct" -> "partial_kmv_sketch ObjectHashAggregate pair: O(k) sketches are the only agg state crossing the group exchange")
+    "q114_kmv_distinct" -> "partial_kmv_sketch ObjectHashAggregate pair: O(k) sketches are the only agg state crossing the group exchange",
+    "q115_span_corrupt" -> "denoising-pair construction as a narrow map: per-block hash flags + one-pass span_corrupt kernel, no explode, no window, no shuffle before the output sort")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
