@@ -279,9 +279,20 @@ object Ann {
   /** Nearest-centroid list id as a NARROW column expression — the native
     * one-pass argmin kernel (centroid matrix rides as a codegen reference
     * object): no crossJoin row explosion, no argmin shuffle.
+    *
+    * Wrapped in `coalesce(..., -1)` to make the result NON-NULLABLE:
+    * every caller joins on this column, and a nullable join key makes
+    * InferFiltersFromConstraints add `isnotnull(nearest_centroid(...))`,
+    * which pushdown then duplicates below the projection — re-evaluating
+    * the whole normalize+argmin per row a second time, all the way into
+    * the parquet DataFilters (measured 1.6× on q73 end to end). A null
+    * vector maps to sentinel list -1, which no real probe list ever
+    * equals, and a -1/-1 self-join match dies at the cosine-on-null
+    * filter — semantics identical to the null key's inner-join drop.
     */
   def ivfListId(vec: Column, centroids: Array[Array[Double]]): Column =
-    graft.functions.VectorExprs.nearestCentroid(vec, centroids)
+    coalesce(graft.functions.VectorExprs.nearestCentroid(vec, centroids),
+      lit(-1))
 
   /** IVF coarse quantizer: train on the driver, assign via the narrow
     * argmin expression. Returns the corpus plus `list_id` — the partition

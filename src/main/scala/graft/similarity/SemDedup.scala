@@ -58,9 +58,15 @@ object SemDedup {
     // no persist: both self-join sides reduce to the same
     // hashpartitioning(__cluster) exchange — ReuseExchange computes the
     // assignment once (at scale the assignment is still the thing you'd
-    // write out bucketed by cluster between jobs)
+    // write out bucketed by cluster between jobs). The repartition makes
+    // that exchange EXPLICIT: without it, AQE may broadcast one join
+    // side, and a broadcast side has no exchange to reuse — the scan →
+    // normalize → argmin subtree then runs twice (measured 2.8× on q73).
+    // The partitioning also satisfies the join's requirement, so the
+    // shuffle count stays at the documented one.
     val assigned = normed
       .withColumn("__cluster", Ann.ivfListId(col("__nv"), centroids))
+      .repartition(col("__cluster"))
     val a = assigned.select(col("__cluster"),
       col(idCol).as("kept_id"), col("__nv").as("__va"))
     val b = assigned.select(col("__cluster"),
