@@ -422,6 +422,65 @@ object MiscOps {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
 
+  /** q116: windowed approximate-distinct users — the batch twin of
+    * [[graft.streaming.Streams.windowedDistinctUsers]], where the KMV
+    * sketch is the state-store buffer (O(k) per window on an unbounded
+    * stream; `count(distinct)` is not even allowed there). Because the
+    * sketch is a pure set-function, streamed == batch EXACTLY
+    * (StreamingSpec) and the batch form hash-gates: the oracle replays
+    * the user hash, the per-window rank, and the integer estimator.
+    * Exact counts ride a SEPARATE aggregation (the q114 lesson: mixing
+    * count(distinct) with a TypedImperative agg keys the partial phase
+    * on the distinct column).
+    */
+  def q116StreamDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Kmv
+    val ev = Load.events(spark, dir)
+    val k = 64
+    val sk = ev
+      .select(col("ts"), Kmv.hash62(col("user_id").cast("string")).as("__h"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), Kmv.sketch(col("__h"), k).as("__sk"))
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+        col("n_events"), size(col("__sk")).cast("long").as("sketch_size"),
+        Kmv.estimate(col("__sk"), k).as("est_users"))
+    val exact = ev.groupBy(window(col("ts"), "1 hour"))
+      .agg(countDistinct("user_id").as("exact_users"))
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+        col("exact_users"))
+    sk.join(exact, "hour_start")
+      .select(col("hour_start"), col("n_events"), col("exact_users"),
+        col("sketch_size"), col("est_users"))
+      .orderBy("hour_start")
+  }
+
+  val q116Sql: String = {
+    val h = DedupQueries.h62Sql("CAST(user_id AS VARCHAR)")
+    s"""WITH ev AS (
+       |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+       |         user_id
+       |  FROM events),
+       |cnt AS (
+       |  SELECT hour_start, count(*)::BIGINT AS n_events,
+       |         count(DISTINCT user_id)::BIGINT AS exact_users
+       |  FROM ev GROUP BY 1),
+       |hh AS (SELECT DISTINCT hour_start, $h AS hv FROM ev),
+       |rk AS (SELECT hour_start, hv,
+       |         row_number() OVER (PARTITION BY hour_start ORDER BY hv) AS rn
+       |       FROM hh),
+       |ag AS (SELECT hour_start, count(*)::BIGINT AS nh,
+       |         max(CASE WHEN rn = 64 THEN hv END) AS hk
+       |       FROM rk GROUP BY 1)
+       |SELECT c.hour_start, c.n_events, c.exact_users,
+       |       least(a.nh, 64)::BIGINT AS sketch_size,
+       |       CASE WHEN a.nh < 64 THEN a.nh
+       |            ELSE CAST(least((63::HUGEINT * 4611686018427387904::HUGEINT)
+       |                 // greatest(a.hk, 1), 9223372036854775807::HUGEINT)
+       |              AS BIGINT) END AS est_users
+       |FROM cnt c JOIN ag a USING (hour_start)
+       |ORDER BY c.hour_start""".stripMargin
+  }
+
   /** Sessionization: a new session starts after a >30 min gap per user;
     * session ids are per-user cumulative counts (the batch shape of
     * mapGroupsWithState sessionization — the streaming variant is
@@ -1014,6 +1073,7 @@ object MiscOps {
     "q18b_series_explode" -> q18bSeriesExplode,
     "q19_validate_units" -> q19ValidateUnits,
     "q50_windowed_events" -> q50WindowedEvents,
+    "q116_stream_distinct" -> (q116StreamDistinct _),
     "q51_sessionize" -> q51Sessionize,
     "q53_funnel_join" -> q53FunnelJoin,
     "q60_multimodal" -> q60Multimodal,
@@ -1044,6 +1104,7 @@ object MiscOps {
     "q18b_series_explode" -> q18bSql,
     "q19_validate_units" -> q19Sql,
     "q50_windowed_events" -> q50Sql,
+    "q116_stream_distinct" -> q116Sql,
     "q51_sessionize" -> q51Sql,
     "q53_funnel_join" -> q53Sql,
     "q60_multimodal" -> q60Sql,

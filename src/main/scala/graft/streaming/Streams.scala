@@ -43,6 +43,30 @@ object Streams {
       .select(unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Tumbling-window approximate-distinct users via the mergeable KMV
+    * sketch ([[graft.functions.Kmv]]): the sketch IS the aggregation
+    * buffer the state store carries between micro-batches, so per-window
+    * state is O(k) no matter how many distinct users arrive —
+    * `count(distinct)` is not allowed on a stream at all, and a
+    * collect_set buffer grows with cardinality. The sketch content is a
+    * pure set-function of the window's input, so the streamed result is
+    * IDENTICAL to the batch twin (q116's gated query), not merely close
+    * — spec-asserted.
+    */
+  def windowedDistinctUsers(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "1 hour", k: Int = 64): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        graft.functions.Kmv.hash62(col("user_id").cast("string")).as("__h"))
+      .groupBy(window(col("ts"), window_))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Kmv.sketch(col("__h"), k).as("__sk"))
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+        col("n_events"),
+        size(col("__sk")).cast("long").as("sketch_size"),
+        graft.functions.Kmv.estimate(col("__sk"), k).as("est_users"))
+
   /** Streaming exact dedup: drop repeated keys arriving within the
     * watermark horizon (`dropDuplicatesWithinWatermark` — state for a key
     * is evictable once the watermark passes it, so state stays bounded on

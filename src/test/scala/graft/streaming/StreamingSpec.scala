@@ -37,6 +37,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming KMV windowed-distinct == batch q116 exactly (set-function state)") {
+    val dir = java.nio.file.Files.createTempDirectory("events_kmv_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val stream = Streams.windowedDistinctUsers(
+      Streams.readEvents(spark, dir.toString))
+    val qname = "stream_kmv_distinct"
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(qname)
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(qname).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.queries.MiscOps.q116StreamDistinct(spark, sf)
+      .select("hour_start", "n_events", "sketch_size", "est_users").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // EXACT equality, not approximate: the sketch is a set-function, so
+    // incremental state-store accumulation and one batch pass agree bit
+    // for bit
+    assert(streamed == batch)
+  }
+
   test("streaming dedup-within-watermark drops planted duplicate event_ids") {
     // source dir: the events file + a copy of itself = every event twice
     val dir = java.nio.file.Files.createTempDirectory("events_dup_stream")
