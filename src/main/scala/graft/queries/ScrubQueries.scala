@@ -69,7 +69,68 @@ object ScrubQueries {
       |WHERE n_copies >= 1
       |ORDER BY doc_id, copy_idx""".stripMargin
 
+  /** q117: multi-pattern blocklist scrub ([[graft.functions.MultiReplace]]
+    * — Aho–Corasick, O(text) per doc independent of term count, vs the
+    * O(terms)-per-position regex alternation it replaces at 10k-term
+    * blocklist scale). The blocklist is corpus-derived (top-10 unigrams
+    * + top-5 bigram phrases by frequency, ties lexicographic — the
+    * heavy-hitter boilerplate a curation run actually strips), built
+    * with two bounded driver collects (15 strings, the dictionary-build
+    * pattern). Semantics: leftmost scan, longest match at each start,
+    * non-overlapping — exactly a longest-first-alternation
+    * regexp_replace, which is what the oracle runs; the kernel≡regex
+    * law is property-spec'd over random corpora.
+    */
+  def q117MultiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val toks = graft.text.Decontaminate.wordTokens(col("text"))
+    val uni = d.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(10)
+      .collect().map(_.getString(0)).toSeq
+    val bi = d.select(toks.as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__tk")) - 1),
+        i => concat_ws(" ", element_at(col("__tk"), i),
+          element_at(col("__tk"), i + 1)))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g")).limit(5)
+      .collect().map(_.getString(0)).toSeq
+    val terms = (uni ++ bi).distinct
+    d.select(col("doc_id"),
+      graft.functions.MultiReplaceExpr.multiReplace(
+        lower(col("text")), terms, "§").as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  val q117Sql: String =
+    """WITH toksd AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x <> '') AS tk
+      |  FROM documents),
+      |topu AS (
+      |  SELECT w FROM (
+      |    SELECT w, count(*) AS c
+      |    FROM (SELECT unnest(tk) AS w FROM toksd)
+      |    GROUP BY w ORDER BY c DESC, w LIMIT 10)),
+      |topb AS (
+      |  SELECT g FROM (
+      |    SELECT g, count(*) AS c
+      |    FROM (SELECT tk[i] || ' ' || tk[i + 1] AS g
+      |          FROM toksd, UNNEST(generate_series(1, len(tk) - 1)) t(i)
+      |          WHERE len(tk) >= 2)
+      |    GROUP BY g ORDER BY c DESC, g LIMIT 5)),
+      |pat AS (
+      |  SELECT '(' || string_agg(t, '|' ORDER BY length(t) DESC, t) || ')' AS p
+      |  FROM (SELECT w AS t FROM topu UNION SELECT g FROM topb))
+      |SELECT doc_id,
+      |       regexp_replace(lower(text), (SELECT p FROM pat), '§', 'g')
+      |         AS scrubbed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_multi_scrub" -> (q117MultiScrub _),
     "q23_repetition" -> q23Repetition,
     "q24_pii_redact" -> q24Redact,
     "q25_hash_sample" -> q25HashSample,
@@ -182,6 +243,7 @@ object ScrubQueries {
       |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q117_multi_scrub" -> q117Sql,
     "q23_repetition" -> q23Sql,
     "q24_pii_redact" -> q24Sql,
     "q25_hash_sample" -> q25Sql,
