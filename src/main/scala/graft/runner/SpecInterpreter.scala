@@ -170,6 +170,27 @@ object SpecInterpreter {
         Flow.on(resourceName)(df =>
           Joins.joinSelf(Ordering.stampOrder(df), strs("keys"), spec)
             .drop(Ordering.ORD))
+      // ---- curation-tier processors (beyond the reference surface:
+      // the LLM-pipeline operators, spec-drivable like any other step) --
+      case "redact_pii" =>
+        // {"resource": r, "field": f} — emails/phones/IPs → typed tokens
+        Flow.on(resourceName)(df => df.withColumn(str("field"),
+          graft.text.Scrub.redactPii(col(str("field")))))
+      case "scrub_blocklist" =>
+        // {"resource": r, "field": f, "terms": [...], "replacement": "§"}
+        // — Aho–Corasick multi-pattern scrub (leftmost-longest); terms
+        // are spec literals, the declarative form of a fixed blocklist
+        val repl = (p \ "replacement").extractOpt[String].getOrElse("§")
+        Flow.on(resourceName)(df => df.withColumn(str("field"),
+          graft.functions.MultiReplaceExpr.multiReplace(
+            col(str("field")), strs("terms"), repl)))
+      case "span_corrupt" =>
+        // {"resource": r, "field": f, "id": idCol, "block_len": 3} —
+        // deterministic denoising-pair construction; the resource becomes
+        // (id, input_text, targets_text, n_spans, n_masked)
+        val blockLen = (p \ "block_len").extractOpt[Int].getOrElse(3)
+        Flow.on(resourceName)(df => graft.text.SpanCorruption.corrupt(
+          df, str("field"), str("id"), blockLen))
       case other =>
         sys.error(s"SpecInterpreter: unknown processor '$other'")
     }

@@ -27,6 +27,32 @@ class SpecInterpreterSpec extends SparkSpec {
     assert(rns == (1L to 25L), s"row numbers not dense: $rns")
   }
 
+  test("curation processors: redact_pii → scrub_blocklist → span_corrupt chain") {
+    val spec =
+      """{"pipeline": [
+        | {"run": "load", "params": {"table": "documents", "name": "d"}},
+        | {"run": "redact_pii", "params": {"resource": "d", "field": "text"}},
+        | {"run": "scrub_blocklist", "params": {"resource": "d",
+        |   "field": "text", "terms": ["data", "big data"],
+        |   "replacement": "~"}},
+        | {"run": "span_corrupt", "params": {"resource": "d",
+        |   "field": "text", "id": "doc_id", "block_len": 3}}
+        |]}""".stripMargin
+    val out = SpecInterpreter.run(spark, sf, spec)("d").df
+    assert(out.columns.toSet ==
+      Set("doc_id", "input_text", "targets_text", "n_spans", "n_masked"))
+    assert(out.count() ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    // the blocklist ran before corruption: no surviving 'data' outside a
+    // masked span in either output stream
+    val leaked = out.filter(col("input_text").contains("data") ||
+      col("targets_text").contains("data"))
+    assert(leaked.isEmpty)
+    // and the whole chain is ONE declarative plan over the scan — the
+    // interpreter contract
+    assert(out.queryExecution.analyzed.collectLeaves().size == 1)
+  }
+
   test("row_number with partition_by numbers per key (the scale path)") {
     val spec =
       """{"pipeline": [
