@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic mergeable quantile summaries — the third member of the
+  * sketch family (counts: Misra–Gries `FreqItems`; distincts: `Kmv`;
+  * quantiles: this), and the concrete engine-replayable alternative to
+  * `percentile_approx` that `ops.Profile`/q77 document as the at-scale
+  * seam.
+  *
+  * The summary is a log-scaled integer histogram (HdrHistogram-style):
+  * non-negative longs bucket by (octave = exact ⌊log₂ v⌋ via the BINARY
+  * STRING length — no float log, so no boundary drift; 8 sub-buckets
+  * per octave). Relative error of a reported quantile is < 2⁻³ = 12.5%
+  * (spec-asserted against exact percentiles); values below 8 are exact.
+  * Everything about it is integer arithmetic on builtins, so quantiles
+  * hash-gate bit-for-bit across engines (q118) — `percentile_approx`'s
+  * GK summary has no such cross-engine form.
+  *
+  * Scale shape: ONE map-side-combined (keys, bucket) count shuffle —
+  * ≤ 61·8+8 buckets per key regardless of row count — then a window
+  * walk over that bounded per-key relation. Histogram rows merge by
+  * addition, so per-run histograms persist as plain parquet and
+  * re-aggregate exactly (the q108/q43b cross-run-artifact pattern with
+  * no special merge operator at all).
+  */
+object Quantiles {
+  import org.apache.spark.sql.catalyst.expressions.{ShiftLeft, ShiftRight}
+  import org.apache.spark.sql.{GraftBridge => EU}
+
+  val SubBits = 3 // 8 sub-buckets per octave → rel err < 12.5%
+
+  // the Scala functions API only accepts LITERAL bit counts; the
+  // catalyst expressions take any expression (as SQL's shiftright does)
+  private def shr(v: Column, bits: Column): Column =
+    EU.column(ShiftRight(EU.expression(v), EU.expression(bits.cast("int"))))
+  private def shl(v: Column, bits: Column): Column =
+    EU.column(ShiftLeft(EU.expression(v), EU.expression(bits.cast("int"))))
+
+  /** Exact ⌊log₂ v⌋ for v ≥ 1: length of the binary representation − 1.
+    * `bin()` is a builtin in both Spark and DuckDB, and on integers it
+    * is exact where a double `log2()` wobbles at powers of two.
+    */
+  private def log2floor(v: Column): Column = length(bin(v)) - 1
+
+  /** Monotone bucket id for a non-negative long. Values 0..7 map to
+    * themselves (exact); above, id = 8 + (octave−3)·8 + sub where sub is
+    * the 3 bits below the leading bit.
+    */
+  def bucketOf(v: Column): Column = {
+    val e = log2floor(v)
+    when(v < 8, v.cast("long")).otherwise(
+      (lit(8) + (e - 3) * 8 +
+        shr(v, e - 3).bitwiseAND(7)).cast("long"))
+  }
+
+  /** Lower bound of a bucket — the reported quantile value. */
+  def bucketLowerBound(id: Column): Column =
+    when(id < 8, id).otherwise(
+      shl((lit(8) + pmod(id - 8, lit(8))).cast("long"),
+        floor((id - 8) / 8).cast("int")))
+
+  /** Per-key histogram: (keys..., bucket, cnt) — the mergeable summary
+    * (merge = re-aggregate with sum).
+    */
+  def histogram(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.select((keys.map(col) :+ bucketOf(col(valueCol)).as("bucket")): _*)
+      .groupBy((keys :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimates from a [[histogram]]: for each (num, den)
+    * fraction, the lower bound of the first bucket whose cumulative
+    * count reaches ceil(num·n/den) — all-integer rank arithmetic, so
+    * the pick is partition- and engine-invariant. Output: (keys...,
+    * q_num, q_den, n, quantile).
+    */
+  def quantiles(hist: DataFrame, keys: Seq[String],
+      qs: Seq[(Int, Int)]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(keys.map(col): _*)))
+    val sparkSession = hist.sparkSession
+    import sparkSession.implicits._
+    val qdf = qs.toDF("q_num", "q_den")
+    cum.crossJoin(broadcast(qdf))
+      // target rank = ceil(num·n/den) — `div` keeps it integer-exact
+      .withColumn("target",
+        expr("CAST((q_num * n + q_den - 1) div q_den AS BIGINT)"))
+      .filter(col("cum") >= col("target"))
+      .groupBy((keys.map(col) :+ col("q_num") :+ col("q_den") :+ col("n")): _*)
+      .agg(min(col("bucket")).as("__b"))
+      .withColumn("quantile", bucketLowerBound(col("__b")))
+      .drop("__b")
+  }
+
+  /** One-call form over raw rows. */
+  def approxQuantiles(df: DataFrame, keys: Seq[String], valueCol: String,
+      qs: Seq[(Int, Int)]): DataFrame =
+    quantiles(histogram(df, keys, valueCol), keys, qs)
+}

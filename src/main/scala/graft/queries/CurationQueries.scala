@@ -803,7 +803,58 @@ object CurationQueries {
     "q77_length_stats" -> (q77LengthStats _),
     "q79_freq_items" -> (q79FreqItems _),
     "q87_vocab_encode" -> (q87VocabEncode _),
-    "q97_pagerank" -> (q97PageRank _))
+    "q97_pagerank" -> (q97PageRank _),
+    "q118_quantile_sketch" -> (q118QuantileSketch _))
+
+  /** q118: deterministic log-histogram quantiles ([[graft.ops.Quantiles]])
+    * — the engine-replayable alternative to `percentile_approx` that
+    * q77 documents as the at-scale seam, completing the sketch family
+    * (Misra–Gries counts, KMV distincts, and now quantiles). Buckets
+    * come from the EXACT integer ⌊log₂⌋ (binary-string length — no
+    * float log wobble at powers of two) with 8 sub-buckets per octave
+    * (rel err < 12.5%, spec-asserted vs exact percentiles); the summary
+    * is ≤ 496 buckets per key, merges by plain addition, and every
+    * reported quantile is an integer the oracle reproduces bit-for-bit
+    * — GK/percentile_approx summaries have no cross-engine form.
+    */
+  def q118QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val li = Load.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        // floor, not round/cast: both engines floor identical doubles
+        // identically, while double→int casts round in DuckDB and
+        // truncate in Spark
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+    graft.ops.Quantiles.approxQuantiles(li, Seq("l_returnflag"), "cents",
+      Seq((1, 2), (9, 10), (99, 100)))
+      .orderBy("l_returnflag", "q_num", "q_den")
+  }
+
+  val q118Sql: String =
+    """WITH v AS (
+      |  SELECT l_returnflag AS k,
+      |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT k, CASE WHEN v < 8 THEN v
+      |                 ELSE 8 + (length(bin(v)) - 4) * 8
+      |                      + ((v >> (length(bin(v)) - 4)) & 7)
+      |            END AS bucket
+      |  FROM v),
+      |h AS (SELECT k, bucket, count(*)::BIGINT AS cnt FROM b GROUP BY 1, 2),
+      |c AS (SELECT k, bucket,
+      |        CAST(sum(cnt) OVER (PARTITION BY k ORDER BY bucket) AS BIGINT) AS cum,
+      |        CAST(sum(cnt) OVER (PARTITION BY k) AS BIGINT) AS n
+      |      FROM h),
+      |q AS (SELECT * FROM (VALUES (1, 2), (9, 10), (99, 100)) t(q_num, q_den)),
+      |p AS (
+      |  SELECT c.k, q.q_num, q.q_den, c.n, min(c.bucket) AS b
+      |  FROM c, q
+      |  WHERE c.cum >= (q.q_num * c.n + q.q_den - 1) // q.q_den
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT k AS l_returnflag, q_num, q_den, n,
+      |       CASE WHEN b < 8 THEN b
+      |            ELSE (8 + (b - 8) % 8) << ((b - 8) // 8) END AS quantile
+      |FROM p ORDER BY l_returnflag, q_num, q_den""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q100_paragraph_dedup" -> q100Sql,
@@ -824,5 +875,6 @@ object CurationQueries {
     "q77_length_stats" -> q77Sql,
     "q79_freq_items" -> q79Sql,
     "q87_vocab_encode" -> q87Sql,
-    "q97_pagerank" -> q97Sql)
+    "q97_pagerank" -> q97Sql,
+    "q118_quantile_sketch" -> q118Sql)
 }

@@ -51,7 +51,10 @@ object ExplainDump {
     "q107_range_join" -> "interval join as equi-join on (user, bucket) + range post-filter; no nested loop",
     "q113_nb_classifier" -> "NB scoring: (doc,w) tf shuffle + distributed (w,y) model join; only the |Y|-row class table broadcasts; integer argmin finish",
     "q114_kmv_distinct" -> "partial_kmv_sketch ObjectHashAggregate pair: O(k) sketches are the only agg state crossing the group exchange",
-    "q115_span_corrupt" -> "denoising-pair construction as a narrow map: per-block hash flags + one-pass span_corrupt kernel, no explode, no window, no shuffle before the output sort")
+    "q115_span_corrupt" -> "denoising-pair construction as a narrow map: per-block hash flags + one-pass span_corrupt kernel, no explode, no window, no shuffle before the output sort",
+    "q116_stream_distinct" -> "windowed KMV: sketch-state aggregation (streaming-shaped), exact counts in a SEPARATE aggregation joined on the window key",
+    "q117_multi_scrub" -> "Aho-Corasick multi_replace as one narrow codegen projection; blocklist rides as a reference object",
+    "q118_quantile_sketch" -> "log-histogram quantiles: one (key, bucket) count shuffle, bounded per-key summary, window walk over <=496 rows/key")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
