@@ -181,6 +181,34 @@ class PlanShapeSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("q115/q117: the narrow curation kernels add no exchange before the output sort") {
+    for (q <- Seq("q115_span_corrupt", "q117_multi_scrub")) {
+      val p = plan(graft.SparkEntry.queries(q)(spark, sf))
+      // exactly one Exchange: the rangepartitioning of the final orderBy
+      val exchanges = p.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("ReusedExchange"))
+      assert(exchanges == 1, s"$q grew a corpus shuffle:\n$p")
+      assert(p.contains("rangepartitioning"),
+        s"$q's single exchange should be the output sort:\n$p")
+    }
+  }
+
+  test("q118: quantile summary is the only grouped state; window runs post-reduction") {
+    val df = graft.queries.CurationQueries.queries("q118_quantile_sketch")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // partial/final count pair on (key, bucket) — the bounded summary —
+    // and the rank window must consume the REDUCED relation, not raw
+    // rows: in the top-down plan text, the bucket-keyed aggregate must
+    // print BELOW (after) the Window that reads it
+    assert(p.contains("partial_count"), s"no map-side histogram combine:\n$p")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, s"no cumulative window:\n$p")
+    val below = p.substring(winIdx)
+    assert(below.contains("HashAggregate") && below.contains("bucket"),
+      s"window input is not the (key, bucket) histogram:\n$p")
+  }
+
   test("q107: the range join plans as an equi-join, never a nested loop") {
     val p = plan(graft.queries.MiscOps.q107RangeJoin(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
