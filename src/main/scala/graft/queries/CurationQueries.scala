@@ -804,7 +804,60 @@ object CurationQueries {
     "q79_freq_items" -> (q79FreqItems _),
     "q87_vocab_encode" -> (q87VocabEncode _),
     "q97_pagerank" -> (q97PageRank _),
-    "q118_quantile_sketch" -> (q118QuantileSketch _))
+    "q118_quantile_sketch" -> (q118QuantileSketch _),
+    "q119_weighted_sample" -> (q119WeightedSample _))
+
+  /** q119: weighted sampling without replacement
+    * ([[Scrub.weightedSample]]) — 20 docs per language with inclusion
+    * probability ∝ length, the biased complement of q49's uniform cap.
+    * Efraimidis–Spirakis race keys in fixed point (stable id hash →
+    * exact integer −log₂ → one floor division by the weight), so the
+    * sample is identical on any run/partitioning/engine and the oracle
+    * replays the full chain: 62-bit hash (HUGEINT), 16-step
+    * square-and-shift log, priority division, per-stratum rank.
+    */
+  def q119WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+      .select("doc_id", "lang", "n_chars")
+    Scrub.weightedSample(d, "lang", "doc_id", "n_chars", k = 20)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        col("__pri").as("priority"))
+      .orderBy("lang", "priority", "doc_id")
+  }
+
+  val q119Sql: String = {
+    val h = DedupQueries.h62Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, lang, n_chars, ($h) >> 32 AS u30
+       |  FROM documents WHERE n_chars >= 1),
+       |nrm AS (
+       |  SELECT doc_id, greatest(u30, 1) AS m, 0::BIGINT AS k FROM d
+       |  UNION ALL
+       |  SELECT doc_id, m * 2, k + 1 FROM nrm WHERE m < 1073741824),
+       |normed AS (SELECT doc_id, m, k FROM nrm WHERE m >= 1073741824),
+       |sq AS (
+       |  SELECT doc_id, k, m, 0 AS i, 0::BIGINT AS acc FROM normed
+       |  UNION ALL
+       |  SELECT doc_id, k,
+       |         CASE WHEN m2 >= 2147483648::BIGINT THEN m2 // 2 ELSE m2 END,
+       |         i + 1,
+       |         acc * 2 + CASE WHEN m2 >= 2147483648::BIGINT THEN 1 ELSE 0 END
+       |  FROM (SELECT doc_id, k, (m * m) // 1073741824 AS m2, i, acc
+       |        FROM sq WHERE i < 16) s),
+       |bits AS (SELECT doc_id, k * 65536 - acc AS b FROM sq WHERE i = 16),
+       |pri AS (
+       |  SELECT d.lang, d.doc_id, d.n_chars,
+       |         (b.b * 1048576) // d.n_chars AS priority
+       |  FROM d JOIN bits b USING (doc_id)),
+       |rk AS (
+       |  SELECT lang, doc_id, n_chars, priority,
+       |         row_number() OVER (PARTITION BY lang
+       |           ORDER BY priority, doc_id) AS rn
+       |  FROM pri)
+       |SELECT lang, doc_id, n_chars, priority
+       |FROM rk WHERE rn <= 20
+       |ORDER BY lang, priority, doc_id""".stripMargin
+  }
 
   /** q118: deterministic log-histogram quantiles ([[graft.ops.Quantiles]])
     * — the engine-replayable alternative to `percentile_approx` that
@@ -876,5 +929,6 @@ object CurationQueries {
     "q79_freq_items" -> q79Sql,
     "q87_vocab_encode" -> q87Sql,
     "q97_pagerank" -> q97Sql,
-    "q118_quantile_sketch" -> q118Sql)
+    "q118_quantile_sketch" -> q118Sql,
+    "q119_weighted_sample" -> q119Sql)
 }

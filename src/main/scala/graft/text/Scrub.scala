@@ -136,6 +136,41 @@ object Scrub {
       .drop("__draw")
   }
 
+  /** WEIGHTED sampling without replacement per stratum — quality- or
+    * length-proportional selection (pick k docs per language with
+    * inclusion probability ∝ a score), the biased complement of
+    * [[capPerKey]]'s uniform cap. Efraimidis–Spirakis exponential-race
+    * keys with the floats designed out: the per-row uniform is the
+    * stable 62-bit id hash, −log₂(u) comes from the exact integer
+    * binary log ([[graft.functions.FixedLogKernel]], 16.16 bits), and
+    * the race key is one floor division
+    *
+    *   priority = (bits_fix · 2²⁰) div weight        (smaller wins)
+    *
+    * so the SAME corpus yields the SAME sample on any run, partitioning,
+    * or engine (q119's oracle replays hash → log → div → rank). Doubling
+    * a row's weight halves its priority — monotone by construction.
+    *
+    * Scale shape: rides TopKPerKey's bounded heaps like [[capPerKey]] —
+    * a 10⁹-row stratum moves k × partitions rows, never a full window
+    * sort. Weights must be ≥ 1 (zero-weight rows are dropped, matching
+    * inclusion probability 0).
+    */
+  def weightedSample(df: DataFrame, stratumCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    import graft.plans.TopKPerKey
+    val u30 = shiftright(
+      graft.functions.Kmv.hash62(col(idCol).cast(StringType)), 32)
+    val keyed = df
+      .filter(col(weightCol) >= 1)
+      .withColumn("__bits",
+        -graft.functions.FixedLogExprs.log2fix(u30, 30, 16))
+      .withColumn("__pri", expr(s"(__bits * 1048576L) div $weightCol"))
+    TopKPerKey.topK(keyed, Seq(stratumCol),
+        Seq(TopKPerKey.Sort("__pri"), TopKPerKey.Sort(idCol)), k)
+      .drop("__bits")
+  }
+
   /** TOKEN-BUDGET sampling per stratum — the data-mixing primitive that
     * caps WEIGHT, not row count: walk each stratum's rows in the stable
     * [[hashDraw]] order and keep rows while the running `weightCol` total

@@ -107,6 +107,47 @@ class CurationSpec extends SparkSpec {
     assert(Scrub.capPerKey(df, "source", "doc_id", cap = 10).count() == 3)
   }
 
+  test("weightedSample: under-k strata keep every positive-weight row") {
+    val d = (1L to 8L).map(i => (i, "s", i)).toDF("id", "k", "w")
+      .union(Seq((9L, "s", 0L)).toDF("id", "k", "w"))
+    val out = Scrub.weightedSample(d, "k", "id", "w", k = 100)
+    assert(out.count() == 8, "zero-weight row must drop; the rest stay")
+  }
+
+  test("weightedSample: selection frequency tracks the weights (ES property)") {
+    // one stratum, 2000 rows: ids 0..999 weight 9, 1000..1999 weight 1;
+    // a 200-sample should include heavy rows ~9x as often (ES: inclusion
+    // prob ≈ k·w/Σw for k ≪ n → ≈180 heavy, ≈20 light)
+    val d = (0L until 2000L).map(i =>
+      (i, "s", if (i < 1000) 9L else 1L)).toDF("id", "k", "w")
+    val heavy = Scrub.weightedSample(d, "k", "id", "w", k = 200)
+      .filter($"id" < 1000).count()
+    assert(heavy > 150 && heavy < 199, s"heavy count $heavy far from ~180")
+  }
+
+  test("weightedSample: deterministic and partition-invariant") {
+    val d = (0L until 500L).map(i => (i, s"s${i % 3}", 1L + i % 7))
+      .toDF("id", "k", "w")
+    val a = Scrub.weightedSample(d.repartition(1), "k", "id", "w", 20)
+      .orderBy("id").collect().toSeq
+    val b = Scrub.weightedSample(d.repartition(11), "k", "id", "w", 20)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("weightedSample: raising a row's weight never worsens its rank") {
+    val base = (0L until 300L).map(i => (i, "s", 5L)).toDF("id", "k", "w")
+    val bumped = base.withColumn("w",
+      when($"id" === 123L, lit(500L)).otherwise($"w"))
+    val inBase = Scrub.weightedSample(base, "k", "id", "w", 50)
+      .filter($"id" === 123L).count() == 1
+    val inBumped = Scrub.weightedSample(bumped, "k", "id", "w", 50)
+      .filter($"id" === 123L).count() == 1
+    // monotone: selected under weight 5 ⇒ still selected under 500
+    assert(!inBase || inBumped)
+    assert(inBumped, "a 100x weight bump on 300 rows/k=50 must select")
+  }
+
   test("boilerplate strip removes exactly the hot lines, keeps order") {
     val docs = Seq(
       (1L, "HEADER\nalpha beta\ngamma\nFOOTER"),
