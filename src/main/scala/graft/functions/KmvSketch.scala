@@ -174,12 +174,20 @@ case class KmvHash62(child: Expression) extends UnaryExpression {
 }
 
 object KmvHash62 {
-  /** Codegen entry point. */
+  /** Codegen entry point. CODEPOINT iteration, not UTF-16 units: the
+    * DuckDB mirror (`ord(substring(...))`) walks codepoints, and a
+    * surrogate-pair divergence would silently break the oracle on
+    * non-BMP input (the CDC-kernel lesson).
+    */
   def hashJava(s: UTF8String): Long = {
     val str = s.toString
     var h = 1125899906842597L
     var i = 0
-    while (i < str.length) { h = h * 31 + str.charAt(i); i += 1 }
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = h * 31 + cp
+      i += Character.charCount(cp)
+    }
     HashKernels.splitmix(h) >>> 2
   }
 }

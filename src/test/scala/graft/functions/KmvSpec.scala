@@ -57,6 +57,15 @@ class KmvSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hash62 walks codepoints — a surrogate pair hashes as ONE unit") {
+    // U+1D11E (musical G clef) is a surrogate pair in UTF-16; the DuckDB
+    // mirror iterates codepoints, so the kernel must too
+    val treble = "𝄞"
+    val expected = HashKernels.splitmix(1125899906842597L * 31 + 0x1D11E) >>> 2
+    val got = Seq(treble).toDF("s").select(Kmv.hash62($"s")).as[Long].head()
+    assert(got == expected)
+  }
+
   test("sketch round-trips through a parquet artifact bit-exactly") {
     val dir = java.nio.file.Files.createTempDirectory("kmv").toString
     val sk = strings(6000, "art").groupBy(lit(1).as("g"))
