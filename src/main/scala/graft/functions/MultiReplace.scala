@@ -100,13 +100,18 @@ object MultiReplaceKernel {
     }
   }
 
-  // one automaton per distinct term list per executor (terms are plan
-  // literals, so the key set is tiny and the map never grows unboundedly)
+  // one automaton per distinct term list per executor. Terms are plan
+  // literals so a single query contributes one entry — but a long-lived
+  // session running MANY distinct blocklists would accumulate, so the
+  // cache is bounded: past 64 entries it resets (worst case the next
+  // call rebuilds its automaton — correctness never depends on a hit)
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[Seq[String], Automaton]()
 
-  def automaton(terms: Seq[String]): Automaton =
+  def automaton(terms: Seq[String]): Automaton = {
+    if (cache.size > 64) cache.clear()
     cache.computeIfAbsent(terms, ts => new Automaton(ts.toArray))
+  }
 
   /** Leftmost-longest non-overlapping replace. Two phases: AC collects
     * END-anchored longest matches, then a reverse greedy pass selects
