@@ -152,7 +152,59 @@ object SearchQueries {
       |  FROM scored) x
       |WHERE rn <= 5 ORDER BY query_id, doc_id""".stripMargin
 
+  /** q120: exact-integer Okapi BM25 top-5 retrieval; query set = every
+    * 37th document searching the whole corpus. Adds what q69's TF-IDF
+    * lacks: saturated tf and document-length normalization, both in
+    * fixed point (pre-floored avgdl, cleared-fraction k1=1.2 / b=0.75
+    * constants — see [[graft.similarity.Bm25]]), so the oracle's
+    * from-scratch window formulation must hash-match, ties and all.
+    */
+  def q120Bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val queries = d.filter(col("doc_id") % 37 === 0)
+    graft.similarity.Bm25.topK(d, queries, "text", "doc_id", "doc_id", k = 5)
+      .orderBy("query_id", "doc_id")
+  }
+
+  val q120Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x <> '') AS w
+      |  FROM documents),
+      |postings AS (
+      |  SELECT doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM toks, UNNEST(w) AS t(term) GROUP BY doc_id, t.term),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM postings GROUP BY doc_id),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+      |ad AS (SELECT greatest(1, CAST(sum(tf) AS BIGINT) // nd) AS adl
+      |       FROM postings, nn GROUP BY nd),
+      |wt AS (
+      |  SELECT term,
+      |         least(CAST(floor((nd - df + 0.5) / (df + 0.5) * 1048576.0)
+      |                    AS BIGINT), 1099511627776) AS w
+      |  FROM (SELECT term, CAST(count(*) AS BIGINT) AS df
+      |        FROM postings GROUP BY term), nn),
+      |sat AS (
+      |  SELECT p.doc_id, p.term,
+      |         CAST((22528 * p.tf * 16384)
+      |              // (10240 * p.tf + 3072 + 9 * ((d.dl * 1024) // ad.adl))
+      |              AS BIGINT) AS v
+      |  FROM postings p JOIN dl d USING (doc_id), ad),
+      |q AS (SELECT DISTINCT doc_id AS query_id, t.term
+      |      FROM toks, UNNEST(w) AS t(term) WHERE doc_id % 37 = 0),
+      |scored AS (
+      |  SELECT q.query_id, s.doc_id, CAST(sum(s.v * wt.w) AS BIGINT) AS score
+      |  FROM q JOIN sat s USING (term) JOIN wt USING (term)
+      |  GROUP BY q.query_id, s.doc_id)
+      |SELECT query_id, doc_id, score FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |            ORDER BY score DESC, doc_id) AS rn
+      |  FROM scored) x
+      |WHERE rn <= 5 ORDER BY query_id, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_bm25_search" -> (q120Bm25Search _),
     "q67_span_dedup" -> (q67SpanDedup _),
     "q68_quality_rules" -> (q68QualityRules _),
     "q69_tfidf_search" -> (q69TfIdfSearch _),
@@ -491,6 +543,7 @@ object SearchQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q120_bm25_search" -> q120Sql,
     "q67_span_dedup" -> q67Sql,
     "q68_quality_rules" -> q68Sql,
     "q69_tfidf_search" -> q69Sql,
