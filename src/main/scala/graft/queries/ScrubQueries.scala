@@ -129,7 +129,65 @@ object ScrubQueries {
       |         AS scrubbed
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q121: UniMax budget allocation over languages
+    * ([[Scrub.uniMaxAlloc]]) — spread 2/3 of the corpus's tokens as
+    * evenly as the 1-epoch capacity cap allows. On this corpus the
+    * smallest language lands under the water level (capped at its full
+    * capacity) while the rest split the remainder to the token,
+    * exercising the cap, the equal share, AND the deterministic
+    * remainder hand-out; the oracle replays the closed-form integer
+    * waterfilling (prefix-sum pred → m → share/remainder) from scratch.
+    */
+  def q121UnimaxMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val stats = d.groupBy("lang")
+      .agg(sum(size(graft.text.Decontaminate.wordTokens(col("text"))))
+        .cast("long").as("tokens"))
+    // bounded relation (one row per language) → driver-side total is a
+    // contract-bounded eager job, like the probe-strategy choice in topK
+    val total = stats.agg(sum("tokens")).head.getLong(0)
+    Scrub.uniMaxAlloc(stats, "lang", "tokens",
+        budget = (2L * total) / 3L, maxEpochs = 1L)
+      .orderBy("lang")
+  }
+
+  val q121Sql: String =
+    """WITH toks AS (
+      |  SELECT lang,
+      |         CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |                                  x -> x <> ''))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY lang),
+      |b AS (SELECT (2 * CAST(sum(tokens) AS BIGINT)) // 3 AS budget,
+      |             count(*)::BIGINT AS nl
+      |      FROM toks),
+      |base AS (
+      |  SELECT lang, tokens, tokens * 1 AS capacity,
+      |         row_number() OVER (ORDER BY tokens * 1, lang) AS l,
+      |         CAST(sum(tokens * 1) OVER (ORDER BY tokens * 1, lang)
+      |              AS BIGINT) AS p
+      |  FROM toks),
+      |pred AS (
+      |  SELECT base.*, b.budget, b.nl,
+      |         (capacity * (nl - l) + p <= budget) AS capped
+      |  FROM base, b),
+      |m AS (SELECT CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0)
+      |                  AS BIGINT) AS m,
+      |             CAST(coalesce(max(CASE WHEN capped THEN p END), 0)
+      |                  AS BIGINT) AS pm
+      |      FROM pred),
+      |alloc AS (
+      |  SELECT lang, tokens, capacity,
+      |         CASE WHEN capped THEN capacity
+      |              ELSE (budget - pm) // (nl - m)
+      |                   + CASE WHEN l - m <= (budget - pm) % (nl - m)
+      |                          THEN 1 ELSE 0 END END AS alloc
+      |  FROM pred, m)
+      |SELECT lang, tokens, capacity, alloc,
+      |       (alloc * 1000) // greatest(tokens, 1) AS epochs_milli
+      |FROM alloc ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_unimax_mix" -> (q121UnimaxMix _),
     "q117_multi_scrub" -> (q117MultiScrub _),
     "q23_repetition" -> q23Repetition,
     "q24_pii_redact" -> q24Redact,
@@ -243,6 +301,7 @@ object ScrubQueries {
       |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q121_unimax_mix" -> q121Sql,
     "q117_multi_scrub" -> q117Sql,
     "q23_repetition" -> q23Sql,
     "q24_pii_redact" -> q24Sql,

@@ -114,6 +114,71 @@ object Scrub {
       .drop("__w", "__n")
   }
 
+  /** UniMax-style budget allocation across strata (languages/sources) —
+    * the composition step BEFORE sampling: given per-stratum token
+    * counts, a total token budget, and a per-stratum epoch cap, spread
+    * the budget as evenly as possible without repeating any stratum more
+    * than `maxEpochs` times (the UniMax rule: uniform over languages,
+    * capacity-capped — instead of the p^α temperature heuristic whose
+    * non-integer power cannot be made engine-exact).
+    *
+    * All-integer closed form (no iterative loop): sort strata by
+    * (capacity, key) ascending; with prefix sums P_l and n strata, a
+    * stratum is CAPPED iff `c_l·(n − l) + P_l ≤ B` — the per-position
+    * integer clearing of "capacity below the water level", downward
+    * closed along the sort (proof: c ascending makes the LHS
+    * non-decreasing), so capped strata form a prefix of length m. The
+    * others get `share = (B − P_m) div (n − m)` each, with the
+    * remainder `(B − P_m) mod (n − m)` handed one token to each of the
+    * first remainder-many uncapped strata in sort order — Σ alloc = B
+    * exactly whenever Σ capacity ≥ B, and alloc = capacity everywhere
+    * otherwise. Every step is integer compare / floor division: the
+    * same allocation on any engine, run, or partitioning.
+    *
+    * Scale: `stats` is one row per stratum — BOUNDED by contract
+    * (languages/domains, not documents), so the ordering windows here
+    * are driver-scale sorts, not corpus ones; the corpus-sized work
+    * (token counting) happened in the caller's one aggregation.
+    *
+    * Output: (key, tokens, capacity, alloc, epochs_milli) with
+    * epochs_milli = (alloc·1000) div tokens — fixed-point epochs the
+    * downstream [[epochMix]] can consume as weightsMilli.
+    */
+  def uniMaxAlloc(stats: DataFrame, keyCol: String, tokensCol: String,
+      budget: Long, maxEpochs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0 && maxEpochs >= 1)
+    val byCap = Window.orderBy("capacity", keyCol)
+    val pfx = byCap.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = stats.select(count(lit(1)).as("__nl"))
+    val base = stats.select(col(keyCol),
+        col(tokensCol).cast(LongType).as("tokens"))
+      .withColumn("capacity", col("tokens") * lit(maxEpochs))
+      .withColumn("__l", row_number().over(byCap).cast(LongType))
+      .withColumn("__p", sum("capacity").over(pfx))
+      .crossJoin(broadcast(n))
+      .withColumn("__capped",
+        col("capacity") * (col("__nl") - col("__l")) + col("__p") <= lit(budget))
+    val mRel = base.agg(
+      coalesce(sum(when(col("__capped"), lit(1L))), lit(0L)).as("__m"),
+      coalesce(max(when(col("__capped"), col("__p"))), lit(0L)).as("__pm"))
+    base.crossJoin(broadcast(mRel))
+      .withColumn("__share",
+        when(col("__nl") === col("__m"), lit(0L))
+          .otherwise(expr(s"(${budget}L - __pm) div (__nl - __m)")))
+      .withColumn("__rem",
+        when(col("__nl") === col("__m"), lit(0L))
+          .otherwise(expr(s"(${budget}L - __pm) % (__nl - __m)")))
+      .withColumn("alloc",
+        when(col("__capped"), col("capacity"))
+          .otherwise(col("__share") +
+            when(col("__l") - col("__m") <= col("__rem"), lit(1L))
+              .otherwise(lit(0L))))
+      .withColumn("epochs_milli",
+        expr("(alloc * 1000L) div greatest(tokens, 1L)"))
+      .select(keyCol, "tokens", "capacity", "alloc", "epochs_milli")
+  }
+
   /** Cap every stratum (domain/source/language) at `cap` docs, picking a
     * DETERMINISTIC uniform subset per key: rows rank by md5(id) — a
     * stable shuffle-independent draw (same survivors on every run and
