@@ -792,7 +792,63 @@ object DedupQueries {
        |ORDER BY ex.flag""".stripMargin
   }
 
+  /** q122: count-min sketch point-frequency estimates
+    * ([[graft.ops.Cms]]) — the cross-RUN artifact path end-to-end: the
+    * even-orderkey half's sketch is persisted to parquet, RELOADED,
+    * merged (pure re-aggregation) with the odd half's, and probed for
+    * every 17th part key next to the exact counts. Counters are pure
+    * multiset-functions of the input (per-depth string re-hash through
+    * kmv_hash62), so the oracle rebuilds all depth·width counters and
+    * every min-over-depths estimate from scratch in HUGEINT and must
+    * hash-match; est ≥ exact is re-checked as an output column on both
+    * sides.
+    */
+  def q122CmsFrequency(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Cms
+    val (d, w) = (4, 8192)
+    val li = Load.table(spark, dir, "lineitem")
+    val runA = li.filter(col("l_orderkey") % 2 === 0)
+    val runB = li.filter(col("l_orderkey") % 2 === 1)
+    val path = s"/tmp/graft_cms_${ScratchDirs.pathKey(dir)}_${ProcessHandle.current().pid()}"
+    Cms.sketch(runA, col("l_partkey"), d, w)
+      .write.mode("overwrite").parquet(path)
+    val merged = Cms.merge(spark.read.parquet(path),
+      Cms.sketch(runB, col("l_partkey"), d, w))
+    val probe = li.select("l_partkey").distinct()
+      .filter(col("l_partkey") % 17 === 0)
+    val exact = li.filter(col("l_partkey") % 17 === 0)
+      .groupBy("l_partkey").agg(count(lit(1)).as("exact_cnt"))
+    exact.join(Cms.estimate(merged, probe, "l_partkey", d, w), Seq("l_partkey"))
+      .select(col("l_partkey"), col("exact_cnt"), col("est").as("est_cnt"),
+        (col("est") >= col("exact_cnt")).cast("int").as("never_under"))
+      .orderBy("l_partkey")
+  }
+
+  val q122Sql: String = {
+    val h = h62Sql("(CAST(j AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR))")
+    s"""WITH rb AS (
+       |  SELECT j, CAST(($h) % 8192 AS BIGINT) AS b
+       |  FROM lineitem, UNNEST([0, 1, 2, 3]) t(j)),
+       |cnt AS (SELECT j, b, count(*)::BIGINT AS cnt FROM rb GROUP BY j, b),
+       |probe AS (SELECT DISTINCT l_partkey FROM lineitem
+       |          WHERE l_partkey % 17 = 0),
+       |pb AS (
+       |  SELECT l_partkey, j, CAST(($h) % 8192 AS BIGINT) AS b
+       |  FROM probe, UNNEST([0, 1, 2, 3]) t(j)),
+       |est AS (
+       |  SELECT pb.l_partkey, CAST(min(cnt.cnt) AS BIGINT) AS est_cnt
+       |  FROM pb JOIN cnt USING (j, b) GROUP BY pb.l_partkey),
+       |exact AS (
+       |  SELECT l_partkey, count(*)::BIGINT AS exact_cnt
+       |  FROM lineitem WHERE l_partkey % 17 = 0 GROUP BY l_partkey)
+       |SELECT l_partkey, exact_cnt, est_cnt,
+       |       CAST(est_cnt >= exact_cnt AS INTEGER) AS never_under
+       |FROM exact JOIN est USING (l_partkey)
+       |ORDER BY l_partkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_cms_frequency" -> (q122CmsFrequency _),
     "q114_kmv_distinct" -> (q114KmvDistinct _),
     "q30_exact_dedup" -> q30Exact,
     "q31_fingerprint_dedup" -> q31Fingerprint,
@@ -813,6 +869,7 @@ object DedupQueries {
     "q83_semantic_decontaminate" -> q83SemanticDecontaminate)
 
   val oracles: Map[String, String] = Map(
+    "q122_cms_frequency" -> q122Sql,
     "q114_kmv_distinct" -> q114Sql,
     "q30_exact_dedup" -> q30Sql,
     "q31_fingerprint_dedup" -> q31Sql,
