@@ -203,7 +203,98 @@ object SearchQueries {
       |  FROM scored) x
       |WHERE rn <= 5 ORDER BY query_id, doc_id""".stripMargin
 
+  /** q123: unigram-LM (SentencePiece-style) Viterbi tokenization — the
+    * min-total-cost segmentation of every corpus word against a planted
+    * integer-cost vocabulary ([[graft.text.Unigram]]), completing the
+    * tokenizer family next to BPE (q101/q112): same (doc_id, widx,
+    * tidx, token) shape, globally-optimal covers instead of merge
+    * replay. The vocabulary plants multi-piece alternatives whose
+    * optimal cover differs from greedy longest-match (spec-pinned), so
+    * the gate genuinely exercises the DP. The oracle replays the DP
+    * forward (recursive CTE building the best-cost list per word) and
+    * the longest-piece-backward reconstruction, candidate CASEs
+    * generated from the same vocab literals.
+    */
+  def q123UnigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents").select("doc_id", "text")
+    graft.text.Unigram.encode(d, "text", q123Vocab, unkCost = q123Unk)
+      .select(col("doc_id"), col("widx").cast("long").as("widx"),
+        col("tidx").cast("long").as("tidx"), col("token"))
+      .transform(graft.ops.Par.sortOnce(_, col("doc_id"), col("widx"),
+        col("tidx")))
+  }
+
+  private val q123Unk = 400L
+  private[queries] val q123Vocab: Seq[(String, Long)] = Seq(
+    // singles (frequency-shaped costs)
+    "e" -> 90L, "t" -> 100L, "n" -> 105L, "s" -> 108L, "h" -> 110L,
+    "o" -> 112L, "i" -> 115L, "r" -> 118L, "a" -> 120L, "l" -> 122L,
+    "d" -> 125L, "u" -> 130L, "c" -> 128L, "m" -> 127L,
+    // bigrams/trigrams: cheaper than their letters, with deliberate
+    // overlaps so the optimal cover is a real DP decision
+    "th" -> 140L, "he" -> 145L, "the" -> 150L, "in" -> 148L,
+    "er" -> 149L, "an" -> 150L, "re" -> 151L, "on" -> 152L,
+    "at" -> 153L, "en" -> 147L, "ed" -> 160L, "es" -> 158L,
+    "ti" -> 157L, "te" -> 155L, "ing" -> 200L, "ion" -> 205L,
+    "data" -> 260L)
+
+  val q123Sql: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val singles = q123Vocab.filter(_._1.length == 1)
+    val singleList = singles.map(p => s"'${esc(p._1)}'").mkString("(", ", ", ")")
+    // forward-DP candidates for position i+1 (math), best list 1-indexed
+    val dpCands = (q123Vocab.map { case (p, c) =>
+      val lp = p.length
+      s"CASE WHEN i + 1 >= $lp AND substring(word, i + 2 - $lp, $lp) = " +
+        s"'${esc(p)}' THEN best[i + 2 - $lp] + $c END"
+    } :+ s"CASE WHEN substring(word, i + 1, 1) NOT IN $singleList " +
+      s"THEN best[i + 1] + $q123Unk END").mkString(",\n      |        ")
+    // backward-reconstruction candidates: the piece LENGTH when its cost
+    // equation holds at pos
+    val recCands = (q123Vocab.map { case (p, c) =>
+      val lp = p.length
+      s"CASE WHEN pos >= $lp AND substring(word, pos - $lp + 1, $lp) = " +
+        s"'${esc(p)}' AND best[pos - $lp + 1] + $c = best[pos + 1] THEN $lp END"
+    } :+ s"CASE WHEN substring(word, pos, 1) NOT IN $singleList " +
+      s"AND best[pos] + $q123Unk = best[pos + 1] THEN 1 END")
+      .mkString(",\n      |        ")
+    s"""WITH RECURSIVE words AS (
+       |  SELECT doc_id, i - 1 AS widx, w[i] AS word, length(w[i]) AS n
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text), '\\s+'),
+       |                      x -> x <> '') AS w
+       |        FROM documents),
+       |       UNNEST(generate_series(1, len(w))) t(i)),
+       |dp AS (
+       |  SELECT doc_id, widx, word, n, 0 AS i, [CAST(0 AS BIGINT)] AS best
+       |  FROM words
+       |  UNION ALL
+       |  SELECT doc_id, widx, word, n, i + 1,
+       |    list_append(best, list_min(list_filter([
+       |        $dpCands
+       |      ], x -> x IS NOT NULL)))
+       |  FROM dp WHERE i < n),
+       |rec AS (
+       |  SELECT doc_id, widx, word, n, best, n AS pos,
+       |         CAST([] AS VARCHAR[]) AS toks
+       |  FROM dp WHERE i = n
+       |  UNION ALL
+       |  SELECT doc_id, widx, word, n, best, pos - lmax,
+       |         list_prepend(substring(word, pos - lmax + 1, lmax), toks)
+       |  FROM (
+       |    SELECT *, list_max(list_filter([
+       |        $recCands
+       |      ], x -> x IS NOT NULL)) AS lmax
+       |    FROM rec WHERE pos > 0) z)
+       |SELECT doc_id, CAST(widx AS BIGINT) AS widx,
+       |       CAST(i - 1 AS BIGINT) AS tidx, toks[i] AS token
+       |FROM (SELECT doc_id, widx, toks FROM rec WHERE pos = 0),
+       |     UNNEST(generate_series(1, len(toks))) t(i)
+       |ORDER BY doc_id, widx, tidx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_unigram_encode" -> (q123UnigramEncode _),
     "q120_bm25_search" -> (q120Bm25Search _),
     "q67_span_dedup" -> (q67SpanDedup _),
     "q68_quality_rules" -> (q68QualityRules _),
@@ -543,6 +634,7 @@ object SearchQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q123_unigram_encode" -> q123Sql,
     "q120_bm25_search" -> q120Sql,
     "q67_span_dedup" -> q67Sql,
     "q68_quality_rules" -> q68Sql,
