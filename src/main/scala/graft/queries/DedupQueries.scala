@@ -847,7 +847,112 @@ object DedupQueries {
        |ORDER BY l_partkey""".stripMargin
   }
 
+  // ---- q124: product quantization, integer twin ----
+  // 8 subspaces × 8 dims over the 64-dim embeddings, 4 planted integer
+  // centroids per subspace in the 2⁻¹⁶ quantized space (q110 discipline).
+  private val q124Dsub = 8
+  private val q124M = 8
+  private[queries] val q124Centroids: Seq[Array[Long]] = Seq(
+    Array.fill(q124Dsub)(0L),
+    Array.fill(q124Dsub)(8192L),
+    Array.fill(q124Dsub)(-8192L),
+    Array.tabulate(q124Dsub)(t => if (t % 2 == 0) 8192L else -8192L))
+  private[queries] val q124Query: Array[Long] =
+    Array.tabulate(64)(i => ((i * 37) % 101 - 50).toLong * 400L)
+
+  /** q124: product-quantization codes + asymmetric-distance scoring
+    * ([[graft.similarity.Pq]] is the float production tier; this gate
+    * runs its INTEGER twin end to end so every step replays in SQL):
+    * vectors quantize to 2⁻¹⁶ fixed point, each 8-dim subvector maps to
+    * its nearest planted centroid (first-min tie-break), and a planted
+    * query is scored BOTH ways — ADC (Σ of the per-subspace
+    * query↔centroid table entries at the row's codes) and exact — so
+    * the oracle re-derives codes, the whole distance table, and both
+    * distances from the same planted constants with independent SQL
+    * arithmetic.
+    */
+  def q124PqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val e = Load.table(spark, dir, "embeddings")
+    val vq = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(65536d)).cast("long"))
+    val base = e.select(col("vec_id"), vq.as("__vq"))
+    val codeCols = (0 until q124M).map { j =>
+      val sub = slice(col("__vq"), j * q124Dsub + 1, q124Dsub)
+      val dists = array(q124Centroids.map { c =>
+        val cl = array(c.map(lit): _*)
+        aggregate(zip_with(sub, cl, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("long")
+    }
+    // per-subspace ADC table: planted-query slice ↔ planted centroids
+    val table: Seq[Seq[Long]] = (0 until q124M).map { j =>
+      q124Centroids.map { c =>
+        (0 until q124Dsub).map { t =>
+          val d = q124Query(j * q124Dsub + t) - c(t); d * d
+        }.sum
+      }
+    }
+    val qLit = array(q124Query.map(lit): _*)
+    base.withColumn("codes", array(codeCols: _*))
+      .withColumn("adc_q", (0 until q124M).map { j =>
+        element_at(array(table(j).map(lit): _*),
+          (element_at(col("codes"), j + 1) + 1).cast("int"))
+      }.reduce(_ + _))
+      .withColumn("exact_q",
+        aggregate(zip_with(col("__vq"), qLit, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v))
+      // codes as a joined string: the harness sorts rows by every output
+      // column, and raw array cells don't sort
+      .withColumn("pq_code", concat_ws("-",
+        transform(col("codes"), _.cast("string"))))
+      .select("vec_id", "pq_code", "adc_q", "exact_q")
+      .orderBy("vec_id")
+  }
+
+  val q124Sql: String = {
+    def sq(a: String, b: Long): String = s"($a - ($b)) * ($a - ($b))"
+    def distExpr(j: Int, c: Array[Long]): String =
+      (0 until q124Dsub).map(t => sq(s"vq[${j * q124Dsub + t + 1}]", c(t)))
+        .mkString(" + ")
+    val codeExprs = (0 until q124M).map { j =>
+      val ds = q124Centroids.map(c => distExpr(j, c)).mkString("[", ", ", "]")
+      s"CAST(list_position($ds, list_min($ds)) - 1 AS BIGINT)"
+    }.mkString(",\n      |    ")
+    // the ADC table re-derived with SQL arithmetic from the same
+    // constants (literals cast to BIGINT — bare ints square in INT32)
+    val tblExprs = (0 until q124M).map { j =>
+      q124Centroids.map { c =>
+        (0 until q124Dsub)
+          .map(t => sq(s"CAST(${q124Query(j * q124Dsub + t)} AS BIGINT)", c(t)))
+          .mkString("(", " + ", ")")
+      }.mkString("[", ", ", "]")
+    }
+    val adc = (0 until q124M)
+      .map(j => s"(${tblExprs(j)})[CAST(codes[${j + 1}] + 1 AS INTEGER)]")
+      .mkString(" + ")
+    val ql = q124Query.mkString("[", ", ", "]")
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |coded AS (
+       |  SELECT vec_id, vq, [
+       |    $codeExprs
+       |  ] AS codes
+       |  FROM v)
+       |SELECT vec_id,
+       |       array_to_string(codes, '-') AS pq_code,
+       |       CAST($adc AS BIGINT) AS adc_q,
+       |       CAST(list_sum(list_transform(generate_series(1, 64),
+       |         i -> (vq[i] - ($ql)[i]) * (vq[i] - ($ql)[i]))) AS BIGINT)
+       |         AS exact_q
+       |FROM coded ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_pq_codes" -> (q124PqCodes _),
     "q122_cms_frequency" -> (q122CmsFrequency _),
     "q114_kmv_distinct" -> (q114KmvDistinct _),
     "q30_exact_dedup" -> q30Exact,
@@ -869,6 +974,7 @@ object DedupQueries {
     "q83_semantic_decontaminate" -> q83SemanticDecontaminate)
 
   val oracles: Map[String, String] = Map(
+    "q124_pq_codes" -> q124Sql,
     "q122_cms_frequency" -> q122Sql,
     "q114_kmv_distinct" -> q114Sql,
     "q30_exact_dedup" -> q30Sql,
