@@ -951,7 +951,81 @@ object DedupQueries {
        |FROM coded ORDER BY vec_id""".stripMargin
   }
 
+  /** q125: MMR-diversified retrieval ([[graft.similarity.Mmr]]) — every
+    * 53rd embedding queries the corpus, relevance = integer dot product
+    * on 2⁻¹⁶-quantized vectors, and the 5 picks per query trade
+    * relevance against similarity-to-already-picked at λ = 7/10 (all
+    * fractions cleared: 7·rel − 3·maxSim). The oracle UNROLLS the five
+    * greedy rounds as chained CTEs — each re-deriving the pairwise
+    * dots, the max-sim penalty, the NOT-EXISTS exclusion, and the
+    * (score desc, doc_id) pick from scratch — so selection order,
+    * ties, and scores gate bit-for-bit.
+    */
+  def q125MmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    val e = Load.table(spark, dir, "embeddings")
+    val vq = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(65536d)).cast("long"))
+    val v = e.select(col("vec_id"), vq.as("vq"))
+    val q = v.filter(col("vec_id") % 53 === 0)
+      .select(col("vec_id").as("query_id"), col("vq").as("qv"))
+    val cands = v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("vq"),
+        aggregate(zip_with(col("qv"), col("vq"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("rel"))
+    graft.similarity.Mmr.diversify(cands, "query_id", "doc_id", "vq", "rel",
+        k = 5, lamNum = 7L, lamDen = 10L)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("mmr_score"))
+      .orderBy("query_id", "rank")
+  }
+
+  val q125Sql: String = {
+    def dot(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, 64), " +
+        s"i -> $a[i] * $b[i])) AS BIGINT)"
+    val steps = (2 to 5).map { t =>
+      s"""sel$t AS (
+         |  SELECT query_id, doc_id, vq, $t AS rank, mmr_score FROM (
+         |    SELECT cm.*, row_number() OVER (PARTITION BY query_id
+         |             ORDER BY mmr_score DESC, doc_id) AS rn
+         |    FROM (
+         |      SELECT c.query_id, c.doc_id, c.vq,
+         |             CAST(7 * c.rel - 3 * max(${dot("c.vq", "s.vq")})
+         |                  AS BIGINT) AS mmr_score
+         |      FROM cand c JOIN acc${t - 1} s USING (query_id)
+         |      WHERE NOT EXISTS (SELECT 1 FROM acc${t - 1} p
+         |                        WHERE p.query_id = c.query_id
+         |                          AND p.doc_id = c.doc_id)
+         |      GROUP BY c.query_id, c.doc_id, c.vq, c.rel) cm) y
+         |  WHERE rn = 1),
+         |acc$t AS (SELECT * FROM acc${t - 1} UNION ALL SELECT * FROM sel$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, vq AS qv FROM v WHERE vec_id % 53 = 0),
+       |cand AS (
+       |  SELECT q.query_id, v.vec_id AS doc_id, v.vq,
+       |         ${dot("q.qv", "v.vq")} AS rel
+       |  FROM q, v WHERE v.vec_id <> q.query_id),
+       |sel1 AS (
+       |  SELECT query_id, doc_id, vq, 1 AS rank,
+       |         CAST(7 * rel AS BIGINT) AS mmr_score FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY rel DESC, doc_id) AS rn
+       |    FROM cand) x WHERE rn = 1),
+       |acc1 AS (SELECT * FROM sel1),
+       |$steps
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, mmr_score
+       |FROM acc5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_mmr_diversify" -> (q125MmrDiversify _),
     "q124_pq_codes" -> (q124PqCodes _),
     "q122_cms_frequency" -> (q122CmsFrequency _),
     "q114_kmv_distinct" -> (q114KmvDistinct _),
@@ -974,6 +1048,7 @@ object DedupQueries {
     "q83_semantic_decontaminate" -> q83SemanticDecontaminate)
 
   val oracles: Map[String, String] = Map(
+    "q125_mmr_diversify" -> q125Sql,
     "q124_pq_codes" -> q124Sql,
     "q122_cms_frequency" -> q122Sql,
     "q114_kmv_distinct" -> q114Sql,
