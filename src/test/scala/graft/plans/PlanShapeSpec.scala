@@ -243,4 +243,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Union"), s"per-column scan union:\n$p")
     assert("FileScan".r.findAllIn(p).size <= 1, s"multiple scans:\n$p")
   }
+
+  test("q120: BM25 probes broadcast the query side and finish in bounded heaps") {
+    val p = plan(graft.queries.SearchQueries.queries("q120_bm25_search")(spark, sf))
+    assert(p.contains("TopKPerKeyPartial"), s"no map-side top-k:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus reshuffled for the probe:\n$p")
+  }
+
+  test("q122: the CMS sketch build combines map-side before its only exchange") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val p = plan(graft.ops.Cms.sketch(li, col("l_partkey"), 4, 8192))
+    // partial + final HashAggregate around one hash exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"sketch build not map-side combined:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"sketch build needs exactly one exchange:\n$p")
+  }
+
+  test("q123: unigram encode is narrow — vocab rides as a reference, no shuffle before the sink sort") {
+    val p = plan(graft.queries.SearchQueries.queries("q123_unigram_encode")(spark, sf))
+    assert(p.contains("unigram_encode"), s"kernel expression missing:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"encode pipeline shuffles:\n$p")
+  }
+
+  test("q124: PQ encode is narrow; ADC scoring broadcasts queries into the heap operator") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val books = graft.similarity.Pq.train(emb, "embedding", m = 4, ksub = 4,
+      iterations = 1, sampleRows = 64)
+    val coded = graft.similarity.Pq.encode(emb, "embedding", books)
+    assert(!plan(coded).contains("Exchange"),
+      s"PQ encode must not shuffle:\n${plan(coded)}")
+    val adc = graft.similarity.Pq.adcTopK(coded, emb.filter(col("vec_id") < 2),
+      "embedding", "vec_id", "vec_id", books, 3)
+    val p = plan(adc)
+    assert(p.contains("TopKPerKeyPartial"), s"no map-side top-k:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"queries not broadcast:\n$p")
+  }
 }
