@@ -39,10 +39,23 @@ object Mmr {
     require(k >= 1 && lamDen >= lamNum && lamNum >= 0)
     val spark = cands.sparkSession
     val penalty = lamDen - lamNum
-    val base = cands.select(
+
+    // INCREMENTAL max-sim: round t adds exactly one pick per query, and
+    // max is associative, so each candidate needs ONE new dot product
+    // per round — `__msim' = max(__msim, dot(v, newest pick))` — never a
+    // (candidate × all-picked) re-aggregation. The running state
+    // (pool minus taken docs, with __msim) is cached per round and the
+    // previous round released after materialization (the Bpe.train
+    // persist fold; the pool is retrieval-bounded by the operator's
+    // contract, so the cache is small).
+    var state = cands.select(
       col(queryCol).cast(LongType).as("query_id"),
       col(idCol).cast(LongType).as("doc_id"),
       col(vecCol).as("__v"), col(relCol).cast(LongType).as("__rel"))
+      // null = "nothing picked yet": an empty selected set imposes NO
+      // penalty, which a 0 start would get wrong for negative dots
+      .withColumn("__msim", lit(null).cast(LongType))
+      .persist()
 
     val pickSchema = StructType(Seq(
       StructField("query_id", LongType, nullable = false),
@@ -52,40 +65,43 @@ object Mmr {
       StructField("mmr_score", LongType, nullable = false)))
     var picked = Vector.empty[Row]
 
-    for (step <- 1 to k) {
-      val selDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(picked, 1), pickSchema)
-      val taken = selDf.select(col("query_id"), col("doc_id").as("__taken"))
-      val open = base.join(broadcast(taken),
-        base("query_id") === taken("query_id") &&
-          base("doc_id") === taken("__taken"), "left_anti")
-      val scored =
-        if (picked.isEmpty)
-          open.withColumn("__score", lit(lamNum) * col("__rel"))
-        else {
-          val sims = open.join(broadcast(selDf.select(col("query_id"), col("__sv"))),
-              Seq("query_id"))
-            .select(col("query_id"), col("doc_id"),
-              aggregate(zip_with(col("__v"), col("__sv"), (a, b) => a * b),
-                lit(0L), (acc, v) => acc + v).as("__sim"))
-            .groupBy("query_id", "doc_id")
-            .agg(max("__sim").as("__msim"))
-          open.join(sims, Seq("query_id", "doc_id"))
-            .withColumn("__score",
-              lit(lamNum) * col("__rel") - lit(penalty) * col("__msim"))
-        }
+    var exhausted = false
+    for (step <- 1 to k if !exhausted) {
+      val scored = state.withColumn("__score",
+        lit(lamNum) * col("__rel") -
+          lit(penalty) * coalesce(col("__msim"), lit(0L)))
       val picks = graft.plans.TopKPerKey.topK(scored, Seq("query_id"),
           Seq(graft.plans.TopKPerKey.Sort("__score", descending = true),
             graft.plans.TopKPerKey.Sort("doc_id")), 1)
         .select("query_id", "doc_id", "__v", "__score").collect()
-      if (picks.isEmpty) {
-        return spark.createDataFrame(
-          spark.sparkContext.parallelize(picked, 1), pickSchema)
-          .select(col("query_id"), col("rank"), col("doc_id"), col("mmr_score"))
+      if (picks.isEmpty) exhausted = true
+      else {
+        picked = picked ++ picks.map(r => Row(r.getLong(0), r.getLong(1),
+          r.getSeq[Long](2), step, r.getLong(3)))
+        if (step < k) {
+          val newSel = spark.createDataFrame(
+            spark.sparkContext.parallelize(picks.toSeq.map(r =>
+              Row(r.getLong(0), r.getLong(1), r.getSeq[Long](2))), 1),
+            StructType(pickSchema.fields.take(3)))
+          val next = state
+            .join(broadcast(newSel
+              .select(col("query_id"), col("doc_id").as("__pd"), col("__sv"))),
+              Seq("query_id"), "left")
+            .filter(col("__pd").isNull || col("doc_id") =!= col("__pd"))
+            .withColumn("__d", when(col("__sv").isNull, lit(null).cast(LongType))
+              .otherwise(aggregate(zip_with(col("__v"), col("__sv"),
+                (a, b) => a * b), lit(0L), (acc, v) => acc + v)))
+            .withColumn("__msim", coalesce(
+              greatest(col("__msim"), col("__d")), col("__msim"), col("__d")))
+            .select("query_id", "doc_id", "__v", "__rel", "__msim")
+            .persist()
+          next.count() // materialize before dropping the parent cache
+          state.unpersist()
+          state = next
+        }
       }
-      picked = picked ++ picks.map(r => Row(r.getLong(0), r.getLong(1),
-        r.getSeq[Long](2), step, r.getLong(3)))
     }
+    state.unpersist()
     spark.createDataFrame(spark.sparkContext.parallelize(picked, 1), pickSchema)
       .select(col("query_id"), col("rank"), col("doc_id"), col("mmr_score"))
   }

@@ -54,7 +54,11 @@ object ExplainDump {
     "q115_span_corrupt" -> "denoising-pair construction as a narrow map: per-block hash flags + one-pass span_corrupt kernel, no explode, no window, no shuffle before the output sort",
     "q116_stream_distinct" -> "windowed KMV: sketch-state aggregation (streaming-shaped), exact counts in a SEPARATE aggregation joined on the window key",
     "q117_multi_scrub" -> "Aho-Corasick multi_replace as one narrow codegen projection; blocklist rides as a reference object",
-    "q118_quantile_sketch" -> "log-histogram quantiles: one (key, bucket) count shuffle, bounded per-key summary, window walk over <=496 rows/key")
+    "q118_quantile_sketch" -> "log-histogram quantiles: one (key, bucket) count shuffle, bounded per-key summary, window walk over <=496 rows/key",
+    "q120_bm25_search" -> "BM25: one postings shuffle (dl rides the group key), scalar (N,tot) broadcast, query side broadcast, TopKPerKey finish",
+    "q122_cms_frequency" -> "count-min: map-side-combined (depth,bucket) build, merge = re-aggregation, probe broadcast-joins the bounded sketch",
+    "q123_unigram_encode" -> "narrow Viterbi tokenize: unigram_encode kernel with the vocab as one reference object; only exchange is the output sort",
+    "q124_pq_codes" -> "PQ integer twin: narrow quantize+argmin codes, literal ADC table lookups, no exchange before the output sort")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
