@@ -128,6 +128,43 @@ object TextKernels {
     while (!d.finished()) out += d.deflate(buf)
     out.toDouble / bytes.length
   }
+
+  /** Per-codepoint Shannon entropy in 16.16 fixed-point bits, exact
+    * integers end to end — the gibberish/boilerplate gate that, unlike
+    * [[compressionRatio]], every engine can replay bit-for-bit (no zlib,
+    * no floats): codepoint histogram → probabilities floored at 2⁻³⁰ →
+    * surprisal via the square-and-shift binary log
+    * ([[FixedLogKernel.log2fix]], the q102 machinery) → count-weighted
+    * mean, one floor division. H = 0 for empty or single-symbol text,
+    * log₂(alphabet) for uniform text; natural prose sits ≈ 4–4.7
+    * bits/char, `aaaa…` runs near 0, random base64/binary near 6.
+    *
+    * Overflow bound: c ≤ n so c·2³⁰ needs n < 2³³ (an 8-billion-char
+    * doc); per-symbol surprisal ≤ 31·2¹⁶, so the weighted sum stays
+    * under n·2²¹ ≪ 2⁶³.
+    */
+  def charEntropyFix(s: UTF8String): Long = {
+    val str = s.toString
+    val counts = new java.util.HashMap[Integer, Long]()
+    var n = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      val prev = counts.get(cp)
+      counts.put(cp, if (prev == null) 1L else prev + 1L)
+      n += 1
+    }
+    if (n == 0L) return 0L
+    var acc = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      val pFix = (c << 30) / n
+      acc += c * (-FixedLogKernel.log2fix(pFix, 30, 16))
+    }
+    acc / n
+  }
 }
 
 /** deflate(text).length / text.length. Codegen'd like the hash kernels —
@@ -148,6 +185,24 @@ case class CompressionRatio(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.TextKernels.compressionRatio($c);")
 
   override protected def withNewChildInternal(newChild: Expression): CompressionRatio =
+    copy(child = newChild)
+}
+
+/** Per-codepoint entropy in 16.16 fixed-point bits (see kernel doc). */
+case class CharEntropyFix(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "char_entropy_fix"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.charEntropyFix(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.charEntropyFix($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyFix =
     copy(child = newChild)
 }
 
@@ -192,6 +247,9 @@ object TextExprs {
 
   def compressionRatio(text: Column): Column =
     EU.column(CompressionRatio(EU.expression(text)))
+
+  def charEntropyFix(text: Column): Column =
+    EU.column(CharEntropyFix(EU.expression(text)))
 
   def wordGramHash64(text: Column, n: Int): Column =
     EU.column(WordGramHash64(EU.expression(text), n))

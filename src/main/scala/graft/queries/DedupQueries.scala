@@ -960,6 +960,15 @@ object DedupQueries {
     * dots, the max-sim penalty, the NOT-EXISTS exclusion, and the
     * (score desc, doc_id) pick from scratch — so selection order,
     * ties, and scores gate bit-for-bit.
+    *
+    * The corpus-sized work is the RETRIEVAL tier: one broadcast-query
+    * linear scan (the q40 shape) whose TopKPerKey bounded heaps emit a
+    * top-100 pool per query — only that pool enters the k-round greedy,
+    * honouring Mmr's bounded-candidates contract. (The first cut fed
+    * the raw corpus×queries cross join to the loop; every round then
+    * re-dotted and re-persisted corpus-sized state — 238 s at sf1.
+    * Pooled: the rounds are pool-sized, sf1 lands at ≈ 13 s, and the
+    * per-round state the loop caches is |Q|·100 rows by construction.)
     */
   def q125MmrDiversify(spark: SparkSession, dir: String): DataFrame = {
     val e = Load.table(spark, dir, "embeddings")
@@ -973,7 +982,10 @@ object DedupQueries {
       .select(col("query_id"), col("vec_id").as("doc_id"), col("vq"),
         aggregate(zip_with(col("qv"), col("vq"), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x).as("rel"))
-    graft.similarity.Mmr.diversify(cands, "query_id", "doc_id", "vq", "rel",
+    val pool = graft.plans.TopKPerKey.topK(cands, Seq("query_id"),
+      Seq(graft.plans.TopKPerKey.Sort("rel", descending = true),
+        graft.plans.TopKPerKey.Sort("doc_id")), 100)
+    graft.similarity.Mmr.diversify(pool, "query_id", "doc_id", "vq", "rel",
         k = 5, lamNum = 7L, lamDen = 10L)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("doc_id"), col("mmr_score"))
@@ -1008,10 +1020,15 @@ object DedupQueries {
        |           x -> CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS vq
        |  FROM embeddings),
        |q AS (SELECT vec_id AS query_id, vq AS qv FROM v WHERE vec_id % 53 = 0),
-       |cand AS (
+       |cand0 AS (
        |  SELECT q.query_id, v.vec_id AS doc_id, v.vq,
        |         ${dot("q.qv", "v.vq")} AS rel
        |  FROM q, v WHERE v.vec_id <> q.query_id),
+       |cand AS (
+       |  SELECT query_id, doc_id, vq, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY rel DESC, doc_id) AS prn
+       |    FROM cand0) p WHERE prn <= 100),
        |sel1 AS (
        |  SELECT query_id, doc_id, vq, 1 AS rank,
        |         CAST(7 * rel AS BIGINT) AS mmr_score FROM (

@@ -234,6 +234,69 @@ object TextQueries {
       |FROM documents d LEFT JOIN scored s USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q126: codepoint-entropy quality gate — the gibberish/repetition
+    * filter (low-entropy `aaaa…` runs and high-entropy random/binary
+    * noise both fall outside the natural-prose band) computed float-free:
+    * per-doc codepoint histogram → probabilities floored at 2⁻³⁰ →
+    * surprisal via the exact square-and-shift binary log (the q102
+    * machinery) → count-weighted mean in 16.16 bits
+    * ([[graft.functions.TextKernels.charEntropyFix]], a codegen'd
+    * zero-shuffle narrow map — the histogram never leaves the row). The
+    * oracle rebuilds the histogram from regex-extracted codepoints and
+    * replays the 16-step log CTE, so every surprisal bit cross-checks.
+    * Keep band [4.0, 6.0] bits/char: the corpus spans ≈ 3.7–4.2, so the
+    * gate's drop branch is exercised by the real low-entropy tail.
+    */
+  def q126EntropyGate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    d.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_cp"),
+        graft.functions.TextExprs.charEntropyFix(col("text")).as("entropy_fix"))
+      .withColumn("keep",
+        (col("entropy_fix") >= lit(262144L) &&
+          col("entropy_fix") <= lit(393216L)).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val q126Sql: String =
+    """WITH RECURSIVE
+      |chars AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch
+      |  FROM documents),
+      |hist AS (SELECT doc_id, ch, count(*)::BIGINT AS c
+      |         FROM chars GROUP BY doc_id, ch),
+      |nn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+      |       FROM hist GROUP BY doc_id),
+      |pf AS (SELECT doc_id, ch, c, (1073741824::BIGINT * c) // n AS p_fix
+      |       FROM hist JOIN nn USING (doc_id)),
+      |nrm AS (
+      |  SELECT doc_id, ch, greatest(p_fix, 1) AS m, 0::BIGINT AS k FROM pf
+      |  UNION ALL
+      |  SELECT doc_id, ch, m * 2, k + 1 FROM nrm WHERE m < 1073741824),
+      |normed AS (SELECT doc_id, ch, m, k FROM nrm WHERE m >= 1073741824),
+      |sq AS (
+      |  SELECT doc_id, ch, k, m, 0 AS i, 0::BIGINT AS acc FROM normed
+      |  UNION ALL
+      |  SELECT doc_id, ch, k,
+      |         CASE WHEN m2 >= 2147483648::BIGINT THEN m2 // 2 ELSE m2 END,
+      |         i + 1,
+      |         acc * 2 + CASE WHEN m2 >= 2147483648::BIGINT THEN 1 ELSE 0 END
+      |  FROM (SELECT doc_id, ch, k, (m * m) // 1073741824 AS m2, i, acc
+      |        FROM sq WHERE i < 16) s),
+      |surp AS (SELECT doc_id, ch, k * 65536 - acc AS bits
+      |         FROM sq WHERE i = 16),
+      |scored AS (
+      |  SELECT h.doc_id,
+      |         CAST(sum(h.c * s.bits) // max(nn.n) AS BIGINT) AS entropy_fix
+      |  FROM hist h JOIN surp s USING (doc_id, ch) JOIN nn USING (doc_id)
+      |  GROUP BY h.doc_id)
+      |SELECT d.doc_id, length(d.text)::BIGINT AS n_chars_cp,
+      |       coalesce(sc.entropy_fix, 0) AS entropy_fix,
+      |       CAST(coalesce(sc.entropy_fix, 0) BETWEEN 262144 AND 393216
+      |         AS INTEGER) AS keep
+      |FROM documents d LEFT JOIN scored sc USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** q104: n-gram novelty scoring ([[TextAnalysis.ngramNovelty]]) — per
     * doc, the share of distinct word 3-grams unseen in any earlier doc
     * (arrival order = doc_id). The incremental-crawl triage signal:
@@ -430,9 +493,11 @@ object TextQueries {
     "q22_lang_id" -> q22LangId,
     "q59_unigram_lm" -> q59UnigramLm,
     "q98_kneser_ney" -> (q98KneserNey _),
-    "q102_perplexity_gate" -> (q102PerplexityGate _))
+    "q102_perplexity_gate" -> (q102PerplexityGate _),
+    "q126_entropy_gate" -> (q126EntropyGate _))
 
   val oracles: Map[String, String] = Map(
+    "q126_entropy_gate" -> q126Sql,
     "q20_text_profile" -> q20Sql,
     "q21_quality_score" -> q21Sql,
     "q22_lang_id" -> q22Sql,
