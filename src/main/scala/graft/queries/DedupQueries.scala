@@ -1041,7 +1041,68 @@ object DedupQueries {
        |FROM acc5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q127: margin-based bitext mining ([[graft.similarity.Bitext]]) —
+    * the CCMatrix/LASER parallel-pair recipe: even-id embeddings play
+    * the target-language corpus, the odd-id %13 batch plays the source
+    * shard being aligned; each source's best target is kept iff its dot
+    * clears the 4-NN margin at τ = 1.35 (cross-multiplied integers, no
+    * ratio ever materialises — the corpus margin band is ≈ 1.19–1.61 so
+    * the gate splits the batch). The oracle re-derives both k-NN lists
+    * with window ranks over from-scratch HUGEINT dots and replays the
+    * same cleared compare, so pairs, neighbor sums, ties, and keep
+    * flags gate bit-for-bit.
+    */
+  def q127BitextMine(spark: SparkSession, dir: String): DataFrame = {
+    val e = Load.table(spark, dir, "embeddings")
+    val vq = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(65536d)).cast("long"))
+    val v = e.select(col("vec_id"), vq.as("vq"))
+    val tgt = v.filter(col("vec_id") % 2 === 0)
+    val src = v.filter(col("vec_id") % 2 === 1 && col("vec_id") % 13 === 0)
+    graft.similarity.Bitext.minePairs(src, tgt, "vec_id", "vq",
+        k = 4, tauMilli = 1350L)
+      .orderBy("src_id")
+  }
+
+  val q127Sql: String = {
+    def dot(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, 64), " +
+        s"i -> $a[i] * $b[i])) AS BIGINT)"
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |tgt AS (SELECT vec_id, vq FROM v WHERE vec_id % 2 = 0),
+       |src AS (SELECT vec_id, vq FROM v
+       |        WHERE vec_id % 2 = 1 AND vec_id % 13 = 0),
+       |fd AS (
+       |  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+       |         ${dot("s.vq", "t.vq")} AS d
+       |  FROM src s, tgt t),
+       |fk AS (SELECT *, row_number() OVER (PARTITION BY src_id
+       |                ORDER BY d DESC, tgt_id) AS rn FROM fd),
+       |pairs AS (SELECT src_id, tgt_id, d FROM fk WHERE rn = 1),
+       |snna AS (SELECT src_id, CAST(sum(d) AS BIGINT) AS snn_src
+       |         FROM fk WHERE rn <= 4 GROUP BY src_id),
+       |b AS (SELECT DISTINCT p.tgt_id, t.vq
+       |      FROM pairs p JOIN tgt t ON t.vec_id = p.tgt_id),
+       |bd AS (
+       |  SELECT b.tgt_id, s.vec_id AS s2, ${dot("s.vq", "b.vq")} AS d2
+       |  FROM b, src s),
+       |bk AS (SELECT *, row_number() OVER (PARTITION BY tgt_id
+       |                ORDER BY d2 DESC, s2) AS rn FROM bd),
+       |snnb AS (SELECT tgt_id, CAST(sum(d2) AS BIGINT) AS snn_tgt
+       |         FROM bk WHERE rn <= 4 GROUP BY tgt_id)
+       |SELECT p.src_id, p.tgt_id, p.d AS dot, a.snn_src, t.snn_tgt,
+       |       CAST(8000 * p.d >= 1350 * (a.snn_src + t.snn_tgt)
+       |         AS INTEGER) AS keep
+       |FROM pairs p JOIN snna a USING (src_id) JOIN snnb t USING (tgt_id)
+       |ORDER BY p.src_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_bitext_mine" -> (q127BitextMine _),
     "q125_mmr_diversify" -> (q125MmrDiversify _),
     "q124_pq_codes" -> (q124PqCodes _),
     "q122_cms_frequency" -> (q122CmsFrequency _),
@@ -1065,6 +1126,7 @@ object DedupQueries {
     "q83_semantic_decontaminate" -> q83SemanticDecontaminate)
 
   val oracles: Map[String, String] = Map(
+    "q127_bitext_mine" -> q127Sql,
     "q125_mmr_diversify" -> q125Sql,
     "q124_pq_codes" -> q124Sql,
     "q122_cms_frequency" -> q122Sql,
