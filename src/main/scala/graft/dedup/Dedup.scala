@@ -425,4 +425,53 @@ object Dedup {
           shingleHashes(col("text_b"), shingleN)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Edit-distance VERIFY tier — near-dup pairs at character granularity
+    * (the fuzzy title/URL/template-dedup kernel the set-based tiers
+    * can't give: Jaccard is order-blind, edit distance is not).
+    * Candidate generation is prefix+length blocking: docs sharing
+    * (`blockCol`, first-16-chars, a ±1 band of `len div bucketWidth`)
+    * pair up; `maxDist ≤ bucketWidth` guarantees any pair within
+    * distance also lands within one length bucket, so the band loses
+    * nothing the gate could keep (lev ≥ |len_a − len_b|). The verify
+    * tier re-joins texts for CANDIDATES only and computes the banded
+    * threshold levenshtein (O(len·maxDist), early-exit at Spark's
+    * 3-arg builtin) — the two-tier discipline throughout: ids and
+    * 16-char prefixes cross the blocking shuffle, texts never do.
+    *
+    * Prefix blocking bounds recall by construction (an edit inside the
+    * first 16 chars escapes); that is this tier's contract — it is the
+    * cheap VERIFIER for template/suffix near-dups, while prefix-robust
+    * recall belongs to the MinHash tier ([[minhashNearDupPairs]]),
+    * whose candidates this same verify applies to unchanged.
+    */
+  def editVerifyPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, bucketWidth: Int = 64, maxDist: Int = 40): DataFrame = {
+    require(maxDist <= bucketWidth,
+      "maxDist must be <= bucketWidth so the ±1 bucket band covers it")
+    val base = docs.select(col(idCol).cast(LongType).as("__id"),
+      col(blockCol).as("__blk"),
+      substring(col(textCol), 1, 16).as("__pfx"),
+      length(col(textCol)).cast(LongType).as("__len"))
+    // both sides emit both buckets; the distinct canonical pair collapses
+    // the double meeting of same-bucket pairs
+    val e = base
+      .withColumn("__bk", explode(array(
+        expr(s"__len div $bucketWidth"), expr(s"__len div $bucketWidth") + 1)))
+      .select("__id", "__blk", "__pfx", "__bk", "__len")
+    val cands = e.as("a").join(e.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.__pfx") === col("b.__pfx") &&
+          col("a.__bk") === col("b.__bk") && col("a.__id") < col("b.__id") &&
+          abs(col("a.__len") - col("b.__len")) <= maxDist)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    val txt = docs.select(col(idCol).cast(LongType).as("__id"), col(textCol).as("__t"))
+    cands
+      .join(txt.select(col("__id").as("id_a"), col("__t").as("__ta")), Seq("id_a"))
+      .join(txt.select(col("__id").as("id_b"), col("__t").as("__tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.TextExprs.levBounded(col("__ta"), col("__tb"), maxDist)
+          .cast(LongType).as("dist"))
+      .filter(col("dist") >= 0) // threshold form yields -1 above maxDist
+  }
 }

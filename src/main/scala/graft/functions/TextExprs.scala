@@ -165,6 +165,64 @@ object TextKernels {
     }
     acc / n
   }
+
+  /** Threshold Levenshtein distance over CODEPOINTS, or −1 when above
+    * `maxDist` — value-identical to the classical full-matrix DP (and
+    * to DuckDB's `levenshtein`, which q128's oracle uses as the
+    * independent replay), but costed for the near-dup-verify workload:
+    *   1. common prefix/suffix stripping — template near-dups differ in
+    *      a short span, so the DP shrinks from |doc|² to |edit-span|²
+    *      (affix stripping never changes the distance);
+    *   2. Ukkonen band — only cells within `maxDist` of the diagonal
+    *      can matter for a result ≤ maxDist, so each row costs
+    *      O(maxDist), not O(|doc|);
+    *   3. row-minimum early exit — once a whole band row exceeds the
+    *      threshold the distance can only grow.
+    * Spark's builtin 3-arg `levenshtein` does none of these; at sf1
+    * (where 90% of the corpus is near-dup by construction) the builtin
+    * verify tier measured 255 s, this kernel ~seconds.
+    */
+  def levBounded(a: UTF8String, b: UTF8String, maxDist: Int): Int = {
+    val s = a.toString.codePoints().toArray
+    val t = b.toString.codePoints().toArray
+    var lo = 0
+    while (lo < s.length && lo < t.length && s(lo) == t(lo)) lo += 1
+    var e1 = s.length
+    var e2 = t.length
+    while (e1 > lo && e2 > lo && s(e1 - 1) == t(e2 - 1)) { e1 -= 1; e2 -= 1 }
+    val m = e1 - lo
+    val n = e2 - lo
+    if (math.abs(m - n) > maxDist) return -1
+    if (m == 0) return n // n ≤ maxDist by the length gate above
+    if (n == 0) return m
+    val INF = Int.MaxValue / 2 // +1 must not overflow
+    var prev = new Array[Int](n + 1)
+    var cur = new Array[Int](n + 1)
+    var j = 0
+    while (j <= n) { prev(j) = if (j <= maxDist) j else INF; j += 1 }
+    var i = 1
+    while (i <= m) {
+      val jLo = math.max(1, i - maxDist)
+      val jHi = math.min(n, i + maxDist)
+      cur(jLo - 1) = if (jLo == 1) i else INF
+      if (jHi < n) cur(jHi + 1) = INF // next row's band edge reads it
+      var rowMin = cur(jLo - 1)
+      j = jLo
+      while (j <= jHi) {
+        val sub = prev(j - 1) +
+          (if (s(lo + i - 1) == t(lo + j - 1)) 0 else 1)
+        var v = math.min(prev(j) + 1, cur(j - 1) + 1)
+        if (sub < v) v = sub
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin > maxDist) return -1
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    if (prev(n) > maxDist) -1 else prev(n)
+  }
 }
 
 /** deflate(text).length / text.length. Codegen'd like the hash kernels —
@@ -186,6 +244,30 @@ case class CompressionRatio(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): CompressionRatio =
     copy(child = newChild)
+}
+
+/** Threshold Levenshtein (−1 above `maxDist`) with affix stripping +
+  * Ukkonen band (see kernel doc) — the near-dup verify kernel.
+  */
+case class LevBounded(left: Expression, right: Expression, maxDist: Int)
+    extends BinaryExpression {
+  require(maxDist >= 0)
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "lev_bounded"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    TextKernels.levBounded(l.asInstanceOf[UTF8String],
+      r.asInstanceOf[UTF8String], maxDist)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.TextKernels.levBounded($l, $r, $maxDist);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LevBounded =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Per-codepoint entropy in 16.16 fixed-point bits (see kernel doc). */
@@ -250,6 +332,9 @@ object TextExprs {
 
   def charEntropyFix(text: Column): Column =
     EU.column(CharEntropyFix(EU.expression(text)))
+
+  def levBounded(l: Column, r: Column, maxDist: Int): Column =
+    EU.column(LevBounded(EU.expression(l), EU.expression(r), maxDist))
 
   def wordGramHash64(text: Column, n: Int): Column =
     EU.column(WordGramHash64(EU.expression(text), n))

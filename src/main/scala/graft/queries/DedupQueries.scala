@@ -1101,7 +1101,47 @@ object DedupQueries {
        |ORDER BY p.src_id""".stripMargin
   }
 
+  /** q128: edit-distance near-dup verification
+    * ([[graft.dedup.Dedup.editVerifyPairs]]) — character-granular
+    * near-dup pairs over (source, 16-char-prefix, ±1 length-bucket)
+    * blocks at distance ≤ 40. The corpus genuinely contains such pairs
+    * (template docs differing by a few tokens), so the gate exercises
+    * the verify tier on real data; the oracle replays the identical
+    * blocking construction and DuckDB's own full-matrix `levenshtein`
+    * — an independent implementation of the same classical DP — so
+    * pair set and every distance value must agree exactly.
+    */
+  def q128EditVerify(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    graft.dedup.Dedup.editVerifyPairs(d, "doc_id", "text", "source",
+        bucketWidth = 64, maxDist = 40)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q128Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, text, length(text)::BIGINT AS len,
+      |         substr(text, 1, 16) AS pfx, length(text) // 64 AS b0
+      |  FROM documents),
+      |e AS (SELECT doc_id, source, pfx, len, b0 AS bk FROM d
+      |      UNION ALL
+      |      SELECT doc_id, source, pfx, len, b0 + 1 FROM d),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM e a JOIN e b
+      |    ON a.source = b.source AND a.pfx = b.pfx AND a.bk = b.bk
+      |   AND a.doc_id < b.doc_id AND abs(a.len - b.len) <= 40),
+      |p AS (
+      |  SELECT c.id_a, c.id_b,
+      |         CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
+      |  FROM cand c
+      |  JOIN documents da ON da.doc_id = c.id_a
+      |  JOIN documents db ON db.doc_id = c.id_b)
+      |SELECT id_a, id_b, dist FROM p WHERE dist <= 40
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_edit_verify" -> (q128EditVerify _),
     "q127_bitext_mine" -> (q127BitextMine _),
     "q125_mmr_diversify" -> (q125MmrDiversify _),
     "q124_pq_codes" -> (q124PqCodes _),
@@ -1126,6 +1166,7 @@ object DedupQueries {
     "q83_semantic_decontaminate" -> q83SemanticDecontaminate)
 
   val oracles: Map[String, String] = Map(
+    "q128_edit_verify" -> q128Sql,
     "q127_bitext_mine" -> q127Sql,
     "q125_mmr_diversify" -> q125Sql,
     "q124_pq_codes" -> q124Sql,
