@@ -74,9 +74,11 @@ object Bitext {
       .select(col("src_id"), col("tgt_id"), col("d").as("dot"), col("snn_src"))
 
     // backward: the distinct best-target set (≤ |batch| rows) re-fetches
-    // its vectors, then k-NN into the batch — bounded × bounded
-    val best = fwdAgg.select(col("tgt_id")).distinct()
-      .join(t, Seq("tgt_id"))
+    // its vectors, then k-NN into the batch — bounded × bounded. The id
+    // set broadcasts so the corpus streams through a hash probe instead
+    // of reshuffling on tgt_id.
+    val best = t.join(broadcast(fwdAgg.select(col("tgt_id")).distinct()),
+      Seq("tgt_id"))
     val bwd = best.crossJoin(s)
       .select(col("tgt_id"), col("src_id").as("__s2"),
         dot("__sv", "__tv").as("d2"))
@@ -85,7 +87,9 @@ object Bitext {
         graft.plans.TopKPerKey.Sort("__s2")), k)
     val bwdAgg = bwdK.groupBy("tgt_id").agg(sum("d2").as("snn_tgt"))
 
-    fwdAgg.join(bwdAgg, Seq("tgt_id"))
+    // batch-bounded ⋈ batch-bounded: broadcast rather than letting the
+    // planner sort-merge two relations that fit in one task
+    fwdAgg.join(broadcast(bwdAgg), Seq("tgt_id"))
       .select(col("src_id"), col("tgt_id"), col("dot"),
         col("snn_src"), col("snn_tgt"),
         (lit(2L * k * 1000L) * col("dot") >=

@@ -286,4 +286,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"queries not broadcast:\n$p")
   }
+
+  test("q126: the entropy gate is one narrow codegen'd scan — no exchange before the sink sort") {
+    val p = plan(graft.queries.TextQueries.queries("q126_entropy_gate")(spark, sf))
+    assert(p.contains("char_entropy_fix"), s"kernel expression missing:\n$p")
+    assert(!p.contains("Fallback"), s"entropy fell out of codegen:\n$p")
+    // the only exchange allowed is the final orderBy's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-doc entropy must not shuffle:\n$p")
+  }
+
+  test("q127: bitext forward scan broadcasts the batch; heaps bound both k-NN exchanges") {
+    val p = plan(graft.queries.DedupQueries.queries("q127_bitext_mine")(spark, sf))
+    assert(p.contains("TopKPerKeyPartial"), s"no map-side top-k:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"mining batch not broadcast:\n$p")
+    // the corpus must never be the build side of a shuffled join
+    assert(!p.contains("SortMergeJoin"), s"corpus reshuffled:\n$p")
+  }
+
+  test("q128: edit verify blocks on an equi-join; texts stay out of the blocking shuffle") {
+    val p = plan(graft.queries.DedupQueries.queries("q128_edit_verify")(spark, sf))
+    assert(p.contains("lev_bounded"), s"kernel expression missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop") ||
+      p.contains("BroadcastNestedLoopJoin") === false,
+      s"blocking degenerated to a nested loop:\n$p")
+    // the candidate-pair join keys on the block tuple, never on text
+    val blockJoins = p.linesIterator.filter(_.contains("hashpartitioning"))
+    assert(!blockJoins.exists(_.contains("__t#")),
+      s"document text crossed the blocking exchange:\n$p")
+  }
 }
