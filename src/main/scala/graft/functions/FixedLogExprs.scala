@@ -41,6 +41,42 @@ object FixedLogKernel {
     }
     -(k << fracBits) + acc
   }
+
+  /** Bit factors for [[pow2NegFix]]: `POW2_FRAC(i) = ⌊2^(−2^(i−16)) · 2³¹⌋`
+    * — the contribution of fraction bit i of a 16.16 exponent. Fixed
+    * literals (here and in every SQL mirror) so the two engines can
+    * never drift by a regenerated constant.
+    */
+  val POW2_FRAC: Array[Long] = Array(
+    2147460935L, 2147438222L, 2147392797L, 2147301951L,
+    2147120269L, 2146756953L, 2146030504L, 2144578345L,
+    2141676972L, 2135885998L, 2124350982L, 2101467501L,
+    2056437386L, 1969251187L, 1805811301L, 1518500249L)
+
+  /** ⌊2^(−y/2¹⁶) · 2³¹⌋-ish for y ≥ 0 — the deterministic INVERSE of
+    * [[log2fix]]: binary exponentiation over the fraction bits (applied
+    * high→low, each product floored at 2³¹ — the order is part of the
+    * spec, floors make multiplication non-commutative) followed by the
+    * integer-part right shift. Composing the two gives exact-integer
+    * p^α (`pow2NegFix((−log2fix(p)·αnum) div αden)`) — the temperature
+    * scaling (mT5/XLM-R `p^0.3`) that float `pow` could never
+    * hash-gate across engines. ~1e-8 relative error vs true 2^−x;
+    * negative y clamps to 0 (= probability above 1 never happens by
+    * construction), y ≥ 63·2¹⁶ underflows to 0.
+    */
+  def pow2NegFix(y0: Long): Long = {
+    val y = if (y0 < 0) 0L else y0
+    val k = (y >> 16).toInt
+    if (k >= 63) return 0L
+    val f = (y & 0xffffL).toInt
+    var r = 1L << 31
+    var i = 15
+    while (i >= 0) {
+      if (((f >> i) & 1) == 1) r = (r * POW2_FRAC(i)) >> 31
+      i -= 1
+    }
+    r >> k
+  }
 }
 
 /** `log2fix(p)`: codegen'd exact fixed-point binary log (see
@@ -65,9 +101,31 @@ case class Log2Fix(child: Expression, scaleBits: Int, fracBits: Int)
     copy(child = newChild)
 }
 
+/** `pow2_neg_fix(y)`: codegen'd fixed-point 2^(−y/2¹⁶) at scale 2³¹
+  * (see [[FixedLogKernel.pow2NegFix]]).
+  */
+case class Pow2NegFix(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pow2_neg_fix"
+
+  override def nullSafeEval(input: Any): Any =
+    FixedLogKernel.pow2NegFix(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.FixedLogKernel.pow2NegFix($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Pow2NegFix =
+    copy(child = newChild)
+}
+
 object FixedLogExprs {
   import org.apache.spark.sql.{GraftBridge => EU}
 
   def log2fix(p: Column, scaleBits: Int, fracBits: Int): Column =
     EU.column(Log2Fix(EU.expression(p), scaleBits, fracBits))
+
+  def pow2NegFix(y: Column): Column =
+    EU.column(Pow2NegFix(EU.expression(y)))
 }

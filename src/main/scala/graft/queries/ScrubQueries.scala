@@ -186,7 +186,87 @@ object ScrubQueries {
       |       (alloc * 1000) // greatest(tokens, 1) AS epochs_milli
       |FROM alloc ORDER BY lang""".stripMargin
 
+  /** q129: temperature-based language resampling
+    * ([[Scrub.temperatureMix]]) — the mT5/XLM-R p^0.3 mixture, the
+    * soft complement of q121's hard UniMax cap. p^α stays float-free
+    * by composing the exact binary log with its fixed-point inverse
+    * ([[graft.functions.FixedLogKernel.pow2NegFix]]); the oracle
+    * replays BOTH 16-step iterations — the square-and-shift log and
+    * the bit-factor exponential (constants interpolated from the same
+    * Scala table, so they cannot drift) — plus the largest-remainder
+    * hand-out, so every allocation token hash-gates.
+    */
+  def q129TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val stats = d.groupBy("lang")
+      .agg(sum(size(graft.text.Decontaminate.wordTokens(col("text"))))
+        .cast("long").as("tokens"))
+    // bounded relation (one row per language) → driver-side total is a
+    // contract-bounded eager job, as in q121
+    val total = stats.agg(sum("tokens")).head.getLong(0)
+    Scrub.temperatureMix(stats, "lang", "tokens",
+        alphaNum = 3L, alphaDen = 10L, budget = total / 2L)
+      .orderBy("lang")
+  }
+
+  val q129Sql: String = {
+    val cases = graft.functions.FixedLogKernel.POW2_FRAC.zipWithIndex
+      .map { case (c, i) => s"WHEN $i THEN ${c}::BIGINT" }.mkString(" ")
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT lang,
+       |         CAST(sum(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                                  x -> x <> ''))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY lang),
+       |b AS (SELECT CAST(sum(tokens) AS BIGINT) // 2 AS budget,
+       |             CAST(sum(tokens) AS BIGINT) AS n FROM toks),
+       |pf AS (SELECT lang, tokens, (1073741824::BIGINT * tokens) // n AS p_fix
+       |       FROM toks, b),
+       |nrm AS (
+       |  SELECT lang, greatest(p_fix, 1) AS m, 0::BIGINT AS k FROM pf
+       |  UNION ALL
+       |  SELECT lang, m * 2, k + 1 FROM nrm WHERE m < 1073741824),
+       |normed AS (SELECT lang, m, k FROM nrm WHERE m >= 1073741824),
+       |sq AS (
+       |  SELECT lang, k, m, 0 AS i, 0::BIGINT AS acc FROM normed
+       |  UNION ALL
+       |  SELECT lang, k,
+       |         CASE WHEN m2 >= 2147483648::BIGINT THEN m2 // 2 ELSE m2 END,
+       |         i + 1,
+       |         acc * 2 + CASE WHEN m2 >= 2147483648::BIGINT THEN 1 ELSE 0 END
+       |  FROM (SELECT lang, k, (m * m) // 1073741824 AS m2, i, acc
+       |        FROM sq WHERE i < 16) s),
+       |surp AS (SELECT lang, k * 65536 - acc AS negl FROM sq WHERE i = 16),
+       |ys AS (SELECT lang, (negl * 3) // 10 AS y FROM surp),
+       |pw AS (
+       |  SELECT lang, y, 15 AS i, 2147483648::BIGINT AS r FROM ys
+       |  UNION ALL
+       |  SELECT lang, y, i - 1,
+       |         CASE WHEN ((y % 65536) // (1::BIGINT << i)) % 2 = 1
+       |              THEN (r * CASE i $cases END) // 2147483648
+       |              ELSE r END
+       |  FROM pw WHERE i >= 0),
+       |wv AS (SELECT lang,
+       |              r // (1::BIGINT << CAST(least(y // 65536, 62) AS INTEGER))
+       |                AS w_fix
+       |       FROM pw WHERE i = -1),
+       |ws AS (SELECT CAST(sum(w_fix) AS BIGINT) AS wt FROM wv),
+       |al AS (SELECT t.lang, t.tokens, w.w_fix,
+       |              (b.budget * w.w_fix) // ws.wt AS alloc0,
+       |              (b.budget * w.w_fix) % ws.wt AS frac
+       |       FROM toks t JOIN wv w USING (lang) CROSS JOIN ws CROSS JOIN b),
+       |rm AS (SELECT b.budget - CAST(sum(alloc0) AS BIGINT) AS rem
+       |       FROM al CROSS JOIN b GROUP BY b.budget),
+       |rk AS (SELECT *, row_number() OVER (ORDER BY frac DESC, lang) AS rn
+       |       FROM al)
+       |SELECT rk.lang, rk.tokens, rk.w_fix,
+       |       rk.alloc0 + CASE WHEN rk.rn <= rm.rem THEN 1 ELSE 0 END AS alloc,
+       |       ((rk.alloc0 + CASE WHEN rk.rn <= rm.rem THEN 1 ELSE 0 END) * 1000)
+       |         // greatest(rk.tokens, 1) AS epochs_milli
+       |FROM rk CROSS JOIN rm ORDER BY rk.lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_temperature_mix" -> (q129TemperatureMix _),
     "q121_unimax_mix" -> (q121UnimaxMix _),
     "q117_multi_scrub" -> (q117MultiScrub _),
     "q23_repetition" -> q23Repetition,
@@ -301,6 +381,7 @@ object ScrubQueries {
       |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q129_temperature_mix" -> q129Sql,
     "q121_unimax_mix" -> q121Sql,
     "q117_multi_scrub" -> q117Sql,
     "q23_repetition" -> q23Sql,

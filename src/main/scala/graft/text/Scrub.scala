@@ -179,6 +179,54 @@ object Scrub {
       .select(keyCol, "tokens", "capacity", "alloc", "epochs_milli")
   }
 
+  /** Temperature-based language/stratum resampling (the mT5/XLM-R
+    * recipe): sampling mass ∝ tokens^α, α ∈ (0, 1] — flatter than
+    * proportional (α = 1) so low-resource strata up-sample, unlike
+    * [[uniMaxAlloc]]'s hard epoch cap. The two are THE named mixture
+    * strategies; this one needs p^α, which stays float-free by
+    * composing the exact binary log with its fixed-point inverse:
+    * `w = pow2NegFix((−log2fix(tokens/N)·αnum) div αden)` — every step
+    * an integer the SQL mirror replays (q129), so allocations
+    * hash-gate where a float `pow` could not.
+    *
+    * Allocation: `alloc_l = ⌊budget·w_l / W⌋` plus a deterministic
+    * largest-remainder hand-out ((frac desc, key asc) — the UniMax
+    * discipline), so Σ alloc = budget EXACTLY. `epochs_milli` feeds
+    * [[epochMix]] directly. Bounds: requires budget < 2³² so
+    * budget·w ≤ 2⁶³ (allocate in kilotoken units above that); `stats`
+    * is one row per stratum — bounded by contract, its windows are
+    * driver-scale.
+    */
+  def temperatureMix(stats: DataFrame, keyCol: String, tokensCol: String,
+      alphaNum: Long, alphaDen: Long, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.FixedLogExprs
+    require(alphaDen >= alphaNum && alphaNum > 0, "need 0 < alpha <= 1")
+    require(budget >= 0 && budget < (1L << 32), "budget must fit 32 bits")
+    val tot = stats.agg(sum(col(tokensCol).cast(LongType)).as("__n"))
+    val w = stats.select(col(keyCol),
+        col(tokensCol).cast(LongType).as("tokens"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__pfix", expr("(tokens * 1073741824L) div __n"))
+      .withColumn("__negl", -FixedLogExprs.log2fix(col("__pfix"), 30, 16))
+      .withColumn("w_fix", FixedLogExprs.pow2NegFix(
+        expr(s"(__negl * ${alphaNum}L) div ${alphaDen}L")))
+    val wSum = w.agg(sum("w_fix").as("__w")) // Σw ≤ strata·2³¹ — bounded
+    val al = w.crossJoin(broadcast(wSum))
+      .withColumn("__alloc0", expr(s"(${budget}L * w_fix) div __w"))
+      .withColumn("__frac", expr(s"(${budget}L * w_fix) % __w"))
+    val handed = al.crossJoin(broadcast(
+        al.agg((lit(budget) - sum("__alloc0")).as("__rem"))))
+      .withColumn("__rk",
+        row_number().over(Window.orderBy(col("__frac").desc, col(keyCol)))
+          .cast(LongType))
+      .withColumn("alloc", col("__alloc0") +
+        when(col("__rk") <= col("__rem"), lit(1L)).otherwise(lit(0L)))
+    handed
+      .withColumn("epochs_milli", expr("(alloc * 1000L) div greatest(tokens, 1L)"))
+      .select(keyCol, "tokens", "w_fix", "alloc", "epochs_milli")
+  }
+
   /** Cap every stratum (domain/source/language) at `cap` docs, picking a
     * DETERMINISTIC uniform subset per key: rows rank by md5(id) — a
     * stable shuffle-independent draw (same survivors on every run and
