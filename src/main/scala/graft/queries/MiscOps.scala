@@ -940,6 +940,63 @@ object MiscOps {
       |WHERE fp NOT IN (SELECT fp FROM fp WHERE doc_id % 3 = 0)
       |ORDER BY doc_id""".stripMargin
 
+  /** q130: the streaming NEAR-dup filter's batch twin
+    * ([[graft.streaming.Streams.nearDupFilterBatch]]) — one tier above
+    * q78's exact-fingerprint probe: arriving docs ≥ 0.8 n-gram-Jaccard
+    * similar to ANY history doc drop, where "arriving" includes
+    * EDITED replays (suffix-appended history docs under new ids) that
+    * the exact tier is blind to. Candidates come from the persisted LSH
+    * signature index; the verify decision is the cross-multiplied
+    * integer compare, so the brute-force oracle (all arriving×history
+    * shingle-set intersections, no LSH) must agree on every survivor —
+    * gating candidate recall AND verify exactness. StreamingSpec drives
+    * the same kernel through foreachBatch micro-batches and asserts
+    * stream == batch.
+    */
+  def q130StreamNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents").select("doc_id", "text")
+    val history = d.filter(col("doc_id") % 3 === 0)
+    val arriving = d.filter(col("doc_id") % 3 =!= 0)
+      .unionByName(history.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" rev2 marker tail")).as("text")))
+    val index = graft.dedup.Dedup.buildSignatureIndex(history, "text", "doc_id")
+    graft.streaming.Streams.nearDupFilterBatch(arriving, index, history,
+        "text", "doc_id")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  val q130Sql: String =
+    """WITH hist AS (
+      |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 = 0),
+      |arr AS (
+      |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS id, text || ' rev2 marker tail' AS text
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |na AS (
+      |  SELECT id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      |  FROM arr),
+      |nh AS (
+      |  SELECT id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      |  FROM hist),
+      |sa AS (
+      |  SELECT id, list_distinct([substr(t, i, 5)
+      |    FOR i IN generate_series(1, greatest(length(t) - 4, 1))]) AS s
+      |  FROM na WHERE length(t) > 0),
+      |sh AS (
+      |  SELECT id, list_distinct([substr(t, i, 5)
+      |    FOR i IN generate_series(1, greatest(length(t) - 4, 1))]) AS s
+      |  FROM nh WHERE length(t) > 0),
+      |dropped AS (
+      |  SELECT DISTINCT a.id
+      |  FROM sa a JOIN sh h ON
+      |    len(list_intersect(a.s, h.s)) * 5 >=
+      |      4 * (len(a.s) + len(h.s) - len(list_intersect(a.s, h.s))))
+      |SELECT id AS doc_id FROM arr
+      |WHERE id NOT IN (SELECT id FROM dropped)
+      |ORDER BY doc_id""".stripMargin
+
   /** q75: image near-dup through the two-tier pHash path. Corpus =
     * synthetic PNGs ∪ byte-identical copies at id+1e5; identical bytes
     * share a pHash trivially, distinct gradient images never collide
@@ -1083,6 +1140,7 @@ object MiscOps {
     "q72_asof_join" -> q72AsOfJoin,
     "q75_phash_dedup" -> q75PhashDedup,
     "q78_stream_dedup" -> q78StreamDedupTwin,
+    "q130_stream_neardup" -> (q130StreamNearDup _),
     "q82_json_flatten" -> q82JsonFlatten,
     "q84_snapshot_diff" -> q84SnapshotDiff,
     "q92_ohlc" -> q92Ohlc,
@@ -1114,6 +1172,7 @@ object MiscOps {
     "q72_asof_join" -> q72Sql,
     "q75_phash_dedup" -> q75Sql,
     "q78_stream_dedup" -> q78Sql,
+    "q130_stream_neardup" -> q130Sql,
     "q82_json_flatten" -> q82Sql,
     "q84_snapshot_diff" -> q84Sql,
     "q92_ohlc" -> q92Sql,

@@ -129,6 +129,71 @@ object Streams {
       .drop("__seen")
   }
 
+  /** NEAR-dup filter for one micro-batch against a PERSISTED MinHash
+    * signature index — the online-ingest tier above [[dedupAgainstIndex]]
+    * (which catches only exact fingerprints): arriving docs that are
+    * ≥ jacNum/jacDen n-gram-Jaccard similar to ANY history doc drop.
+    * Candidates come from the LSH index probe
+    * ([[graft.dedup.Dedup.incrementalNearDupPairs]] — the batch never
+    * re-hashes the corpus); the verify tier re-shingles candidates only
+    * and decides with the cross-multiplied INTEGER compare
+    * `|∩|·den ≥ num·|∪|` (a double ratio against a 0.8 literal can flip
+    * on boundary-exact rationals — 4/5 is not a binary number).
+    *
+    * Only history pairs count — new-vs-new inside the batch is
+    * deliberately excluded, so the output is INDEPENDENT of micro-batch
+    * boundaries: streamed in any chunking ≡ the whole input as one
+    * batch (the stream==batch law [[StreamingSpec]] drives; q130 gates
+    * the batch twin). Within-increment dedup belongs to the batch
+    * passes (q30–q36) that run before an increment ships.
+    */
+  def nearDupFilterBatch(batch: DataFrame, index: DataFrame,
+      historyTexts: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 5, jacNum: Long = 4L, jacDen: Long = 5L,
+      k: Int = 64, bands: Int = 16, maxBucketSize: Int = 100,
+      indexBucketsPrefiltered: Boolean = false): DataFrame = {
+    import graft.dedup.Dedup
+    require(jacDen >= jacNum && jacNum > 0)
+    val cands = Dedup.incrementalNearDupPairs(batch, index, textCol, idCol,
+        k, bands, shingleN,
+        threshold = 0.75 * jacNum.toDouble / jacDen,
+        maxBucketSize, indexBucketsPrefiltered)
+      .select("new_id", "other_id")
+      // history-only: micro-batch boundaries must not change survivors
+      .join(historyTexts.select(col(idCol).as("other_id")).distinct(),
+        Seq("other_id"), "left_semi")
+    val newTexts = batch.select(col(idCol).as("new_id"), col(textCol).as("__ta"))
+    val histTexts = historyTexts.select(col(idCol).as("other_id"),
+      col(textCol).as("__tb"))
+    val dropped = cands
+      .join(newTexts, Seq("new_id"))
+      .join(histTexts, Seq("other_id"))
+      .withColumn("__sa", Dedup.shingleHashes(col("__ta"), shingleN))
+      .withColumn("__sb", Dedup.shingleHashes(col("__tb"), shingleN))
+      .withColumn("__i",
+        graft.functions.HashExprs.sortedIntersectCount(col("__sa"), col("__sb"))
+          .cast(LongType))
+      .filter(col("__i") * lit(jacDen) >=
+        lit(jacNum) * (size(col("__sa")) + size(col("__sb")) - col("__i")))
+      .select(col("new_id").as(idCol)).distinct()
+    batch.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** foreachBatch wiring of [[nearDupFilterBatch]] into the idempotent
+    * parquet sink — the streaming ingest path: each arriving micro-batch
+    * probes the static index, survivors land in `batch=<id>` dirs.
+    */
+  def nearDupFilterSink(stream: DataFrame, index: DataFrame,
+      historyTexts: DataFrame, textCol: String, idCol: String, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeBatchIdempotent(
+          nearDupFilterBatch(b.toDF(), index, historyTexts, textCol, idCol),
+          path, id))
+      .option("checkpointLocation", s"$path/_checkpoint")
+      .start()
+
   /** One micro-batch of the idempotent sink: each batch lands in its
     * own `batch=<id>` directory with overwrite semantics, so a REPLAYED
     * batch (crash before the checkpoint commit → re-delivery with the

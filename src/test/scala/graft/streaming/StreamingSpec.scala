@@ -141,6 +141,48 @@ class StreamingSpec extends SparkSpec {
       "every replayed copy must be dropped by the index probe")
   }
 
+  test("streaming near-dup filter == batch twin regardless of micro-batch boundaries (q130 twin)") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup_stream")
+    val out = java.nio.file.Files.createTempDirectory("neardup_out").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val history = docs.filter(col("doc_id") % 3 === 0)
+    // three source files → three micro-batches with different chunkings
+    docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode("overwrite").parquet(dir.resolve("a").toString)
+    docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 2 =!= 0)
+      .coalesce(1).write.mode("overwrite").parquet(dir.resolve("b").toString)
+    history.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" rev2 marker tail")).as("text"))
+      .coalesce(1).write.mode("overwrite").parquet(dir.resolve("c").toString)
+    val index = graft.dedup.Dedup.buildSignatureIndex(history, "text", "doc_id")
+      .persist()
+    index.count()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1) // force separate micro-batches
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"${dir.toString}/{a,b,c}")
+    val q = Streams.nearDupFilterSink(stream, index, history,
+      "text", "doc_id", out)
+    try q.processAllAvailable() finally q.stop()
+    index.unpersist()
+    val streamed = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val batch = graft.queries.MiscOps.q130StreamNearDup(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch,
+      s"stream ${streamed.size} vs batch ${batch.size}")
+    // replays of LONG docs must drop (a 17-char suffix on a short doc
+    // legitimately falls under 0.8 Jaccard — those survive by design)
+    val longReplays = history.filter(length(col("text")) > 400)
+      .select((col("doc_id") + 100000).as("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(longReplays.nonEmpty && longReplays.forall(!streamed.contains(_)),
+      "every long-doc edited replay must be dropped by the near-dup probe")
+  }
+
   test("late rows beyond the watermark are dropped from closed windows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("late_stream")
