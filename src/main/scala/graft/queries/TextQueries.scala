@@ -297,6 +297,89 @@ object TextQueries {
       |FROM documents d LEFT JOIN scored sc USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q131: chat-template rendering + loss-mask spans — the SFT/RLHF
+    * data-prep stage: document segments (20-word windows on this
+    * single-line corpus; `\n\n` paragraphs on real data — same
+    * machinery) become alternating user/assistant turns, rendered into
+    * a fixed template
+    * (`<|user|>\n…<|end|>\n<|assistant|>\n…<|end|>\n`), and the
+    * supervised (assistant-content) regions are emitted as integer
+    * CODEPOINT spans into the rendered string — the mask a trainer
+    * applies so loss flows only through assistant tokens. Pure in-row
+    * array algebra (split → indexed transform → prefix-length sums):
+    * zero shuffle, no explode, and every offset is an integer both
+    * engines derive from the same closed-form header/footer/content
+    * arithmetic — so rendered bytes AND span arrays hash-gate. Spans
+    * are codepoint offsets, tokenizer-agnostic by design: the
+    * tokenize-then-mask step composes with any of the three tokenizer
+    * families (q101/q109/q123) downstream.
+    */
+  def q131ChatRender(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    // turn derivation on this single-line corpus: 20-word windows (the
+    // paragraph split would be `split(text, "\n\n")` — same machinery)
+    val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    val nParts = expr("(size(filter(split(text, '\\\\s+'), w -> length(w) > 0)) + 19) div 20")
+    val parts = when(size(words) === 0,
+        array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), greatest(nParts, lit(1L))),
+        i => array_join(slice(words, (i.cast("int") - 1) * 20 + 1, lit(20)), " ")))
+    val withParts = d.select(col("doc_id"), parts.as("__parts"))
+    val segs = transform(col("__parts"), (p, ix) =>
+      concat(when(ix % 2 === 0, lit("<|user|>\n"))
+        .otherwise(lit("<|assistant|>\n")), p, lit("<|end|>\n")))
+    // start of part i's CONTENT (i 1-based): all earlier content +
+    // earlier headers (user 9, assistant 14 chars) + earlier footers
+    // (8 chars) + this part's own header
+    def startOf(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      coalesce(aggregate(slice(col("__parts"), lit(1), i - 1), lit(0L),
+        (a, x) => a + length(x).cast("long")), lit(0L)) +
+        shiftright(i, 1).cast("long") * 9L +
+        shiftright(i - 1, 1).cast("long") * 14L +
+        (i - 1).cast("long") * 8L +
+        when(i % 2 === 1, lit(9L)).otherwise(lit(14L))
+    val assistantIdx = filter(sequence(lit(1), size(col("__parts"))),
+      i => i % 2 === 0)
+    withParts.select(col("doc_id"),
+        size(col("__parts")).cast("long").as("n_turns"),
+        array_join(segs, "").as("rendered"),
+        transform(assistantIdx, i => startOf(i)).as("mask_starts"),
+        transform(assistantIdx, i => startOf(i) +
+          length(element_at(col("__parts"), i)).cast("long")).as("mask_ends"))
+      .orderBy("doc_id")
+  }
+
+  val q131Sql: String =
+    """WITH w0 AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |p0 AS (
+      |  SELECT doc_id,
+      |    [array_to_string(w[(i-1)*20+1 : (i-1)*20+20], ' ')
+      |     FOR i IN generate_series(1, (len(w) + 19) // 20)] AS parts
+      |  FROM w0),
+      |r AS (
+      |  SELECT doc_id, parts, len(parts) AS n,
+      |    [CASE WHEN i % 2 = 1 THEN '<|user|>' || chr(10)
+      |          ELSE '<|assistant|>' || chr(10) END
+      |       || parts[i] || '<|end|>' || chr(10)
+      |     FOR i IN generate_series(1, len(parts))] AS segs,
+      |    [coalesce(list_sum(list_transform(parts[1:i-1], x -> length(x))), 0)
+      |       + (i // 2) * 9 + ((i - 1) // 2) * 14 + (i - 1) * 8
+      |       + CASE WHEN i % 2 = 1 THEN 9 ELSE 14 END
+      |     FOR i IN generate_series(1, len(parts)) IF i % 2 = 0] AS starts,
+      |    [coalesce(list_sum(list_transform(parts[1:i-1], x -> length(x))), 0)
+      |       + (i // 2) * 9 + ((i - 1) // 2) * 14 + (i - 1) * 8
+      |       + CASE WHEN i % 2 = 1 THEN 9 ELSE 14 END + length(parts[i])
+      |     FOR i IN generate_series(1, len(parts)) IF i % 2 = 0] AS ends
+      |  FROM p0)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_turns,
+      |       array_to_string(segs, '') AS rendered,
+      |       list_transform(starts, x -> CAST(x AS BIGINT)) AS mask_starts,
+      |       list_transform(ends, x -> CAST(x AS BIGINT)) AS mask_ends
+      |FROM r ORDER BY doc_id""".stripMargin
+
   /** q104: n-gram novelty scoring ([[TextAnalysis.ngramNovelty]]) — per
     * doc, the share of distinct word 3-grams unseen in any earlier doc
     * (arrival order = doc_id). The incremental-crawl triage signal:
@@ -494,10 +577,12 @@ object TextQueries {
     "q59_unigram_lm" -> q59UnigramLm,
     "q98_kneser_ney" -> (q98KneserNey _),
     "q102_perplexity_gate" -> (q102PerplexityGate _),
-    "q126_entropy_gate" -> (q126EntropyGate _))
+    "q126_entropy_gate" -> (q126EntropyGate _),
+    "q131_chat_render" -> (q131ChatRender _))
 
   val oracles: Map[String, String] = Map(
     "q126_entropy_gate" -> q126Sql,
+    "q131_chat_render" -> q131Sql,
     "q20_text_profile" -> q20Sql,
     "q21_quality_score" -> q21Sql,
     "q22_lang_id" -> q22Sql,
