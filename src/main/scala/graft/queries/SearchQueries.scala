@@ -295,6 +295,7 @@ object SearchQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_unigram_encode" -> (q123UnigramEncode _),
+    "q132_wordpiece_encode" -> (q132WordPieceEncode _),
     "q120_bm25_search" -> (q120Bm25Search _),
     "q67_span_dedup" -> (q67SpanDedup _),
     "q68_quality_rules" -> (q68QualityRules _),
@@ -473,6 +474,102 @@ object SearchQueries {
        |ORDER BY doc_id, widx, tidx""".stripMargin
   }
 
+  /** q132: WordPiece greedy encode ([[graft.text.WordPiece]]) — the
+    * fourth tokenizer family: longest-match-first with `##`
+    * continuations, whole-word `[UNK]` on any uncoverable position
+    * (the BERT rule). The planted vocabulary exercises every branch on
+    * this corpus: full-word pieces beat their own prefixes ("table" >
+    * "tab", "data" > "da"), multi-codepoint continuations beat
+    * single-char ones ("##rge" > "##r" in "merge"), "spark"/"row"
+    * survive only via their full-word rescue entries, and
+    * "slow"/"window"/"order" hit missing continuations → `[UNK]`. The
+    * oracle replays the greedy loop as a recursive CTE (longest-first
+    * COALESCE chain generated from the same vocab literals) with the
+    * whole-word-UNK rewrite applied after.
+    */
+  def q132WordPieceEncode(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents").select("doc_id", "text")
+    graft.text.WordPiece.encode(d, "text", q132Vocab)
+      .select(col("doc_id"), col("widx").cast("long").as("widx"),
+        col("tidx").cast("long").as("tidx"), col("token"))
+      .transform(graft.ops.Par.sortOnce(_, col("doc_id"), col("widx"),
+        col("tidx")))
+  }
+
+  private[graft] val q132Vocab: Seq[String] = Seq(
+    // word-start singles (no word here starts with e/i/n/u)
+    "a", "b", "c", "d", "f", "g", "h", "j", "k", "l", "m", "o", "p",
+    "q", "r", "s", "t", "v", "w",
+    // continuations — ##b/##d/##f/##k/##v/##w deliberately absent so
+    // "slow", "window", "order" become [UNK]
+    "##a", "##c", "##e", "##g", "##h", "##i", "##l", "##m", "##n",
+    "##o", "##p", "##r", "##s", "##t", "##u", "##y",
+    // multi-piece entries: greedy longest-first decisions
+    "the", "data", "da", "table", "tab", "sort", "so",
+    "spark", "row", "me", "##rge", "##ta")
+
+  val q132Sql: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val maxLen = q132Vocab.map(e =>
+      (if (e.startsWith("##")) e.substring(2) else e).length).max
+    // longest-first candidate chain: for each L, the start-form and
+    // continuation-form literal sets that have body length L
+    val clen = (maxLen to 1 by -1).flatMap { L =>
+      val startL = q132Vocab.filter(e => !e.startsWith("##") && e.length == L)
+      val contL = q132Vocab.filter(e => e.startsWith("##") && e.length - 2 == L)
+      val branches = Seq(
+        if (startL.nonEmpty)
+          Some(s"WHEN pos = 1 AND substring(word, pos, $L) IN " +
+            startL.map(e => s"'${esc(e)}'").mkString("(", ", ", ")") +
+            s" THEN $L")
+        else None,
+        if (contL.nonEmpty)
+          Some(s"WHEN pos > 1 AND substring(word, pos, $L) IN " +
+            contL.map(e => s"'${esc(e.substring(2))}'").mkString("(", ", ", ")") +
+            s" THEN $L")
+        else None).flatten
+      if (branches.isEmpty) None
+      else Some(s"CASE WHEN pos + $L - 1 <= length(word) THEN " +
+        s"CASE ${branches.mkString(" ")} END END")
+    }.mkString(",\n      |          ")
+    s"""WITH RECURSIVE words AS (
+       |  SELECT doc_id, i - 1 AS widx, w[i] AS word
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text), '\\s+'),
+       |                      x -> x <> '') AS w
+       |        FROM documents),
+       |       UNNEST(generate_series(1, len(w))) t(i)),
+       |gr AS (
+       |  SELECT doc_id, widx, word, 1 AS pos, -1 AS tidx,
+       |         CAST(NULL AS VARCHAR) AS token
+       |  FROM words
+       |  UNION ALL
+       |  SELECT doc_id, widx, word,
+       |         CASE WHEN clen IS NULL THEN length(word) + 1
+       |              ELSE pos + clen END,
+       |         tidx + 1,
+       |         CASE WHEN clen IS NULL THEN '[UNK]'
+       |              WHEN pos = 1 THEN substring(word, pos, clen)
+       |              ELSE '##' || substring(word, pos, clen) END
+       |  FROM (
+       |    SELECT *, COALESCE(
+       |          $clen) AS clen
+       |    FROM gr
+       |    WHERE pos <= length(word)
+       |      AND (token IS NULL OR token <> '[UNK]')) g),
+       |toks AS (SELECT doc_id, widx, tidx, token FROM gr WHERE tidx >= 0),
+       |unkw AS (SELECT DISTINCT doc_id, widx FROM toks WHERE token = '[UNK]'),
+       |final AS (
+       |  SELECT t.doc_id, t.widx, t.tidx, t.token
+       |  FROM toks t LEFT JOIN unkw u USING (doc_id, widx)
+       |  WHERE u.doc_id IS NULL
+       |  UNION ALL
+       |  SELECT doc_id, widx, 0, '[UNK]' FROM unkw)
+       |SELECT doc_id, CAST(widx AS BIGINT) AS widx,
+       |       CAST(tidx AS BIGINT) AS tidx, token
+       |FROM final ORDER BY doc_id, widx, tidx""".stripMargin
+  }
+
   def q89BpeStep(spark: SparkSession, dir: String): DataFrame = {
     val d = Load.table(spark, dir, "documents").select("doc_id", "text")
     val (out, _) = graft.text.Bpe.mergeRound(d, "text", sep = "_")
@@ -635,6 +732,7 @@ object SearchQueries {
 
   val oracles: Map[String, String] = Map(
     "q123_unigram_encode" -> q123Sql,
+    "q132_wordpiece_encode" -> q132Sql,
     "q120_bm25_search" -> q120Sql,
     "q67_span_dedup" -> q67Sql,
     "q68_quality_rules" -> q68Sql,
