@@ -58,7 +58,14 @@ object ExplainDump {
     "q120_bm25_search" -> "BM25: one postings shuffle (dl rides the group key), scalar (N,tot) broadcast, query side broadcast, TopKPerKey finish",
     "q122_cms_frequency" -> "count-min: map-side-combined (depth,bucket) build, merge = re-aggregation, probe broadcast-joins the bounded sketch",
     "q123_unigram_encode" -> "narrow Viterbi tokenize: unigram_encode kernel with the vocab as one reference object; only exchange is the output sort",
-    "q124_pq_codes" -> "PQ integer twin: narrow quantize+argmin codes, literal ADC table lookups, no exchange before the output sort")
+    "q124_pq_codes" -> "PQ integer twin: narrow quantize+argmin codes, literal ADC table lookups, no exchange before the output sort",
+    "q126_entropy_gate" -> "char_entropy_fix as one narrow codegen scan; histogram never leaves the row; only exchange is the output sort",
+    "q127_bitext_mine" -> "forward scan broadcasts the batch into TopKPerKey heaps; backward k-NN and final assembly broadcast batch-bounded relations; corpus never reshuffles",
+    "q128_edit_verify" -> "blocking equi-join on (source,prefix,bucket) with only ids+prefixes in the exchange; lev_bounded kernel on candidate texts fetched after",
+    "q129_temperature_mix" -> "corpus work is one token-count aggregation; log2fix∘pow2_neg_fix waterline on the per-language relation",
+    "q130_stream_neardup" -> "LSH index probe + candidate-only exact verify; arriving batch never re-hashes the corpus",
+    "q131_chat_render" -> "in-row render + span arithmetic, no explode, no shuffle before the output sort",
+    "q132_wordpiece_encode" -> "narrow greedy tokenize: wordpiece_encode kernel with the vocab as one reference object; only exchange is the output sort")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

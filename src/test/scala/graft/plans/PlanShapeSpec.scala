@@ -305,6 +305,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus reshuffled:\n$p")
   }
 
+  test("q129/q131/q132: the narrow kernels stay narrow") {
+    // temperature mix: one corpus aggregation; the waterline joins are
+    // all broadcast (per-language relation)
+    val p129 = plan(graft.queries.ScrubQueries.queries("q129_temperature_mix")(spark, sf))
+    assert(p129.contains("pow2_neg_fix") && p129.contains("log2fix"),
+      s"fixed-point kernels missing:\n$p129")
+    assert(!p129.contains("SortMergeJoin"),
+      s"per-language relation reshuffled:\n$p129")
+    // chat render: no explode, no hash exchange before the sink sort
+    val p131 = plan(graft.queries.TextQueries.queries("q131_chat_render")(spark, sf))
+    assert(!p131.contains("Generate"), s"render fell back to explode:\n$p131")
+    assert(!p131.contains("Exchange hashpartitioning"),
+      s"in-row render must not shuffle:\n$p131")
+    // wordpiece: kernel present, vocab as reference, narrow until the sort
+    val p132 = plan(graft.queries.SearchQueries.queries("q132_wordpiece_encode")(spark, sf))
+    assert(p132.contains("wordpiece_encode"), s"kernel missing:\n$p132")
+    assert(!p132.contains("Exchange hashpartitioning"),
+      s"encode pipeline shuffles:\n$p132")
+  }
+
   test("q128: edit verify blocks on an equi-join; texts stay out of the blocking shuffle") {
     val p = plan(graft.queries.DedupQueries.queries("q128_edit_verify")(spark, sf))
     assert(p.contains("lev_bounded"), s"kernel expression missing:\n$p")
