@@ -314,8 +314,14 @@ object TextQueries {
     * tokenize-then-mask step composes with any of the three tokenizer
     * families (q101/q109/q123) downstream.
     */
-  def q131ChatRender(spark: SparkSession, dir: String): DataFrame = {
-    val d = Load.table(spark, dir, "documents")
+  def q131ChatRender(spark: SparkSession, dir: String): DataFrame =
+    chatRender(Load.table(spark, dir, "documents")).orderBy("doc_id")
+
+  /** The render pipeline behind q131, reusable mid-pipeline (q133 feeds
+    * it the entropy-gated slice): (doc_id, text) → (doc_id, n_turns,
+    * rendered, mask_starts, mask_ends).
+    */
+  private[queries] def chatRender(d: DataFrame): DataFrame = {
     // turn derivation on this single-line corpus: 20-word windows (the
     // paragraph split would be `split(text, "\n\n")` — same machinery)
     val words = filter(split(col("text"), "\\s+"), w => length(w) > 0)
@@ -327,7 +333,7 @@ object TextQueries {
     val withParts = d.select(col("doc_id"), parts.as("__parts"))
     val segs = transform(col("__parts"), (p, ix) =>
       concat(when(ix % 2 === 0, lit("<|user|>\n"))
-        .otherwise(lit("<|assistant|>\n")), p, lit("<|end|>\n")))
+        .otherwise(lit("<|assistant|>\n")), p, lit("\n<|end|>\n")))
     // start of part i's CONTENT (i 1-based): all earlier content +
     // earlier headers (user 9, assistant 14 chars) + earlier footers
     // (8 chars) + this part's own header
@@ -336,7 +342,7 @@ object TextQueries {
         (a, x) => a + length(x).cast("long")), lit(0L)) +
         shiftright(i, 1).cast("long") * 9L +
         shiftright(i - 1, 1).cast("long") * 14L +
-        (i - 1).cast("long") * 8L +
+        (i - 1).cast("long") * 9L +
         when(i % 2 === 1, lit(9L)).otherwise(lit(14L))
     val assistantIdx = filter(sequence(lit(1), size(col("__parts"))),
       i => i % 2 === 0)
@@ -346,7 +352,6 @@ object TextQueries {
         transform(assistantIdx, i => startOf(i)).as("mask_starts"),
         transform(assistantIdx, i => startOf(i) +
           length(element_at(col("__parts"), i)).cast("long")).as("mask_ends"))
-      .orderBy("doc_id")
   }
 
   val q131Sql: String =
@@ -363,14 +368,14 @@ object TextQueries {
       |  SELECT doc_id, parts, len(parts) AS n,
       |    [CASE WHEN i % 2 = 1 THEN '<|user|>' || chr(10)
       |          ELSE '<|assistant|>' || chr(10) END
-      |       || parts[i] || '<|end|>' || chr(10)
+      |       || parts[i] || chr(10) || '<|end|>' || chr(10)
       |     FOR i IN generate_series(1, len(parts))] AS segs,
       |    [coalesce(list_sum(list_transform(parts[1:i-1], x -> length(x))), 0)
-      |       + (i // 2) * 9 + ((i - 1) // 2) * 14 + (i - 1) * 8
+      |       + (i // 2) * 9 + ((i - 1) // 2) * 14 + (i - 1) * 9
       |       + CASE WHEN i % 2 = 1 THEN 9 ELSE 14 END
       |     FOR i IN generate_series(1, len(parts)) IF i % 2 = 0] AS starts,
       |    [coalesce(list_sum(list_transform(parts[1:i-1], x -> length(x))), 0)
-      |       + (i // 2) * 9 + ((i - 1) // 2) * 14 + (i - 1) * 8
+      |       + (i // 2) * 9 + ((i - 1) // 2) * 14 + (i - 1) * 9
       |       + CASE WHEN i % 2 = 1 THEN 9 ELSE 14 END + length(parts[i])
       |     FOR i IN generate_series(1, len(parts)) IF i % 2 = 0] AS ends
       |  FROM p0)
@@ -379,6 +384,85 @@ object TextQueries {
       |       list_transform(starts, x -> CAST(x AS BIGINT)) AS mask_starts,
       |       list_transform(ends, x -> CAST(x AS BIGINT)) AS mask_ends
       |FROM r ORDER BY doc_id""".stripMargin
+
+  /** q133: end-to-end SFT data prep — the COMPOSITION gate for the
+    * round's tranche, q54's sibling for the supervised-finetuning path:
+    * entropy-gate the corpus (q126's keep band) → render survivors into
+    * the chat template (q131's machinery mid-pipeline) → count the
+    * rendered whitespace tokens → pack into 2048-token training
+    * sequences (q65's histogram-offset packer — no global window). The
+    * oracle recomputes every stage INDEPENDENTLY: the 16-step log CTE
+    * for the gate, the token count from the CLOSED FORM
+    * `n_words + 2·⌈n_words/20⌉` (template markers per turn) rather
+    * than re-rendering, and the pack as the q65-style running-sum
+    * window — so composition, not just the parts, is hash-gated.
+    */
+  def q133SftPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val kept = d
+      .withColumn("__ent",
+        graft.functions.TextExprs.charEntropyFix(col("text")))
+      .filter(col("__ent") >= 262144L && col("__ent") <= 393216L)
+      .select("doc_id", "text")
+    // NOT tokenCountWs: Spark `trim` strips spaces only, so the
+    // template's trailing newline would yield a trailing empty split
+    // token — filter empties explicitly (matches the oracle)
+    val counts = chatRender(kept).select(col("doc_id"),
+      size(filter(split(col("rendered"), "\\s+"), t => length(t) > 0))
+        .cast("long").as("n_tokens"))
+    graft.text.Sequences.packByBudget(counts, "doc_id", "n_tokens", 2048L)
+      .select("doc_id", "n_tokens", "seq_ix")
+      .orderBy("doc_id")
+  }
+
+  val q133Sql: String =
+    """WITH RECURSIVE
+      |chars AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch
+      |  FROM documents),
+      |hist AS (SELECT doc_id, ch, count(*)::BIGINT AS c
+      |         FROM chars GROUP BY doc_id, ch),
+      |nn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+      |       FROM hist GROUP BY doc_id),
+      |pf AS (SELECT doc_id, ch, c, (1073741824::BIGINT * c) // n AS p_fix
+      |       FROM hist JOIN nn USING (doc_id)),
+      |nrm AS (
+      |  SELECT doc_id, ch, greatest(p_fix, 1) AS m, 0::BIGINT AS k FROM pf
+      |  UNION ALL
+      |  SELECT doc_id, ch, m * 2, k + 1 FROM nrm WHERE m < 1073741824),
+      |normed AS (SELECT doc_id, ch, m, k FROM nrm WHERE m >= 1073741824),
+      |sq AS (
+      |  SELECT doc_id, ch, k, m, 0 AS i, 0::BIGINT AS acc FROM normed
+      |  UNION ALL
+      |  SELECT doc_id, ch, k,
+      |         CASE WHEN m2 >= 2147483648::BIGINT THEN m2 // 2 ELSE m2 END,
+      |         i + 1,
+      |         acc * 2 + CASE WHEN m2 >= 2147483648::BIGINT THEN 1 ELSE 0 END
+      |  FROM (SELECT doc_id, ch, k, (m * m) // 1073741824 AS m2, i, acc
+      |        FROM sq WHERE i < 16) s),
+      |surp AS (SELECT doc_id, ch, k * 65536 - acc AS bits
+      |         FROM sq WHERE i = 16),
+      |ent AS (
+      |  SELECT h.doc_id,
+      |         CAST(sum(h.c * s.bits) // max(nn.n) AS BIGINT) AS e
+      |  FROM hist h JOIN surp s USING (doc_id, ch) JOIN nn USING (doc_id)
+      |  GROUP BY h.doc_id),
+      |kept AS (
+      |  SELECT d.doc_id,
+      |         len(list_filter(string_split_regex(d.text, '\s+'),
+      |                         x -> x <> '')) AS nw
+      |  FROM documents d JOIN ent USING (doc_id)
+      |  WHERE ent.e BETWEEN 262144 AND 393216),
+      |tok AS (
+      |  SELECT doc_id,
+      |         CAST(nw + 2 * ((nw + 19) // 20) AS BIGINT) AS n_tokens,
+      |         substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS draw
+      |  FROM kept)
+      |SELECT doc_id, n_tokens,
+      |       CAST(coalesce(sum(n_tokens) OVER (ORDER BY draw, doc_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+      |         AS BIGINT) AS seq_ix
+      |FROM tok ORDER BY doc_id""".stripMargin
 
   /** q104: n-gram novelty scoring ([[TextAnalysis.ngramNovelty]]) — per
     * doc, the share of distinct word 3-grams unseen in any earlier doc
@@ -578,11 +662,13 @@ object TextQueries {
     "q98_kneser_ney" -> (q98KneserNey _),
     "q102_perplexity_gate" -> (q102PerplexityGate _),
     "q126_entropy_gate" -> (q126EntropyGate _),
-    "q131_chat_render" -> (q131ChatRender _))
+    "q131_chat_render" -> (q131ChatRender _),
+    "q133_sft_pipeline" -> (q133SftPipeline _))
 
   val oracles: Map[String, String] = Map(
     "q126_entropy_gate" -> q126Sql,
     "q131_chat_render" -> q131Sql,
+    "q133_sft_pipeline" -> q133Sql,
     "q20_text_profile" -> q20Sql,
     "q21_quality_score" -> q21Sql,
     "q22_lang_id" -> q22Sql,

@@ -27,7 +27,7 @@ class ChatRenderSpec extends SparkSpec {
         assert(!content.contains("<|"), content)
         assert(rendered.regionMatches(s.toInt - "<|assistant|>\n".length,
           "<|assistant|>\n", 0, 14), s"no assistant header before $s")
-        assert(rendered.regionMatches(e.toInt, "<|end|>\n", 0, 8),
+        assert(rendered.regionMatches(e.toInt, "\n<|end|>\n", 0, 9),
           s"no footer at $e")
         spansChecked += 1
       }
