@@ -1140,7 +1140,111 @@ object DedupQueries {
       |SELECT id_a, id_b, dist FROM p WHERE dist <= 40
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q134: preference-pair construction (DPO/RLHF data prep) — the step
+    * after q133's SFT prep: near-duplicate documents are treated as two
+    * responses to the same underlying prompt (the q128 verify tier
+    * supplies the pairs at edit distance ≤ 40), and each pair is
+    * oriented chosen/rejected by an integer quality score — the q126
+    * entropy, so ranking is float-free and the tie-break (higher
+    * entropy wins; equal → smaller id) replays exactly. Emits the
+    * shared 16-char prompt prefix plus both scores and the margin, the
+    * relation a DPO trainer consumes. Composition: candidates ride the
+    * q128 blocking (ids and prefixes shuffle, texts fetched for
+    * candidates only), scores are a narrow kernel joined by id.
+    */
+  def q134PreferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val pairs = graft.dedup.Dedup.editVerifyPairs(d, "doc_id", "text", "source",
+      bucketWidth = 64, maxDist = 40)
+    val scores = d.select(col("doc_id"),
+      graft.functions.TextExprs.charEntropyFix(col("text")).as("__e"),
+      substring(col("text"), 1, 16).as("__pfx"))
+    pairs
+      .join(scores.select(col("doc_id").as("id_a"), col("__e").as("__ea"),
+        col("__pfx").as("prompt_prefix")), Seq("id_a"))
+      .join(scores.select(col("doc_id").as("id_b"), col("__e").as("__eb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("prompt_prefix"), col("dist"),
+        when(col("__ea") > col("__eb") ||
+          (col("__ea") === col("__eb") && col("id_a") < col("id_b")),
+          col("id_a")).otherwise(col("id_b")).as("chosen_id"),
+        when(col("__ea") > col("__eb") ||
+          (col("__ea") === col("__eb") && col("id_a") < col("id_b")),
+          col("id_b")).otherwise(col("id_a")).as("rejected_id"),
+        greatest(col("__ea"), col("__eb")).as("score_chosen"),
+        least(col("__ea"), col("__eb")).as("score_rejected"),
+        (greatest(col("__ea"), col("__eb")) -
+          least(col("__ea"), col("__eb"))).as("margin"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q134Sql: String =
+    """WITH RECURSIVE d0 AS (
+      |  SELECT doc_id, source, text, length(text)::BIGINT AS len,
+      |         substr(text, 1, 16) AS pfx, length(text) // 64 AS b0
+      |  FROM documents),
+      |e AS (SELECT doc_id, source, pfx, len, b0 AS bk FROM d0
+      |      UNION ALL
+      |      SELECT doc_id, source, pfx, len, b0 + 1 FROM d0),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM e a JOIN e b
+      |    ON a.source = b.source AND a.pfx = b.pfx AND a.bk = b.bk
+      |   AND a.doc_id < b.doc_id AND abs(a.len - b.len) <= 40),
+      |p AS (
+      |  SELECT c.id_a, c.id_b,
+      |         CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
+      |  FROM cand c
+      |  JOIN documents da ON da.doc_id = c.id_a
+      |  JOIN documents db ON db.doc_id = c.id_b),
+      |pairs AS (SELECT id_a, id_b, dist FROM p WHERE dist <= 40),
+      |chars AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch
+      |  FROM documents),
+      |hist AS (SELECT doc_id, ch, count(*)::BIGINT AS c
+      |         FROM chars GROUP BY doc_id, ch),
+      |nn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+      |       FROM hist GROUP BY doc_id),
+      |pfx2 AS (SELECT doc_id, ch, c, (1073741824::BIGINT * c) // n AS p_fix
+      |         FROM hist JOIN nn USING (doc_id)),
+      |nrm AS (
+      |  SELECT doc_id, ch, greatest(p_fix, 1) AS m, 0::BIGINT AS k FROM pfx2
+      |  UNION ALL
+      |  SELECT doc_id, ch, m * 2, k + 1 FROM nrm WHERE m < 1073741824),
+      |normed AS (SELECT doc_id, ch, m, k FROM nrm WHERE m >= 1073741824),
+      |sq AS (
+      |  SELECT doc_id, ch, k, m, 0 AS i, 0::BIGINT AS acc FROM normed
+      |  UNION ALL
+      |  SELECT doc_id, ch, k,
+      |         CASE WHEN m2 >= 2147483648::BIGINT THEN m2 // 2 ELSE m2 END,
+      |         i + 1,
+      |         acc * 2 + CASE WHEN m2 >= 2147483648::BIGINT THEN 1 ELSE 0 END
+      |  FROM (SELECT doc_id, ch, k, (m * m) // 1073741824 AS m2, i, acc
+      |        FROM sq WHERE i < 16) s),
+      |surp AS (SELECT doc_id, ch, k * 65536 - acc AS bits
+      |         FROM sq WHERE i = 16),
+      |ent AS (
+      |  SELECT h.doc_id,
+      |         CAST(sum(h.c * s.bits) // max(nn.n) AS BIGINT) AS ef
+      |  FROM hist h JOIN surp s USING (doc_id, ch) JOIN nn USING (doc_id)
+      |  GROUP BY h.doc_id)
+      |SELECT pr.id_a, pr.id_b, substr(da.text, 1, 16) AS prompt_prefix,
+      |       pr.dist,
+      |       CASE WHEN ea.ef > eb.ef OR (ea.ef = eb.ef AND pr.id_a < pr.id_b)
+      |            THEN pr.id_a ELSE pr.id_b END AS chosen_id,
+      |       CASE WHEN ea.ef > eb.ef OR (ea.ef = eb.ef AND pr.id_a < pr.id_b)
+      |            THEN pr.id_b ELSE pr.id_a END AS rejected_id,
+      |       greatest(ea.ef, eb.ef) AS score_chosen,
+      |       least(ea.ef, eb.ef) AS score_rejected,
+      |       greatest(ea.ef, eb.ef) - least(ea.ef, eb.ef) AS margin
+      |FROM pairs pr
+      |JOIN documents da ON da.doc_id = pr.id_a
+      |JOIN ent ea ON ea.doc_id = pr.id_a
+      |JOIN ent eb ON eb.doc_id = pr.id_b
+      |ORDER BY pr.id_a, pr.id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_preference_pairs" -> (q134PreferencePairs _),
     "q128_edit_verify" -> (q128EditVerify _),
     "q127_bitext_mine" -> (q127BitextMine _),
     "q125_mmr_diversify" -> (q125MmrDiversify _),
@@ -1166,6 +1270,7 @@ object DedupQueries {
     "q83_semantic_decontaminate" -> q83SemanticDecontaminate)
 
   val oracles: Map[String, String] = Map(
+    "q134_preference_pairs" -> q134Sql,
     "q128_edit_verify" -> q128Sql,
     "q127_bitext_mine" -> q127Sql,
     "q125_mmr_diversify" -> q125Sql,

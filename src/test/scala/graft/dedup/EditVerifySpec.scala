@@ -94,6 +94,27 @@ class EditVerifySpec extends SparkSpec {
       UTF8String.fromString("a😀b"), UTF8String.fromString("a😺b"), 5) === 1)
   }
 
+  test("preference pairs orient by entropy with the id tie-break (q134 law)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.TextKernels.charEntropyFix
+    val rows = graft.queries.DedupQueries.q134PreferencePairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val texts = graft.ops.Load.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (chosen, rejected) = (r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id"))
+      val e = Map(a -> charEntropyFix(UTF8String.fromString(texts(a))),
+        b -> charEntropyFix(UTF8String.fromString(texts(b))))
+      assert(Set(chosen, rejected) === Set(a, b))
+      if (e(a) != e(b)) assert(e(chosen) > e(rejected), s"pair ($a,$b)")
+      else assert(chosen < rejected, s"tie must pick the smaller id ($a,$b)")
+      assert(r.getAs[Long]("margin") === e(chosen) - e(rejected))
+      assert(r.getAs[Long]("score_chosen") === e(chosen))
+    }
+  }
+
   test("finds the real template pair in the corpus") {
     val d = graft.ops.Load.table(spark, sf, "documents")
     val out = Dedup.editVerifyPairs(d, "doc_id", "text", "source")
