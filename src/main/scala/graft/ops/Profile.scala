@@ -45,4 +45,35 @@ object Profile {
     packed.select(col("p.column"), col("p.n_rows"), col("p.n_nulls"),
       col("p.n_distinct"), col("p.min_str"), col("p.max_str"))
   }
+
+  /** Snapshot drift report — [[profile]] of two corpus generations
+    * joined per column with INTEGER drift decisions (the data-quality
+    * monitor between crawls; pairs with [[graft.ops.SnapshotDiff]]'s
+    * row-level deltas): null-rate shift beyond 1/`nullDriftDenom`
+    * absolute and distinct-ratio shift beyond `distinctDriftMilli`/1000
+    * absolute, both as cross-multiplied integer compares (never a float
+    * rate), plus a min/max range shift flag. Output is one row per
+    * column — bounded; the per-side corpus work is each profile's
+    * single scan, and the join is a broadcast of a |cols|-row relation.
+    */
+  def drift(a: DataFrame, b: DataFrame, cols: Seq[String],
+      nullDriftDenom: Long = 20L, distinctDriftMilli: Long = 200L): DataFrame = {
+    require(nullDriftDenom > 0 && distinctDriftMilli >= 0)
+    def side(df: DataFrame, tag: String) =
+      profile(df, cols).select(col("column"),
+        col("n_rows").as(s"rows_$tag"), col("n_nulls").as(s"nulls_$tag"),
+        col("n_distinct").as(s"distinct_$tag"),
+        col("min_str").as(s"min_$tag"), col("max_str").as(s"max_$tag"))
+    side(a, "a").join(broadcast(side(b, "b")), Seq("column"))
+      .withColumn("null_drift",
+        (abs(col("nulls_a") * col("rows_b") - col("nulls_b") * col("rows_a")) *
+          lit(nullDriftDenom) > col("rows_a") * col("rows_b")).cast("int"))
+      .withColumn("distinct_drift",
+        (abs(col("distinct_a") * col("rows_b") - col("distinct_b") * col("rows_a")) *
+          lit(1000L) > lit(distinctDriftMilli) * col("rows_a") * col("rows_b"))
+          .cast("int"))
+      .withColumn("range_shift",
+        (!(col("min_a") <=> col("min_b")) || !(col("max_a") <=> col("max_b")))
+          .cast("int"))
+  }
 }

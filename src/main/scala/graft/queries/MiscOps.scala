@@ -1047,6 +1047,54 @@ object MiscOps {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   }
 
+  /** q135: profile-drift monitoring ([[graft.ops.Profile.drift]]) — the
+    * data-quality gate BETWEEN corpus snapshots, q105's cross-run
+    * sibling (q84 diffs rows, this diffs distributions): even/odd order
+    * halves play two crawls, per-column null-rate and distinct-ratio
+    * shifts decide as cross-multiplied integers (never a float rate),
+    * min/max range shifts as string compares. The split plants real
+    * drift: o_orderkey's ranges differ by construction, and the
+    * thresholds are tight enough that genuinely-similar columns flag 0
+    * — both branches gate. Oracle recomputes each side's profile and
+    * all three decisions from scratch.
+    */
+  def q135ProfileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = Load.table(spark, dir, "orders")
+    graft.ops.Profile.drift(
+        o.filter(col("o_orderkey") % 2 === 0),
+        o.filter(col("o_orderkey") % 2 =!= 0),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_orderdate"))
+      .orderBy("column")
+  }
+
+  val q135Sql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority", "o_orderdate")
+    def side(pred: String, tag: String) = cols.map { c =>
+      s"""SELECT '$c' AS "column", count(*)::BIGINT AS rows_$tag,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_$tag,
+         |  count(DISTINCT $c)::BIGINT AS distinct_$tag,
+         |  CAST(min($c) AS VARCHAR) AS min_$tag,
+         |  CAST(max($c) AS VARCHAR) AS max_$tag
+         |FROM orders WHERE $pred""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "")
+    s"""WITH pa AS (
+       |${side("o_orderkey % 2 = 0", "a")}),
+       |pb AS (
+       |${side("o_orderkey % 2 <> 0", "b")})
+       |SELECT pa."column", rows_a, nulls_a, distinct_a, min_a, max_a,
+       |       rows_b, nulls_b, distinct_b, min_b, max_b,
+       |  CAST(abs(nulls_a * rows_b - nulls_b * rows_a) * 20
+       |       > rows_a * rows_b AS INTEGER) AS null_drift,
+       |  CAST(abs(distinct_a * rows_b - distinct_b * rows_a) * 1000
+       |       > 200 * rows_a * rows_b AS INTEGER) AS distinct_drift,
+       |  CAST(min_a IS DISTINCT FROM min_b
+       |       OR max_a IS DISTINCT FROM max_b AS INTEGER) AS range_shift
+       |FROM pa JOIN pb USING ("column")
+       |ORDER BY pa."column"""".stripMargin
+  }
+
   /** q106: Unicode NFC normalization ([[graft.functions.UnicodeNormalize]])
     * — fold decomposed accents back to composed codepoints before any
     * hashing/dedup/tokenization. The corpus is ASCII, so the query
@@ -1116,6 +1164,7 @@ object MiscOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_profile" -> (q105Profile _),
+    "q135_profile_drift" -> (q135ProfileDrift _),
     "q107_range_join" -> (q107RangeJoin _),
     "q106_nfc_normalize" -> (q106NfcNormalize _),
     "q11_set_type" -> q11SetType,
@@ -1148,6 +1197,7 @@ object MiscOps {
 
   val oracles: Map[String, String] = Map(
     "q105_profile" -> q105Sql,
+    "q135_profile_drift" -> q135Sql,
     "q107_range_join" -> q107Sql,
     "q106_nfc_normalize" -> q106Sql,
     "q11_set_type" -> q11Sql,

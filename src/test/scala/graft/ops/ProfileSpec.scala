@@ -51,4 +51,22 @@ class ProfileSpec extends SparkSpec {
       .select(unicodeNormalize(col("s"), "NFKC")).as[String].head()
     assert(viaExpr == Normalizer.normalize(sMixed, Normalizer.Form.NFKC))
   }
+
+  test("drift: planted null and distinct shifts fire; clean columns stay silent") {
+    // side A: no nulls, all-distinct vals; side B: 30% nulls, collapsed vals
+    val a = (1L to 100L).map(i => (i, Some(s"v$i"))).toDF("id", "v")
+    val b = (1L to 100L)
+      .map(i => (i, if (i % 10 < 3) None else Some(s"w${i % 5}")))
+      .toDF("id", "v")
+    val out = graft.ops.Profile.drift(a, b, Seq("id", "v"))
+      .orderBy("column").collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Int]("null_drift"), r.getAs[Int]("distinct_drift"),
+          r.getAs[Int]("range_shift")))).toMap
+    // id: identical on both sides -> nothing fires
+    assert(out("id") === ((0, 0, 0)))
+    // v: 0% -> 30% nulls (fires at 5%), 100 -> 5 distinct (fires at 20%),
+    // and the min/max strings differ
+    assert(out("v") === ((1, 1, 1)))
+  }
 }
