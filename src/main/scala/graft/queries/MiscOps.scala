@@ -836,6 +836,56 @@ object MiscOps {
       |FROM orders, UNNEST(generate_series(1, 2)) t(i)
       |ORDER BY o_orderkey, tag_idx""".stripMargin
 
+  /** q136: corrupt-tolerant JSONL ingestion — the PERMISSIVE-mode
+    * semi-structured ingest path q82's happy-path flatten doesn't
+    * exercise: every 7th record is truncated mid-object, and the
+    * pipeline must recover every valid record's fields while flagging
+    * (not dropping, not failing on) the corrupt ones — Spark's
+    * `from_json` null-out semantics. The JSON text is built by explicit
+    * concatenation in BOTH engines (engine `to_json` field order/format
+    * would differ), then each side parses with its OWN parser — Spark's
+    * Jackson vs DuckDB's yyjson — so the gate checks real parser
+    * agreement on recovery and corruption, not string plumbing.
+    */
+  def q136JsonPermissive(spark: SparkSession, dir: String): DataFrame = {
+    val o = Load.table(spark, dir, "orders")
+    val js = concat(lit("{\"k\":"), col("o_orderkey"),
+      lit(",\"s\":\""), col("o_orderstatus"),
+      lit("\",\"p\":\""), col("o_orderpriority"), lit("\"}"))
+    val corrupted = when(col("o_orderkey") % 7 === 0,
+      expr(s"substring(${"__js"}, 1, length(__js) - 5)")).otherwise(col("__js"))
+    val parsed = o.withColumn("__js", js)
+      .withColumn("__js", corrupted)
+      .withColumn("__p",
+        from_json(col("__js"), StructType(Seq(
+          StructField("k", LongType), StructField("s", StringType),
+          StructField("p", StringType)))))
+    parsed.select(col("o_orderkey").as("id"),
+        col("__p.k").isNotNull.cast("int").as("ok"),
+        col("__p.k").as("k"), col("__p.s").as("s"), col("__p.p").as("p"))
+      .orderBy("id")
+  }
+
+  val q136Sql: String =
+    """WITH j AS (
+      |  SELECT o_orderkey AS id,
+      |         '{"k":' || o_orderkey || ',"s":"' || o_orderstatus ||
+      |           '","p":"' || o_orderpriority || '"}' AS js0
+      |  FROM orders),
+      |c AS (
+      |  SELECT id, CASE WHEN id % 7 = 0
+      |                  THEN substring(js0, 1, length(js0) - 5)
+      |                  ELSE js0 END AS js
+      |  FROM j)
+      |SELECT id, CAST(json_valid(js) AS INTEGER) AS ok,
+      |       CASE WHEN json_valid(js)
+      |            THEN CAST(json_extract_string(js, '$.k') AS BIGINT) END AS k,
+      |       CASE WHEN json_valid(js)
+      |            THEN json_extract_string(js, '$.s') END AS s,
+      |       CASE WHEN json_valid(js)
+      |            THEN json_extract_string(js, '$.p') END AS p
+      |FROM c ORDER BY id""".stripMargin
+
   /** q84: snapshot diff between two corpus versions — v2 deletes every
     * 13th doc, rewrites the text of every 7th surviving doc, and adds
     * copies under shifted ids for every 11th. The full-outer hash
@@ -1165,6 +1215,7 @@ object MiscOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_profile" -> (q105Profile _),
     "q135_profile_drift" -> (q135ProfileDrift _),
+    "q136_json_permissive" -> (q136JsonPermissive _),
     "q107_range_join" -> (q107RangeJoin _),
     "q106_nfc_normalize" -> (q106NfcNormalize _),
     "q11_set_type" -> q11SetType,
@@ -1198,6 +1249,7 @@ object MiscOps {
   val oracles: Map[String, String] = Map(
     "q105_profile" -> q105Sql,
     "q135_profile_drift" -> q135Sql,
+    "q136_json_permissive" -> q136Sql,
     "q107_range_join" -> q107Sql,
     "q106_nfc_normalize" -> q106Sql,
     "q11_set_type" -> q11Sql,
