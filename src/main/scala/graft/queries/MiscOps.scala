@@ -836,6 +836,39 @@ object MiscOps {
       |FROM orders, UNNEST(generate_series(1, 2)) t(i)
       |ORDER BY o_orderkey, tag_idx""".stripMargin
 
+  /** q137: streaming trending event types
+    * ([[graft.streaming.Streams.windowedTrending]]) — per-hour top-3
+    * keys with the Misra–Gries summary as the aggregation state, q116's
+    * heavy-hitters sibling: O(capacity) per open window where exact
+    * counting buffers the window's whole key traffic. Capacity 16
+    * exceeds the stream's distinct event types, so the MG exact regime
+    * holds and the oracle gates against plain exact counts with the
+    * summary's (cnt desc, key asc) tie order. StreamingSpec drives the
+    * identical aggregation through readStream and asserts stream ==
+    * batch (the sketch buffer is a pure set-function of the window).
+    */
+  def q137StreamTrending(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Load.events(spark, dir)
+    graft.streaming.Streams.windowedTrending(ev, "event_type")
+      .orderBy("hour_start", "rank")
+  }
+
+  val q137Sql: String =
+    """WITH ev AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+      |         event_type
+      |  FROM events),
+      |c AS (SELECT hour_start, event_type, count(*)::BIGINT AS cnt
+      |      FROM ev GROUP BY 1, 2),
+      |n AS (SELECT hour_start, CAST(sum(cnt) AS BIGINT) AS n_events
+      |      FROM c GROUP BY 1),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY hour_start
+      |               ORDER BY cnt DESC, event_type) AS rank FROM c)
+      |SELECT r.hour_start, n.n_events, CAST(r.rank AS BIGINT) AS rank,
+      |       r.event_type, r.cnt
+      |FROM r JOIN n USING (hour_start) WHERE r.rank <= 3
+      |ORDER BY hour_start, rank""".stripMargin
+
   /** q136: corrupt-tolerant JSONL ingestion — the PERMISSIVE-mode
     * semi-structured ingest path q82's happy-path flatten doesn't
     * exercise: every 7th record is truncated mid-object, and the
@@ -1216,6 +1249,7 @@ object MiscOps {
     "q105_profile" -> (q105Profile _),
     "q135_profile_drift" -> (q135ProfileDrift _),
     "q136_json_permissive" -> (q136JsonPermissive _),
+    "q137_stream_trending" -> (q137StreamTrending _),
     "q107_range_join" -> (q107RangeJoin _),
     "q106_nfc_normalize" -> (q106NfcNormalize _),
     "q11_set_type" -> q11SetType,
@@ -1250,6 +1284,7 @@ object MiscOps {
     "q105_profile" -> q105Sql,
     "q135_profile_drift" -> q135Sql,
     "q136_json_permissive" -> q136Sql,
+    "q137_stream_trending" -> q137Sql,
     "q107_range_join" -> q107Sql,
     "q106_nfc_normalize" -> q106Sql,
     "q11_set_type" -> q11Sql,

@@ -67,6 +67,34 @@ object Streams {
         size(col("__sk")).cast("long").as("sketch_size"),
         graft.functions.Kmv.estimate(col("__sk"), k).as("est_users"))
 
+  /** Streaming trending keys per window — the Misra–Gries summary as
+    * the state-store buffer, the heavy-hitters sibling of
+    * [[windowedDistinctUsers]]'s KMV: per-window top-`topN` keys with
+    * O(capacity) state per open window (a `collect_list`/exact-count
+    * buffer grows with the window's traffic). Exact — not approximate —
+    * whenever the window's distinct keys fit `capacity` (the MG exact
+    * regime), which is the deployment shape for typed event streams;
+    * q137's batch twin gates that regime against plain exact counts,
+    * and StreamingSpec asserts streamed == batch twin bit-for-bit.
+    * Ties rank (cnt desc, key asc) — the summary's output order.
+    */
+  def windowedTrending(events: DataFrame, keyCol: String,
+      window_ : String = "1 hour", watermark: String = "1 hour",
+      capacity: Int = 16, topN: Int = 3): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col(keyCol))
+      .groupBy(window(col("ts"), window_))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.FreqItemsAgg.freqItems(array(col(keyCol)), capacity)
+          .as("__hh"))
+      .select(col("window"), col("n_events"),
+        posexplode(col("__hh")).as(Seq("__r", "__e")))
+      .filter(col("__r") < topN)
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+        col("n_events"), (col("__r") + 1).cast(LongType).as("rank"),
+        col("__e.item").as(keyCol), col("__e.cnt").as("cnt"))
+
   /** Streaming exact dedup: drop repeated keys arriving within the
     * watermark horizon (`dropDuplicatesWithinWatermark` — state for a key
     * is evictable once the watermark passes it, so state stays bounded on

@@ -60,6 +60,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming MG trending == batch q137 exactly (summary as state buffer)") {
+    val dir = java.nio.file.Files.createTempDirectory("events_mg_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val stream = Streams.windowedTrending(
+      Streams.readEvents(spark, dir.toString), "event_type")
+    val qname = "stream_mg_trending"
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(qname)
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(qname).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4))).toSet
+    val batch = graft.queries.MiscOps.q137StreamTrending(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4))).toSet
+    // exact, not approximate: capacity exceeds the window's distinct
+    // keys, so the MG summary IS the exact per-window count relation
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming dedup-within-watermark drops planted duplicate event_ids") {
     // source dir: the events file + a copy of itself = every event twice
     val dir = java.nio.file.Files.createTempDirectory("events_dup_stream")
