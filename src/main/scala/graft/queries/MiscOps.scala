@@ -869,6 +869,82 @@ object MiscOps {
       |FROM r JOIN n USING (hour_start) WHERE r.rank <= 3
       |ORDER BY hour_start, rank""".stripMargin
 
+  /** q138: event-rate anomaly detection — the monitoring query over the
+    * stream's hourly counts: an hour is a SPIKE when its count exceeds
+    * `num/den` × the trailing-24h mean, decided as the cross-multiplied
+    * integer compare `cnt·den·w > num·trailing_sum` (w = trailing hours
+    * actually present, so the first day self-scales); hours with no
+    * trailing history never flag. One count aggregation + one bounded
+    * 24-row window over the HOURLY relation (720 rows at sf0.01), never
+    * over raw events — the aggregate-then-window shape that survives
+    * any event volume.
+    */
+  def q138RateAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Load.events(spark, dir)
+    val hourly = ev
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+        col("cnt"))
+    val trail = Window.orderBy("hour_start").rowsBetween(-24, -1)
+    hourly
+      .withColumn("trail_sum", coalesce(sum("cnt").over(trail), lit(0L)))
+      .withColumn("trail_n", count(lit(1)).over(trail).cast(LongType))
+      .withColumn("spike",
+        (col("trail_n") > 0 &&
+          col("cnt") * lit(2L) * col("trail_n") > lit(3L) * col("trail_sum"))
+          .cast("int")) // threshold 3/2 × trailing mean
+      .orderBy("hour_start")
+  }
+
+  val q138Sql: String =
+    """WITH h AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+      |         count(*)::BIGINT AS cnt
+      |  FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT hour_start, cnt,
+      |    CAST(coalesce(sum(cnt) OVER (ORDER BY hour_start
+      |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS trail_sum,
+      |    CAST(count(*) OVER (ORDER BY hour_start
+      |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT) AS trail_n
+      |  FROM h)
+      |SELECT hour_start, cnt, trail_sum, trail_n,
+      |       CAST(trail_n > 0 AND cnt * 2 * trail_n > 3 * trail_sum
+      |         AS INTEGER) AS spike
+      |FROM t ORDER BY hour_start""".stripMargin
+
+  /** q139: retention cohorts — the classic event-analytics rollup: users
+    * cohorted by FIRST-seen day, retention(k) = how many of the cohort
+    * return k days later. Two aggregations (first-seen per user, then
+    * (cohort, day-offset) distinct users) over user-keyed exchanges —
+    * distinct-user state never crosses day boundaries unaggregated. All
+    * integers (epoch-day arithmetic), exact distinct counts.
+    */
+  def q139RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Load.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(first, Seq("user_id"))
+      .withColumn("offset_days", col("day") - col("cohort_day"))
+      .groupBy("cohort_day", "offset_days")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
+  val q139Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |  FROM events),
+      |f AS (SELECT user_id, CAST(min(day) AS BIGINT) AS cohort_day
+      |      FROM ev GROUP BY user_id)
+      |SELECT f.cohort_day, ev.day - f.cohort_day AS offset_days,
+      |       count(DISTINCT ev.user_id)::BIGINT AS n_users
+      |FROM ev JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** q136: corrupt-tolerant JSONL ingestion — the PERMISSIVE-mode
     * semi-structured ingest path q82's happy-path flatten doesn't
     * exercise: every 7th record is truncated mid-object, and the
@@ -1250,6 +1326,8 @@ object MiscOps {
     "q135_profile_drift" -> (q135ProfileDrift _),
     "q136_json_permissive" -> (q136JsonPermissive _),
     "q137_stream_trending" -> (q137StreamTrending _),
+    "q138_rate_anomaly" -> (q138RateAnomaly _),
+    "q139_retention_cohorts" -> (q139RetentionCohorts _),
     "q107_range_join" -> (q107RangeJoin _),
     "q106_nfc_normalize" -> (q106NfcNormalize _),
     "q11_set_type" -> q11SetType,
@@ -1285,6 +1363,8 @@ object MiscOps {
     "q135_profile_drift" -> q135Sql,
     "q136_json_permissive" -> q136Sql,
     "q137_stream_trending" -> q137Sql,
+    "q138_rate_anomaly" -> q138Sql,
+    "q139_retention_cohorts" -> q139Sql,
     "q107_range_join" -> q107Sql,
     "q106_nfc_normalize" -> q106Sql,
     "q11_set_type" -> q11Sql,
