@@ -265,7 +265,52 @@ object ScrubQueries {
        |FROM rk CROSS JOIN rm ORDER BY rk.lang""".stripMargin
   }
 
+  /** q140: k-anonymity audit — the data-governance gate next to the PII
+    * redaction tier (q24 removes direct identifiers; this flags
+    * QUASI-identifier combinations): customers grouped by the
+    * (market segment, 250-unit balance bucket) tuple, any group
+    * smaller than k = 5 is re-identifiable and its members are flagged
+    * for suppression/generalization. One map-side-combined group count
+    * broadcast back onto the rows — the flag relation stays row-aligned
+    * so a downstream suppress step is a filter, not a join it has to
+    * invent. All integer: bucket arithmetic and the k compare.
+    */
+  def q140KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val c = Load.table(spark, dir, "customer")
+    val keyed = c.select(col("c_custkey"),
+      when(col("c_acctbal") < 0, lit(-1L))
+        .otherwise(floor(col("c_acctbal") / 250.0).cast("long"))
+        .as("bal_bucket"),
+      col("c_mktsegment").as("segment"))
+    val sizes = keyed.groupBy("bal_bucket", "segment")
+      .agg(count(lit(1)).as("group_n"))
+    keyed.join(sizes, Seq("bal_bucket", "segment"))
+      .select(col("c_custkey"), col("bal_bucket"),
+        col("segment"), col("group_n"),
+        (col("group_n") < 5).cast("int").as("reidentifiable"))
+      .orderBy("c_custkey")
+  }
+
+  val q140Sql: String =
+    """WITH keyed AS (
+      |  SELECT c_custkey,
+      |         CASE WHEN c_acctbal < 0 THEN -1
+      |              ELSE CAST(floor(c_acctbal / 250.0) AS BIGINT) END
+      |           AS bal_bucket,
+      |         c_mktsegment AS segment
+      |  FROM customer),
+      |sizes AS (
+      |  SELECT bal_bucket, segment,
+      |         count(*)::BIGINT AS group_n
+      |  FROM keyed GROUP BY 1, 2)
+      |SELECT k.c_custkey, k.bal_bucket, k.segment,
+      |       s.group_n, CAST(s.group_n < 5 AS INTEGER) AS reidentifiable
+      |FROM keyed k JOIN sizes s
+      |  USING (bal_bucket, segment)
+      |ORDER BY k.c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_k_anonymity" -> (q140KAnonymity _),
     "q129_temperature_mix" -> (q129TemperatureMix _),
     "q121_unimax_mix" -> (q121UnimaxMix _),
     "q117_multi_scrub" -> (q117MultiScrub _),
@@ -381,6 +426,7 @@ object ScrubQueries {
       |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q140_k_anonymity" -> q140Sql,
     "q129_temperature_mix" -> q129Sql,
     "q121_unimax_mix" -> q121Sql,
     "q117_multi_scrub" -> q117Sql,
