@@ -319,7 +319,7 @@ object TextQueries {
 
   /** The render pipeline behind q131, reusable mid-pipeline (q133 feeds
     * it the entropy-gated slice): (doc_id, text) → (doc_id, n_turns,
-    * rendered, mask_starts, mask_ends).
+    * rendered, mask_spans) with spans serialized "start:end;start:end".
     */
   private[queries] def chatRender(d: DataFrame): DataFrame = {
     // turn derivation on this single-line corpus: 20-word windows (the
@@ -349,9 +349,13 @@ object TextQueries {
     withParts.select(col("doc_id"),
         size(col("__parts")).cast("long").as("n_turns"),
         array_join(segs, "").as("rendered"),
-        transform(assistantIdx, i => startOf(i)).as("mask_starts"),
-        transform(assistantIdx, i => startOf(i) +
-          length(element_at(col("__parts"), i)).cast("long")).as("mask_ends"))
+        // spans serialize to ONE canonical "s:e;s:e" string — scalar
+        // columns only, so any engine/harness hashes them identically
+        // (array cells are where compare layers disagree)
+        array_join(transform(assistantIdx, i =>
+          concat_ws(":", startOf(i), startOf(i) +
+            length(element_at(col("__parts"), i)).cast("long"))), ";")
+          .as("mask_spans"))
   }
 
   val q131Sql: String =
@@ -370,19 +374,21 @@ object TextQueries {
       |          ELSE '<|assistant|>' || chr(10) END
       |       || parts[i] || chr(10) || '<|end|>' || chr(10)
       |     FOR i IN generate_series(1, len(parts))] AS segs,
-      |    [coalesce(list_sum(list_transform(parts[1:i-1], x -> length(x))), 0)
-      |       + (i // 2) * 9 + ((i - 1) // 2) * 14 + (i - 1) * 9
-      |       + CASE WHEN i % 2 = 1 THEN 9 ELSE 14 END
-      |     FOR i IN generate_series(1, len(parts)) IF i % 2 = 0] AS starts,
-      |    [coalesce(list_sum(list_transform(parts[1:i-1], x -> length(x))), 0)
-      |       + (i // 2) * 9 + ((i - 1) // 2) * 14 + (i - 1) * 9
-      |       + CASE WHEN i % 2 = 1 THEN 9 ELSE 14 END + length(parts[i])
-      |     FOR i IN generate_series(1, len(parts)) IF i % 2 = 0] AS ends
+      |    [CAST(coalesce(list_sum(list_transform(parts[1:i-1],
+      |                                           x -> length(x))), 0)
+      |          + (i // 2) * 9 + ((i - 1) // 2) * 14 + (i - 1) * 9
+      |          + CASE WHEN i % 2 = 1 THEN 9 ELSE 14 END AS VARCHAR)
+      |     || ':' ||
+      |     CAST(coalesce(list_sum(list_transform(parts[1:i-1],
+      |                                           x -> length(x))), 0)
+      |          + (i // 2) * 9 + ((i - 1) // 2) * 14 + (i - 1) * 9
+      |          + CASE WHEN i % 2 = 1 THEN 9 ELSE 14 END
+      |          + length(parts[i]) AS VARCHAR)
+      |     FOR i IN generate_series(1, len(parts)) IF i % 2 = 0] AS spans
       |  FROM p0)
       |SELECT doc_id, CAST(n AS BIGINT) AS n_turns,
       |       array_to_string(segs, '') AS rendered,
-      |       list_transform(starts, x -> CAST(x AS BIGINT)) AS mask_starts,
-      |       list_transform(ends, x -> CAST(x AS BIGINT)) AS mask_ends
+      |       coalesce(array_to_string(spans, ';'), '') AS mask_spans
       |FROM r ORDER BY doc_id""".stripMargin
 
   /** q133: end-to-end SFT data prep — the COMPOSITION gate for the

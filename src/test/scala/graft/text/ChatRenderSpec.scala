@@ -17,8 +17,10 @@ class ChatRenderSpec extends SparkSpec {
     rows.foreach { r =>
       val nTurns = r.getLong(1)
       val rendered = r.getString(2)
-      val starts = r.getSeq[Long](3)
-      val ends = r.getSeq[Long](4)
+      val spans = r.getString(3).split(";").filter(_.nonEmpty)
+        .map { sp => val Array(a, b) = sp.split(":"); (a.toLong, b.toLong) }
+      val starts = spans.map(_._1).toSeq
+      val ends = spans.map(_._2).toSeq
       assert(starts.size === (nTurns / 2).toInt, s"doc ${r.getLong(0)}")
       assert(starts.size === ends.size)
       starts.zip(ends).foreach { case (s, e) =>

@@ -16,10 +16,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(df):
-    import pandas as pd
     df = df.reindex(sorted(df.columns), axis=1)
-    if len(df):
-        df = df.sort_values(by=list(df.columns), ignore_index=True)
     # canonical textual form per cell
     def cell(v):
         if v is None:
@@ -31,7 +28,11 @@ def norm(df):
         if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
             return "[" + ",".join(cell(x) for x in v) + "]"
         return str(v)
-    return [[cell(v) for v in row] for row in df.itertuples(index=False)], list(df.columns)
+    # stringify BEFORE sorting: pandas sort_values on ndarray/list cells
+    # raises (unhashable) — sort the canonical string rows instead
+    rows = [[cell(v) for v in row] for row in df.itertuples(index=False)]
+    rows.sort()
+    return rows, list(df.columns)
 
 
 def main():
