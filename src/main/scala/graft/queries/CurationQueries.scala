@@ -450,6 +450,69 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** q141: exact triangle counting ([[graft.graphs.Triangles]]) over
+    * q97's closed-form link multigraph — the local-clustering signal
+    * (link-farm neighborhoods are triangle-dense). Node ordering makes
+    * each triangle appear exactly once in the two-join plan (no 6-way
+    * overcount, no dedup pass); zero-triangle nodes report 0 via the
+    * node left join. The oracle rebuilds the canonical edge set and
+    * replays the identical ordered joins.
+    */
+  def q141Triangles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.graphs.Triangles
+    val docs = Load.table(spark, dir, "documents").select(col("doc_id").as("id"))
+    val n = docs.count()
+    val base = docs.select(col("id").as("src"),
+      explode(array(
+        (col("id") * 7 + 13) % n,
+        (col("id") * 31 + 7) % n,
+        (col("id") * 13 + 101) % n)).as("dst"))
+    // the 3-out multigraph is triangle-free at these sizes; plant a
+    // closed triple every 20 ids so the count gates real structure
+    val closers = docs.filter(col("id") % 20 === 0 && col("id") + 2 < n)
+      .select(col("id"), explode(array(
+        struct(col("id").as("src"), (col("id") + 1).as("dst")),
+        struct((col("id") + 1).as("src"), (col("id") + 2).as("dst")),
+        struct(col("id").as("src"), (col("id") + 2).as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+    val edges = base.unionByName(closers)
+    val counts = Triangles.perNode(Triangles.canonical(edges, "src", "dst"))
+    docs.join(counts, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
+  val q141Sql: String =
+    """WITH nn AS (SELECT count(*) AS cnt FROM documents),
+      |nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+      |edges0 AS (
+      |  SELECT id AS src, (id * 7 + 13) % cnt AS dst FROM nodes, nn
+      |  UNION ALL SELECT id, (id * 31 + 7) % cnt FROM nodes, nn
+      |  UNION ALL SELECT id, (id * 13 + 101) % cnt FROM nodes, nn
+      |  UNION ALL SELECT id, id + 1 FROM nodes, nn
+      |            WHERE id % 20 = 0 AND id + 2 < cnt
+      |  UNION ALL SELECT id + 1, id + 2 FROM nodes, nn
+      |            WHERE id % 20 = 0 AND id + 2 < cnt
+      |  UNION ALL SELECT id, id + 2 FROM nodes, nn
+      |            WHERE id % 20 = 0 AND id + 2 < cnt),
+      |e AS (
+      |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM edges0 WHERE src <> dst),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1
+      |  JOIN e e2 ON e1.b = e2.a
+      |  JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+      |pern AS (
+      |  SELECT id, count(*)::BIGINT AS n_triangles
+      |  FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+      |        UNION ALL SELECT z FROM tri)
+      |  GROUP BY id)
+      |SELECT n.id AS doc_id, coalesce(p.n_triangles, 0) AS n_triangles
+      |FROM nodes n LEFT JOIN pern p USING (id)
+      |ORDER BY doc_id""".stripMargin
+
   val q97Sql: String =
     """WITH nn AS (SELECT count(*) AS cnt FROM documents),
       |nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
@@ -804,6 +867,7 @@ object CurationQueries {
     "q79_freq_items" -> (q79FreqItems _),
     "q87_vocab_encode" -> (q87VocabEncode _),
     "q97_pagerank" -> (q97PageRank _),
+    "q141_triangles" -> (q141Triangles _),
     "q118_quantile_sketch" -> (q118QuantileSketch _),
     "q119_weighted_sample" -> (q119WeightedSample _))
 
@@ -929,6 +993,7 @@ object CurationQueries {
     "q79_freq_items" -> q79Sql,
     "q87_vocab_encode" -> q87Sql,
     "q97_pagerank" -> q97Sql,
+    "q141_triangles" -> q141Sql,
     "q118_quantile_sketch" -> q118Sql,
     "q119_weighted_sample" -> q119Sql)
 }
