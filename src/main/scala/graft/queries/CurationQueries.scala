@@ -513,6 +513,62 @@ object CurationQueries {
       |FROM nodes n LEFT JOIN pern p USING (id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q142: deterministic label propagation ([[graft.graphs.LabelProp]])
+    * — three synchronous majority rounds over q97's link graph from
+    * id%5 seed labels: the community/label-spreading primitive whose
+    * per-round (neighbor-vote, argmax-with-smaller-label-tie) update is
+    * a pure function of the previous snapshot, so the oracle UNROLLS
+    * all three rounds as chained CTEs and every final label hash-gates.
+    */
+  def q142LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.graphs.LabelProp
+    val docs = Load.table(spark, dir, "documents").select(col("doc_id").as("id"))
+    val n = docs.count()
+    val edges = docs.select(col("id").as("src"),
+      explode(array(
+        (col("id") * 7 + 13) % n,
+        (col("id") * 31 + 7) % n,
+        (col("id") * 13 + 101) % n)).as("dst"))
+    val seeded = docs.withColumn("seed", col("id") % 5)
+    LabelProp.sync(edges, seeded, "id", "seed", rounds = 3)
+      .select(col("id").as("doc_id"), col("label"))
+      .orderBy("doc_id")
+  }
+
+  val q142Sql: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""c$r AS (
+         |  SELECT ue.u, l${r - 1}.label, count(*)::BIGINT AS c
+         |  FROM ue JOIN l${r - 1} ON l${r - 1}.id = ue.v
+         |  GROUP BY ue.u, l${r - 1}.label),
+         |p$r AS (
+         |  SELECT u, label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY u
+         |             ORDER BY c DESC, label) AS rn FROM c$r) x
+         |  WHERE rn = 1),
+         |l$r AS (
+         |  SELECT n.id, coalesce(p$r.label, l${r - 1}.label) AS label
+         |  FROM nodes n
+         |  LEFT JOIN p$r ON p$r.u = n.id
+         |  JOIN l${r - 1} ON l${r - 1}.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS cnt FROM documents),
+       |nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+       |edges0 AS (
+       |  SELECT id AS src, (id * 7 + 13) % cnt AS dst FROM nodes, nn
+       |  UNION ALL SELECT id, (id * 31 + 7) % cnt FROM nodes, nn
+       |  UNION ALL SELECT id, (id * 13 + 101) % cnt FROM nodes, nn),
+       |ue AS (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT src AS u, dst AS v FROM edges0
+       |    UNION ALL SELECT dst, src FROM edges0) t
+       |  WHERE u <> v),
+       |l0 AS (SELECT id, id % 5 AS label FROM nodes),
+       |$rounds
+       |SELECT id AS doc_id, CAST(label AS BIGINT) AS label
+       |FROM l3 ORDER BY doc_id""".stripMargin
+  }
+
   val q97Sql: String =
     """WITH nn AS (SELECT count(*) AS cnt FROM documents),
       |nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
@@ -868,6 +924,7 @@ object CurationQueries {
     "q87_vocab_encode" -> (q87VocabEncode _),
     "q97_pagerank" -> (q97PageRank _),
     "q141_triangles" -> (q141Triangles _),
+    "q142_label_prop" -> (q142LabelProp _),
     "q118_quantile_sketch" -> (q118QuantileSketch _),
     "q119_weighted_sample" -> (q119WeightedSample _))
 
@@ -994,6 +1051,7 @@ object CurationQueries {
     "q87_vocab_encode" -> q87Sql,
     "q97_pagerank" -> q97Sql,
     "q141_triangles" -> q141Sql,
+    "q142_label_prop" -> q142Sql,
     "q118_quantile_sketch" -> q118Sql,
     "q119_weighted_sample" -> q119Sql)
 }
