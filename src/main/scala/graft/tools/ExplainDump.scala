@@ -65,7 +65,11 @@ object ExplainDump {
     "q129_temperature_mix" -> "corpus work is one token-count aggregation; log2fix∘pow2_neg_fix waterline on the per-language relation",
     "q130_stream_neardup" -> "LSH index probe + candidate-only exact verify; arriving batch never re-hashes the corpus",
     "q131_chat_render" -> "in-row render + span arithmetic, no explode, no shuffle before the output sort",
-    "q132_wordpiece_encode" -> "narrow greedy tokenize: wordpiece_encode kernel with the vocab as one reference object; only exchange is the output sort")
+    "q132_wordpiece_encode" -> "narrow greedy tokenize: wordpiece_encode kernel with the vocab as one reference object; only exchange is the output sort",
+    "q133_sft_pipeline" -> "gate+render+count in one narrow stage; the packer's bounded histogram exchange is the only corpus shuffle",
+    "q137_stream_trending" -> "MG summaries are the only aggregation state crossing the window exchange",
+    "q141_triangles" -> "node-ordered triangle join: two id-keyed equi-joins, no dedup pass",
+    "q142_label_prop" -> "per-round neighbor join + count; degree-bounded tie windows; labels stay (id, long)")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
