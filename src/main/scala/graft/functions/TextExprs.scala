@@ -166,6 +166,122 @@ object TextKernels {
     acc / n
   }
 
+  /** All n-gram substrings over the normalized buffer, in document
+    * order (non-distinct), each spanning `starts(g) until starts(g+n)-1`
+    * — i.e. internal single spaces included, exactly the string
+    * `array_to_string(words[g:g+n-1], ' ')` the SQL replay builds.
+    */
+  private def gramSpans(sb: java.lang.StringBuilder, starts: Array[Int],
+      len: Int, n: Int): Array[String] = {
+    val m = starts.length
+    if (m < n) return Array.empty
+    val out = new Array[String](m - n + 1)
+    var g = 0
+    while (g <= m - n) {
+      val from = starts(g)
+      val until = if (g + n < m) starts(g + n) - 1 else len
+      out(g) = sb.substring(from, until)
+      g += 1
+    }
+    out
+  }
+
+  /** Gopher repetition profile (Rae et al. 2021 §A1.1) in ONE
+    * normalization pass, all-integer output — the self-repetition gate
+    * the per-document dup-line ratio ([[graft.text.QualityRules]]) and
+    * the corpus-level signals (paragraph dedup, boilerplate) don't
+    * cover: looped generations and listicles repeat *n-grams inside one
+    * document*. Returns a 10-long array over the normalized text
+    * (lowercase, whitespace runs → one space, trim):
+    *
+    *   [0]    normalized char length (the fraction denominators)
+    *   [1..3] n ∈ {2,3,4}: max over distinct word n-grams of
+    *          occurrences × gram char length — the "fraction of chars
+    *          in the most frequent n-gram" numerator. Taking the max of
+    *          the coverage PRODUCT (not argmax count, then product)
+    *          makes the statistic deterministic under count ties and
+    *          upper-bounds Gopher's phrasing.
+    *   [4..9] n ∈ {5..10}: chars covered by ≥2-occurrence n-grams,
+    *          counting each char once (interval union over occurrence
+    *          spans) — the "fraction of chars in duplicated n-grams"
+    *          numerator.
+    *
+    * All values are exact integers, so thresholds gate via
+    * cross-multiplied compares and the whole profile hash-gates
+    * cross-engine. The SQL replay computes coverage as a window-based
+    * interval union (running max of span ends) — a genuinely different
+    * algorithm from this kernel's ordered-walk end pointer. Char
+    * positions are UTF-16 units vs the replay's codepoints: identical
+    * for BMP text (the corpus; non-BMP only shifts both numerator and
+    * denominator of a ratio gate).
+    *
+    * Per-row cost: 9 gram passes over ≤ m words each, one HashMap per
+    * n; zero shuffles at any corpus size — this is a pure map-stage
+    * statistic like [[charEntropyFix]].
+    */
+  def repetitionProfile(s: UTF8String): ArrayData = {
+    val (sb, starts, len) = normalizeWords(s)
+    val out = new Array[Long](10)
+    out(0) = len.toLong
+    var slot = 1
+    var n = 2
+    while (n <= 4) {
+      val gs = gramSpans(sb, starts, len, n)
+      if (gs.nonEmpty) {
+        val counts = new java.util.HashMap[String, Integer](gs.length * 2)
+        var g = 0
+        while (g < gs.length) {
+          val prev = counts.get(gs(g))
+          counts.put(gs(g), if (prev == null) 1 else prev + 1)
+          g += 1
+        }
+        var best = 0L
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val v = e.getValue.toLong * e.getKey.length
+          if (v > best) best = v
+        }
+        out(slot) = best
+      }
+      slot += 1
+      n += 1
+    }
+    n = 5
+    while (n <= 10) {
+      val gs = gramSpans(sb, starts, len, n)
+      if (gs.nonEmpty) {
+        val counts = new java.util.HashMap[String, Integer](gs.length * 2)
+        var g = 0
+        while (g < gs.length) {
+          val prev = counts.get(gs(g))
+          counts.put(gs(g), if (prev == null) 1 else prev + 1)
+          g += 1
+        }
+        // occurrences are in start order, so the union is one walk with
+        // an end pointer: extend coverage only past what's already counted
+        var covEnd = 0
+        var covered = 0L
+        g = 0
+        while (g < gs.length) {
+          if (counts.get(gs(g)) >= 2) {
+            val s0 = starts(g)
+            val e0 = s0 + gs(g).length
+            if (e0 > covEnd) {
+              covered += e0 - math.max(s0, covEnd)
+              covEnd = e0
+            }
+          }
+          g += 1
+        }
+        out(slot) = covered
+      }
+      slot += 1
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Threshold Levenshtein distance over CODEPOINTS, or −1 when above
     * `maxDist` — value-identical to the classical full-matrix DP (and
     * to DuckDB's `levenshtein`, which q128's oracle uses as the
@@ -288,6 +404,26 @@ case class CharEntropyFix(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Gopher repetition profile: [den, top2..top4, dup5..dup10] exact
+  * integers in one codegen'd pass (see kernel doc).
+  */
+case class RepetitionProfile(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "repetition_profile"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.repetitionProfile(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.repetitionProfile($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionProfile =
+    copy(child = newChild)
+}
+
 /** All word-n-gram strings (ordered, non-distinct) in one codegen'd pass. */
 case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
 
@@ -341,4 +477,7 @@ object TextExprs {
 
   def wordGrams(text: Column, n: Int): Column =
     EU.column(WordGrams(EU.expression(text), n))
+
+  def repetitionProfile(text: Column): Column =
+    EU.column(RepetitionProfile(EU.expression(text)))
 }

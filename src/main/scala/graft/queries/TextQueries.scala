@@ -657,6 +657,127 @@ object TextQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** q143: Gopher self-repetition gate (Rae et al. 2021 §A1.1) — the
+    * within-document repetition rules the corpus-level dedup family
+    * can't see: looped generations and listicles repeat n-grams inside
+    * ONE document. [[graft.functions.TextKernels.repetitionProfile]]
+    * computes all nine signals (top-{2,3,4}-gram char coverage,
+    * duplicated-{5..10}-gram char coverage, interval-union exact) in a
+    * single codegen'd pass — integers end to end, so every threshold is
+    * a cross-multiplied compare and the whole profile hash-gates. The
+    * corpus is unioned with planted looped docs (a 60-char prefix
+    * repeated 5×, built by `repeat`/`substr` identically in both
+    * engines) so the duplicated-n-gram branch fires on real loops while
+    * the natural docs split on the top-gram rules (published Gopher
+    * bounds verbatim: 0.20/0.18/0.16 and 0.15 down to 0.10). The oracle
+    * replays coverage as a window-function interval union (running max
+    * of span ends) over word-offset prefix sums — a different algorithm
+    * from the kernel's ordered end-pointer walk, same integers.
+    * Zero-shuffle narrow map at any corpus size; only exchange is the
+    * output sort.
+    */
+  def q143RepetitionGate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val planted = d.select((col("doc_id") + lit(100000L)).as("doc_id"),
+      repeat(concat(substring(col("text"), 1, 60), lit(" ")), 5).as("text"))
+    val uni = d.select(col("doc_id"), col("text")).unionByName(planted)
+    val staged = uni.select(col("doc_id"),
+      graft.functions.TextExprs.repetitionProfile(col("text")).as("__p"))
+    val names = Seq("n_chars", "top2_chars", "top3_chars", "top4_chars",
+      "dup5_chars", "dup6_chars", "dup7_chars", "dup8_chars", "dup9_chars",
+      "dup10_chars")
+    val stats = names.zipWithIndex.map { case (nm, i) => col("__p")(i).as(nm) }
+    val keep = RepetitionThresholds.map { case (c, t) =>
+      col(c) * lit(100L) <= lit(t.toLong) * col("n_chars")
+    }.reduce(_ && _)
+    staged.select(col("doc_id") +: stats: _*)
+      .withColumn("keep", keep.cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Published Gopher bounds, percent numerators of the char fractions. */
+  private val RepetitionThresholds = Seq(
+    "top2_chars" -> 20, "top3_chars" -> 18, "top4_chars" -> 16,
+    "dup5_chars" -> 15, "dup6_chars" -> 14, "dup7_chars" -> 13,
+    "dup8_chars" -> 12, "dup9_chars" -> 11, "dup10_chars" -> 10)
+
+  val q143Sql: String = {
+    val keepSql = RepetitionThresholds.map { case (c, t) =>
+      s"COALESCE(p.$c, 0) * 100 <= $t * w.den"
+    }.mkString(" AND ")
+    s"""WITH documents_u AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, repeat(substr(text, 1, 60) || ' ', 5)
+       |  FROM documents),
+       |norm AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+       |  FROM documents_u),
+       |wrd AS (
+       |  SELECT doc_id, length(s)::BIGINT AS den,
+       |         CASE WHEN s = '' THEN CAST([] AS VARCHAR[])
+       |              ELSE string_split(s, ' ') END AS w
+       |  FROM norm),
+       |starts AS (
+       |  SELECT doc_id, i,
+       |         COALESCE(SUM(length(w[i]) + 1) OVER (PARTITION BY doc_id ORDER BY i
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start0
+       |  FROM wrd, UNNEST(generate_series(1, len(w))) AS t(i)),
+       |base AS (SELECT w.doc_id, w.w, ns.n FROM wrd w
+       |         CROSS JOIN (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns),
+       |occ AS (
+       |  SELECT b.doc_id, b.n, t.i,
+       |         array_to_string(b.w[t.i:t.i + b.n - 1], ' ') AS g
+       |  FROM base b,
+       |       UNNEST(generate_series(1, greatest(len(b.w) - b.n + 1, 0))) AS t(i)),
+       |cnt AS (SELECT doc_id, n, g, count(*)::BIGINT AS c
+       |        FROM occ GROUP BY doc_id, n, g),
+       |top AS (SELECT doc_id, n, max(c * length(g))::BIGINT AS chars
+       |        FROM cnt WHERE n <= 4 GROUP BY doc_id, n),
+       |dupocc AS (
+       |  SELECT o.doc_id, o.n, s.start0 AS s0, s.start0 + length(o.g) AS e0
+       |  FROM occ o
+       |  JOIN cnt c ON c.doc_id = o.doc_id AND c.n = o.n AND c.g = o.g
+       |  JOIN starts s ON s.doc_id = o.doc_id AND s.i = o.i
+       |  WHERE c.c >= 2 AND o.n >= 5),
+       |cov AS (
+       |  SELECT doc_id, n,
+       |         SUM(GREATEST(0, e0 - GREATEST(s0, COALESCE(me, 0))))::BIGINT AS chars
+       |  FROM (SELECT doc_id, n, s0, e0,
+       |               MAX(e0) OVER (PARTITION BY doc_id, n ORDER BY s0, e0
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS me
+       |        FROM dupocc) x
+       |  GROUP BY doc_id, n),
+       |stats AS (SELECT doc_id, n, chars FROM top
+       |          UNION ALL SELECT doc_id, n, chars FROM cov),
+       |piv AS (
+       |  SELECT doc_id,
+       |         COALESCE(MAX(CASE WHEN n = 2 THEN chars END), 0) AS top2_chars,
+       |         COALESCE(MAX(CASE WHEN n = 3 THEN chars END), 0) AS top3_chars,
+       |         COALESCE(MAX(CASE WHEN n = 4 THEN chars END), 0) AS top4_chars,
+       |         COALESCE(MAX(CASE WHEN n = 5 THEN chars END), 0) AS dup5_chars,
+       |         COALESCE(MAX(CASE WHEN n = 6 THEN chars END), 0) AS dup6_chars,
+       |         COALESCE(MAX(CASE WHEN n = 7 THEN chars END), 0) AS dup7_chars,
+       |         COALESCE(MAX(CASE WHEN n = 8 THEN chars END), 0) AS dup8_chars,
+       |         COALESCE(MAX(CASE WHEN n = 9 THEN chars END), 0) AS dup9_chars,
+       |         COALESCE(MAX(CASE WHEN n = 10 THEN chars END), 0) AS dup10_chars
+       |  FROM stats GROUP BY doc_id)
+       |SELECT d.doc_id, w.den AS n_chars,
+       |       COALESCE(p.top2_chars, 0) AS top2_chars,
+       |       COALESCE(p.top3_chars, 0) AS top3_chars,
+       |       COALESCE(p.top4_chars, 0) AS top4_chars,
+       |       COALESCE(p.dup5_chars, 0) AS dup5_chars,
+       |       COALESCE(p.dup6_chars, 0) AS dup6_chars,
+       |       COALESCE(p.dup7_chars, 0) AS dup7_chars,
+       |       COALESCE(p.dup8_chars, 0) AS dup8_chars,
+       |       COALESCE(p.dup9_chars, 0) AS dup9_chars,
+       |       COALESCE(p.dup10_chars, 0) AS dup10_chars,
+       |       CAST($keepSql AS INTEGER) AS keep
+       |FROM documents_u d JOIN wrd w USING (doc_id)
+       |LEFT JOIN piv p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_ngram_novelty" -> (q104NgramNovelty _),
     "q113_nb_classifier" -> (q113NbClassifier _),
@@ -668,11 +789,13 @@ object TextQueries {
     "q98_kneser_ney" -> (q98KneserNey _),
     "q102_perplexity_gate" -> (q102PerplexityGate _),
     "q126_entropy_gate" -> (q126EntropyGate _),
+    "q143_repetition_gate" -> (q143RepetitionGate _),
     "q131_chat_render" -> (q131ChatRender _),
     "q133_sft_pipeline" -> (q133SftPipeline _))
 
   val oracles: Map[String, String] = Map(
     "q126_entropy_gate" -> q126Sql,
+    "q143_repetition_gate" -> q143Sql,
     "q131_chat_render" -> q131Sql,
     "q133_sft_pipeline" -> q133Sql,
     "q20_text_profile" -> q20Sql,
