@@ -903,7 +903,85 @@ object CurationQueries {
       |SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank, token, cnt
       |FROM c ORDER BY rank LIMIT 50""".stripMargin
 
+  /** q144: deterministic training-shard shuffle
+    * ([[graft.text.Splits.shardShuffle]]) — the curated corpus' last
+    * step: a seed-reproducible pseudorandom order, split into 16 shards
+    * with in-shard positions, no RNG state and no global counter (the
+    * permutation key is `md5("42-" doc_id)`, the shard its first 8 hex
+    * chars mod 16). One narrow md5 projection, one shard-keyed
+    * exchange, per-shard sorts — no global window at any corpus size;
+    * shard count is the 100 TB lever. The oracle replays the same draw
+    * with DuckDB's own md5/hex-cast and an independent window rank.
+    */
+  def q144TrainShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    Splits.shardShuffle(d.select("doc_id"), "doc_id", 16, "42")
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  val q144Sql: String =
+    """WITH k AS (
+      |  SELECT doc_id, md5('42-' || CAST(doc_id AS VARCHAR)) AS skey
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, skey,
+      |         CAST(CAST('0x' || substring(skey, 1, 8) AS BIGINT) % 16
+      |           AS INTEGER) AS shard
+      |  FROM k)
+      |SELECT doc_id, shard,
+      |       CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+      |         AS BIGINT) AS pos
+      |FROM s ORDER BY shard, pos""".stripMargin
+
+  /** q145: GPT-style token-stream blocking
+    * ([[graft.text.Sequences.blockSpans]]) — the corpus concatenated in
+    * the stable hash-draw order and cut at fixed 256-token boundaries,
+    * SPLITTING straddling documents mid-doc (what a pretraining loader
+    * actually consumes; q65's packing deliberately assigns whole docs).
+    * Per-(doc, block) span rows carry doc_off/block_off/span_len, so
+    * Σ span_len per doc = its token count and every block except the
+    * last tiles to exactly 256. The stream offset is the q65 two-tier
+    * prefix sum (bucket histogram + per-bucket window — no global
+    * window); the oracle replays it as ONE global running-sum window
+    * plus a generate_series explode — different plan, same integers.
+    */
+  def q145BlockSpans(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+      .withColumn("n_tokens", TextAnalysis.tokenCountWs(col("text")))
+      .select("doc_id", "n_tokens")
+    Sequences.blockSpans(d, "doc_id", "n_tokens", 256L)
+      .orderBy("block_id", "block_off")
+  }
+
+  val q145Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(trim(text)) = 0 THEN 0
+      |              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+      |         substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS draw
+      |  FROM documents),
+      |off AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY draw, doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) AS bef
+      |  FROM t),
+      |spans AS (
+      |  SELECT doc_id, n_tokens, bef,
+      |         unnest(generate_series(bef // 256, (bef + n_tokens - 1) // 256))
+      |           AS block_id
+      |  FROM off WHERE n_tokens > 0)
+      |SELECT doc_id, block_id,
+      |       GREATEST(bef, block_id * 256) - bef AS doc_off,
+      |       GREATEST(bef, block_id * 256) - block_id * 256 AS block_off,
+      |       LEAST(bef + n_tokens, (block_id + 1) * 256)
+      |         - GREATEST(bef, block_id * 256) AS span_len
+      |FROM spans ORDER BY block_id, block_off""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_block_spans" -> (q145BlockSpans _),
+    "q144_train_shuffle" -> (q144TrainShuffle _),
     "q100_paragraph_dedup" -> (q100ParagraphDedup _),
     "q108_sketch_merge" -> (q108SketchMerge _),
     "q63_cluster_split" -> (q63ClusterSplit _),
@@ -1031,6 +1109,8 @@ object CurationQueries {
       |FROM p ORDER BY l_returnflag, q_num, q_den""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q145_block_spans" -> q145Sql,
+    "q144_train_shuffle" -> q144Sql,
     "q100_paragraph_dedup" -> q100Sql,
     "q108_sketch_merge" -> q108Sql,
     "q63_cluster_split" -> q63Sql,

@@ -68,6 +68,19 @@ object Sequences {
   def packByBudget(df: DataFrame, idCol: String, weightCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    withStreamOffset(df, idCol, weightCol)
+      .withColumn("seq_ix",
+        expr(s"__before div ${budget}L").cast(LongType))
+      .drop("__before")
+  }
+
+  /** Append `__before` — the exact global token offset of each row in
+    * the stable [[Scrub.hashDraw]] stream order — WITHOUT a global
+    * window (the two-tier bucket-histogram scheme [[packByBudget]]
+    * documents; this is its factored core).
+    */
+  private def withStreamOffset(df: DataFrame, idCol: String,
+      weightCol: String): DataFrame = {
     val bucketed = df
       .withColumn("__draw", Scrub.hashDraw(col(idCol)))
       .withColumn("__bkt", shiftright(col("__draw"), 16))
@@ -84,8 +97,44 @@ object Sequences {
     bucketed.join(broadcast(base), Seq("__bkt"))
       .withColumn("__before",
         col("__base") + coalesce(sum(col(weightCol)).over(exact), lit(0L)))
-      .withColumn("seq_ix",
-        expr(s"__before div ${budget}L").cast(LongType))
-      .drop("__draw", "__bkt", "__base", "__before")
+      .drop("__draw", "__bkt", "__base")
+  }
+
+  /** GPT-style token-stream BLOCKING — the other half of the packing
+    * story: [[packByBudget]] assigns each whole row to the bin it starts
+    * in; real pretraining loaders instead concatenate the corpus into
+    * one token stream and cut it at fixed `blockSize` boundaries, so a
+    * document that straddles a boundary is SPLIT mid-doc. Emits one row
+    * per (doc, block) span:
+    *
+    *   block_id  — which block the span lands in
+    *   doc_off   — the span's first token within the document
+    *   block_off — the span's first token within the block
+    *   span_len  — tokens in the span (Σ per doc = its weight; Σ per
+    *               block = blockSize except the final block)
+    *
+    * The stream offset is the same two-tier prefix sum (no global
+    * window); the explode fans each row out to its ≤ 1 + w/blockSize
+    * covered blocks — bounded per row, so task sizes stay flat at any
+    * corpus size. Zero-weight rows contribute no spans.
+    */
+  def blockSpans(df: DataFrame, idCol: String, weightCol: String,
+      blockSize: Long): DataFrame = {
+    require(blockSize > 0, s"blockSize must be positive, got $blockSize")
+    val w = col(weightCol).cast(LongType)
+    withStreamOffset(df, idCol, weightCol)
+      .filter(w > 0)
+      .select(col(idCol), w.as("__w"), col("__before"),
+        explode(sequence(
+          expr(s"__before div ${blockSize}L"),
+          expr(s"(__before + ${weightCol} - 1) div ${blockSize}L")))
+          .as("block_id"))
+      .withColumn("__bstart", col("block_id") * lit(blockSize))
+      .withColumn("__s", greatest(col("__before"), col("__bstart")))
+      .select(col(idCol), col("block_id").cast(LongType).as("block_id"),
+        (col("__s") - col("__before")).as("doc_off"),
+        (col("__s") - col("__bstart")).as("block_off"),
+        (least(col("__before") + col("__w"),
+          col("__bstart") + lit(blockSize)) - col("__s")).as("span_len"))
   }
 }

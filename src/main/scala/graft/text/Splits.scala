@@ -42,4 +42,35 @@ object Splits {
       weights: Seq[(String, Int)] = Seq("train" -> 8, "val" -> 1, "test" -> 1),
       out: String = "split"): DataFrame =
     df.withColumn(out, splitColumn(col(unitCol), weights))
+
+  /** Deterministic training-order shuffle + shard assignment — the last
+    * step before a curated corpus is written as training shards: every
+    * run must see documents in a seed-reproducible pseudorandom order,
+    * split into `nShards` files, with NO coordinated state (no RNG, no
+    * global counter). The permutation key is `md5(seed "-" key)` — a
+    * stable draw like [[splitColumn]]'s, so reshuffling is just a new
+    * seed — the shard is the key's first 8 hex chars mod `nShards`
+    * (uniform, so shards balance), and `pos` is the row's rank WITHIN
+    * its shard (per-shard order is what a data loader consumes; loaders
+    * interleave shards themselves).
+    *
+    * Plan: one narrow md5 projection, ONE shard-keyed exchange, and a
+    * per-shard sort — no global window. Shard count is the scale lever:
+    * at 100 TB pick nShards ≈ a few × cluster parallelism so each
+    * shard's sort is an in-executor external sort (4096 shards ⇒ ~25 GB
+    * each); the plan shape is invariant in nShards.
+    */
+  def shardShuffle(df: DataFrame, keyCol: String, nShards: Int, seed: String,
+      shardOut: String = "shard", posOut: String = "pos"): DataFrame = {
+    require(nShards > 0, s"need nShards > 0, got $nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardOut)).orderBy(col("__skey"), col(keyCol))
+    df.withColumn("__skey",
+        md5(concat_ws("-", lit(seed), col(keyCol).cast(StringType))))
+      .withColumn(shardOut,
+        pmod(conv(substring(col("__skey"), 1, 8), 16, 10).cast(LongType),
+          lit(nShards.toLong)).cast(IntegerType))
+      .withColumn(posOut, row_number().over(w).cast(LongType))
+      .drop("__skey")
+  }
 }

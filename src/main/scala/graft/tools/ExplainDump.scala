@@ -69,7 +69,10 @@ object ExplainDump {
     "q133_sft_pipeline" -> "gate+render+count in one narrow stage; the packer's bounded histogram exchange is the only corpus shuffle",
     "q137_stream_trending" -> "MG summaries are the only aggregation state crossing the window exchange",
     "q141_triangles" -> "node-ordered triangle join: two id-keyed equi-joins, no dedup pass",
-    "q142_label_prop" -> "per-round neighbor join + count; degree-bounded tie windows; labels stay (id, long)")
+    "q142_label_prop" -> "per-round neighbor join + count; degree-bounded tie windows; labels stay (id, long)",
+    "q143_repetition_gate" -> "repetition_profile: nine Gopher signals in one codegen'd narrow pass; only exchange is the output sort",
+    "q144_train_shuffle" -> "seeded md5 permutation: narrow key projection, one shard-keyed exchange, per-shard rank windows — no global window",
+    "q145_block_spans" -> "two-tier stream offset (bucket histogram + per-bucket window) + bounded per-row block explode; no corpus-wide window")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -92,4 +92,88 @@ class SequencesSpec extends SparkSpec {
     // all three splits materialize at this cluster count
     assert(got.select("split").distinct().count() == 3)
   }
+
+  // ---- blockSpans ------------------------------------------------------
+
+  test("blockSpans tiles the stream exactly: per-doc and per-block sums") {
+    val docs = (1L to 120L).map(i => (i, 1L + (i % 37))).toDF("doc_id", "w")
+    val spans = Sequences.blockSpans(docs, "doc_id", "w", 64L).cache()
+    try {
+      val total = docs.agg(sum("w")).as[Long].head()
+      // every token lands in exactly one span of one block
+      assert(spans.agg(sum("span_len")).as[Long].head() == total)
+      val perDoc = spans.groupBy("doc_id").agg(sum("span_len").as("s"))
+        .join(docs, "doc_id").filter(col("s") =!= col("w")).count()
+      assert(perDoc == 0)
+      // all blocks except the last hold exactly blockSize tokens
+      val lastBlock = (total - 1) / 64L
+      val badBlocks = spans.groupBy("block_id").agg(sum("span_len").as("s"))
+        .filter(col("block_id") < lastBlock && col("s") =!= 64L).count()
+      assert(badBlocks == 0)
+      // spans tile each block contiguously from offset 0
+      val badTile = spans.groupBy("block_id")
+        .agg(min("block_off").as("mn"), sum("span_len").as("s"),
+          max(col("block_off") + col("span_len")).as("hi"))
+        .filter(col("mn") =!= 0L || col("hi") =!= col("s")).count()
+      assert(badTile == 0)
+      // a straddling doc is split: more span rows than docs
+      assert(spans.count() > 120)
+      // doc_off starts at 0 and chains within each doc
+      val badChain = spans.groupBy("doc_id")
+        .agg(min("doc_off").as("mn"), sum("span_len").as("s"),
+          max(col("doc_off") + col("span_len")).as("hi"))
+        .filter(col("mn") =!= 0L || col("hi") =!= col("s")).count()
+      assert(badChain == 0)
+    } finally spans.unpersist()
+  }
+
+  test("blockSpans first block agrees with packByBudget's assignment") {
+    val docs = (1L to 200L).map(i => (i, 3L + (i % 11))).toDF("doc_id", "w")
+    val first = Sequences.blockSpans(docs, "doc_id", "w", 32L)
+      .groupBy("doc_id").agg(min("block_id").as("b"))
+    val packed = Sequences.packByBudget(docs, "doc_id", "w", 32L)
+    val diff = first.join(packed, "doc_id")
+      .filter(col("b") =!= col("seq_ix")).count()
+    assert(diff == 0)
+  }
+
+  test("blockSpans drops zero-weight rows and is layout independent") {
+    val docs = ((1L to 50L).map(i => (i, i % 7)) :+ (99L, 0L))
+      .toDF("doc_id", "w")
+    val a = Sequences.blockSpans(docs, "doc_id", "w", 16L).collect().toSet
+    val b = Sequences.blockSpans(docs.repartition(9), "doc_id", "w", 16L)
+      .collect().toSet
+    assert(a == b)
+    assert(!a.exists(_.getLong(0) == 99L))
+    assert(!docs.filter(col("w") === 0).isEmpty)
+  }
+
+  // ---- shardShuffle ----------------------------------------------------
+
+  test("shardShuffle is a permutation: each row once, ranks contiguous") {
+    val docs = (1L to 500L).toDF("doc_id")
+    val got = Splits.shardShuffle(docs, "doc_id", 8, "seed-a").cache()
+    try {
+      assert(got.count() == 500)
+      assert(got.select("doc_id").distinct().count() == 500)
+      // per shard, pos must be exactly 1..count(shard)
+      val bad = got.groupBy("shard")
+        .agg(count("*").as("n"), max("pos").as("mx"), min("pos").as("mn"),
+          countDistinct("pos").as("d"))
+        .filter(col("mx") =!= col("n") || col("mn") =!= 1 || col("d") =!= col("n"))
+      assert(bad.count() == 0)
+      // 8 shards of 500 uniform draws all materialize
+      assert(got.select("shard").distinct().count() == 8)
+    } finally got.unpersist()
+  }
+
+  test("shardShuffle is deterministic in the seed and changes with it") {
+    val docs = (1L to 300L).toDF("doc_id")
+    val a1 = Splits.shardShuffle(docs, "doc_id", 8, "s1").collect().toSet
+    val a2 = Splits.shardShuffle(docs.repartition(7), "doc_id", 8, "s1")
+      .collect().toSet
+    assert(a1 == a2) // layout-independent and run-reproducible
+    val b = Splits.shardShuffle(docs, "doc_id", 8, "s2").collect().toSet
+    assert(a1 != b) // a new seed is a new permutation
+  }
 }
