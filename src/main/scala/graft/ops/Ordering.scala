@@ -45,6 +45,62 @@ object Ordering {
     df.withColumn(out,
       row_number().over(Window.partitionBy(key.map(col): _*).orderBy(col(ordCol))))
 
+  /** EXACT global rank WITHOUT a global window — the scale-safe
+    * alternative to [[orderIndex]] for corpus tables, for measures with
+    * a bounded value domain (token counts, scores, sizes): rank over
+    * (value, tie) = rows-with-smaller-value + row_number within the
+    * value. The value histogram (one map-side-combined aggregation,
+    * ≤ |distinct values| tiny rows) is prefix-summed ALONE and
+    * broadcast back; the exact tie-break window partitions BY VALUE —
+    * the same two-tier scheme as `Sequences.packByBudget`, keyed on the
+    * value itself so rank is order-exact, not just stable. Parallelism
+    * is the distinct-value count: a single massively-repeated value
+    * funnels its ties through one task — acceptable for integer
+    * measures whose per-value populations are corpus fractions, not the
+    * corpus (else bucket the tie space first).
+    */
+  def exactRank(df: DataFrame, valueCol: String, tieCol: String,
+      out: String = "rank"): DataFrame = {
+    val base = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
+      .withColumn("__base",
+        coalesce(sum("__c").over(Window.orderBy(col(valueCol))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(valueCol), col("__base"))
+    val w = Window.partitionBy(col(valueCol)).orderBy(col(tieCol))
+    df.join(broadcast(base), Seq(valueCol))
+      .withColumn(out, (col("__base") + row_number().over(w)).cast("long"))
+      .drop("__base")
+  }
+
+  /** Exact equal-population quantile bucketing on top of [[exactRank]]:
+    * bucket = ⌊buckets · (rank−1) / total⌋ — populations differ by at
+    * most one, boundaries are exact integers (not [[graft.functions
+    * .QuantileSketch]] approximations), and `total` rides the same
+    * broadcast histogram, so the corpus still shuffles exactly once (by
+    * value). The curriculum-ordering primitive: bucket by difficulty,
+    * then order within buckets however the loader wants.
+    */
+  def quantileBucket(df: DataFrame, valueCol: String, tieCol: String,
+      buckets: Int, out: String = "bucket",
+      rankOut: String = "rank"): DataFrame = {
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    val hist = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
+    val based = hist
+      .withColumn("__base",
+        coalesce(sum("__c").over(Window.orderBy(col(valueCol))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__total",
+        sum("__c").over(Window.orderBy(col(valueCol))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(valueCol), col("__base"), col("__total"))
+    val w = Window.partitionBy(col(valueCol)).orderBy(col(tieCol))
+    df.join(broadcast(based), Seq(valueCol))
+      .withColumn(rankOut, (col("__base") + row_number().over(w)).cast("long"))
+      .withColumn(out,
+        expr(s"(${buckets}L * ($rankOut - 1L)) div __total").cast("long"))
+      .drop("__base", "__total")
+  }
+
   /** A2 dedup with suffix: repeated `key` values get `.1`, `.2`, … appended
     * in arrival order (reference: organisations.py:44-52 on doc_id).
     */

@@ -979,7 +979,110 @@ object CurationQueries {
       |         - GREATEST(bef, block_id * 256) AS span_len
       |FROM spans ORDER BY block_id, block_off""".stripMargin
 
+  /** q146: curriculum bucketing — EXACT global rank and equal-population
+    * deciles over a difficulty measure (token count: the classic
+    * short→long schedule) with NO global window
+    * ([[graft.ops.Ordering.quantileBucket]]): the value histogram is
+    * prefix-summed alone and broadcast back, the tie-break window
+    * partitions by value, and bucket = ⌊10·(rank−1)/total⌋ in exact
+    * integers — the scale-safe alternative to `orderIndex` (and the
+    * exact sibling of q118's mergeable quantile sketch). The oracle IS
+    * the global window this plan avoids: row_number over (n_tokens,
+    * doc_id) plus the same floor arithmetic — different plan, same
+    * integers.
+    */
+  def q146Curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+      .withColumn("n_tokens", TextAnalysis.tokenCountWs(col("text")))
+      .select("doc_id", "n_tokens")
+    graft.ops.Ordering.quantileBucket(d, "n_tokens", "doc_id", 10,
+        out = "decile")
+      .select(col("doc_id"), col("n_tokens"), col("rank"), col("decile"))
+      .orderBy("doc_id")
+  }
+
+  val q146Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(trim(text)) = 0 THEN 0
+      |              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS rank,
+      |         CAST(count(*) OVER () AS BIGINT) AS total
+      |  FROM t)
+      |SELECT doc_id, n_tokens, rank,
+      |       CAST((10 * (rank - 1)) // total AS BIGINT) AS decile
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** q147: the training-layout pipeline SPEC-DRIVEN end to end — one
+    * declarative document drives Gopher repetition gating, survivor
+    * filtering, exact curriculum bucketing, and the seeded shard
+    * shuffle through [[graft.runner.SpecInterpreter]] (q111's replay
+    * discipline applied to the curation tier's final stages — one
+    * declarative plan on each side of the checkpoint barrier). The
+    * oracle rebuilds every stage
+    * independently: the q143 interval-union CTE chain for the gate, a
+    * global row_number window for the rank the plan avoids, DuckDB's
+    * own md5 draw for the shard — so the gate checks the COMPOSITION,
+    * not just the steps. The checkpoint right after the gate is
+    * load-bearing pipeline authoring, not ceremony: the pushed-down
+    * keep filter re-derives the 9-signal kernel inside its Filter
+    * condition, and quantile_bucket's histogram branch re-executes its
+    * whole upstream plan — without the barrier the kernel ran ~5× per
+    * doc (measured 6.8 s at sf0.1; with it, 1.4 s: the gate runs
+    * exactly once per doc and the downstream stages re-read ~20
+    * integer bytes/row).
+    */
+  def q147LayoutPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val spec =
+      """{"pipeline": [
+        | {"run": "load", "params": {"table": "documents", "name": "d"}},
+        | {"run": "repetition_gate", "params": {"resource": "d", "field": "text"}},
+        | {"run": "select_fields", "params": {"resource": "d",
+        |   "fields": ["doc_id", "n_chars", "keep_repetition"]}},
+        | {"run": "checkpoint", "params": {"resource": "d", "name": "q147_gate"}},
+        | {"run": "filter_rows", "params": {"resource": "d",
+        |   "equals": [{"keep_repetition": 1}]}},
+        | {"run": "quantile_bucket", "params": {"resource": "d",
+        |   "value": "n_chars", "tie": "doc_id", "buckets": 10}},
+        | {"run": "shard_shuffle", "params": {"resource": "d",
+        |   "key": "doc_id", "shards": 8, "seed": "7"}},
+        | {"run": "select_fields", "params": {"resource": "d",
+        |   "fields": ["doc_id", "n_chars", "rank", "bucket", "shard", "pos"]}},
+        | {"run": "sort", "params": {"resource": "d", "by": ["doc_id"]}}
+        |]}""".stripMargin
+    graft.runner.SpecInterpreter.run(spark, dir, spec)("d").df
+  }
+
+  val q147Sql: String =
+    s"""WITH ${TextQueries.repetitionSqlCtes("documents")},
+       |surv AS (SELECT doc_id, n_chars FROM rep WHERE keep = 1),
+       |r AS (
+       |  SELECT doc_id, n_chars,
+       |         CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
+       |         CAST(count(*) OVER () AS BIGINT) AS total
+       |  FROM surv),
+       |k AS (
+       |  SELECT doc_id, md5('7-' || CAST(doc_id AS VARCHAR)) AS skey
+       |  FROM surv),
+       |sh AS (
+       |  SELECT doc_id, skey,
+       |         CAST(CAST('0x' || substring(skey, 1, 8) AS BIGINT) % 8
+       |           AS INTEGER) AS shard
+       |  FROM k)
+       |SELECT r.doc_id, r.n_chars, r.rank,
+       |       CAST((10 * (r.rank - 1)) // r.total AS BIGINT) AS bucket,
+       |       sh.shard,
+       |       CAST(row_number() OVER (PARTITION BY sh.shard
+       |         ORDER BY sh.skey, sh.doc_id) AS BIGINT) AS pos
+       |FROM r JOIN sh USING (doc_id)
+       |ORDER BY r.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_layout_pipeline" -> (q147LayoutPipeline _),
+    "q146_curriculum" -> (q146Curriculum _),
     "q145_block_spans" -> (q145BlockSpans _),
     "q144_train_shuffle" -> (q144TrainShuffle _),
     "q100_paragraph_dedup" -> (q100ParagraphDedup _),
@@ -1109,6 +1212,8 @@ object CurationQueries {
       |FROM p ORDER BY l_returnflag, q_num, q_den""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q147_layout_pipeline" -> q147Sql,
+    "q146_curriculum" -> q146Sql,
     "q145_block_spans" -> q145Sql,
     "q144_train_shuffle" -> q144Sql,
     "q100_paragraph_dedup" -> q100Sql,

@@ -681,38 +681,23 @@ object TextQueries {
     val planted = d.select((col("doc_id") + lit(100000L)).as("doc_id"),
       repeat(concat(substring(col("text"), 1, 60), lit(" ")), 5).as("text"))
     val uni = d.select(col("doc_id"), col("text")).unionByName(planted)
-    val staged = uni.select(col("doc_id"),
-      graft.functions.TextExprs.repetitionProfile(col("text")).as("__p"))
-    val names = Seq("n_chars", "top2_chars", "top3_chars", "top4_chars",
-      "dup5_chars", "dup6_chars", "dup7_chars", "dup8_chars", "dup9_chars",
-      "dup10_chars")
-    val stats = names.zipWithIndex.map { case (nm, i) => col("__p")(i).as(nm) }
-    val keep = RepetitionThresholds.map { case (c, t) =>
-      col(c) * lit(100L) <= lit(t.toLong) * col("n_chars")
-    }.reduce(_ && _)
-    staged.select(col("doc_id") +: stats: _*)
-      .withColumn("keep", keep.cast("int"))
+    val names = "n_chars" +: graft.text.QualityRules.RepetitionBounds.map(_._1)
+    graft.text.QualityRules.repetitionFlags(uni, "text", keepCol = "keep")
+      .select((col("doc_id") +: names.map(col)) :+ col("keep"): _*)
       .orderBy("doc_id")
   }
 
-  /** Published Gopher bounds, percent numerators of the char fractions. */
-  private val RepetitionThresholds = Seq(
-    "top2_chars" -> 20, "top3_chars" -> 18, "top4_chars" -> 16,
-    "dup5_chars" -> 15, "dup6_chars" -> 14, "dup7_chars" -> 13,
-    "dup8_chars" -> 12, "dup9_chars" -> 11, "dup10_chars" -> 10)
-
-  val q143Sql: String = {
-    val keepSql = RepetitionThresholds.map { case (c, t) =>
+  /** The repetition-profile CTE chain over source relation `src`,
+    * terminating in `rep(doc_id, n_chars, top2.. dup10, keep)` — shared
+    * by q143 (planted-union corpus) and q147 (spec-replay pipeline).
+    */
+  private[queries] def repetitionSqlCtes(src: String): String = {
+    val keepSql = graft.text.QualityRules.RepetitionBounds.map { case (c, t) =>
       s"COALESCE(p.$c, 0) * 100 <= $t * w.den"
     }.mkString(" AND ")
-    s"""WITH documents_u AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 100000, repeat(substr(text, 1, 60) || ' ', 5)
-       |  FROM documents),
-       |norm AS (
+    s"""norm AS (
        |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
-       |  FROM documents_u),
+       |  FROM $src),
        |wrd AS (
        |  SELECT doc_id, length(s)::BIGINT AS den,
        |         CASE WHEN s = '' THEN CAST([] AS VARCHAR[])
@@ -761,22 +746,34 @@ object TextQueries {
        |         COALESCE(MAX(CASE WHEN n = 8 THEN chars END), 0) AS dup8_chars,
        |         COALESCE(MAX(CASE WHEN n = 9 THEN chars END), 0) AS dup9_chars,
        |         COALESCE(MAX(CASE WHEN n = 10 THEN chars END), 0) AS dup10_chars
-       |  FROM stats GROUP BY doc_id)
-       |SELECT d.doc_id, w.den AS n_chars,
-       |       COALESCE(p.top2_chars, 0) AS top2_chars,
-       |       COALESCE(p.top3_chars, 0) AS top3_chars,
-       |       COALESCE(p.top4_chars, 0) AS top4_chars,
-       |       COALESCE(p.dup5_chars, 0) AS dup5_chars,
-       |       COALESCE(p.dup6_chars, 0) AS dup6_chars,
-       |       COALESCE(p.dup7_chars, 0) AS dup7_chars,
-       |       COALESCE(p.dup8_chars, 0) AS dup8_chars,
-       |       COALESCE(p.dup9_chars, 0) AS dup9_chars,
-       |       COALESCE(p.dup10_chars, 0) AS dup10_chars,
-       |       CAST($keepSql AS INTEGER) AS keep
-       |FROM documents_u d JOIN wrd w USING (doc_id)
-       |LEFT JOIN piv p USING (doc_id)
-       |ORDER BY d.doc_id""".stripMargin
+       |  FROM stats GROUP BY doc_id),
+       |rep AS (
+       |  SELECT d.doc_id, w.den AS n_chars,
+       |         COALESCE(p.top2_chars, 0) AS top2_chars,
+       |         COALESCE(p.top3_chars, 0) AS top3_chars,
+       |         COALESCE(p.top4_chars, 0) AS top4_chars,
+       |         COALESCE(p.dup5_chars, 0) AS dup5_chars,
+       |         COALESCE(p.dup6_chars, 0) AS dup6_chars,
+       |         COALESCE(p.dup7_chars, 0) AS dup7_chars,
+       |         COALESCE(p.dup8_chars, 0) AS dup8_chars,
+       |         COALESCE(p.dup9_chars, 0) AS dup9_chars,
+       |         COALESCE(p.dup10_chars, 0) AS dup10_chars,
+       |         CAST($keepSql AS INTEGER) AS keep
+       |  FROM $src d JOIN wrd w USING (doc_id)
+       |  LEFT JOIN piv p USING (doc_id))""".stripMargin
   }
+
+  val q143Sql: String =
+    s"""WITH documents_u AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, repeat(substr(text, 1, 60) || ' ', 5)
+       |  FROM documents),
+       |${repetitionSqlCtes("documents_u")}
+       |SELECT doc_id, n_chars, top2_chars, top3_chars, top4_chars,
+       |       dup5_chars, dup6_chars, dup7_chars, dup8_chars, dup9_chars,
+       |       dup10_chars, keep
+       |FROM rep ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_ngram_novelty" -> (q104NgramNovelty _),

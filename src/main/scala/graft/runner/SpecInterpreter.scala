@@ -184,6 +184,30 @@ object SpecInterpreter {
         Flow.on(resourceName)(df => df.withColumn(str("field"),
           graft.functions.MultiReplaceExpr.multiReplace(
             col(str("field")), strs("terms"), repl)))
+      case "repetition_gate" =>
+        // {"resource": r, "field": f} — the nine Gopher self-repetition
+        // statistics + keep_repetition flag (published §A1.1 bounds)
+        Flow.on(resourceName)(df =>
+          graft.text.QualityRules.repetitionFlags(df, str("field")))
+      case "shard_shuffle" =>
+        // {"resource": r, "key": c, "shards": 16, "seed": "42"} —
+        // seed-reproducible training-order permutation + shard/pos
+        Flow.on(resourceName)(df => graft.text.Splits.shardShuffle(
+          df, str("key"),
+          (p \ "shards").extractOpt[Int].getOrElse(16), str("seed")))
+      case "block_spans" =>
+        // {"resource": r, "id": c, "weight": c, "block_size": 256} —
+        // token-stream blocking; the resource becomes per-(doc, block)
+        // span rows (block_id, doc_off, block_off, span_len)
+        Flow.on(resourceName)(df => graft.text.Sequences.blockSpans(
+          df, str("id"), str("weight"),
+          (p \ "block_size").extractOpt[Long].getOrElse(256L)))
+      case "quantile_bucket" =>
+        // {"resource": r, "value": c, "tie": c, "buckets": 10} — exact
+        // equal-population bucketing (adds rank + bucket columns)
+        Flow.on(resourceName)(df => graft.ops.Ordering.quantileBucket(
+          df, str("value"), str("tie"),
+          (p \ "buckets").extractOpt[Int].getOrElse(10)))
       case "span_corrupt" =>
         // {"resource": r, "field": f, "id": idCol, "block_len": 3} —
         // deterministic denoising-pair construction; the resource becomes

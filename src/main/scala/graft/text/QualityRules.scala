@@ -96,4 +96,34 @@ object QualityRules {
           fBullet && fEllipsis)
       .drop("__w", "__ls")
   }
+
+  /** Published Gopher self-repetition bounds (Rae et al. 2021 §A1.1),
+    * as percent numerators of the char fractions: top-{2,3,4}-gram
+    * coverage ≤ 20/18/16 %, duplicated-{5..10}-gram coverage ≤ 15..10 %.
+    */
+  val RepetitionBounds: Seq[(String, Int)] = Seq(
+    "top2_chars" -> 20, "top3_chars" -> 18, "top4_chars" -> 16,
+    "dup5_chars" -> 15, "dup6_chars" -> 14, "dup7_chars" -> 13,
+    "dup8_chars" -> 12, "dup9_chars" -> 11, "dup10_chars" -> 10)
+
+  /** Append the nine Gopher self-repetition statistics
+    * ([[graft.functions.TextKernels.repetitionProfile]] — one codegen'd
+    * pass, exact integers) plus `keepCol` = the conjunction of the
+    * cross-multiplied percent bounds. Like [[flags]], a pure map stage:
+    * zero shuffles at any corpus size.
+    */
+  def repetitionFlags(df: DataFrame, textCol: String,
+      bounds: Seq[(String, Int)] = RepetitionBounds,
+      keepCol: String = "keep_repetition"): DataFrame = {
+    val staged = df.withColumn("__rp",
+      graft.functions.TextExprs.repetitionProfile(col(textCol)))
+    val names = "n_chars" +: bounds.map(_._1)
+    val withStats = names.zipWithIndex.foldLeft(staged) {
+      case (acc, (nm, i)) => acc.withColumn(nm, col("__rp")(i))
+    }
+    val keep = bounds.map { case (c, t) =>
+      col(c) * lit(100L) <= lit(t.toLong) * col("n_chars")
+    }.reduce(_ && _)
+    withStats.withColumn(keepCol, keep.cast("int")).drop("__rp")
+  }
 }

@@ -72,7 +72,9 @@ object ExplainDump {
     "q142_label_prop" -> "per-round neighbor join + count; degree-bounded tie windows; labels stay (id, long)",
     "q143_repetition_gate" -> "repetition_profile: nine Gopher signals in one codegen'd narrow pass; only exchange is the output sort",
     "q144_train_shuffle" -> "seeded md5 permutation: narrow key projection, one shard-keyed exchange, per-shard rank windows — no global window",
-    "q145_block_spans" -> "two-tier stream offset (bucket histogram + per-bucket window) + bounded per-row block explode; no corpus-wide window")
+    "q145_block_spans" -> "two-tier stream offset (bucket histogram + per-bucket window) + bounded per-row block explode; no corpus-wide window",
+    "q146_curriculum" -> "exact rank with no corpus window: value-histogram prefix broadcasts back; tie windows partition by value",
+    "q147_layout_pipeline" -> "spec-interpreted gate→filter→bucket→shuffle composes into one plan: narrow gate fused with the scan, two broadcast joins, shard/value-partitioned windows only")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -129,4 +129,34 @@ class OpsSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("title"))
     assert(out.collect().map(_.getString(0)).toSeq == Seq("gd1", "base2"))
   }
+
+  test("exactRank equals the global window it avoids, ties and skew included") {
+    import spark.implicits._
+    // skewed values: value 7 holds a third of the rows; ties broken by id
+    val df = ((1L to 300L).map(i => (i, (i % 13) + 1)) ++
+      (301L to 450L).map(i => (i, 7L))).toDF("id", "v")
+    val got = Ordering.exactRank(df, "v", "id")
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    val want = df
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("v", "id")).cast("long"))
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    assert(got == want)
+    // layout independence
+    val re = Ordering.exactRank(df.repartition(11), "v", "id")
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    assert(re == want)
+  }
+
+  test("quantileBucket: exact equal-population buckets, sizes differ by at most one") {
+    import spark.implicits._
+    val df = (1L to 457L).map(i => (i, i % 23)).toDF("id", "v")
+    val got = Ordering.quantileBucket(df, "v", "id", 10, out = "b")
+    val sizes = got.groupBy("b").count().as[(Long, Long)].collect().toMap
+    assert(sizes.keySet == (0L to 9L).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // bucket is monotone in rank and matches the closed form
+    val bad = got.filter(col("b") =!= expr("(10 * (rank - 1)) div 457")).count()
+    assert(bad == 0)
+  }
 }

@@ -53,6 +53,33 @@ class SpecInterpreterSpec extends SparkSpec {
     assert(out.queryExecution.analyzed.collectLeaves().size == 1)
   }
 
+  test("training-prep processors: repetition_gate → quantile_bucket → shard_shuffle → block_spans") {
+    val spec =
+      """{"pipeline": [
+        | {"run": "load", "params": {"table": "documents", "name": "d"}},
+        | {"run": "repetition_gate", "params": {"resource": "d", "field": "text"}},
+        | {"run": "filter_rows", "params": {"resource": "d",
+        |   "equals": [{"keep_repetition": 1}]}},
+        | {"run": "quantile_bucket", "params": {"resource": "d",
+        |   "value": "n_chars", "tie": "doc_id", "buckets": 4}},
+        | {"run": "shard_shuffle", "params": {"resource": "d",
+        |   "key": "doc_id", "shards": 4, "seed": "s1"}},
+        | {"run": "block_spans", "params": {"resource": "d",
+        |   "id": "doc_id", "weight": "n_chars", "block_size": 512}}
+        |]}""".stripMargin
+    val out = SpecInterpreter.run(spark, sf, spec)("d").df
+    assert(out.columns.toSet ==
+      Set("doc_id", "block_id", "doc_off", "block_off", "span_len"))
+    // survivors only: every doc that reaches the blocker passed the gate
+    val total = out.agg(sum("span_len")).collect()(0).getLong(0)
+    assert(total > 0)
+    // blocks tile: all but the last hold exactly 512 chars
+    val lastBlock = (total - 1) / 512L
+    val bad = out.groupBy("block_id").agg(sum("span_len").as("s"))
+      .filter(col("block_id") < lastBlock && col("s") =!= 512L).count()
+    assert(bad == 0)
+  }
+
   test("row_number with partition_by numbers per key (the scale path)") {
     val spec =
       """{"pipeline": [

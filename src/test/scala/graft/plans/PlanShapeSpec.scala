@@ -325,6 +325,42 @@ class PlanShapeSpec extends SparkSpec {
       s"encode pipeline shuffles:\n$p132")
   }
 
+  test("q143/q144/q145: repetition gate stays narrow; shuffle and blocking never window globally") {
+    // repetition gate: the kernel runs in one narrow scan — no exchange
+    // except the output sort
+    val p143 = plan(graft.queries.TextQueries.queries("q143_repetition_gate")(spark, sf))
+    assert(p143.contains("repetition_profile"), s"kernel missing:\n$p143")
+    assert(!p143.contains("Exchange hashpartitioning"),
+      s"narrow gate must not hash-shuffle:\n$p143")
+    // shard shuffle: rank windows are PARTITIONED by shard — a window
+    // without partitioning would funnel the corpus through one task
+    val p144 = plan(graft.queries.CurationQueries.queries("q144_train_shuffle")(spark, sf))
+    assert(p144.contains("windowspecdefinition(shard"),
+      s"rank window lost its shard partitioning:\n$p144")
+    // block spans: the stream-offset windows are bucket-partitioned and
+    // the only unpartitioned window runs on the 65536-row histogram,
+    // never on corpus rows (it sits under the tiny broadcast side)
+    val p145 = plan(graft.queries.CurationQueries.queries("q145_block_spans")(spark, sf))
+    assert(p145.contains("windowspecdefinition(__bkt"),
+      s"exact prefix window lost its bucket partitioning:\n$p145")
+    assert(p145.contains("BroadcastHashJoin"),
+      s"bucket bases must broadcast back:\n$p145")
+  }
+
+  test("q146: exact rank never windows the corpus — histogram broadcasts, ties partition by value") {
+    val p = plan(graft.queries.CurationQueries.queries("q146_curriculum")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"rank bases must broadcast back:\n$p")
+    assert(p.contains("windowspecdefinition(n_tokens"),
+      s"tie-break window lost its value partitioning:\n$p")
+    // the only unpartitioned windows run on the tiny histogram relation
+    // (under the broadcast exchange), never on corpus rows
+    val corpusWindow = p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("windowspecdefinition(") &&
+        !l.contains("windowspecdefinition(n_tokens") && l.contains("doc_id"))
+    assert(!corpusWindow, s"corpus-wide window found:\n$p")
+  }
+
   test("q128: edit verify blocks on an equi-join; texts stay out of the blocking shuffle") {
     val p = plan(graft.queries.DedupQueries.queries("q128_edit_verify")(spark, sf))
     assert(p.contains("lev_bounded"), s"kernel expression missing:\n$p")
