@@ -318,7 +318,67 @@ object SinkQueries {
       |GROUP BY l_orderkey, o_totalprice
       |ORDER BY l_orderkey""".stripMargin
 
+  /** q148: JSONL shard export + per-shard manifest — the layout a
+    * training loader consumes ([[graft.sinks.CorpusExport
+    * .writeJsonlShards]]) driven end to end: the corpus takes the q144
+    * seeded shard shuffle, ships as `shard=N/` JSONL trees (to_json →
+    * text writer), reads back through partition discovery +
+    * schema-directed from_json, and reduces to the manifest production
+    * pipelines actually check — per-shard doc count, token sum, an
+    * order-independent integer content fingerprint (Σ md5-draws over
+    * `doc_id|text`), and max in-shard pos. The oracle recomputes the
+    * manifest from the base table and the replayed draw: any loss,
+    * duplication, or mangling in the JSON round trip (escaping,
+    * partition mixup, dropped lines) breaks a sum. Scale: narrow
+    * to_json/from_json on top of the one shard exchange; the manifest
+    * aggregation is map-side combined.
+    */
+  def q148JsonlShards(spark: SparkSession, dir: String): DataFrame = {
+    val out = freshScratch(dir, "jsonl") + "/shards"
+    val d = Load.table(spark, dir, "documents").select("doc_id", "text")
+    val sharded = graft.text.Splits.shardShuffle(d, "doc_id", 8, "11")
+    graft.sinks.CorpusExport.writeJsonlShards(sharded, out, "shard", "pos",
+      Seq("doc_id", "pos", "text"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("pos", LongType),
+      StructField("text", StringType)))
+    graft.sinks.CorpusExport.readJsonlShards(spark, out, schema)
+      .groupBy(col("shard").cast(IntegerType).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.text.TextAnalysis.tokenCountWs(col("text"))
+          .cast(LongType)).as("n_tokens"),
+        sum(graft.text.Scrub.hashDraw(concat(col("doc_id").cast(StringType),
+          lit("|"), col("text")))).as("content_fp"),
+        max(col("pos")).as("max_pos"))
+      .orderBy("shard")
+  }
+
+  val q148Sql: String =
+    """WITH k AS (
+      |  SELECT doc_id, text, md5('11-' || CAST(doc_id AS VARCHAR)) AS skey
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, text, skey,
+      |         CAST(CAST('0x' || substring(skey, 1, 8) AS BIGINT) % 8
+      |           AS INTEGER) AS shard
+      |  FROM k),
+      |p AS (
+      |  SELECT doc_id, text, shard,
+      |         CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+      |           AS BIGINT) AS pos
+      |  FROM s)
+      |SELECT shard, count(*)::BIGINT AS n_docs,
+      |       CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+      |                     ELSE len(string_split_regex(trim(text), '\s+')) END)
+      |         AS BIGINT) AS n_tokens,
+      |       CAST(sum(CAST('0x' ||
+      |           substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 8)
+      |         AS BIGINT)) AS BIGINT) AS content_fp,
+      |       CAST(max(pos) AS BIGINT) AS max_pos
+      |FROM p GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_jsonl_shards" -> (q148JsonlShards _),
     "q95_sitemap" -> (q95Sitemap _),
     "q96_bucketed_join" -> (q96BucketedJoin _),
     "q39_xlsx_roundtrip" -> q39XlsxRoundtrip,
@@ -328,6 +388,7 @@ object SinkQueries {
     "q86_schema_evolution" -> q86SchemaEvolution)
 
   val oracles: Map[String, String] = Map(
+    "q148_jsonl_shards" -> q148Sql,
     "q95_sitemap" -> q95Sql,
     "q96_bucketed_join" -> q96Sql,
     "q39_xlsx_roundtrip" -> q39Sql,

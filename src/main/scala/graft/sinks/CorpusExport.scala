@@ -45,4 +45,31 @@ object CorpusExport {
     filters.foldLeft(spark.read.parquet(dir)) { case (df, (k, v)) =>
       df.filter(col(k) === v)
     }
+
+  /** JSONL shard export — the interchange layout training loaders
+    * actually consume (one `shard=N/` directory per shard, one JSON
+    * object per line): `to_json(struct(cols))` into the text writer,
+    * re-partitioned BY the shard column so each shard's lines land in
+    * its own writer task(s), locally sorted by `orderCol` so in-file
+    * line order IS the loader's consumption order. Pure narrow work on
+    * top of the shard exchange the caller's
+    * [[graft.text.Splits.shardShuffle]] already paid for.
+    */
+  def writeJsonlShards(df: DataFrame, outDir: String, shardCol: String,
+      orderCol: String, cols: Seq[String]): Unit =
+    df.repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(orderCol))
+      .select(col(shardCol), to_json(struct(cols.map(col): _*)).as("value"))
+      .write.partitionBy(shardCol).mode("overwrite").text(outDir)
+
+  /** Read a JSONL shard tree back: the shard id comes from directory
+    * partition discovery, the payload from a schema-directed
+    * `from_json` — so a round trip through this pair is byte-honest
+    * about what the sink wrote.
+    */
+  def readJsonlShards(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.text(dir)
+      .select(col("shard"), from_json(col("value"), schema).as("__r"))
+      .select(col("shard") +: schema.fieldNames.toSeq.map(f => col(s"__r.$f")): _*)
 }

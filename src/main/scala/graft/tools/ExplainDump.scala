@@ -74,7 +74,8 @@ object ExplainDump {
     "q144_train_shuffle" -> "seeded md5 permutation: narrow key projection, one shard-keyed exchange, per-shard rank windows — no global window",
     "q145_block_spans" -> "two-tier stream offset (bucket histogram + per-bucket window) + bounded per-row block explode; no corpus-wide window",
     "q146_curriculum" -> "exact rank with no corpus window: value-histogram prefix broadcasts back; tie windows partition by value",
-    "q147_layout_pipeline" -> "spec-interpreted gate→filter→bucket→shuffle composes into one plan: narrow gate fused with the scan, two broadcast joins, shard/value-partitioned windows only")
+    "q147_layout_pipeline" -> "spec-interpreted gate→filter→bucket→shuffle composes into one plan: narrow gate fused with the scan, two broadcast joins, shard/value-partitioned windows only",
+    "q148_jsonl_shards" -> "JSONL export manifest: read-back scan → narrow from_json → map-side-combined shard aggregation; no second corpus shuffle")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

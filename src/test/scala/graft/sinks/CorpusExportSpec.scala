@@ -49,4 +49,39 @@ class CorpusExportSpec extends SparkSpec {
     val files = someLang.listFiles().filter(_.getName.endsWith(".parquet"))
     assert(files.length > 1, s"expected multiple files, got ${files.length}")
   }
+
+  test("JSONL shards: round trip is lossless; lines are valid one-object JSON in pos order") {
+    import org.apache.spark.sql.types._
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "plain text"),
+      (2L, "quotes \" and \\ backslash"),
+      (3L, "tabs\tand\nnewlines fold into one JSON line"),
+      (4L, "unicode שלום")) // Hebrew: non-ASCII survives
+      .toDF("doc_id", "text")
+    val sharded = graft.text.Splits.shardShuffle(docs, "doc_id", 2, "s")
+    val out = freshDir()
+    CorpusExport.writeJsonlShards(sharded, out, "shard", "pos",
+      Seq("doc_id", "pos", "text"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("pos", LongType),
+      StructField("text", StringType)))
+    val back = CorpusExport.readJsonlShards(spark, out, schema)
+    // lossless: every (doc_id, text) survives the JSON round trip exactly
+    assert(back.select("doc_id", "text").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSet ==
+      docs.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // no parse failures (from_json yields null structs on corrupt lines)
+    assert(back.filter(col("doc_id").isNull).count() == 0)
+    // layout: shard directories, one JSON object per line, in pos order
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(shardDirs.forall(_.startsWith("shard=")) && shardDirs.nonEmpty)
+    val lines = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles().filter(_.getName.endsWith(".txt")))
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines())
+    assert(lines.length == 4)
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+  }
 }
