@@ -125,18 +125,14 @@ object DedupQueries {
     xorShift(e2, 31)
   }
 
-  /** Shared CTE prefix: mutated-union corpus → normalized text → char
-    * codes → distinct 5-gram polynomial+finalizer shingle hashes
-    * (`hlist`, HUGEINT < 2^64), mirroring ShingleHash64 exactly.
+  /** Normalized text → char codes → distinct 5-gram polynomial+finalizer
+    * shingle hashes (`shl(doc_id, hlist)`, HUGEINT < 2^64) over source
+    * relation `src`, mirroring ShingleHash64 exactly.
     */
-  private def shingleCtes: String = {
+  private[queries] def shingleCtesFrom(src: String): String = {
     val poly = "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
       "codes[i:least(i+4, n_ch)]), (acc, c) -> (acc * 31 + c) % " + Mod64 + ")"
-    s"""uni AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 100000, text || ' appended tail marker' FROM documents),
-       |nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM uni),
+    s"""nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM $src),
        |cds AS (SELECT doc_id, length(s) AS n_ch,
        |          list_transform(generate_series(1, length(s)),
        |                         c -> ord(substring(s, c, 1))::HUGEINT) AS codes
@@ -146,6 +142,14 @@ object DedupQueries {
        |    generate_series(1, greatest(1, n_ch - 4)), i -> ${finalizerSql(poly)})) AS hlist
        |  FROM cds)""".stripMargin
   }
+
+  /** Shared CTE prefix: mutated-union corpus → the shingle chain. */
+  private def shingleCtes: String =
+    s"""uni AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' appended tail marker' FROM documents),
+       |${shingleCtesFrom("uni")}""".stripMargin
 
   /** Full OPH signature + LSH band + estimator mirror. */
   val q32Sql: String = {
@@ -1243,7 +1247,71 @@ object DedupQueries {
       |JOIN ent eb ON eb.doc_id = pr.id_b
       |ORDER BY pr.id_a, pr.id_b""".stripMargin
 
+  /** q149: corpus-to-corpus overlap — the crawl-drift / contamination
+    * measure BETWEEN snapshots (doc-level diffing is q84; this is
+    * content-level): two overlapping corpus views (doc_id % 3 ≠ 0 vs
+    * % 2 ≠ 0) reduce to per-shingle side flags in ONE hash-keyed
+    * shuffle (`max(in_a)`, `max(in_b)` per 64-bit ShingleHash64 value),
+    * giving EXACT |A|, |B|, |A∪B|, |A∩B| — plus the bounded-state
+    * estimator a 100 TB run would use instead: the k = 256 smallest
+    * hashes of the union (unsigned order, TakeOrdered — k·partitions
+    * rows move, never the hash relation) and how many of them sit in
+    * both sides; k_common/k_actual estimates the exact Jaccard
+    * n_inter/n_union (Broder's min-k coincidence). All six outputs are
+    * integers; the oracle replays the full hash stack (the q32
+    * polynomial+finalizer mirror) and both tiers independently. At
+    * scale: keep the estimator tier, drop the exact tier — same plan
+    * minus one count-distinct shuffle.
+    */
+  def q149CorpusOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val flagged = d
+      .filter(col("doc_id") % 3 =!= 0 || col("doc_id") % 2 =!= 0)
+      .select(
+        explode(graft.functions.HashExprs.shingleHash64(col("text"), 5)).as("h"),
+        (col("doc_id") % 3 =!= 0).cast(IntegerType).as("ia"),
+        (col("doc_id") % 2 =!= 0).cast(IntegerType).as("ib"))
+      .groupBy("h")
+      .agg(max("ia").as("in_a"), max("ib").as("in_b"))
+    val tot = flagged.agg(
+      sum("in_a").cast(LongType).as("n_a"),
+      sum("in_b").cast(LongType).as("n_b"),
+      count(lit(1)).as("n_union"),
+      sum(col("in_a") * col("in_b")).cast(LongType).as("n_inter"))
+    val mk = flagged
+      .orderBy(col("h").bitwiseXOR(lit(Long.MinValue)))
+      .limit(256)
+      .agg(count(lit(1)).as("k_actual"),
+        sum(col("in_a") * col("in_b")).cast(LongType).as("k_common"))
+    tot.crossJoin(mk)
+  }
+
+  val q149Sql: String =
+    s"""WITH ab AS (
+       |  SELECT doc_id, text,
+       |         CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS ia,
+       |         CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END AS ib
+       |  FROM documents WHERE doc_id % 3 <> 0 OR doc_id % 2 <> 0),
+       |${shingleCtesFrom("ab")},
+       |j AS (SELECT s.hlist, a.ia, a.ib FROM shl s JOIN ab a USING (doc_id)),
+       |fl AS (SELECT u.h, j.ia, j.ib FROM j, UNNEST(j.hlist) AS u(h)),
+       |g AS (SELECT h, max(ia) AS in_a, max(ib) AS in_b FROM fl GROUP BY h),
+       |tot AS (
+       |  SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+       |         CAST(sum(in_b) AS BIGINT) AS n_b,
+       |         count(*)::BIGINT AS n_union,
+       |         CAST(sum(in_a * in_b) AS BIGINT) AS n_inter
+       |  FROM g),
+       |mk AS (SELECT in_a, in_b FROM g ORDER BY h LIMIT 256),
+       |ks AS (
+       |  SELECT count(*)::BIGINT AS k_actual,
+       |         CAST(sum(in_a * in_b) AS BIGINT) AS k_common
+       |  FROM mk)
+       |SELECT n_a, n_b, n_union, n_inter, k_actual, k_common
+       |FROM tot, ks""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_corpus_overlap" -> (q149CorpusOverlap _),
     "q134_preference_pairs" -> (q134PreferencePairs _),
     "q128_edit_verify" -> (q128EditVerify _),
     "q127_bitext_mine" -> (q127BitextMine _),
@@ -1270,6 +1338,7 @@ object DedupQueries {
     "q83_semantic_decontaminate" -> q83SemanticDecontaminate)
 
   val oracles: Map[String, String] = Map(
+    "q149_corpus_overlap" -> q149Sql,
     "q134_preference_pairs" -> q134Sql,
     "q128_edit_verify" -> q128Sql,
     "q127_bitext_mine" -> q127Sql,

@@ -75,7 +75,8 @@ object ExplainDump {
     "q145_block_spans" -> "two-tier stream offset (bucket histogram + per-bucket window) + bounded per-row block explode; no corpus-wide window",
     "q146_curriculum" -> "exact rank with no corpus window: value-histogram prefix broadcasts back; tie windows partition by value",
     "q147_layout_pipeline" -> "spec-interpreted gate→filter→bucket→shuffle composes into one plan: narrow gate fused with the scan, two broadcast joins, shard/value-partitioned windows only",
-    "q148_jsonl_shards" -> "JSONL export manifest: read-back scan → narrow from_json → map-side-combined shard aggregation; no second corpus shuffle")
+    "q148_jsonl_shards" -> "JSONL export manifest: read-back scan → narrow from_json → map-side-combined shard aggregation; no second corpus shuffle",
+    "q149_corpus_overlap" -> "one hash-keyed shuffle to per-shingle side flags; min-k estimator tier is a 256-row TakeOrdered, never a second corpus exchange")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
