@@ -70,6 +70,76 @@ object HashKernels {
     new GenericArrayData(java.util.Arrays.copyOf(hashes, w))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003, the
+    * MOSS scheme): the distinct window-minimum k-gram hashes — for
+    * every window of `w` consecutive positional n-gram hashes, the
+    * UNSIGNED minimum is selected. Guarantee: any match of length
+    * ≥ w+n−1 chars shares at least one fingerprint; density is
+    * ~2/(w+1) fingerprints per position, so the index is a bounded
+    * fraction of the corpus regardless of document length — the local
+    * fingerprinting tier between exact shingles (all positions) and
+    * MinHash (global sketch). Same normalization and polynomial+
+    * splitmix hash as [[shingleHash64]], so the SQL mirror reuses the
+    * q32 hash stack; output is sorted + deduped like the shingle
+    * kernel. Texts shorter than n chars hash their single truncated
+    * gram; fewer than w positions form one window.
+    */
+  def winnowHash64(input: UTF8String, n: Int, w: Int): ArrayData = {
+    val raw = input.toString
+    val sb = new java.lang.StringBuilder(raw.length)
+    var prevWs = false
+    var r = 0
+    while (r < raw.length) {
+      val c = raw.charAt(r)
+      if (Character.isWhitespace(c)) {
+        if (!prevWs && sb.length() > 0) sb.append(' ')
+        prevWs = true
+      } else {
+        sb.append(Character.toLowerCase(c))
+        prevWs = false
+      }
+      r += 1
+    }
+    var len = sb.length()
+    if (len > 0 && sb.charAt(len - 1) == ' ') len -= 1
+    if (len == 0) return new GenericArrayData(Array.empty[Long])
+    val m = math.max(1, len - n + 1)
+    val hashes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 1125899906842597L
+      var j = i
+      val end = math.min(i + n, len)
+      while (j < end) { h = h * 31 + sb.charAt(j); j += 1 }
+      h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+      h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+      hashes(i) = h ^ (h >>> 31)
+      i += 1
+    }
+    val nw = math.max(1, m - w + 1)
+    val sel = new Array[Long](nw)
+    var jw = 0
+    while (jw < nw) {
+      var mn = hashes(jw)
+      var t = jw + 1
+      val end = math.min(jw + w, m)
+      while (t < end) {
+        if (java.lang.Long.compareUnsigned(hashes(t), mn) < 0) mn = hashes(t)
+        t += 1
+      }
+      sel(jw) = mn
+      jw += 1
+    }
+    java.util.Arrays.sort(sel)
+    var wr = 1
+    i = 1
+    while (i < nw) {
+      if (sel(i) != sel(i - 1)) { sel(wr) = sel(i); wr += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(sel, wr))
+  }
+
   /** MinHash signature; slot j = min over hashes of mix_j(h). Caller
     * guarantees non-empty input.
     */
@@ -372,6 +442,28 @@ case class ShingleHash64(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Distinct winnowing fingerprints (window-minimum n-gram hashes) in
+  * one codegen'd pass (see kernel doc).
+  */
+case class WinnowHash64(child: Expression, n: Int, w: Int)
+    extends UnaryExpression {
+  require(n > 0 && w > 0, s"need n > 0 and w > 0, got n=$n w=$w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_hash64"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.winnowHash64(input.asInstanceOf[UTF8String], n, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.winnowHash64($c, $n, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowHash64 =
+    copy(child = newChild)
+}
+
 /** Intersection size of two SORTED array<bigint> columns (merge walk).
   * Inputs MUST be sorted ascending and deduplicated — ShingleHash64's
   * output contract.
@@ -445,6 +537,10 @@ object HashExprs {
   /** Shingle hashes of RAW text — normalization is fused inside. */
   def shingleHash64(text: Column, n: Int): Column =
     EU.column(ShingleHash64(EU.expression(text), n))
+
+  /** Winnowing fingerprints of RAW text — normalization fused inside. */
+  def winnowHash64(text: Column, n: Int, w: Int): Column =
+    EU.column(WinnowHash64(EU.expression(text), n, w))
 
   /** Merge-walk intersection size of two sorted array<bigint> columns. */
   def sortedIntersectCount(a: Column, b: Column): Column =

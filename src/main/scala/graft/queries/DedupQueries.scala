@@ -1310,7 +1310,79 @@ object DedupQueries {
        |SELECT n_a, n_b, n_union, n_inter, k_actual, k_common
        |FROM tot, ks""".stripMargin
 
+  /** q150: winnowing-fingerprint near-dup pairs (Schleimer et al. 2003,
+    * the MOSS scheme) — the LOCAL fingerprinting tier between exact
+    * shingles (every position — q34's index weight) and MinHash (a
+    * global per-doc sketch — q32, blind to WHERE the overlap is):
+    * window-minimum k-gram hashes guarantee any shared run ≥ w+k−1
+    * chars shares a fingerprint while indexing only ~2/(w+1) of
+    * positions ([[graft.functions.HashKernels.winnowHash64]], one
+    * codegen'd pass, unsigned minima). Pairs come from the standard
+    * inverted-index discipline: (doc, fingerprint) postings, hot
+    * fingerprints df-pruned (df ≤ 50 — on this tiny-vocab corpus the
+    * gram space saturates, and rare fingerprints are the discriminative
+    * ones; same lever as sparse cosine's df cut), equi-join on the
+    * fingerprint, pair count ≥ 5. k = 12 / w = 8 fits THIS corpus:
+    * 5-char grams saturate its ~30-word vocabulary, so df pruning
+    * killed the shared fingerprints (measured 356/500 planted recall);
+    * 12-char grams span word sequences and stay doc-discriminative —
+    * all 500 planted copies surface (n_shared up to 115) alongside the
+    * corpus's real repeated-run pairs. Oracle: positional (non-distinct) hash chain +
+    * `list_min` window replay over the q32 polynomial+finalizer
+    * mirror — HUGEINT order IS the kernel's unsigned order. Scale: two
+    * hash-keyed shuffles (df count, pair count); only 8-byte
+    * fingerprints and ids travel.
+    */
+  def q150WinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val uni = d.select(col("doc_id"), col("text")).unionByName(
+      d.select((col("doc_id") + lit(100000L)).as("doc_id"),
+        concat(col("text"), lit(" appended tail marker")).as("text")))
+    val fp = uni.select(col("doc_id"),
+      explode(graft.functions.HashExprs.winnowHash64(col("text"), 12, 8)).as("h"))
+    val dfc = fp.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50)
+      .select("h")
+    val rare = fp.join(dfc, "h")
+    rare.as("a").join(rare.as("b"), "h")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q150Sql: String = {
+    val (wn, ww) = (12, 8) // k-gram length, winnow window — match the query
+    val poly = "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+      s"codes[i:least(i+${wn - 1}, n_ch)]), (acc, c) -> (acc * 31 + c) % " + Mod64 + ")"
+    s"""WITH uni AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' appended tail marker' FROM documents),
+       |${shingleCtesFrom("uni")},
+       |ph AS (
+       |  SELECT doc_id, list_transform(
+       |    generate_series(1, greatest(1, n_ch - ${wn - 1})), i -> ${finalizerSql(poly)}) AS hs
+       |  FROM cds),
+       |win AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(1, len(hs) - ${ww - 1})),
+       |    j -> list_min(hs[j:j+${ww - 1}]))) AS sel
+       |  FROM ph),
+       |fp AS (SELECT doc_id, unnest(sel) AS h FROM win),
+       |dfc AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 50),
+       |rare AS (SELECT f.doc_id, f.h FROM fp f JOIN dfc USING (h)),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+       |  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_shared FROM pairs
+       |WHERE n_shared >= 5 ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_winnow_pairs" -> (q150WinnowPairs _),
     "q149_corpus_overlap" -> (q149CorpusOverlap _),
     "q134_preference_pairs" -> (q134PreferencePairs _),
     "q128_edit_verify" -> (q128EditVerify _),
@@ -1338,6 +1410,7 @@ object DedupQueries {
     "q83_semantic_decontaminate" -> q83SemanticDecontaminate)
 
   val oracles: Map[String, String] = Map(
+    "q150_winnow_pairs" -> q150Sql,
     "q149_corpus_overlap" -> q149Sql,
     "q134_preference_pairs" -> q134Sql,
     "q128_edit_verify" -> q128Sql,
