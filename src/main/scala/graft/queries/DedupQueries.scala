@@ -1381,7 +1381,65 @@ object DedupQueries {
        |WHERE n_shared >= 5 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q151: sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    * third blocking family next to hash buckets (LSH, q32) and
+    * inverted fingerprints (q150): sort the corpus by a normalized
+    * key and pair every record with its ≤ W successors, so near-dups
+    * whose keys COLLATE together become candidates even when no exact
+    * token matches (typo'd prefixes sort adjacent). The global sort is
+    * the q146 exact-rank machinery — value-histogram base broadcast +
+    * per-key tie windows, NO corpus-wide window — and the window pairs
+    * come from an equi-join on rank+j (j ∈ 1..3, a narrow explode),
+    * never a range join. Keys here are the first 24 chars of the q31
+    * fingerprint normalization, so the planted case-flipped/
+    * whitespace-mangled copies collapse onto their originals' keys and
+    * surface as dist-1 same-key pairs. Oracle: the global row_number
+    * window this plan avoids + a BETWEEN self-join.
+    */
+  def q151SortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val uni = d.select(col("doc_id"), col("text")).unionByName(
+      d.select((col("doc_id") + lit(100000L)).as("doc_id"),
+        upper(regexp_replace(col("text"), " ", "   ")).as("text")))
+    val keyed = uni.select(col("doc_id"),
+      substring(graft.functions.HashExprs.fingerprintNormalize(col("text")),
+        1, 24).as("skey"))
+    val ranked = graft.ops.Ordering.exactRank(keyed, "skey", "doc_id")
+    val a = ranked.select(col("doc_id").as("id_a"), col("skey").as("key_a"),
+        col("rank").as("rank_a"))
+      .withColumn("j", explode(array(lit(1), lit(2), lit(3))))
+      .withColumn("rank_b", col("rank_a") + col("j"))
+    val b = ranked.select(col("doc_id").as("id_b"), col("skey").as("key_b"),
+      col("rank").as("rank_b"))
+    a.join(b, "rank_b")
+      .select(col("id_a"), col("id_b"), col("j").cast(LongType).as("dist"),
+        (col("key_a") === col("key_b")).cast(IntegerType).as("same_key"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q151Sql: String =
+    """WITH uni AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, upper(regexp_replace(text, ' ', '   ', 'g'))
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id,
+      |         substring(regexp_replace(regexp_replace(lower(text),
+      |           '[^a-z0-9 ֐-׿؀-ۿ]', '', 'g'), ' +', ' ', 'g'), 1, 24) AS skey
+      |  FROM uni),
+      |r AS (
+      |  SELECT doc_id, skey,
+      |         CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) AS rnk
+      |  FROM k)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(b.rnk - a.rnk AS BIGINT) AS dist,
+      |       CAST(a.skey = b.skey AS INTEGER) AS same_key
+      |FROM r a JOIN r b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_sorted_neighborhood" -> (q151SortedNeighborhood _),
     "q150_winnow_pairs" -> (q150WinnowPairs _),
     "q149_corpus_overlap" -> (q149CorpusOverlap _),
     "q134_preference_pairs" -> (q134PreferencePairs _),
@@ -1410,6 +1468,7 @@ object DedupQueries {
     "q83_semantic_decontaminate" -> q83SemanticDecontaminate)
 
   val oracles: Map[String, String] = Map(
+    "q151_sorted_neighborhood" -> q151Sql,
     "q150_winnow_pairs" -> q150Sql,
     "q149_corpus_overlap" -> q149Sql,
     "q134_preference_pairs" -> q134Sql,
