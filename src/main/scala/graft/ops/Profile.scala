@@ -46,6 +46,54 @@ object Profile {
       col("p.n_distinct"), col("p.min_str"), col("p.max_str"))
   }
 
+  /** MERGEABLE profile artifact — the incremental-maintenance form of
+    * [[profile]]: one row per column carrying additive stats (row and
+    * null counts), min/max over the CANONICAL STRING CAST (so per-part
+    * extrema merge exactly; order-isomorphic for strings and ISO
+    * dates, lexicographic for bare numerics — store a sortable
+    * encoding upstream if native numeric order matters), and a KMV
+    * distinct sketch ([[graft.functions.Kmv]]). Because k-smallest of
+    * a union IS the k-smallest of the merged k-smallests,
+    * `mergeProfiles(sketchProfile(A), sketchProfile(B))` equals
+    * `sketchProfile(A ∪ B)` EXACTLY — state equality, not just
+    * bounds — so a 100 TB profile updates from each ingest delta
+    * without rescanning history. One Expand scan like [[profile]].
+    */
+  def sketchProfile(df: DataFrame, cols: Seq[String],
+      k: Int = 1024): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        graft.functions.Kmv.sketch(
+          graft.functions.Kmv.hash62(col(c).cast("string")), k).as(s"__kv_$c"),
+        min(col(c).cast("string")).as(s"__mn_$c"),
+        max(col(c).cast("string")).as(s"__mx_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val packed = wide.select(explode(array(cols.map(c => struct(
+      lit(c).as("column"),
+      col("__n").as("n_rows"),
+      col(s"__nn_$c").as("n_nulls"),
+      col(s"__mn_$c").as("min_str"),
+      col(s"__mx_$c").as("max_str"),
+      col(s"__kv_$c").as("kmv"))): _*)).as("p"))
+    packed.select(col("p.column"), col("p.n_rows"), col("p.n_nulls"),
+      col("p.min_str"), col("p.max_str"), col("p.kmv"))
+  }
+
+  /** Merge [[sketchProfile]] artifacts (rows from any number of parts,
+    * unioned): counts add, string extrema take min/max, sketches merge
+    * through `kmv_union`. The |cols|·parts input relation is tiny —
+    * this is artifact algebra, not corpus work.
+    */
+  def mergeProfiles(parts: DataFrame, k: Int = 1024): DataFrame =
+    parts.groupBy("column").agg(
+      sum("n_rows").as("n_rows"),
+      sum("n_nulls").as("n_nulls"),
+      min("min_str").as("min_str"),
+      max("max_str").as("max_str"),
+      graft.functions.Kmv.union(col("kmv"), k).as("kmv"))
+
   /** Snapshot drift report — [[profile]] of two corpus generations
     * joined per column with INTEGER drift decisions (the data-quality
     * monitor between crawls; pairs with [[graft.ops.SnapshotDiff]]'s

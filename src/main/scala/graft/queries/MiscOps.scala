@@ -1321,7 +1321,69 @@ object MiscOps {
       |              AND c.t BETWEEN p.w_start AND p.w_end
       |ORDER BY c.event_id, p.iv_id""".stripMargin
 
+  /** q152: incremental profile maintenance
+    * ([[graft.ops.Profile.sketchProfile]]/[[graft.ops.Profile
+    * .mergeProfiles]]) — the mergeable-artifact form of q105's column
+    * profile: two disjoint halves of `orders` profile separately
+    * (additive counts, canonical-string extrema, KMV distinct
+    * sketches), the artifacts merge, and the query PROVES the merge
+    * law in-band: `merge_exact` compares the merged sketch array
+    * against a direct full-table sketch element-for-element (set-
+    * function state equality, the q108/q43b cross-run discipline) —
+    * at 100 TB the profile updates from each ingest delta without
+    * rescanning history. The oracle recomputes every stat and the KMV
+    * estimate from scratch (rank-k replay of the 62-bit hash) and
+    * pins merge_exact to 1.
+    */
+  def q152ProfileMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = Load.table(spark, dir, "orders")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority", "o_orderdate")
+    val k = 1024
+    val pa = Profile.sketchProfile(o.filter(col("o_orderkey") % 2 === 0), cols, k)
+    val pb = Profile.sketchProfile(o.filter(col("o_orderkey") % 2 =!= 0), cols, k)
+    val merged = Profile.mergeProfiles(pa.unionByName(pb), k)
+    val direct = Profile.sketchProfile(o, cols, k)
+      .select(col("column"), col("kmv").as("kmv_direct"))
+    merged.join(direct, "column")
+      .select(col("column"), col("n_rows"), col("n_nulls"),
+        col("min_str"), col("max_str"),
+        graft.functions.Kmv.estimate(col("kmv"), k).as("est_distinct"),
+        (col("kmv") === col("kmv_direct")).cast(IntegerType).as("merge_exact"))
+      .orderBy("column")
+  }
+
+  val q152Sql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority", "o_orderdate")
+    val ctes = cols.map { c =>
+      s"""${c}v AS (SELECT DISTINCT CAST($c AS VARCHAR) AS sv
+         |  FROM orders WHERE $c IS NOT NULL),
+         |${c}h AS (SELECT DISTINCT ${DedupQueries.h62Sql("sv")} AS h FROM ${c}v),
+         |${c}rk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ${c}h),
+         |${c}a AS (SELECT count(*)::BIGINT AS nh,
+         |  max(CASE WHEN rn = 1024 THEN h END) AS hk FROM ${c}rk),
+         |${c}s AS (SELECT '$c' AS "column", count(*)::BIGINT AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  min(CAST($c AS VARCHAR)) AS min_str,
+         |  max(CAST($c AS VARCHAR)) AS max_str FROM orders)""".stripMargin
+    }.mkString(",\n")
+    val selects = cols.map { c =>
+      s"""SELECT s."column", s.n_rows, s.n_nulls, s.min_str, s.max_str,
+         |  CASE WHEN a.nh < 1024 THEN a.nh
+         |       ELSE CAST(least((1023::HUGEINT * 4611686018427387904::HUGEINT)
+         |         // greatest(a.hk, 1), 9223372036854775807::HUGEINT) AS BIGINT)
+         |  END AS est_distinct,
+         |  1 AS merge_exact
+         |FROM ${c}s s, ${c}a a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $ctes
+       |$selects
+       |ORDER BY "column"""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_profile_merge" -> (q152ProfileMerge _),
     "q105_profile" -> (q105Profile _),
     "q135_profile_drift" -> (q135ProfileDrift _),
     "q136_json_permissive" -> (q136JsonPermissive _),
@@ -1359,6 +1421,7 @@ object MiscOps {
     "q85_url_canonical" -> q85UrlCanonical)
 
   val oracles: Map[String, String] = Map(
+    "q152_profile_merge" -> q152Sql,
     "q105_profile" -> q105Sql,
     "q135_profile_drift" -> q135Sql,
     "q136_json_permissive" -> q136Sql,

@@ -78,7 +78,8 @@ object ExplainDump {
     "q148_jsonl_shards" -> "JSONL export manifest: read-back scan → narrow from_json → map-side-combined shard aggregation; no second corpus shuffle",
     "q149_corpus_overlap" -> "one hash-keyed shuffle to per-shingle side flags; min-k estimator tier is a 256-row TakeOrdered, never a second corpus exchange",
     "q150_winnow_pairs" -> "winnow_hash64 narrow kernel → df-pruned inverted index → fingerprint equi-join; 8-byte fingerprints and ids are all that shuffles",
-    "q151_sorted_neighborhood" -> "exact-rank sort with no corpus window (histogram base broadcast, per-key tie windows); window pairs by rank+j equi-join, never a range join")
+    "q151_sorted_neighborhood" -> "exact-rank sort with no corpus window (histogram base broadcast, per-key tie windows); window pairs by rank+j equi-join, never a range join",
+    "q152_profile_merge" -> "three single-Expand profile scans; the merge itself is |cols|-row artifact algebra, kmv_union state crossing nothing wider than a 5-row group")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -69,4 +69,26 @@ class ProfileSpec extends SparkSpec {
     // and the min/max strings differ
     assert(out("v") === ((1, 1, 1)))
   }
+
+  test("sketchProfile merge law: 3-part merge equals the direct profile exactly") {
+    val df = (1L to 900L).map(i =>
+      (i, if (i % 7 == 0) None else Some(s"v${i % 131}"), i % 13))
+      .toDF("id", "s", "m")
+    val cols = Seq("id", "s", "m")
+    val k = 64
+    val parts = Seq(
+      df.filter(col("id") % 3 === 0), df.filter(col("id") % 3 === 1),
+      df.filter(col("id") % 3 === 2))
+      .map(Profile.sketchProfile(_, cols, k))
+      .reduce(_ unionByName _)
+    val merged = Profile.mergeProfiles(parts, k).orderBy("column")
+    val direct = Profile.sketchProfile(df, cols, k).orderBy("column")
+    // state equality, not just estimate equality: every field including
+    // the sketch arrays must match element for element
+    assert(merged.collect().toSeq == direct.collect().toSeq)
+    // and the null-bearing column counted its nulls additively
+    val nulls = merged.filter(col("column") === "s")
+      .select("n_nulls").as[Long].head()
+    assert(nulls == (1L to 900L).count(_ % 7 == 0))
+  }
 }
