@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.functions.FixedLogExprs
+
+/** Fellegi–Sunter probabilistic record linkage (JASA 1969) — the
+  * SCORING tier of the entity-resolution stack, between candidate
+  * generation (LSH buckets q32, inverted fingerprints q150, sorted
+  * neighborhood q151) and cluster formation
+  * ([[graft.graphs.ConnectedComponents]]): each candidate pair gets a
+  * log-likelihood-ratio match score, summed over per-field
+  * agreement/disagreement weights
+  *
+  *   w_agree(i) = log₂(m_i / u_i),   w_disagree(i) = log₂((1−m_i) / (1−u_i))
+  *
+  * where m_i = P(field i agrees | true match) — a reviewed prior, a
+  * fixed literal here — and u_i = P(field i agrees | random pair),
+  * estimated EXACTLY from the record population itself:
+  * u_i = Σ_v cnt_v·(cnt_v−1) / (M·(M−1)). A field that is nearly
+  * unique (u → 0) earns a large agreement weight; a field shared by
+  * half the corpus earns almost none — the classical reason "same
+  * language" is weak evidence and "same fingerprint head" is strong.
+  *
+  * Everything is float-free in the q102/q119 fixed-point discipline:
+  * probabilities quantize to 2⁻³⁰ floors (the Σcnt·(cnt−1) numerator
+  * crosses through decimal(38,0)/HUGEINT so M ~ 10⁹ populations cannot
+  * overflow the ×2³⁰ rescale), logs are the exact square-and-shift
+  * binary log ([[graft.functions.FixedLogKernel]], 16.16 bits), and
+  * the link / possible / non-link decision is an integer compare
+  * against 16.16 thresholds — so any engine reproduces every score
+  * bit.
+  *
+  * Scale shape: u-estimation is one Expand over the records (field
+  * explode) into two map-side-combined counting shuffles ending in a
+  * |fields|-row relation; weights broadcast back onto the (already
+  * blocked) candidate pairs; scoring is a narrow expression. The
+  * corpus is never shuffled by this operator — candidates arrive from
+  * whatever blocking tier produced them.
+  */
+object RecordLinkage {
+
+  /** One comparison field: `name` labels it, `expr` computes it from a
+    * record row (must be string-typed for the frequency stats), and
+    * (`mFix`, `mcFix`) are ⌊m·2³⁰⌋ / ⌊(1−m)·2³⁰⌋ — fixed literals so
+    * the SQL mirror can never drift by a regenerated constant.
+    */
+  final case class Field(name: String, expr: Column, mFix: Long, mcFix: Long)
+
+  private val One30 = 1073741824L // 2^30
+
+  /** Per-field agreement/disagreement weights in 16.16 fixed point:
+    * one row per field, columns (field, w_agree_fix, w_disagree_fix).
+    * `records` is the full record population the u-probabilities
+    * describe (base ∪ replicas for a dedup task, both sources for a
+    * linkage task).
+    */
+  def fieldWeights(records: DataFrame, fields: Seq[Field]): DataFrame = {
+    val exploded = records.select(explode(array(fields.map(f =>
+      struct(lit(f.name).as("field"), f.expr.cast("string").as("v"))): _*))
+      .as("fv"))
+      .select(col("fv.field"), col("fv.v"))
+    val perValue = exploded.groupBy("field", "v")
+      .agg(count(lit(1)).as("c"))
+    val stats = perValue.groupBy("field").agg(
+      sum(col("c") * (col("c") - 1)).cast(DecimalType(38, 0)).as("u_num"),
+      sum(col("c")).cast(DecimalType(38, 0)).as("m_rows"))
+    // quantize through decimal(38,0): u_num ≤ M² and the ×2³⁰ rescale
+    // would overflow BIGINT for M ≳ 3·10⁹ rows; `div` is integral
+    // (floor for the non-negative operands here) on decimals in both
+    // engines' mirrors (HUGEINT // in DuckDB)
+    val mf = map(fields.flatMap(f =>
+      Seq(lit(f.name), lit(f.mFix))): _*)
+    val mcf = map(fields.flatMap(f =>
+      Seq(lit(f.name), lit(f.mcFix))): _*)
+    stats
+      .withColumn("u_den", col("m_rows") * (col("m_rows") - 1))
+      .withColumn("u_sc", col("u_num") * One30)
+      .withColumn("uc_sc", (col("u_den") - col("u_num")) * One30)
+      // `div` (IntegralDivide) is exact on decimal operands and
+      // returns BIGINT in both engines' semantics
+      .selectExpr("field",
+        "greatest(u_sc div u_den, 1L) AS u_q",
+        "greatest(uc_sc div u_den, 1L) AS uc_q")
+      .select(col("field"), col("u_q"), col("uc_q"),
+        element_at(mf, col("field")).as("m_q"),
+        element_at(mcf, col("field")).as("mc_q"))
+      .select(col("field"),
+        (lg(col("m_q")) - lg(col("u_q"))).as("w_agree_fix"),
+        (lg(col("mc_q")) - lg(col("uc_q"))).as("w_disagree_fix"))
+  }
+
+  private def lg(p: Column): Column = FixedLogExprs.log2fix(p, 30, 16)
+
+  /** Score candidate pairs. `pairs` must carry `<f>_a` / `<f>_b`
+    * columns for every field (the blocking tier's join output);
+    * `weights` is [[fieldWeights]]' |fields|-row relation (broadcast —
+    * it is never larger than the field list). Adds per-field
+    * `agree_<f>` flags, `n_agree`, the summed 16.16 `score_fix`, and
+    * the three-way `decision` (1 link / 0 possible / −1 non-link) at
+    * ±`thresholdBits`·2¹⁶.
+    */
+  def scorePairs(pairs: DataFrame, weights: DataFrame, fields: Seq[Field],
+      thresholdBits: Int = 2): DataFrame = {
+    val wide = weights.groupBy().pivot("field", fields.map(_.name))
+      .agg(first("w_agree_fix").as("wa"), first("w_disagree_fix").as("wd"))
+    val withW = pairs.crossJoin(broadcast(wide))
+    val flagged = fields.foldLeft(withW) { (df, f) =>
+      df.withColumn(s"agree_${f.name}",
+        (col(s"${f.name}_a") === col(s"${f.name}_b")).cast("int"))
+    }
+    val score = fields.map(f =>
+      when(col(s"agree_${f.name}") === 1, col(s"${f.name}_wa"))
+        .otherwise(col(s"${f.name}_wd"))).reduce(_ + _)
+    val thr = thresholdBits.toLong << 16
+    flagged
+      .withColumn("n_agree",
+        fields.map(f => col(s"agree_${f.name}").cast(LongType)).reduce(_ + _))
+      .withColumn("score_fix", score)
+      .withColumn("decision",
+        when(col("score_fix") >= thr, 1)
+          .when(col("score_fix") >= -thr, 0).otherwise(-1))
+      .drop(fields.flatMap(f => Seq(s"${f.name}_wa", s"${f.name}_wd")): _*)
+  }
+}

@@ -1438,7 +1438,180 @@ object DedupQueries {
       |FROM r a JOIN r b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 3
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Fellegi–Sunter m-priors for q153's comparison fields as
+    * (⌊m·2³⁰⌋, ⌊(1−m)·2³⁰⌋) — ONE source interpolated into both
+    * engines, so a regenerated constant can never drift: lang/source
+    * m = 0.95, fingerprint head m = 0.85, length bucket m = 0.70.
+    */
+  private val FsM: Seq[(String, Long, Long)] = Seq(
+    ("lang", 1020054732L, 53687091L),
+    ("source", 1020054732L, 53687091L),
+    ("head", 912680550L, 161061273L),
+    ("lenb", 751619276L, 322122547L))
+
+  /** q153: Fellegi–Sunter probabilistic record linkage (JASA 1969,
+    * [[graft.ops.RecordLinkage]]) — the SCORING tier between blocking
+    * (q32/q150/q151) and cluster formation (q47): candidate pairs get
+    * a log-likelihood-ratio score summed over per-field agreement /
+    * disagreement weights, with u (random-pair agreement) estimated
+    * EXACTLY from the record population's value frequencies — so
+    * "same fingerprint head" earns ~10 bits while "same language"
+    * earns ~2 (the field-informativeness asymmetry the method exists
+    * for). Population: documents ∪ field-perturbed replicas (lang
+    * wiped on id%5, source suffixed on id%7, head broken on id%11,
+    * case/whitespace-mangled on id%3 — normalization absorbs the
+    * latter); candidates: each replica against its original (match
+    * population) and its id-successor's original (non-match
+    * population). Everything fixed-point (2⁻³⁰ probability floors,
+    * 16.16 square-and-shift logs), so the oracle replays every weight
+    * bit via the 16-step log CTE and the three-way link / possible /
+    * non-link decision is an integer compare.
+    */
+  def q153FellegiSunter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.RecordLinkage
+    import graft.ops.RecordLinkage.Field
+    val d = Load.table(spark, dir, "documents")
+      .select("doc_id", "lang", "source", "text")
+    val replica = d.select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      when(col("doc_id") % 5 === 0, lit("xx"))
+        .otherwise(col("lang")).as("lang"),
+      when(col("doc_id") % 7 === 0, concat(col("source"), lit("_m")))
+        .otherwise(col("source")).as("source"),
+      when(col("doc_id") % 11 === 0, concat(lit("zz "), col("text")))
+        .when(col("doc_id") % 3 === 0,
+          upper(regexp_replace(col("text"), " ", "   ")))
+        .otherwise(col("text")).as("text"))
+    val records = d.unionByName(replica).select(col("doc_id"),
+      col("lang").as("f_lang"), col("source").as("f_source"),
+      substring(graft.functions.HashExprs.fingerprintNormalize(col("text")),
+        1, 16).as("f_head"),
+      expr("CAST(length(text) AS BIGINT) div 64").cast("string").as("f_lenb"))
+    val fields = FsM.map { case (n, m, mc) => Field(n, col(s"f_$n"), m, mc) }
+    val a = records.filter(col("doc_id") < 100000L).select(
+      col("doc_id").as("id_a"), col("f_lang").as("lang_a"),
+      col("f_source").as("source_a"), col("f_head").as("head_a"),
+      col("f_lenb").as("lenb_a"))
+    val b = records.filter(col("doc_id") >= 100000L).select(
+      (col("doc_id") - 100000L).as("orig"), col("doc_id").as("id_b"),
+      col("f_lang").as("lang_b"), col("f_source").as("source_b"),
+      col("f_head").as("head_b"), col("f_lenb").as("lenb_b"))
+    val pairs = a.join(b, col("id_a") === col("orig")).drop("orig")
+      .unionByName(a.join(b, col("id_a") + 1 === col("orig")).drop("orig"))
+    val weights = RecordLinkage.fieldWeights(records, fields)
+    RecordLinkage.scorePairs(pairs, weights, fields)
+      .select(col("id_a"), col("id_b"), col("agree_lang"),
+        col("agree_source"), col("agree_head"), col("agree_lenb"),
+        col("n_agree"), col("score_fix"), col("decision"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q153Sql: String = {
+    val mqValues = FsM.map { case (n, m, mc) => s"('$n', $m, $mc)" }
+      .mkString(", ")
+    s"""WITH RECURSIVE recs AS (
+       |  SELECT doc_id, lang, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000,
+       |         CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END,
+       |         CASE WHEN doc_id % 7 = 0 THEN source || '_m' ELSE source END,
+       |         CASE WHEN doc_id % 11 = 0 THEN 'zz ' || text
+       |              WHEN doc_id % 3 = 0
+       |                THEN upper(regexp_replace(text, ' ', '   ', 'g'))
+       |              ELSE text END
+       |  FROM documents),
+       |flds AS (
+       |  SELECT doc_id, lang AS f_lang, source AS f_source,
+       |         substring(regexp_replace(regexp_replace(lower(text),
+       |           '[^a-z0-9 ֐-׿؀-ۿ]', '', 'g'), ' +', ' ', 'g'),
+       |           1, 16) AS f_head,
+       |         CAST(length(text) // 64 AS VARCHAR) AS f_lenb
+       |  FROM recs),
+       |fv AS (
+       |  SELECT 'lang' AS field, f_lang AS v FROM flds
+       |  UNION ALL SELECT 'source', f_source FROM flds
+       |  UNION ALL SELECT 'head', f_head FROM flds
+       |  UNION ALL SELECT 'lenb', f_lenb FROM flds),
+       |vc AS (SELECT field, v, count(*)::BIGINT AS c FROM fv
+       |       GROUP BY field, v),
+       |st AS (SELECT field, CAST(sum(c * (c - 1)) AS HUGEINT) AS u_num,
+       |              CAST(sum(c) AS HUGEINT) AS m_rows
+       |       FROM vc GROUP BY field),
+       |uq AS (SELECT field,
+       |         CAST(greatest((u_num * 1073741824)
+       |           // (m_rows * (m_rows - 1)), 1) AS BIGINT) AS u_q,
+       |         CAST(greatest(((m_rows * (m_rows - 1) - u_num) * 1073741824)
+       |           // (m_rows * (m_rows - 1)), 1) AS BIGINT) AS uc_q
+       |       FROM st),
+       |mq(field, m_q, mc_q) AS (VALUES $mqValues),
+       |probs AS (
+       |  SELECT field, 'u' AS kind, u_q AS p FROM uq
+       |  UNION ALL SELECT field, 'uc', uc_q FROM uq
+       |  UNION ALL SELECT field, 'm', m_q FROM mq
+       |  UNION ALL SELECT field, 'mc', mc_q FROM mq),
+       |nrm AS (
+       |  SELECT field, kind, greatest(p, 1) AS m, 0::BIGINT AS k FROM probs
+       |  UNION ALL
+       |  SELECT field, kind, m * 2, k + 1 FROM nrm WHERE m < 1073741824),
+       |normed AS (SELECT field, kind, m, k FROM nrm WHERE m >= 1073741824),
+       |sq AS (
+       |  SELECT field, kind, k, m, 0 AS i, 0::BIGINT AS acc FROM normed
+       |  UNION ALL
+       |  SELECT field, kind, k,
+       |         CASE WHEN m2 >= 2147483648::BIGINT THEN m2 // 2 ELSE m2 END,
+       |         i + 1,
+       |         acc * 2 + CASE WHEN m2 >= 2147483648::BIGINT THEN 1 ELSE 0 END
+       |  FROM (SELECT field, kind, k, (m * m) // 1073741824 AS m2, i, acc
+       |        FROM sq WHERE i < 16) s),
+       |lgv AS (SELECT field, kind, acc - k * 65536 AS lg FROM sq WHERE i = 16),
+       |w AS (SELECT mv.field, mv.lg - uv.lg AS wa, mcv.lg - ucv.lg AS wd
+       |      FROM lgv mv
+       |      JOIN lgv uv ON uv.field = mv.field AND uv.kind = 'u'
+       |      JOIN lgv mcv ON mcv.field = mv.field AND mcv.kind = 'mc'
+       |      JOIN lgv ucv ON ucv.field = mv.field AND ucv.kind = 'uc'
+       |      WHERE mv.kind = 'm'),
+       |pa AS (SELECT doc_id AS id_a, f_lang AS la, f_source AS sa,
+       |              f_head AS ha, f_lenb AS na
+       |       FROM flds WHERE doc_id < 100000),
+       |pb AS (SELECT doc_id - 100000 AS orig, doc_id AS id_b,
+       |              f_lang AS lb, f_source AS sb, f_head AS hb,
+       |              f_lenb AS nb
+       |       FROM flds WHERE doc_id >= 100000),
+       |prs AS (
+       |  SELECT id_a, id_b, la, sa, ha, na, lb, sb, hb, nb
+       |  FROM pa JOIN pb ON pb.orig = pa.id_a
+       |  UNION ALL
+       |  SELECT id_a, id_b, la, sa, ha, na, lb, sb, hb, nb
+       |  FROM pa JOIN pb ON pb.orig = pa.id_a + 1),
+       |ag AS (
+       |  SELECT id_a, id_b,
+       |         CAST(la = lb AS INTEGER) AS agree_lang,
+       |         CAST(sa = sb AS INTEGER) AS agree_source,
+       |         CAST(ha = hb AS INTEGER) AS agree_head,
+       |         CAST(na = nb AS INTEGER) AS agree_lenb
+       |  FROM prs),
+       |sc AS (
+       |  SELECT id_a, id_b,
+       |    CAST(agree_lang + agree_source + agree_head + agree_lenb
+       |      AS BIGINT) AS n_agree,
+       |    CAST((CASE WHEN agree_lang = 1 THEN wl.wa ELSE wl.wd END)
+       |       + (CASE WHEN agree_source = 1 THEN ws.wa ELSE ws.wd END)
+       |       + (CASE WHEN agree_head = 1 THEN wh.wa ELSE wh.wd END)
+       |       + (CASE WHEN agree_lenb = 1 THEN wn.wa ELSE wn.wd END)
+       |      AS BIGINT) AS score_fix
+       |  FROM ag, w wl, w ws, w wh, w wn
+       |  WHERE wl.field = 'lang' AND ws.field = 'source'
+       |    AND wh.field = 'head' AND wn.field = 'lenb')
+       |SELECT a.id_a, a.id_b, agree_lang, agree_source, agree_head,
+       |       agree_lenb, n_agree, score_fix,
+       |       CASE WHEN score_fix >= 131072 THEN 1
+       |            WHEN score_fix >= -131072 THEN 0 ELSE -1 END AS decision
+       |FROM ag a JOIN sc USING (id_a, id_b)
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_fellegi_sunter" -> (q153FellegiSunter _),
     "q151_sorted_neighborhood" -> (q151SortedNeighborhood _),
     "q150_winnow_pairs" -> (q150WinnowPairs _),
     "q149_corpus_overlap" -> (q149CorpusOverlap _),
@@ -1468,6 +1641,7 @@ object DedupQueries {
     "q83_semantic_decontaminate" -> q83SemanticDecontaminate)
 
   val oracles: Map[String, String] = Map(
+    "q153_fellegi_sunter" -> q153Sql,
     "q151_sorted_neighborhood" -> q151Sql,
     "q150_winnow_pairs" -> q150Sql,
     "q149_corpus_overlap" -> q149Sql,
