@@ -105,6 +105,59 @@ object CurationQueries {
       |FROM labeled JOIN canon USING (cluster_id)
       |ORDER BY id""".stripMargin
 
+  /** q154: golden-record survivorship ([[graft.ops.Survivorship]]) —
+    * the MERGE step after q55's cluster formation: each duplicate
+    * cluster collapses to one composed record, every field taken from
+    * the highest-(ver, id) member holding it non-null, with per-field
+    * donor provenance. Clusters are custkey div 4 blocks; nulls are
+    * planted per field on different residues (name %3, address %7,
+    * phone %5; mktsegment is non-null ONLY on %13, so most clusters
+    * exercise the all-null → null-golden path), so donors genuinely
+    * differ across fields within one cluster — the reason
+    * survivorship beats whole-record election. The oracle rebuilds
+    * every pick via DuckDB struct-max (same lexicographic (ver, id)
+    * comparison), bit-for-bit including the donor ids.
+    */
+  def q154GoldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    val c = Load.table(spark, dir, "customer")
+    val recs = c.select(
+      col("c_custkey").cast(LongType).as("id"),
+      (col("c_custkey") % 11).cast(LongType).as("ver"),
+      expr("CAST(c_custkey AS BIGINT) div 4").as("cluster_id"),
+      when(col("c_custkey") % 3 =!= 0, col("c_name")).as("name"),
+      when(col("c_custkey") % 7 =!= 0,
+        col("c_nationkey").cast(StringType)).as("nat"),
+      when(col("c_custkey") % 5 =!= 0,
+        concat(lit("v"), (col("c_custkey") % 97).cast(StringType)))
+        .as("code"),
+      when(col("c_custkey") % 13 === 0, col("c_mktsegment")).as("seg"))
+    graft.ops.Survivorship.golden(recs, "cluster_id", "id",
+        Seq("ver"), Seq("name", "nat", "code", "seg"))
+      .orderBy("cluster_id")
+  }
+
+  val q154Sql: String = {
+    def pick(f: String, part: String): String =
+      s"struct_extract(max(CASE WHEN $f IS NOT NULL THEN " +
+        s"struct_pack(ver := ver, id := id, v := $f) END), '$part')"
+    val cols = Seq("name", "nat", "code", "seg").map(f =>
+      s"${pick(f, "v")} AS $f, ${pick(f, "id")} AS ${f}_src").mkString(",\n  ")
+    s"""WITH recs AS (
+       |  SELECT CAST(c_custkey AS BIGINT) AS id,
+       |         CAST(c_custkey % 11 AS BIGINT) AS ver,
+       |         CAST(c_custkey // 4 AS BIGINT) AS cluster_id,
+       |         CASE WHEN c_custkey % 3 <> 0 THEN c_name END AS name,
+       |         CASE WHEN c_custkey % 7 <> 0
+       |              THEN CAST(c_nationkey AS VARCHAR) END AS nat,
+       |         CASE WHEN c_custkey % 5 <> 0
+       |              THEN 'v' || CAST(c_custkey % 97 AS VARCHAR) END AS code,
+       |         CASE WHEN c_custkey % 13 = 0 THEN c_mktsegment END AS seg
+       |  FROM customer)
+       |SELECT cluster_id, count(*)::BIGINT AS n_members,
+       |  $cols
+       |FROM recs GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+  }
+
   /** Benchmark decontamination: docs with doc_id % 23 = 0 play the
     * held-out benchmark; every other doc is flagged with its count of
     * distinct leaked word 4-grams (4, not the 13 of web-scale practice,
@@ -1095,6 +1148,7 @@ object CurationQueries {
     "q49_domain_cap" -> (q49DomainCap _),
     "q52_vocab" -> (q52Vocab _),
     "q55_dedup_clusters" -> (q55DedupClusters _),
+    "q154_golden_record" -> (q154GoldenRecord _),
     "q54_training_mix" -> (q54TrainingMix _),
     "q56_boilerplate" -> (q56Boilerplate _),
     "q57_bloom_decontaminate" -> (q57BloomDecontaminate _),
@@ -1226,6 +1280,7 @@ object CurationQueries {
     "q49_domain_cap" -> q49Sql,
     "q52_vocab" -> q52Sql,
     "q55_dedup_clusters" -> q55Sql,
+    "q154_golden_record" -> q154Sql,
     "q54_training_mix" -> q54Sql,
     "q56_boilerplate" -> q56Sql,
     "q57_bloom_decontaminate" -> q57Sql,
