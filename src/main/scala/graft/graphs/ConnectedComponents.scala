@@ -107,6 +107,30 @@ object ConnectedComponents {
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
+  /** INCREMENTAL component maintenance — the [[graft.ops.Profile]]
+    * mergeable-artifact discipline applied to clustering: the previous
+    * generation's (id, component) labels ARE a connectivity-preserving
+    * edge set (each component collapsed to a depth-1 star on its min
+    * id), so re-labeling after an ingest delta is `components` over
+    * label-edges ∪ delta-edges — never over the full historical pair
+    * set. Correct by the union-find checkpoint argument: the star
+    * forest has exactly the old connectivity, and min-of-union =
+    * min-of-mins, so labels equal a from-scratch run on all edges
+    * EXACTLY. At 100 TB the payoff is twofold: history's pairs
+    * (the expensive LSH/verify output, q32/q150) are never re-mined
+    * or re-shuffled — |labels| = |corpus| rows regardless of how many
+    * pairs produced them — and the collapsed graph's diameter is ~2,
+    * so the alternating rounds converge in 1–2 iterations instead of
+    * log² of the historical chain structure.
+    */
+  def incremental(labels: DataFrame, deltaEdges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val labelEdges = labels.select(col("id").as("a"),
+      col("component").as("b"))
+    components(labelEdges.unionByName(
+      deltaEdges.select(col("a"), col("b"))), maxIter)
+  }
+
   /** Near-dup pairs → per-doc cluster assignment over the WHOLE corpus:
     * docs in no pair become singleton clusters of themselves. Output
     * (id, cluster_id, is_canonical) — `keep where is_canonical` is the

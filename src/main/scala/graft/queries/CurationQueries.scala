@@ -158,6 +158,59 @@ object CurationQueries {
        |FROM recs GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
   }
 
+  /** q155: incremental connected components
+    * ([[graft.graphs.ConnectedComponents.incremental]]) — cluster
+    * maintenance from ingest deltas: generation-0 labels (the persisted
+    * artifact of q47's star edges) union the delta's chain edges and
+    * re-label WITHOUT touching history's pair set. The chains are
+    * exactly the edges that MERGE existing star components (bridging
+    * custkey→custkey+1 across nation hubs), so the delta exercises
+    * component fusion, not just growth. The in-band `inc_exact` flag
+    * compares every incremental label against a from-scratch run on
+    * the full edge set (the q152 merge_exact discipline); the oracle
+    * recomputes the full closure and pins the flag to 1 — if the
+    * incremental path ever diverged, both the labels and the flag
+    * would hash-mismatch.
+    */
+  def q155IncrementalComponents(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Load.table(spark, dir, "customer")
+    val orders = Load.table(spark, dir, "orders")
+    val stars = customer.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").cast(LongType).as("a"),
+        (col("c_nationkey").cast(LongType) + 10000000L).as("b"))
+    val chains = orders.filter(col("o_orderkey") % 500 === 0)
+      .select(col("o_custkey").cast(LongType).as("a"),
+        (col("o_custkey").cast(LongType) + 1L).as("b"))
+    val labels0 = ConnectedComponents.components(stars)
+    val inc = ConnectedComponents.incremental(labels0, chains)
+    val direct = ConnectedComponents.components(stars.unionByName(chains))
+      .select(col("id"), col("component").as("__direct"))
+    inc.join(direct, "id")
+      .select(col("id"), col("component"),
+        (col("component") === col("__direct")).cast(IntegerType)
+          .as("inc_exact"))
+      .orderBy("id")
+  }
+
+  val q155Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS a,
+      |         CAST(10000000 + c_nationkey AS BIGINT) AS b
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT CAST(o_custkey AS BIGINT), CAST(o_custkey + 1 AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 500 = 0
+      |), ue AS (
+      |  SELECT a, b FROM e UNION SELECT b, a FROM e
+      |  UNION SELECT a, a FROM e UNION SELECT b, b FROM e
+      |), reach(s, t) AS (
+      |  SELECT a, b FROM ue
+      |  UNION
+      |  SELECT r.s, u.b FROM reach r JOIN ue u ON r.t = u.a
+      |)
+      |SELECT s AS id, min(t) AS component, 1 AS inc_exact FROM reach
+      |GROUP BY s ORDER BY id""".stripMargin
+
   /** Benchmark decontamination: docs with doc_id % 23 = 0 play the
     * held-out benchmark; every other doc is flagged with its count of
     * distinct leaked word 4-grams (4, not the 13 of web-scale practice,
@@ -1149,6 +1202,7 @@ object CurationQueries {
     "q52_vocab" -> (q52Vocab _),
     "q55_dedup_clusters" -> (q55DedupClusters _),
     "q154_golden_record" -> (q154GoldenRecord _),
+    "q155_incremental_cc" -> (q155IncrementalComponents _),
     "q54_training_mix" -> (q54TrainingMix _),
     "q56_boilerplate" -> (q56Boilerplate _),
     "q57_bloom_decontaminate" -> (q57BloomDecontaminate _),
@@ -1281,6 +1335,7 @@ object CurationQueries {
     "q52_vocab" -> q52Sql,
     "q55_dedup_clusters" -> q55Sql,
     "q154_golden_record" -> q154Sql,
+    "q155_incremental_cc" -> q155Sql,
     "q54_training_mix" -> q54Sql,
     "q56_boilerplate" -> q56Sql,
     "q57_bloom_decontaminate" -> q57Sql,

@@ -81,7 +81,8 @@ object ExplainDump {
     "q151_sorted_neighborhood" -> "exact-rank sort with no corpus window (histogram base broadcast, per-key tie windows); window pairs by rank+j equi-join, never a range join",
     "q152_profile_merge" -> "three single-Expand profile scans; the merge itself is |cols|-row artifact algebra, kmv_union state crossing nothing wider than a 5-row group",
     "q153_fellegi_sunter" -> "u-stats are one Expand into two map-side-combined counting shuffles ending 4 rows; weights broadcast onto id-equi-joined candidate pairs; scoring narrow",
-    "q154_golden_record" -> "one cluster-keyed shuffle; every field pick is a partial-aggregable max(struct), so members combine map-side and never collect")
+    "q154_golden_record" -> "one cluster-keyed shuffle; every field pick is a partial-aggregable max(struct), so members combine map-side and never collect",
+    "q155_incremental_cc" -> "relabel runs over label-edges + delta only (|corpus| rows, diameter ~2 -> 1-2 rounds); history's pair set never re-mined or re-shuffled")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

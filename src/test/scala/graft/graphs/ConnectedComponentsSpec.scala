@@ -74,6 +74,30 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(run(Seq.empty[(Long, Long)]).isEmpty)
   }
 
+  test("incremental: label-artifact ∪ delta equals from-scratch, incl. component fusion") {
+    // t0: two separate chains {1-2-3} and {10-11}, plus isolated pair {20-21}
+    val t0 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    val labels0 = ConnectedComponents.components(
+      t0.toDF("a", "b"))
+    // delta: fuses the two chains (3-10), grows one (11-12), and adds a
+    // brand-new component (30-31) — all three incremental cases
+    val delta = Seq((3L, 10L), (11L, 12L), (30L, 31L))
+    val inc = ConnectedComponents.incremental(labels0, delta.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == reference(t0 ++ delta))
+  }
+
+  test("incremental: randomized law — labels(A) ∪ B relabels exactly as A ∪ B") {
+    var seed = 777L
+    def next(mod: Long): Long = { seed = (seed * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; seed % mod }
+    val a = (0 until 200).map(_ => (next(300), next(300)))
+    val b = (0 until 100).map(_ => (next(300), next(300)))
+    val labels0 = ConnectedComponents.components(a.toDF("a", "b"))
+    val inc = ConnectedComponents.incremental(labels0, b.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == reference(a ++ b))
+  }
+
   test("dedupClusters elects a surviving canonical when the min id left the corpus") {
     // stale pairs mention doc 5, which the corpus no longer contains: the
     // cluster must keep ONE of its surviving members (7), not zero
