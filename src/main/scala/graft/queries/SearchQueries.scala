@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 import graft.ops.Load
 import graft.text.{QualityRules, SpanDedup}
-import graft.similarity.TfIdfSearch
+import graft.similarity.{Bm25, TfIdfSearch}
 
 /** Driver queries for the span-dedup / quality-rules / lexical-search
   * tier (beyond-reference training-data operators; see COVERAGE.md).
@@ -203,6 +203,80 @@ object SearchQueries {
       |  FROM scored) x
       |WHERE rn <= 5 ORDER BY query_id, doc_id""".stripMargin
 
+  /** q156: incremental inverted-index maintenance
+    * ([[graft.similarity.Bm25.index]]/`mergeIndex`/`topKFromIndex`) —
+    * the retrieval leg of the artifact-algebra trio (q152 profiles,
+    * q155 cluster labels): history's index (raw postings + (n, tot)
+    * scalars — NOT the derived avgdl/idf, which change under merge)
+    * persists to parquet; an ingest delta indexes alone; the merged
+    * artifact serves BM25 queries with history never re-tokenized.
+    * In-band `merge_exact` compares every served score against a
+    * from-scratch build on the full corpus; the oracle recomputes the
+    * q120 scoring pipeline directly and pins the flag — a divergence
+    * in any count, the avgdl floor, or a tie would break either the
+    * scores or the row set.
+    */
+  def q156IncrementalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val hist = d.filter(col("doc_id") % 2 === 0)
+    val delta = d.filter(col("doc_id") % 2 =!= 0)
+    val base = s"/tmp/graft_bm25idx_${ScratchDirs.pathKey(dir)}_" +
+      ProcessHandle.current().pid()
+    ScratchDirs.deleteRecursively(new java.io.File(base))
+    val (hp, hs) = Bm25.index(hist, "text", "doc_id")
+    hp.write.mode("overwrite").parquet(s"$base/postings")
+    hs.write.mode("overwrite").parquet(s"$base/scalars")
+    val histIdx = (spark.read.parquet(s"$base/postings"),
+      spark.read.parquet(s"$base/scalars"))
+    val (mp, ms) =
+      Bm25.mergeIndex(Seq(histIdx, Bm25.index(delta, "text", "doc_id")))
+    val queries = d.filter(col("doc_id") % 41 === 0)
+    val inc = Bm25.topKFromIndex(mp, ms, queries, "text", "doc_id", k = 5)
+    val direct = Bm25.topK(d, queries, "text", "doc_id", "doc_id", k = 5)
+      .select(col("query_id"), col("doc_id"), col("score").as("__ds"))
+    inc.join(direct, Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("doc_id"), col("score"),
+        (col("score") === col("__ds")).cast(IntegerType).as("merge_exact"))
+      .orderBy("query_id", "doc_id")
+  }
+
+  val q156Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x <> '') AS w
+      |  FROM documents),
+      |postings AS (
+      |  SELECT doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM toks, UNNEST(w) AS t(term) GROUP BY doc_id, t.term),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM postings GROUP BY doc_id),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+      |ad AS (SELECT greatest(1, CAST(sum(tf) AS BIGINT) // nd) AS adl
+      |       FROM postings, nn GROUP BY nd),
+      |wt AS (
+      |  SELECT term,
+      |         least(CAST(floor((nd - df + 0.5) / (df + 0.5) * 1048576.0)
+      |                    AS BIGINT), 1099511627776) AS w
+      |  FROM (SELECT term, CAST(count(*) AS BIGINT) AS df
+      |        FROM postings GROUP BY term), nn),
+      |sat AS (
+      |  SELECT p.doc_id, p.term,
+      |         CAST((22528 * p.tf * 16384)
+      |              // (10240 * p.tf + 3072 + 9 * ((d.dl * 1024) // ad.adl))
+      |              AS BIGINT) AS v
+      |  FROM postings p JOIN dl d USING (doc_id), ad),
+      |q AS (SELECT DISTINCT doc_id AS query_id, t.term
+      |      FROM toks, UNNEST(w) AS t(term) WHERE doc_id % 41 = 0),
+      |scored AS (
+      |  SELECT q.query_id, s.doc_id, CAST(sum(s.v * wt.w) AS BIGINT) AS score
+      |  FROM q JOIN sat s USING (term) JOIN wt USING (term)
+      |  GROUP BY q.query_id, s.doc_id)
+      |SELECT query_id, doc_id, score, 1 AS merge_exact FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |            ORDER BY score DESC, doc_id) AS rn
+      |  FROM scored) x
+      |WHERE rn <= 5 ORDER BY query_id, doc_id""".stripMargin
+
   /** q123: unigram-LM (SentencePiece-style) Viterbi tokenization — the
     * min-total-cost segmentation of every corpus word against a planted
     * integer-cost vocabulary ([[graft.text.Unigram]]), completing the
@@ -295,6 +369,7 @@ object SearchQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_unigram_encode" -> (q123UnigramEncode _),
+    "q156_incremental_index" -> (q156IncrementalIndex _),
     "q132_wordpiece_encode" -> (q132WordPieceEncode _),
     "q120_bm25_search" -> (q120Bm25Search _),
     "q67_span_dedup" -> (q67SpanDedup _),
@@ -732,6 +807,7 @@ object SearchQueries {
 
   val oracles: Map[String, String] = Map(
     "q123_unigram_encode" -> q123Sql,
+    "q156_incremental_index" -> q156Sql,
     "q132_wordpiece_encode" -> q132Sql,
     "q120_bm25_search" -> q120Sql,
     "q67_span_dedup" -> q67Sql,

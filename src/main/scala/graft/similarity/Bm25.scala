@@ -94,17 +94,76 @@ object Bm25 {
         s"($Num * tf * $SatScale) div ($DenTf * tf + $DenC + $DenL * __L)"))
       .select("term", "doc_id", "v")
 
-  /** Scalar relation: one row (__n docs, __adl pre-floored avgdl).
-    * N counts every corpus row (zero-token docs lengthen nothing but
-    * do count as documents); tot = Σ tf reads off the postings — no
-    * second tokenize.
+  /** RAW scalar relation: one row (__n docs, __tot tokens). N counts
+    * every corpus row (zero-token docs lengthen nothing but do count
+    * as documents); tot = Σ tf reads off the postings — no second
+    * tokenize. Raw (n, tot) rather than the derived avgdl is what the
+    * MERGEABLE index stores: counts add across parts, a pre-floored
+    * average would not.
     */
-  private def scalarsOf(corpus: DataFrame, postings: DataFrame): DataFrame =
-    postings.agg(sum("tf").as("__tot"))
+  private def rawScalarsOf(corpus: DataFrame, postings: DataFrame): DataFrame =
+    postings.agg(coalesce(sum("tf"), lit(0L)).as("__tot"))
       .crossJoin(corpus.select(count(lit(1)).as("__n")))
-      .withColumn("__adl",
+      .select("__n", "__tot")
+
+  private def withAdl(raw: DataFrame): DataFrame =
+    raw.withColumn("__adl",
         greatest(lit(1L), expr("__tot div __n")))
       .select("__n", "__adl")
+
+  /** Mergeable inverted-index artifact: (postings, rawScalars) —
+    * postings are the raw (term, doc_id, tf, __dl) relation (sat and
+    * idf are DERIVED at query time because both depend on global
+    * avgdl / N, which change under merge), rawScalars the 1-row
+    * (__n, __tot). Persist both as parquet; [[mergeIndex]] +
+    * [[topKFromIndex]] then serve queries without ever re-tokenizing
+    * history — the incremental-maintenance path for a 100 TB corpus
+    * whose index grows by ingest deltas.
+    */
+  def index(corpus: DataFrame, textCol: String, idCol: String)
+      : (DataFrame, DataFrame) = {
+    val postings = buildPostings(corpus, textCol, idCol)
+    (postings, rawScalarsOf(corpus, postings))
+  }
+
+  /** Merge index artifacts of DISJOINT doc sets: postings union as-is
+    * (each doc's rows live in exactly one part), scalar counts add —
+    * merge(index(A), index(B)) == index(A ∪ B) exactly, the
+    * [[graft.ops.Profile]] artifact-algebra law.
+    */
+  def mergeIndex(parts: Seq[(DataFrame, DataFrame)])
+      : (DataFrame, DataFrame) = {
+    val postings = parts.map(_._1).reduce(_ unionByName _)
+    val scalars = parts.map(_._2).reduce(_ unionByName _)
+      .agg(sum("__n").as("__n"), sum("__tot").as("__tot"))
+    (postings, scalars)
+  }
+
+  /** [[topK]] served from a prebuilt (possibly merged) index artifact —
+    * identical results to building from the corpus, with history's
+    * tokenize + postings shuffle replaced by a parquet scan.
+    */
+  def topKFromIndex(postings: DataFrame, rawScalars: DataFrame,
+      queries: DataFrame, textCol: String, qidCol: String, k: Int,
+      commonDfShare: Double = TfIdfSearch.DefaultCommonDfShare,
+      minCommonDf: Long = TfIdfSearch.MinCommonDf): DataFrame = {
+    val (vPost, qTerms, stats) =
+      prepFromIndex(postings, rawScalars, queries, textCol, qidCol)
+    val vq = queries
+      .select(explode(array_distinct(tok(textCol))).as("__t"))
+      .agg(countDistinct(col("__t"))).head.getLong(0)
+    if (vq <= TfIdfSearch.DenseVocabMax)
+      LexicalProbe.dense(vPost, qTerms, stats.select("term", "__w"), k)
+    else {
+      val full = stats
+        .withColumn("__common",
+          col("__df") > greatest(col("__n") * lit(commonDfShare),
+            lit(minCommonDf)))
+        .withColumn("__u", col("__w") * col("__satmax"))
+        .select("term", "__w", "__common", "__u")
+      LexicalProbe.tiered(vPost, qTerms, full, k)
+    }
+  }
 
   /** Top-k corpus docs per query row by exact integer BM25; output
     * (query_id, doc_id, score), ties by doc_id. Identical results to
@@ -128,14 +187,21 @@ object Bm25 {
   private def prep(corpus: DataFrame, queries: DataFrame, textCol: String,
       idCol: String, qidCol: String): (DataFrame, DataFrame, DataFrame) = {
     val postings = buildPostings(corpus, textCol, idCol)
+    prepFromIndex(postings, rawScalarsOf(corpus, postings), queries,
+      textCol, qidCol)
+  }
+
+  private def prepFromIndex(postings: DataFrame, rawScalars: DataFrame,
+      queries: DataFrame, textCol: String, qidCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val qTerms = qTermsOf(queries, textCol, qidCol)
     val qVocab = qTerms.select("term").distinct()
     // prune BEFORE sat: term-pruning cannot change df or dl of the
     // surviving postings, so stats stay full-corpus exact — but tot
-    // must aggregate the UNPRUNED postings (every token counts toward
-    // average length)
+    // (inside rawScalars) aggregates the UNPRUNED postings (every
+    // token counts toward average length)
     val pruned = postings.join(broadcast(qVocab), Seq("term"))
-    val scalars = scalarsOf(corpus, postings)
+    val scalars = withAdl(rawScalars)
     val vPost = satPostings(pruned, scalars.select("__adl"))
     val stats = vPost.groupBy("term")
       .agg(count(lit(1)).as("__df"), max("v").as("__satmax"))

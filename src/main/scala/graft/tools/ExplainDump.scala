@@ -82,7 +82,8 @@ object ExplainDump {
     "q152_profile_merge" -> "three single-Expand profile scans; the merge itself is |cols|-row artifact algebra, kmv_union state crossing nothing wider than a 5-row group",
     "q153_fellegi_sunter" -> "u-stats are one Expand into two map-side-combined counting shuffles ending 4 rows; weights broadcast onto id-equi-joined candidate pairs; scoring narrow",
     "q154_golden_record" -> "one cluster-keyed shuffle; every field pick is a partial-aggregable max(struct), so members combine map-side and never collect",
-    "q155_incremental_cc" -> "relabel runs over label-edges + delta only (|corpus| rows, diameter ~2 -> 1-2 rounds); history's pair set never re-mined or re-shuffled")
+    "q155_incremental_cc" -> "relabel runs over label-edges + delta only (|corpus| rows, diameter ~2 -> 1-2 rounds); history's pair set never re-mined or re-shuffled",
+    "q156_incremental_index" -> "history postings arrive as a parquet scan (never re-tokenized); delta indexes alone; scalar merge is 2-row algebra; scoring rides the q120 probe")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -361,6 +361,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!corpusWindow, s"corpus-wide window found:\n$p")
   }
 
+  test("q153: u-stats are one Expand; weights reach the pairs by broadcast") {
+    val p = plan(DedupQueries.queries("q153_fellegi_sunter")(spark, sf))
+    assert(p.contains("Generate explode"),
+      s"u-stats lost the single-scan field explode:\n$p")
+    // the 1-row pivoted weight relation must broadcast onto the pairs,
+    // never shuffle them
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"weights not broadcast:\n$p")
+  }
+
+  test("q154: survivorship is partial-aggregable struct-max, no collects") {
+    val p = plan(graft.queries.CurationQueries
+      .queries("q154_golden_record")(spark, sf))
+    assert(p.contains("partial_max") || p.contains("partial max"),
+      s"field picks lost map-side combine:\n$p")
+    assert(!p.toLowerCase.contains("collect_list"),
+      s"survivorship must never collect cluster members:\n$p")
+  }
+
+  test("q156: history's index arrives as a parquet scan, never re-tokenized") {
+    val p = plan(graft.queries.SearchQueries
+      .queries("q156_incremental_index")(spark, sf))
+    assert(p.contains("graft_bm25idx"),
+      s"history postings not read from the persisted artifact:\n$p")
+  }
+
   test("q128: edit verify blocks on an equi-join; texts stay out of the blocking shuffle") {
     val p = plan(graft.queries.DedupQueries.queries("q128_edit_verify")(spark, sf))
     assert(p.contains("lev_bounded"), s"kernel expression missing:\n$p")

@@ -93,6 +93,28 @@ class Bm25Spec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSet === Set(1L))
   }
 
+  test("index merge law: merged parts serve identically to a from-scratch build") {
+    // parts with very different average doc length: a pre-floored
+    // per-part avgdl (instead of raw (n, tot) scalars) would change
+    // the saturation of every posting and break this equality
+    val c = corpus
+    val partA = c.filter(col("doc_id") % 2 === 0)
+    val partB = c.filter(col("doc_id") % 2 =!= 0)
+    val merged = Bm25.mergeIndex(Seq(
+      Bm25.index(partA, "text", "doc_id"),
+      Bm25.index(partB, "text", "doc_id")))
+    val q = docs(9L -> "spark shuffle join", 8L -> "partition cost")
+    val inc = Bm25.topKFromIndex(merged._1, merged._2, q, "text",
+      "doc_id", k = 6)
+    val direct = Bm25.topKNaive(c, q, "text", "doc_id", "doc_id", k = 6)
+    assert(rows(inc) == rows(direct))
+    // the merged scalars are the exact sums, not an average-of-averages
+    val s = merged._2.collect()(0)
+    val totTokens = c.collect()
+      .map(_.getString(1).split("\\s+").count(_.nonEmpty).toLong).sum
+    assert((s.getLong(0), s.getLong(1)) == ((c.count(), totTokens)))
+  }
+
   test("scores are non-negative and bounded by idfcap * satcap * |q|") {
     val qs = corpus
     val out = Bm25.topKNaive(corpus, qs, "text", "doc_id", "doc_id", k = 6)
