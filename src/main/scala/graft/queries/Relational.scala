@@ -362,7 +362,37 @@ object Relational {
       |FROM documents GROUP BY ROLLUP(source, lang)
       |ORDER BY gid, source, lang""".stripMargin
 
+  /** q157: CUBE over (source, lang, length-bucket) — the full 2³
+    * subtotal lattice q94's ROLLUP (prefix-only) cannot produce, with
+    * the grouping-id marker distinguishing every level. One pass of
+    * partial aggregates (Spark plans cube/rollup through a single
+    * Expand + map-side-combined aggregation — 8 grouping combos never
+    * mean 8 scans), so the reporting lattice costs one shuffle at any
+    * corpus size.
+    */
+  def q157Cube(spark: SparkSession, dir: String): DataFrame = {
+    Load.table(spark, dir, "documents")
+      .select(col("source"), col("lang"),
+        expr("CAST(n_chars AS BIGINT) div 256").as("lb"), col("n_chars"))
+      .cube("source", "lang", "lb")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        grouping_id().as("gid"))
+      .orderBy("gid", "source", "lang", "lb")
+  }
+
+  val q157Sql: String =
+    """SELECT source, lang, lb,
+      |       count(*)::BIGINT AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(GROUPING(source, lang, lb) AS BIGINT) AS gid
+      |FROM (SELECT source, lang, n_chars // 256 AS lb, n_chars
+      |      FROM documents)
+      |GROUP BY CUBE(source, lang, lb)
+      |ORDER BY gid, source, lang, lb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_cube" -> q157Cube,
     "q1_agg" -> q1Agg,
     "q2_filter_project" -> q2FilterProject,
     "q3_join" -> q3Join,
@@ -379,6 +409,7 @@ object Relational {
     "q94_rollup" -> q94Rollup)
 
   val oracles: Map[String, String] = Map(
+    "q157_cube" -> q157Sql,
     "q1_agg" -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_join" -> q3Sql,
