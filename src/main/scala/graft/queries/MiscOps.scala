@@ -400,6 +400,40 @@ object MiscOps {
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t >= p.t
       |ORDER BY event_id""".stripMargin
 
+  /** q158: FORWARD as-of join ([[graft.ops.AsOf.joinForward]]) — every
+    * click gets the user's NEXT purchase value at-or-after it, the
+    * symmetric twin of q72's point-in-time lookup ("what did this
+    * session lead to"). DuckDB has no forward ASOF, so the oracle is
+    * the arg_min formulation over the qualifying left join — a
+    * different algorithm whose row explosion the Spark plan exists to
+    * avoid (the tagged union + flipped window frame is still ONE
+    * key shuffle).
+    */
+  def q158AsOfForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Load.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("t"))
+      .agg(max(col("value")).as("next_purchase_value"))
+    AsOf.joinForward(clicks, purchases, Seq("user_id"), "t",
+      Seq("next_purchase_value"))
+      .select("event_id", "user_id", "t", "next_purchase_value")
+      .orderBy("event_id")
+  }
+
+  val q158Sql: String =
+    """WITH c AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, epoch_us(ts) AS t, max(value) AS next_purchase_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id, c.t,
+      |       arg_min(p.next_purchase_value, p.t) AS next_purchase_value
+      |FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.t >= c.t
+      |GROUP BY c.event_id, c.user_id, c.t
+      |ORDER BY c.event_id""".stripMargin
+
   /** Streaming-shaped tumbling-window aggregation over the events table
     * (same `window()` API drives Structured Streaming; batch mode here so
     * the oracle can replay it — the readStream variant is spec-tested).
@@ -1412,6 +1446,7 @@ object MiscOps {
     "q61_audio" -> q61Audio,
     "q66_image_pixels" -> q66ImagePixels,
     "q72_asof_join" -> q72AsOfJoin,
+    "q158_asof_forward" -> (q158AsOfForward _),
     "q75_phash_dedup" -> q75PhashDedup,
     "q78_stream_dedup" -> q78StreamDedupTwin,
     "q130_stream_neardup" -> (q130StreamNearDup _),
@@ -1450,6 +1485,7 @@ object MiscOps {
     "q61_audio" -> q61Sql,
     "q66_image_pixels" -> q66Sql,
     "q72_asof_join" -> q72Sql,
+    "q158_asof_forward" -> q158Sql,
     "q75_phash_dedup" -> q75Sql,
     "q78_stream_dedup" -> q78Sql,
     "q130_stream_neardup" -> q130Sql,
