@@ -400,6 +400,43 @@ object MiscOps {
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t >= p.t
       |ORDER BY event_id""".stripMargin
 
+  /** q159: time-spine densification ([[graft.ops.TimeSpine.densify]]) —
+    * hourly per-type event counts with every gap hour reinstated as an
+    * explicit zero row (the corpus leaves 34–53 empty hours per type,
+    * so the fill path is genuinely exercised). The spine is generated
+    * per key by sequence+explode from a min/max aggregate — no
+    * calendar table, no cross join — then one (key, bucket) equi-join.
+    * The oracle rebuilds the spine with generate_series.
+    */
+  def q159Densify(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Load.events(spark, dir)
+    val hourly = ev.select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hour"), col("user_id"))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("cnt"), countDistinct("user_id").as("users"))
+    graft.ops.TimeSpine.densify(hourly, Seq("event_type"), "hour",
+        Seq("cnt" -> lit(0L), "users" -> lit(0L)))
+      .withColumn("is_gap", (col("cnt") === 0).cast(IntegerType))
+      .orderBy("event_type", "hour")
+  }
+
+  val q159Sql: String =
+    """WITH h AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+      |         count(*)::BIGINT AS cnt,
+      |         count(DISTINCT user_id)::BIGINT AS users
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(hour) AS lo, max(hour) AS hi
+      |      FROM h GROUP BY 1),
+      |sp AS (SELECT event_type, u.hour
+      |       FROM b, UNNEST(generate_series(lo, hi)) AS u(hour))
+      |SELECT sp.event_type, sp.hour,
+      |       coalesce(h.cnt, 0) AS cnt,
+      |       coalesce(h.users, 0) AS users,
+      |       CAST(coalesce(h.cnt, 0) = 0 AS INTEGER) AS is_gap
+      |FROM sp LEFT JOIN h USING (event_type, hour)
+      |ORDER BY event_type, hour""".stripMargin
+
   /** q158: FORWARD as-of join ([[graft.ops.AsOf.joinForward]]) — every
     * click gets the user's NEXT purchase value at-or-after it, the
     * symmetric twin of q72's point-in-time lookup ("what did this
@@ -1447,6 +1484,7 @@ object MiscOps {
     "q66_image_pixels" -> q66ImagePixels,
     "q72_asof_join" -> q72AsOfJoin,
     "q158_asof_forward" -> (q158AsOfForward _),
+    "q159_time_spine" -> (q159Densify _),
     "q75_phash_dedup" -> q75PhashDedup,
     "q78_stream_dedup" -> q78StreamDedupTwin,
     "q130_stream_neardup" -> (q130StreamNearDup _),
@@ -1486,6 +1524,7 @@ object MiscOps {
     "q66_image_pixels" -> q66Sql,
     "q72_asof_join" -> q72Sql,
     "q158_asof_forward" -> q158Sql,
+    "q159_time_spine" -> q159Sql,
     "q75_phash_dedup" -> q75Sql,
     "q78_stream_dedup" -> q78Sql,
     "q130_stream_neardup" -> q130Sql,
