@@ -61,8 +61,16 @@ object SpecInterpreter {
       case "delete_fields" =>
         Flow.on(resourceName)(RowOps.deleteFields(_, strs("fields")))
       case "add_computed_field" =>
-        // {"target": f, "operation": "format", "with": "tmpl-{col}"}
-        Flow.on(resourceName)(RowOps.addFormatField(_, str("target"), str("with")))
+        // {"target": f, "operation": "format", "with": "tmpl-{col}"} or
+        // {"operation": "expr", "with": "<sql expression>"}
+        (p \ "operation").extractOpt[String] match {
+          case Some("expr") =>
+            Flow.on(resourceName)(_.withColumn(str("target"),
+              expr(str("with"))))
+          case _ =>
+            Flow.on(resourceName)(RowOps.addFormatField(_, str("target"),
+              str("with")))
+        }
       case "set_constant" =>
         Flow.on(resourceName)(_.withColumn(str("target"), lit(str("value"))))
       case "join" =>
@@ -208,6 +216,20 @@ object SpecInterpreter {
         Flow.on(resourceName)(df => graft.ops.Ordering.quantileBucket(
           df, str("value"), str("tie"),
           (p \ "buckets").extractOpt[Int].getOrElse(10)))
+      case "golden_record" =>
+        // {"resource": r, "cluster": c, "id": c, "precedence": [cols],
+        //  "fields": [cols]} — duplicate clusters collapse to one merged
+        // record, per-field latest-non-null with donor provenance
+        Flow.on(resourceName)(df => graft.ops.Survivorship.golden(
+          df, str("cluster"), str("id"), strs("precedence"),
+          strs("fields")))
+      case "densify" =>
+        // {"resource": r, "keys": [cols], "bucket": c,
+        //  "fills": {"cnt": 0, ...}} — time-spine gap zero-fill
+        val fills = (p \ "fills").extract[Map[String, Long]].toSeq
+          .map { case (c, v) => c -> lit(v) }
+        Flow.on(resourceName)(df => graft.ops.TimeSpine.densify(
+          df, strs("keys"), str("bucket"), fills))
       case "span_corrupt" =>
         // {"resource": r, "field": f, "id": idCol, "block_len": 3} —
         // deterministic denoising-pair construction; the resource becomes

@@ -80,6 +80,43 @@ class SpecInterpreterSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("golden_record and densify processors run from a spec") {
+    val spec =
+      """{"pipeline": [
+        | {"run": "load", "params": {"table": "customer", "name": "c"}},
+        | {"run": "add_computed_field", "params": {"resource": "c",
+        |   "operation": "expr", "target": "cluster_id",
+        |   "with": "c_custkey div 4"}},
+        | {"run": "add_computed_field", "params": {"resource": "c",
+        |   "operation": "expr", "target": "ver", "with": "c_custkey % 11"}},
+        | {"run": "golden_record", "params": {"resource": "c",
+        |   "cluster": "cluster_id", "id": "c_custkey",
+        |   "precedence": ["ver"], "fields": ["c_name", "c_mktsegment"]}}
+        |]}""".stripMargin
+    val out = SpecInterpreter.run(spark, sf, spec)("c").df
+    assert(out.columns.toSet == Set("cluster_id", "n_members",
+      "c_name", "c_name_src", "c_mktsegment", "c_mktsegment_src"))
+    assert(out.filter(col("c_name").isNull).isEmpty)
+
+    val spec2 =
+      """{"pipeline": [
+        | {"run": "load", "params": {"table": "documents", "name": "d"}},
+        | {"run": "add_computed_field", "params": {"resource": "d",
+        |   "operation": "expr", "target": "bucket",
+        |   "with": "CAST(n_chars AS BIGINT) div 200"}},
+        | {"run": "densify", "params": {"resource": "d",
+        |   "keys": ["lang"], "bucket": "bucket", "fills": {"doc_id": -1}}}
+        |]}""".stripMargin
+    val out2 = SpecInterpreter.run(spark, sf, spec2)("d").df
+    // every (lang, bucket) in each lang's range exists; fills applied
+    assert(out2.filter(col("doc_id") === -1).count() >= 0)
+    val perLang = out2.groupBy("lang")
+      .agg((max("bucket") - min("bucket") + 1).as("span"),
+        countDistinct("bucket").as("nb"))
+      .filter(col("span") =!= col("nb"))
+    assert(perLang.isEmpty)
+  }
+
   test("row_number with partition_by numbers per key (the scale path)") {
     val spec =
       """{"pipeline": [
