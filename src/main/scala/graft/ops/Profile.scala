@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Single-pass column profiling — the data-quality monitoring step a
   * production pipeline runs on every ingest (the reference bakes its
@@ -93,6 +95,58 @@ object Profile {
       min("min_str").as("min_str"),
       max("max_str").as("max_str"),
       graft.functions.Kmv.union(col("kmv"), k).as("kmv"))
+
+  /** Population stability index between two bucket histograms, float-free
+    * (base-2 PSI: `Σ (p_i − q_i) · log₂(p_i/q_i)` — always ≥ 0, ≈ 1.44×
+    * the ln-based classic, so the industry "investigate at 0.2" rule
+    * becomes ≈ 0.29 here; the default flags at 0.25 = 2⁴⁴ in fixed
+    * point). The principled DISTRIBUTIONAL complement to [[drift]]'s
+    * per-column null/distinct checks: a length or score histogram can
+    * shift decisively while nulls and distincts stay put.
+    *
+    * Fixed-point discipline (q102/q153): probabilities floor at 2⁻³⁰
+    * with a ≥ 1 clamp (a bucket absent from one side scores against the
+    * floor, never ±∞), the ×2³⁰ rescale routes through decimal(38,0) so
+    * 10⁹-row histograms cannot overflow, and log₂ is the exact
+    * square-and-shift kernel — contributions land in 2⁻⁴⁶ units any
+    * engine reproduces bit-for-bit.
+    *
+    * Scale shape: inputs are already-aggregated histograms (|buckets|
+    * rows); the full-outer bucket join, the narrow log math, and the
+    * total-sum window all run on that tiny relation — corpus work is
+    * whatever aggregation built the histograms upstream.
+    */
+  def psiFix(histA: DataFrame, histB: DataFrame, bucketCol: String,
+      cntCol: String, thresholdFix: Long = 1L << 44): DataFrame = {
+    def side(h: DataFrame, p: String): DataFrame = {
+      val tot = h.agg(sum(col(cntCol)).cast(DecimalType(38, 0)).as(s"__n$p"))
+      h.select(col(bucketCol), col(cntCol).as(s"__c$p"))
+        .crossJoin(broadcast(tot))
+    }
+    val joined = side(histA, "a")
+      .join(side(histB, "b"), Seq(bucketCol), "full_outer")
+      .na.fill(0L, Seq("__ca", "__cb"))
+    // totals are constant per side; after the full-outer join a
+    // one-sided row has a null total — take the max over the window to
+    // reinstate it (the relation is |buckets| rows, the window is free)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val quant = joined
+      .withColumn("__na", max(col("__na")).over(wAll))
+      .withColumn("__nb", max(col("__nb")).over(wAll))
+      .withColumn("__psc", col("__ca").cast(DecimalType(38, 0)) * (1L << 30))
+      .withColumn("__qsc", col("__cb").cast(DecimalType(38, 0)) * (1L << 30))
+      .selectExpr(bucketCol,
+        "greatest(__psc div __na, 1L) AS p_fix",
+        "greatest(__qsc div __nb, 1L) AS q_fix")
+    val lg = (c: Column) => graft.functions.FixedLogExprs.log2fix(c, 30, 16)
+    val contrib = quant.withColumn("contrib_fix",
+      (col("p_fix") - col("q_fix")) * (lg(col("p_fix")) - lg(col("q_fix"))))
+    contrib
+      .withColumn("psi_fix", sum(col("contrib_fix")).over(wAll))
+      .withColumn("drift",
+        (col("psi_fix") >= thresholdFix).cast("int"))
+  }
 
   /** Snapshot drift report — [[profile]] of two corpus generations
     * joined per column with INTEGER drift decisions (the data-quality

@@ -400,6 +400,80 @@ object MiscOps {
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t >= p.t
       |ORDER BY event_id""".stripMargin
 
+  /** q160: PSI distribution drift ([[graft.ops.Profile.psiFix]]) — the
+    * population stability index between two corpus generations' length
+    * histograms, float-free (base-2 PSI, 2⁻⁴⁶-unit contributions via
+    * the exact square-and-shift log). Generation 1 drops the shortest
+    * bucket entirely and doubles the long tail — a decisive
+    * distributional shift q135's null/distinct checks are blind to;
+    * the emptied bucket exercises the 2⁻³⁰ floor path (finite
+    * contribution, never ±∞). The oracle replays quantization, the
+    * 16-step log, every per-bucket contribution, and the total.
+    */
+  def q160PsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    def bucket = least(expr("CAST(n_chars AS BIGINT) div 128"), lit(15L))
+      .as("bucket")
+    val gen0 = d.select(bucket).groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val gen1 = d.filter(col("n_chars") >= 128).select(bucket)
+      .unionByName(d.filter(col("n_chars") >= 384).select(bucket))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    Profile.psiFix(gen0, gen1, "bucket", "cnt").orderBy("bucket")
+  }
+
+  val q160Sql: String =
+    """WITH RECURSIVE b0 AS (
+      |  SELECT least(n_chars // 128, 15) AS bucket, count(*)::BIGINT AS cnt
+      |  FROM documents GROUP BY 1),
+      |b1 AS (
+      |  SELECT bucket, count(*)::BIGINT AS cnt FROM (
+      |    SELECT least(n_chars // 128, 15) AS bucket FROM documents
+      |    WHERE n_chars >= 128
+      |    UNION ALL
+      |    SELECT least(n_chars // 128, 15) FROM documents
+      |    WHERE n_chars >= 384) GROUP BY 1),
+      |na AS (SELECT CAST(sum(cnt) AS HUGEINT) AS n FROM b0),
+      |nb AS (SELECT CAST(sum(cnt) AS HUGEINT) AS n FROM b1),
+      |j AS (SELECT coalesce(b0.bucket, b1.bucket) AS bucket,
+      |             coalesce(b0.cnt, 0) AS ca, coalesce(b1.cnt, 0) AS cb
+      |      FROM b0 FULL OUTER JOIN b1 ON b0.bucket = b1.bucket),
+      |qn AS (SELECT bucket,
+      |        CAST(greatest((CAST(ca AS HUGEINT) * 1073741824) // na.n, 1)
+      |          AS BIGINT) AS p_fix,
+      |        CAST(greatest((CAST(cb AS HUGEINT) * 1073741824) // nb.n, 1)
+      |          AS BIGINT) AS q_fix
+      |       FROM j, na, nb),
+      |probs AS (
+      |  SELECT bucket, 'p' AS kind, p_fix AS p FROM qn
+      |  UNION ALL SELECT bucket, 'q', q_fix FROM qn),
+      |nrm AS (
+      |  SELECT bucket, kind, greatest(p, 1) AS m, 0::BIGINT AS k FROM probs
+      |  UNION ALL
+      |  SELECT bucket, kind, m * 2, k + 1 FROM nrm WHERE m < 1073741824),
+      |normed AS (SELECT bucket, kind, m, k FROM nrm WHERE m >= 1073741824),
+      |sq AS (
+      |  SELECT bucket, kind, k, m, 0 AS i, 0::BIGINT AS acc FROM normed
+      |  UNION ALL
+      |  SELECT bucket, kind, k,
+      |         CASE WHEN m2 >= 2147483648::BIGINT THEN m2 // 2 ELSE m2 END,
+      |         i + 1,
+      |         acc * 2 + CASE WHEN m2 >= 2147483648::BIGINT THEN 1 ELSE 0 END
+      |  FROM (SELECT bucket, kind, k, (m * m) // 1073741824 AS m2, i, acc
+      |        FROM sq WHERE i < 16) s),
+      |lgv AS (SELECT bucket, kind, acc - k * 65536 AS lg FROM sq WHERE i = 16),
+      |w AS (SELECT q.bucket, q.p_fix, q.q_fix,
+      |             CAST((q.p_fix - q.q_fix) * (lp.lg - lq.lg) AS BIGINT)
+      |               AS contrib_fix
+      |      FROM qn q
+      |      JOIN lgv lp ON lp.bucket = q.bucket AND lp.kind = 'p'
+      |      JOIN lgv lq ON lq.bucket = q.bucket AND lq.kind = 'q'),
+      |t AS (SELECT CAST(sum(contrib_fix) AS BIGINT) AS psi FROM w)
+      |SELECT w.bucket, w.p_fix, w.q_fix, w.contrib_fix,
+      |       t.psi AS psi_fix,
+      |       CAST(t.psi >= 17592186044416 AS INTEGER) AS drift
+      |FROM w, t ORDER BY bucket""".stripMargin
+
   /** q159: time-spine densification ([[graft.ops.TimeSpine.densify]]) —
     * hourly per-type event counts with every gap hour reinstated as an
     * explicit zero row (the corpus leaves 34–53 empty hours per type,
@@ -1485,6 +1559,7 @@ object MiscOps {
     "q72_asof_join" -> q72AsOfJoin,
     "q158_asof_forward" -> (q158AsOfForward _),
     "q159_time_spine" -> (q159Densify _),
+    "q160_psi_drift" -> (q160PsiDrift _),
     "q75_phash_dedup" -> q75PhashDedup,
     "q78_stream_dedup" -> q78StreamDedupTwin,
     "q130_stream_neardup" -> (q130StreamNearDup _),
@@ -1525,6 +1600,7 @@ object MiscOps {
     "q72_asof_join" -> q72Sql,
     "q158_asof_forward" -> q158Sql,
     "q159_time_spine" -> q159Sql,
+    "q160_psi_drift" -> q160Sql,
     "q75_phash_dedup" -> q75Sql,
     "q78_stream_dedup" -> q78Sql,
     "q130_stream_neardup" -> q130Sql,

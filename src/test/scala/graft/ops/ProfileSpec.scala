@@ -70,6 +70,26 @@ class ProfileSpec extends SparkSpec {
     assert(out("v") === ((1, 1, 1)))
   }
 
+  test("psiFix: identical histograms score zero; planted shift fires; floors stay finite") {
+    val a = Seq((0L, 100L), (1L, 200L), (2L, 100L)).toDF("bucket", "cnt")
+    val same = Profile.psiFix(a, a, "bucket", "cnt")
+      .select("psi_fix", "drift").distinct().as[(Long, Int)].collect()
+    assert(same.toSeq == Seq((0L, 0)))
+    // mild shift: well under the 0.25 threshold
+    val b = Seq((0L, 110L), (1L, 190L), (2L, 100L)).toDF("bucket", "cnt")
+    val mild = Profile.psiFix(a, b, "bucket", "cnt")
+      .select("psi_fix", "drift").distinct().as[(Long, Int)].collect()(0)
+    assert(mild._1 > 0L && mild._2 == 0)
+    // a bucket emptied on one side: contribution is finite (2^-30 floor)
+    // and large enough to fire on its own
+    val c = Seq((1L, 300L), (2L, 100L)).toDF("bucket", "cnt")
+    val gone = Profile.psiFix(a, c, "bucket", "cnt").orderBy("bucket")
+      .select("bucket", "contrib_fix", "drift")
+      .as[(Long, Long, Int)].collect()
+    assert(gone.head._1 == 0L && gone.head._2 > 0L)
+    assert(gone.forall(_._3 == 1))
+  }
+
   test("sketchProfile merge law: 3-part merge equals the direct profile exactly") {
     val df = (1L to 900L).map(i =>
       (i, if (i % 7 == 0) None else Some(s"v${i % 131}"), i % 13))
