@@ -53,6 +53,29 @@ object Validate {
   def countViolations(df: DataFrame, cond: Column): Long =
     df.filter(!coalesce(cond, lit(false))).count()
 
+  /** Referential-integrity audit: child rows whose `childKey` has no
+    * match in `parent`'s `parentKey` (FK orphans), grouped to (key,
+    * cnt). A LEFT ANTI equi-join — the parent's key column alone
+    * crosses the wire (broadcast when it fits, shuffle otherwise),
+    * never parent payloads. NULL child keys SURFACE as orphans (an
+    * anti-join keeps the never-matching null rows) — the opposite of
+    * SQL `NOT IN`, which silently drops them; pre-filter nulls to a
+    * separate bucket if the distinction matters.
+    */
+  def fkOrphans(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .groupBy(childKey).agg(count(lit(1)).as("cnt"))
+
+  /** Key-uniqueness audit: composite keys appearing more than once,
+    * with their multiplicities — one map-side-combined counting
+    * aggregate.
+    */
+  def dupKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+
   /** Schema conformance: every listed column must try_cast cleanly to its
     * target type; returns per-column violation counts in one pass.
     */

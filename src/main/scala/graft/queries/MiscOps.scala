@@ -400,6 +400,100 @@ object MiscOps {
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t >= p.t
       |ORDER BY event_id""".stripMargin
 
+  /** q162: event-transition matrix — the Markov view of user behavior
+    * (what follows a click?): per-user event sequences (lead over the
+    * (t, event_id)-ordered user window — ONE user-key shuffle, window
+    * state bounded by per-user activity), transition counts, and the
+    * per-source transition probability in exact 2⁻³⁰ fixed point (the
+    * ×2³⁰ rescale routed through decimal so 10¹²-event counts can't
+    * overflow). Aggregate-then-derive: probabilities divide the 25-row
+    * count matrix, never the event stream.
+    */
+  def q162Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Load.events(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    val seq = ev.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"), col("event_id"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val cnts = seq.groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val fromTot = cnts.groupBy("from_type")
+      .agg(sum("cnt").cast(DecimalType(38, 0)).as("__tot"))
+    cnts.join(broadcast(fromTot), "from_type")
+      .selectExpr("from_type", "to_type", "cnt",
+        "(CAST(cnt AS DECIMAL(38,0)) * 1073741824) div __tot AS p_fix")
+      .orderBy("from_type", "to_type")
+  }
+
+  val q162Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY t, event_id) AS next_type
+      |  FROM e),
+      |c AS (
+      |  SELECT event_type AS from_type, next_type AS to_type,
+      |         count(*)::BIGINT AS cnt
+      |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(sum(cnt) AS HUGEINT) AS tot
+      |        FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.cnt,
+      |       CAST((CAST(c.cnt AS HUGEINT) * 1073741824) // t.tot AS BIGINT)
+      |         AS p_fix
+      |FROM c JOIN tot t USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
+  /** q161: referential-integrity + key-uniqueness audit
+    * ([[graft.ops.Validate.fkOrphans]]/`dupKeys`) — the cross-table
+    * data-quality checks the per-row validate tier (P9/q19) cannot see:
+    * FK orphans via a LEFT ANTI equi-join (only the parent's key column
+    * crosses the wire) and duplicate keys via one counting aggregate.
+    * Violations are PLANTED (every 97th order's custkey shifted out of
+    * range, every 131st order re-inserted) because TPC-H data is clean
+    * — the audit must find exactly them and nothing else.
+    */
+  def q161IntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val o = Load.table(spark, dir, "orders")
+    val base = o.select(col("o_orderkey").cast(LongType).as("ok"),
+      when(col("o_orderkey") % 97 === 0,
+        col("o_custkey").cast(LongType) + 1000000L)
+        .otherwise(col("o_custkey").cast(LongType)).as("ck"))
+    val corrupted = base.unionByName(base.filter(col("ok") % 131 === 0))
+    val cust = Load.table(spark, dir, "customer")
+    val orphans = Validate
+      .fkOrphans(corrupted, "ck", cust, "c_custkey")
+      .select(lit("fk_orphan").as("kind"), col("ck").as("key"), col("cnt"))
+    val dups = Validate.dupKeys(corrupted, Seq("ok"))
+      .select(lit("dup_key").as("kind"), col("ok").as("key"), col("cnt"))
+    orphans.unionByName(dups).orderBy("kind", "key")
+  }
+
+  val q161Sql: String =
+    """WITH base AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS ok,
+      |         CAST(CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 1000000
+      |              ELSE o_custkey END AS BIGINT) AS ck
+      |  FROM orders),
+      |corrupted AS (
+      |  SELECT * FROM base
+      |  UNION ALL SELECT * FROM base WHERE ok % 131 = 0),
+      |orph AS (
+      |  SELECT 'fk_orphan' AS kind, ck AS key, count(*)::BIGINT AS cnt
+      |  FROM corrupted
+      |  WHERE ck NOT IN (SELECT c_custkey FROM customer)
+      |  GROUP BY ck),
+      |dups AS (
+      |  SELECT 'dup_key' AS kind, ok AS key, count(*)::BIGINT AS cnt
+      |  FROM corrupted GROUP BY ok HAVING count(*) > 1)
+      |SELECT * FROM orph
+      |UNION ALL SELECT * FROM dups
+      |ORDER BY kind, key""".stripMargin
+
   /** q160: PSI distribution drift ([[graft.ops.Profile.psiFix]]) — the
     * population stability index between two corpus generations' length
     * histograms, float-free (base-2 PSI, 2⁻⁴⁶-unit contributions via
@@ -1560,6 +1654,8 @@ object MiscOps {
     "q158_asof_forward" -> (q158AsOfForward _),
     "q159_time_spine" -> (q159Densify _),
     "q160_psi_drift" -> (q160PsiDrift _),
+    "q161_integrity_audit" -> (q161IntegrityAudit _),
+    "q162_transitions" -> (q162Transitions _),
     "q75_phash_dedup" -> q75PhashDedup,
     "q78_stream_dedup" -> q78StreamDedupTwin,
     "q130_stream_neardup" -> (q130StreamNearDup _),
@@ -1601,6 +1697,8 @@ object MiscOps {
     "q158_asof_forward" -> q158Sql,
     "q159_time_spine" -> q159Sql,
     "q160_psi_drift" -> q160Sql,
+    "q161_integrity_audit" -> q161Sql,
+    "q162_transitions" -> q162Sql,
     "q75_phash_dedup" -> q75Sql,
     "q78_stream_dedup" -> q78Sql,
     "q130_stream_neardup" -> q130Sql,
