@@ -83,7 +83,13 @@ object ExplainDump {
     "q153_fellegi_sunter" -> "u-stats are one Expand into two map-side-combined counting shuffles ending 4 rows; weights broadcast onto id-equi-joined candidate pairs; scoring narrow",
     "q154_golden_record" -> "one cluster-keyed shuffle; every field pick is a partial-aggregable max(struct), so members combine map-side and never collect",
     "q155_incremental_cc" -> "relabel runs over label-edges + delta only (|corpus| rows, diameter ~2 -> 1-2 rounds); history's pair set never re-mined or re-shuffled",
-    "q156_incremental_index" -> "history postings arrive as a parquet scan (never re-tokenized); delta indexes alone; scalar merge is 2-row algebra; scoring rides the q120 probe")
+    "q156_incremental_index" -> "history postings arrive as a parquet scan (never re-tokenized); delta indexes alone; scalar merge is 2-row algebra; scoring rides the q120 probe",
+    "q157_cube" -> "one Expand + map-side-combined aggregation builds all 8 grouping combos in a single scan and shuffle",
+    "q158_asof_forward" -> "tagged union, ONE key shuffle; the flipped [current, following] frame replaces the qualifying-join row explosion",
+    "q159_time_spine" -> "spine generated per key (sequence+explode fan-out = output rows) + one (key,bucket) equi-join; no calendar table, no cross join",
+    "q160_psi_drift" -> "two map-side-combined histogram aggs; quantization, the exact log, and the total-sum window all run on the |buckets| relation",
+    "q161_integrity_audit" -> "LEFT ANTI against the parent's distinct key column (keys only cross the wire); dup audit is one counting aggregate",
+    "q162_transitions" -> "one user-key shuffle for the lead window; probabilities divide the 25-row count matrix via broadcast totals")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
