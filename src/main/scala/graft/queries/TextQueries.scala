@@ -166,6 +166,46 @@ object TextQueries {
       |FROM cvw JOIN by_v USING (v) JOIN by_w USING (w), tot
       |ORDER BY v, w""".stripMargin
 
+  /** q163: incremental Kneser–Ney count maintenance
+    * ([[graft.text.KneserNey.bigramCounts]]/`mergeCounts`/
+    * `modelFromCounts`) — the LM leg of the artifact-algebra family
+    * (q152 profiles, q155 labels, q156 index): history's bigram-count
+    * artifact persists to parquet (the sufficient statistic, NOT the
+    * derived probabilities, which change under merge); an ingest delta
+    * counts alone; the merged counts feed the same model derivation as
+    * a from-scratch build. Counts are a commutative monoid, so merged
+    * == direct bit-exactly; in-band `merge_exact` compares every
+    * probability against the direct build, and the oracle recomputes
+    * the q98 model and pins the flag.
+    */
+  def q163IncrementalLm(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val hist = d.filter(col("doc_id") % 2 === 0)
+    val delta = d.filter(col("doc_id") % 2 =!= 0)
+    val base = s"/tmp/graft_knlm_${ScratchDirs.pathKey(dir)}_" +
+      ProcessHandle.current().pid()
+    ScratchDirs.deleteRecursively(new java.io.File(base))
+    graft.text.KneserNey.bigramCounts(hist, "text")
+      .write.mode("overwrite").parquet(s"$base/counts")
+    val merged = graft.text.KneserNey.mergeCounts(Seq(
+      spark.read.parquet(s"$base/counts"),
+      graft.text.KneserNey.bigramCounts(delta, "text")))
+    val direct = graft.text.KneserNey.bigramModel(d, "text")
+      .select(col("v"), col("w"), col("p_fix").as("__dp"))
+    graft.text.KneserNey.modelFromCounts(merged)
+      .join(direct, Seq("v", "w"))
+      .select(col("v"), col("w"), col("c_vw"), col("p_fix"),
+        (col("p_fix") === col("__dp")).cast(IntegerType).as("merge_exact"))
+      .orderBy("v", "w")
+  }
+
+  /** q98's model mirror with the pinned merge flag — the direct build IS
+    * the expected merged artifact, so the oracle is the q98 SQL plus a
+    * constant column.
+    */
+  val q163Sql: String =
+    q98Sql.replace("AS p_fix", "AS p_fix, 1 AS merge_exact")
+
   /** q102: the perplexity GATE the q98 model exists for (CCNet-style
     * LM quality filtering), float-free end to end: per-document total
     * surprisal in 16.16 fixed-point bits via the exact integer binary
@@ -784,6 +824,7 @@ object TextQueries {
     "q22_lang_id" -> q22LangId,
     "q59_unigram_lm" -> q59UnigramLm,
     "q98_kneser_ney" -> (q98KneserNey _),
+    "q163_incremental_lm" -> (q163IncrementalLm _),
     "q102_perplexity_gate" -> (q102PerplexityGate _),
     "q126_entropy_gate" -> (q126EntropyGate _),
     "q143_repetition_gate" -> (q143RepetitionGate _),
@@ -800,6 +841,7 @@ object TextQueries {
     "q22_lang_id" -> q22Sql,
     "q59_unigram_lm" -> q59Sql,
     "q98_kneser_ney" -> q98Sql,
+    "q163_incremental_lm" -> q163Sql,
     "q102_perplexity_gate" -> q102Sql,
     "q104_ngram_novelty" -> q104Sql,
     "q113_nb_classifier" -> q113Sql,

@@ -27,12 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object KneserNey {
 
-  /** (v, w, c_vw, p_fix) for every observed bigram of the lowercased
-    * whitespace tokenization. Documents with fewer than two tokens
-    * contribute nothing.
+  /** The model's sufficient statistic: (v, w, c_vw) bigram counts of the
+    * lowercased whitespace tokenization. Everything else the KN formula
+    * needs (c_v, N1+(v·), N1+(·w), N1+(··)) derives from this relation,
+    * and counts merge across corpus slices by plain addition — so THIS
+    * is the artifact an incremental pipeline persists (see
+    * [[mergeCounts]]), never the derived probabilities.
     */
-  def bigramModel(df: DataFrame, textCol: String,
-      scale: Long = 1L << 30): DataFrame = {
+  def bigramCounts(df: DataFrame, textCol: String): DataFrame = {
     val toks = Decontaminate.wordTokens(col(textCol))
     // bind the token array once (HOF lambdas re-evaluate inline exprs
     // per element), guard docs with < 2 tokens (sequence() descends when
@@ -46,7 +48,29 @@ object KneserNey {
           element_at(col("__toks"), i).as("v"),
           element_at(col("__toks"), i + 1).as("w")))).as("bg"))
       .select(col("bg.v"), col("bg.w"))
-    val cvw = pairs.groupBy("v", "w").agg(count(lit(1)).as("c_vw"))
+    pairs.groupBy("v", "w").agg(count(lit(1)).as("c_vw"))
+  }
+
+  /** Merge bigram-count artifacts from disjoint corpus slices: counts
+    * are a commutative monoid under per-key addition, so the merged
+    * relation is bit-identical to counting the union corpus — history
+    * is never re-tokenized. One (v, w)-keyed shuffle over the
+    * ALREADY-REDUCED count relations (vocab², not corpus, sized).
+    */
+  def mergeCounts(parts: Seq[DataFrame]): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy("v", "w").agg(sum("c_vw").as("c_vw"))
+
+  /** (v, w, c_vw, p_fix) for every observed bigram. */
+  def bigramModel(df: DataFrame, textCol: String,
+      scale: Long = 1L << 30): DataFrame =
+    modelFromCounts(bigramCounts(df, textCol), scale)
+
+  /** Derive the discounted model from a (v, w, c_vw) count relation —
+    * the second half of [[bigramModel]], split out so merged artifacts
+    * ([[mergeCounts]]) reuse it unchanged.
+    */
+  def modelFromCounts(cvw: DataFrame, scale: Long = 1L << 30): DataFrame = {
     val byV = cvw.groupBy("v").agg(
       sum("c_vw").as("c_v"), count(lit(1)).as("n1_v"))
     val byW = cvw.groupBy("w").agg(count(lit(1)).as("n1_w"))

@@ -89,7 +89,8 @@ object ExplainDump {
     "q159_time_spine" -> "spine generated per key (sequence+explode fan-out = output rows) + one (key,bucket) equi-join; no calendar table, no cross join",
     "q160_psi_drift" -> "two map-side-combined histogram aggs; quantization, the exact log, and the total-sum window all run on the |buckets| relation",
     "q161_integrity_audit" -> "LEFT ANTI against the parent's distinct key column (keys only cross the wire); dup audit is one counting aggregate",
-    "q162_transitions" -> "one user-key shuffle for the lead window; probabilities divide the 25-row count matrix via broadcast totals")
+    "q162_transitions" -> "one user-key shuffle for the lead window; probabilities divide the 25-row count matrix via broadcast totals",
+    "q163_incremental_lm" -> "history counts arrive as a parquet scan (never re-tokenized); delta counts alone; merge is one (v,w) shuffle over vocab-sized relations; model derivation reuses q98's three reduced-relation aggs")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -387,6 +387,13 @@ class PlanShapeSpec extends SparkSpec {
       s"history postings not read from the persisted artifact:\n$p")
   }
 
+  test("q163: history's LM counts arrive as a parquet scan, never re-tokenized") {
+    val p = plan(graft.queries.TextQueries
+      .queries("q163_incremental_lm")(spark, sf))
+    assert(p.contains("graft_knlm"),
+      s"history counts not read from the persisted artifact:\n$p")
+  }
+
   test("q128: edit verify blocks on an equi-join; texts stay out of the blocking shuffle") {
     val p = plan(graft.queries.DedupQueries.queries("q128_edit_verify")(spark, sf))
     assert(p.contains("lev_bounded"), s"kernel expression missing:\n$p")

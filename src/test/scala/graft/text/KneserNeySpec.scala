@@ -48,6 +48,27 @@ class KneserNeySpec extends SparkSpec {
     }
   }
 
+  test("count merge over disjoint slices equals the from-scratch model") {
+    val docs = Seq("a b a b", "b a", "a b c", "c a b a", "q r q")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val hist = docs.filter($"doc_id" % 2 === 0)
+    val delta = docs.filter($"doc_id" % 2 =!= 0)
+    val merged = KneserNey.modelFromCounts(KneserNey.mergeCounts(Seq(
+      KneserNey.bigramCounts(hist, "text"),
+      KneserNey.bigramCounts(delta, "text"))))
+    val direct = KneserNey.bigramModel(docs, "text")
+    val m = merged.orderBy("v", "w").collect().toSeq
+    val d = direct.orderBy("v", "w").collect().toSeq
+    assert(m == d)
+    assert(m.nonEmpty)
+    // an empty slice is the monoid identity
+    val withEmpty = KneserNey.modelFromCounts(KneserNey.mergeCounts(Seq(
+      KneserNey.bigramCounts(docs, "text"),
+      KneserNey.bigramCounts(docs.limit(0), "text"))))
+    assert(withEmpty.orderBy("v", "w").collect().toSeq == d)
+  }
+
   test("perplexityBits: hand-checked surprisal and unseen-bigram floor") {
     val train = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
     val model = KneserNey.bigramModel(train, "text")
