@@ -25,8 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * is one integer floor division, so estimates replay bit-for-bit in a
   * second engine (DuckDB mirrors h_k with a rank window and the
-  * division in HUGEINT). HLL's register layout and float harmonic mean
-  * have no such cross-engine form. Standard error is the same family:
+  * division in HUGEINT). [[Hll]] gives HLL the same treatment — fixed
+  * registers plus a staged integer harmonic mean — trading this
+  * sketch's exact-below-k property for O(m) state at any cardinality
+  * and a max-monoid merge. Standard error is the same family:
   * ≈ 1/√(k−2) (k = 1024 → ~3%). Below k distinct values the sketch IS
   * the value set and the estimate is exact.
   *

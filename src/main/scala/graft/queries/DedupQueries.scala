@@ -713,8 +713,8 @@ object DedupQueries {
     * estimator are pure integer set-functions, so the oracle replays
     * the token hash (polynomial + splitmix in HUGEINT), ranks hashes
     * per group, and reproduces every estimate bit-for-bit — a sketch
-    * whose output hash-gates across engines, which HLL's float harmonic
-    * mean cannot do.
+    * whose output hash-gates across engines (q164 extends the same
+    * discipline to HLL's register layout).
     */
   def q114KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Kmv
@@ -793,6 +793,133 @@ object DedupQueries {
        |       ex.exact_parts,
        |       ${est("p", 4096)} AS est_parts
        |FROM ex JOIN oa ON oa.flag = ex.flag JOIN pa ON pa.flag = ex.flag
+       |ORDER BY ex.flag""".stripMargin
+  }
+
+  /** q164: fixed-point HyperLogLog ([[graft.functions.Hll]]) — q114's
+    * register-based sibling, with the float harmonic mean replaced by a
+    * staged integer estimator so HLL hash-gates across engines after
+    * all. Both classical regimes in one query: order keys (~11k
+    * distinct ≫ 5m/2) take the raw harmonic-mean branch, supplier keys
+    * (~100 distinct, most registers empty) take the linear-counting
+    * branch through the square-and-shift fixed log. The register
+    * relation is also the artifact-algebra story at its simplest: slice
+    * A's registers persist to parquet, slice B merges via per-bucket
+    * max (idempotent monoid — the ONLY sketch here whose merge needs no
+    * custom aggregate at all), and in-band `merge_exact` pins
+    * merged == direct register-for-register.
+    */
+  def q164HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Hll
+    val li = Load.table(spark, dir, "lineitem")
+    val base = s"/tmp/graft_hllreg_${ScratchDirs.pathKey(dir)}_" +
+      ProcessHandle.current().pid()
+    ScratchDirs.deleteRecursively(new java.io.File(base))
+    Hll.registers(li.filter(col("l_linenumber") % 2 === 0),
+        Seq("l_returnflag"), col("l_orderkey").cast(StringType))
+      .write.mode("overwrite").parquet(s"$base/regsA")
+    val merged = Hll.mergeRegisters(Seq(
+      spark.read.parquet(s"$base/regsA"),
+      Hll.registers(li.filter(col("l_linenumber") % 2 =!= 0),
+        Seq("l_returnflag"), col("l_orderkey").cast(StringType))),
+      Seq("l_returnflag"))
+    val direct = Hll.registers(li, Seq("l_returnflag"),
+      col("l_orderkey").cast(StringType))
+    val mismatch = merged.withColumnRenamed("r", "__rm")
+      .join(direct.withColumnRenamed("r", "__rd"),
+        Seq("l_returnflag", "bucket"), "full_outer")
+      .groupBy("l_returnflag")
+      .agg(min((col("__rm") <=> col("__rd")).cast(IntegerType))
+        .as("merge_exact"))
+    val estOrders = Hll.estimate(merged, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("v_zeros").as("v_orders"),
+        col("est").as("est_orders"))
+    val estSupps = Hll.estimate(
+      Hll.registers(li, Seq("l_returnflag"), col("l_suppkey").cast(StringType)),
+      Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("v_zeros").as("v_supps"),
+        col("est").as("est_supps"))
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("exact_orders"),
+        countDistinct("l_suppkey").as("exact_supps"))
+    exact.join(estOrders, "l_returnflag").join(estSupps, "l_returnflag")
+      .join(mismatch, "l_returnflag")
+      .select(col("l_returnflag"), col("exact_orders"), col("v_orders"),
+        col("est_orders"), col("exact_supps"), col("v_supps"),
+        col("est_supps"), col("merge_exact"))
+      .orderBy("l_returnflag")
+  }
+
+  /** The full fixed-point HLL replayed per key family: hash62 →
+    * (bucket, max rho via minimal binary-string length) → exact
+    * Σ 2^−r → guarded harmonic division → LC branch through the
+    * 16-step square-and-shift log CTE. merged == direct registers by
+    * the max-monoid law, so the oracle computes direct and pins the
+    * flag.
+    */
+  val q164Sql: String = {
+    def chain(pfx: String, keyCol: String): String =
+      s"""${pfx}h AS (
+         |  SELECT DISTINCT flag, ${h62Sql("sv")} AS h
+         |  FROM (SELECT DISTINCT l_returnflag AS flag,
+         |               CAST($keyCol AS VARCHAR) AS sv FROM lineitem) ${pfx}x),
+         |${pfx}regs AS (
+         |  SELECT flag, h // 9007199254740992 AS bucket,
+         |         max(CASE WHEN h % 9007199254740992 = 0 THEN 54::BIGINT
+         |             ELSE (54 - length(bin(h % 9007199254740992)))::BIGINT
+         |             END) AS r
+         |  FROM ${pfx}h GROUP BY 1, 2),
+         |${pfx}agg AS (
+         |  SELECT flag, count(*)::BIGINT AS present,
+         |         CAST(sum(1073741824 // (1::BIGINT << r)) AS BIGINT) AS sp
+         |  FROM ${pfx}regs GROUP BY flag),
+         |${pfx}e0 AS (
+         |  SELECT flag, 512 - present AS v_zeros,
+         |         greatest(1, sp + (512 - present) * 1073741824::BIGINT)
+         |           AS s_fix
+         |  FROM ${pfx}agg),
+         |${pfx}nrm AS (
+         |  SELECT flag, greatest(v_zeros * 2097152, 1) AS m, 0::BIGINT AS k
+         |  FROM ${pfx}e0
+         |  UNION ALL
+         |  SELECT flag, m * 2, k + 1 FROM ${pfx}nrm WHERE m < 1073741824),
+         |${pfx}sq AS (
+         |  SELECT flag, k, m, 0 AS i, 0::BIGINT AS acc
+         |  FROM ${pfx}nrm WHERE m >= 1073741824
+         |  UNION ALL
+         |  SELECT flag, k,
+         |         CASE WHEN m2 >= 2147483648::BIGINT THEN m2 // 2 ELSE m2 END,
+         |         i + 1,
+         |         acc * 2 + CASE WHEN m2 >= 2147483648::BIGINT THEN 1 ELSE 0 END
+         |  FROM (SELECT flag, k, (m * m) // 1073741824 AS m2, i, acc
+         |        FROM ${pfx}sq WHERE i < 16) ${pfx}s),
+         |${pfx}est AS (
+         |  SELECT o.flag, o.v_zeros,
+         |         CASE WHEN o.v_zeros > 0 AND o.raw20 <= 1342177280
+         |              THEN (512 * 45426 * (b.k * 65536 - b.acc)) // 4096
+         |                   // 1048576
+         |              ELSE o.raw20 // 1048576 END AS est
+         |  FROM (SELECT flag, v_zeros,
+         |               (754747 * least(4398046511104,
+         |                               1152921504606846976 // s_fix)) // 4096
+         |                 AS raw20
+         |        FROM ${pfx}e0) o
+         |  JOIN (SELECT flag, k, acc FROM ${pfx}sq WHERE i = 16) b
+         |    USING (flag))""".stripMargin
+    s"""WITH RECURSIVE ${chain("o", "l_orderkey")},
+       |${chain("s", "l_suppkey")},
+       |ex AS (
+       |  SELECT l_returnflag AS flag,
+       |         count(DISTINCT l_orderkey)::BIGINT AS exact_orders,
+       |         count(DISTINCT l_suppkey)::BIGINT AS exact_supps
+       |  FROM lineitem GROUP BY 1)
+       |SELECT ex.flag AS l_returnflag, ex.exact_orders,
+       |       oest.v_zeros AS v_orders, oest.est AS est_orders,
+       |       ex.exact_supps,
+       |       sest.v_zeros AS v_supps, sest.est AS est_supps,
+       |       1 AS merge_exact
+       |FROM ex JOIN oest ON oest.flag = ex.flag
+       |        JOIN sest ON sest.flag = ex.flag
        |ORDER BY ex.flag""".stripMargin
   }
 
@@ -1622,6 +1749,7 @@ object DedupQueries {
     "q124_pq_codes" -> (q124PqCodes _),
     "q122_cms_frequency" -> (q122CmsFrequency _),
     "q114_kmv_distinct" -> (q114KmvDistinct _),
+    "q164_hll_distinct" -> (q164HllDistinct _),
     "q30_exact_dedup" -> q30Exact,
     "q31_fingerprint_dedup" -> q31Fingerprint,
     "q32_minhash_pairs" -> q32Minhash,
@@ -1652,6 +1780,7 @@ object DedupQueries {
     "q124_pq_codes" -> q124Sql,
     "q122_cms_frequency" -> q122Sql,
     "q114_kmv_distinct" -> q114Sql,
+    "q164_hll_distinct" -> q164Sql,
     "q30_exact_dedup" -> q30Sql,
     "q31_fingerprint_dedup" -> q31Sql,
     "q32_minhash_pairs" -> q32Sql,

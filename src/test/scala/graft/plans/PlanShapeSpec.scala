@@ -394,6 +394,14 @@ class PlanShapeSpec extends SparkSpec {
       s"history counts not read from the persisted artifact:\n$p")
   }
 
+  test("q164: HLL registers are map-side-combined max partials; slice A arrives as a parquet scan") {
+    val p = plan(DedupQueries.queries("q164_hll_distinct")(spark, sf))
+    assert(p.contains("graft_hllreg"),
+      s"slice registers not read from the persisted artifact:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial max"),
+      s"register build lost map-side combine:\n$p")
+  }
+
   test("q128: edit verify blocks on an equi-join; texts stay out of the blocking shuffle") {
     val p = plan(graft.queries.DedupQueries.queries("q128_edit_verify")(spark, sf))
     assert(p.contains("lev_bounded"), s"kernel expression missing:\n$p")
