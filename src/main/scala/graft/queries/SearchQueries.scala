@@ -367,11 +367,57 @@ object SearchQueries {
        |ORDER BY doc_id, widx, tidx""".stripMargin
   }
 
+  /** q165: exact phrase retrieval over positional postings
+    * ([[graft.similarity.PhraseSearch]]) — the order-sensitive query
+    * the bag-of-words probes (q69 TF-IDF, q120 BM25) cannot express.
+    * Every 53rd document contributes its tokens 6–8 as a 3-term phrase
+    * query; matching is the anchor formulation (doc matches at anchor a
+    * iff postings hold every phrase term at a + offset), so the output
+    * carries occurrence counts and first positions, not just hits. The
+    * oracle replays postings, phrase extraction, and the
+    * anchor-group-having pipeline in SQL — purely integer/string, so it
+    * hash-gates.
+    */
+  def q165PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.PhraseSearch
+    val d = Load.table(spark, dir, "documents")
+    val post = PhraseSearch.postings(d, "text", "doc_id")
+    val phrases = d
+      .select(col("doc_id"),
+        graft.text.Decontaminate.wordTokens(col("text")).as("__toks"))
+      .filter(col("doc_id") % 53 === 0 && size(col("__toks")) >= 8)
+      .select(col("doc_id"), slice(col("__toks"), 6, 3).as("__ph"))
+    PhraseSearch.matches(post,
+        PhraseSearch.phraseTerms(phrases, "doc_id", "__ph"))
+      .orderBy("query_id", "doc_id")
+  }
+
+  val q165Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x <> '') AS tk
+      |  FROM documents),
+      |post AS (
+      |  SELECT doc_id, tk[i] AS term, i AS pos
+      |  FROM toks, UNNEST(generate_series(1, len(tk))) t(i)),
+      |ph AS (
+      |  SELECT doc_id AS query_id, tk[5 + j] AS term, j - 1 AS off
+      |  FROM toks, UNNEST(generate_series(1, 3)) u(j)
+      |  WHERE doc_id % 53 = 0 AND len(tk) >= 8),
+      |anchors AS (
+      |  SELECT ph.query_id, p.doc_id, p.pos - ph.off AS anchor
+      |  FROM ph JOIN post p USING (term)
+      |  GROUP BY 1, 2, 3 HAVING count(*) = 3)
+      |SELECT query_id, doc_id, count(*)::BIGINT AS n_anchors,
+      |       CAST(min(anchor) AS BIGINT) AS first_pos
+      |FROM anchors GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_unigram_encode" -> (q123UnigramEncode _),
     "q156_incremental_index" -> (q156IncrementalIndex _),
     "q132_wordpiece_encode" -> (q132WordPieceEncode _),
     "q120_bm25_search" -> (q120Bm25Search _),
+    "q165_phrase_search" -> (q165PhraseSearch _),
     "q67_span_dedup" -> (q67SpanDedup _),
     "q68_quality_rules" -> (q68QualityRules _),
     "q69_tfidf_search" -> (q69TfIdfSearch _),
@@ -810,6 +856,7 @@ object SearchQueries {
     "q156_incremental_index" -> q156Sql,
     "q132_wordpiece_encode" -> q132Sql,
     "q120_bm25_search" -> q120Sql,
+    "q165_phrase_search" -> q165Sql,
     "q67_span_dedup" -> q67Sql,
     "q68_quality_rules" -> q68Sql,
     "q69_tfidf_search" -> q69Sql,

@@ -402,6 +402,17 @@ class PlanShapeSpec extends SparkSpec {
       s"register build lost map-side combine:\n$p")
   }
 
+  test("q165: phrase terms broadcast onto postings; anchor count is map-side partial") {
+    val p = plan(graft.queries.SearchQueries
+      .queries("q165_phrase_search")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"phrase-term set not broadcast — corpus would re-shuffle per query:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"postings join degenerated to a sort-merge shuffle:\n$p")
+    assert(p.contains("partial_count"),
+      s"anchor counting lost map-side combine:\n$p")
+  }
+
   test("q128: edit verify blocks on an equi-join; texts stay out of the blocking shuffle") {
     val p = plan(graft.queries.DedupQueries.queries("q128_edit_verify")(spark, sf))
     assert(p.contains("lev_bounded"), s"kernel expression missing:\n$p")
