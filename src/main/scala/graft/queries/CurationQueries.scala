@@ -619,6 +619,86 @@ object CurationQueries {
       |FROM nodes n LEFT JOIN pern p USING (id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q166: neighborhood link prediction ([[graft.graphs.LinkPredict]])
+    * over q141's graph (3-out multigraph + planted triples) — the
+    * missing-edge scorer next to the existing structure (q47/q155),
+    * authority (q97), clustering (q141), and community (q142) legs:
+    * common-neighbor counts plus fixed-point Adamic–Adar, whose
+    * 1/ln(deg) discount runs through the square-and-shift log so both
+    * engines floor identically. The oracle rebuilds the canonical edge
+    * set, replays the wedge join, the 16-step log CTE per intermediate
+    * node, and the not-an-edge anti-join.
+    */
+  def q166LinkPredict(spark: SparkSession, dir: String): DataFrame = {
+    import graft.graphs.{LinkPredict, Triangles}
+    val docs = Load.table(spark, dir, "documents").select(col("doc_id").as("id"))
+    val n = docs.count()
+    val base = docs.select(col("id").as("src"),
+      explode(array(
+        (col("id") * 7 + 13) % n,
+        (col("id") * 31 + 7) % n,
+        (col("id") * 13 + 101) % n)).as("dst"))
+    val closers = docs.filter(col("id") % 20 === 0 && col("id") + 2 < n)
+      .select(col("id"), explode(array(
+        struct(col("id").as("src"), (col("id") + 1).as("dst")),
+        struct((col("id") + 1).as("src"), (col("id") + 2).as("dst")),
+        struct(col("id").as("src"), (col("id") + 2).as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+    LinkPredict.scores(
+        Triangles.canonical(base.unionByName(closers), "src", "dst"))
+      .orderBy("a", "b")
+  }
+
+  val q166Sql: String =
+    """WITH RECURSIVE nn AS (SELECT count(*) AS cnt FROM documents),
+      |nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+      |edges0 AS (
+      |  SELECT id AS src, (id * 7 + 13) % cnt AS dst FROM nodes, nn
+      |  UNION ALL SELECT id, (id * 31 + 7) % cnt FROM nodes, nn
+      |  UNION ALL SELECT id, (id * 13 + 101) % cnt FROM nodes, nn
+      |  UNION ALL SELECT id, id + 1 FROM nodes, nn
+      |            WHERE id % 20 = 0 AND id + 2 < cnt
+      |  UNION ALL SELECT id + 1, id + 2 FROM nodes, nn
+      |            WHERE id % 20 = 0 AND id + 2 < cnt
+      |  UNION ALL SELECT id, id + 2 FROM nodes, nn
+      |            WHERE id % 20 = 0 AND id + 2 < cnt),
+      |e AS (
+      |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM edges0 WHERE src <> dst),
+      |adj AS (SELECT a AS z, b AS v FROM e UNION ALL SELECT b, a FROM e),
+      |degs AS (SELECT z, count(*)::BIGINT AS deg FROM adj
+      |         GROUP BY z HAVING count(*) >= 2),
+      |dnrm AS (
+      |  SELECT z, 1073741824 // deg AS m, 0::BIGINT AS k FROM degs
+      |  UNION ALL
+      |  SELECT z, m * 2, k + 1 FROM dnrm WHERE m < 1073741824),
+      |dsq AS (
+      |  SELECT z, k, m, 0 AS i, 0::BIGINT AS acc
+      |  FROM dnrm WHERE m >= 1073741824
+      |  UNION ALL
+      |  SELECT z, k,
+      |         CASE WHEN m2 >= 2147483648::BIGINT THEN m2 // 2 ELSE m2 END,
+      |         i + 1,
+      |         acc * 2 + CASE WHEN m2 >= 2147483648::BIGINT THEN 1 ELSE 0 END
+      |  FROM (SELECT z, k, (m * m) // 1073741824 AS m2, i, acc
+      |        FROM dsq WHERE i < 16) s),
+      |ctr AS (
+      |  SELECT z, 4294967296 // (((k * 65536 - acc) * 45426) // 65536)
+      |           AS contrib
+      |  FROM dsq WHERE i = 16),
+      |wedge AS (
+      |  SELECT l.v AS a, r.v AS b, c.contrib
+      |  FROM adj l JOIN adj r USING (z) JOIN ctr c USING (z)
+      |  WHERE l.v < r.v),
+      |sc AS (
+      |  SELECT a, b, count(*)::BIGINT AS cn,
+      |         CAST(sum(contrib) AS BIGINT) AS aa_fix
+      |  FROM wedge GROUP BY a, b)
+      |SELECT sc.a, sc.b, sc.cn, sc.aa_fix
+      |FROM sc LEFT JOIN e ON sc.a = e.a AND sc.b = e.b
+      |WHERE e.a IS NULL
+      |ORDER BY sc.a, sc.b""".stripMargin
+
   /** q142: deterministic label propagation ([[graft.graphs.LabelProp]])
     * — three synchronous majority rounds over q97's link graph from
     * id%5 seed labels: the community/label-spreading primitive whose
@@ -1213,6 +1293,7 @@ object CurationQueries {
     "q87_vocab_encode" -> (q87VocabEncode _),
     "q97_pagerank" -> (q97PageRank _),
     "q141_triangles" -> (q141Triangles _),
+    "q166_link_predict" -> (q166LinkPredict _),
     "q142_label_prop" -> (q142LabelProp _),
     "q118_quantile_sketch" -> (q118QuantileSketch _),
     "q119_weighted_sample" -> (q119WeightedSample _))
@@ -1346,6 +1427,7 @@ object CurationQueries {
     "q87_vocab_encode" -> q87Sql,
     "q97_pagerank" -> q97Sql,
     "q141_triangles" -> q141Sql,
+    "q166_link_predict" -> q166Sql,
     "q142_label_prop" -> q142Sql,
     "q118_quantile_sketch" -> q118Sql,
     "q119_weighted_sample" -> q119Sql)

@@ -413,6 +413,15 @@ class PlanShapeSpec extends SparkSpec {
       s"anchor counting lost map-side combine:\n$p")
   }
 
+  test("q166: wedge join keys on the intermediate node; aggregation stays partial") {
+    val p = plan(graft.queries.CurationQueries
+      .queries("q166_link_predict")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge enumeration degenerated to a product:\n$p")
+    assert(p.contains("partial_count"),
+      s"pair counting lost map-side combine:\n$p")
+  }
+
   test("q128: edit verify blocks on an equi-join; texts stay out of the blocking shuffle") {
     val p = plan(graft.queries.DedupQueries.queries("q128_edit_verify")(spark, sf))
     assert(p.contains("lev_bounded"), s"kernel expression missing:\n$p")
