@@ -86,4 +86,44 @@ object ScdMerge {
           .drop("__old_hash", "__old_updated", "__old_next")
     }
   }
+
+  /** SCD TYPE-2 history from a change log — the companion to the type-1
+    * merge above: a (key, ts, value) stream becomes versioned validity
+    * intervals
+    *
+    *   (key, value, effective_from, effective_to, version, is_current)
+    *
+    * with consecutive repeats of the same value COMPRESSED into one
+    * interval (the warehouse "dimension history" build). Intervals are
+    * half-open [from, to); the current row carries `openEnd` (a pinned
+    * sentinel rather than NULL so downstream hashing and BETWEEN probes
+    * never branch on null).
+    *
+    * Scale shape: everything is ONE key-partitioned shuffle — the lag
+    * that finds change points, the lead that closes intervals, and the
+    * version numbering all share the same (key × ts, tie) window, so
+    * Spark plans a single Exchange + Sort and three window functions
+    * over it. No self-join against the history, no global window.
+    */
+  def type2History(log: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String,
+      openEnd: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val changes = log
+      .withColumn("__prev", lag(col(valueCol), 1).over(w))
+      // first row per key (null prev) is always a change point; a null
+      // tracked value is modeled as its own state via null-safe compare
+      .filter(!(col("__prev") <=> col(valueCol)))
+    val wc = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    changes
+      .withColumn("effective_from", col(tsCol))
+      .withColumn("effective_to",
+        coalesce(lead(col(tsCol), 1).over(wc), lit(openEnd)))
+      .withColumn("version", row_number().over(wc).cast(LongType))
+      .withColumn("is_current",
+        (col("effective_to") === openEnd).cast(IntegerType))
+      .select(col(keyCol), col(valueCol), col("effective_from"),
+        col("effective_to"), col("version"), col("is_current"))
+  }
 }

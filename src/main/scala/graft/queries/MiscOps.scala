@@ -175,6 +175,47 @@ object MiscOps {
       |       ELSE CAST(100000 + CAST(100000.0 / (1 + (11 - 8)) AS BIGINT) AS BIGINT) END AS __staleness
       |FROM j ORDER BY c_custkey""".stripMargin
 
+  /** q167: SCD TYPE-2 dimension history ([[ScdMerge.type2History]]) —
+    * q16's companion: the per-user event_type stream becomes versioned
+    * validity intervals with consecutive repeats compressed, the
+    * standard warehouse dimension-history build (half-open [from, to)
+    * in epoch-µs, current rows pinned to a Long.MaxValue sentinel so
+    * nothing hashes a NULL). Lag change-point detection, lead interval
+    * closing, and version numbering all share ONE (user × ts, event_id)
+    * window — a single Exchange in the plan.
+    */
+  def q167Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Load.events(spark, dir)
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+    ScdMerge.type2History(ev, "user_id", "ts_us", "event_id", "event_type")
+      .orderBy("user_id", "version")
+  }
+
+  val q167Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+      |  FROM events),
+      |cp AS (
+      |  SELECT user_id, ts_us, event_id, event_type
+      |  FROM (SELECT *, lag(event_type) OVER
+      |               (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+      |        FROM ev)
+      |  WHERE prev IS DISTINCT FROM event_type),
+      |iv AS (
+      |  SELECT user_id, event_type, ts_us AS effective_from,
+      |         coalesce(lead(ts_us) OVER
+      |                    (PARTITION BY user_id ORDER BY ts_us, event_id),
+      |                  9223372036854775807) AS effective_to,
+      |         CAST(row_number() OVER
+      |                (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |              AS BIGINT) AS version
+      |  FROM cp)
+      |SELECT user_id, event_type, effective_from, effective_to, version,
+      |       CASE WHEN effective_to = 9223372036854775807
+      |            THEN 1 ELSE 0 END AS is_current
+      |FROM iv ORDER BY user_id, version""".stripMargin
+
   /** J3 fuzzy dictionary translate: nation names as the dictionary,
     * typo'd tokens (trailing X) as input — exact tier misses, fuzzy tier
     * (QRatio ≥ 90) recovers ("NATION_19X" → "nation 19x" vs "nation 19"
@@ -1637,6 +1678,7 @@ object MiscOps {
     "q14_links" -> q14Links,
     "q15_recode" -> q15Recode,
     "q16_scd_merge" -> q16ScdMerge,
+    "q167_scd2_history" -> (q167Scd2History _),
     "q17_fuzzy_translate" -> q17FuzzyTranslate,
     "q17b_exact_translate" -> q17bExactTranslate,
     "q18_nested_series" -> q18NestedSeries,
@@ -1680,6 +1722,7 @@ object MiscOps {
     "q14_links" -> q14Sql,
     "q15_recode" -> q15Sql,
     "q16_scd_merge" -> q16Sql,
+    "q167_scd2_history" -> q167Sql,
     "q17_fuzzy_translate" -> q17Sql,
     "q17b_exact_translate" -> q17bSql,
     "q18_nested_series" -> q18Sql,

@@ -422,6 +422,14 @@ class PlanShapeSpec extends SparkSpec {
       s"pair counting lost map-side combine:\n$p")
   }
 
+  test("q167: all three SCD2 windows share one user-keyed exchange") {
+    val p = plan(graft.queries.MiscOps.queries("q167_scd2_history")(spark, sf))
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected a single key exchange for lag/lead/version, got $exchanges:\n$p")
+  }
+
   test("q128: edit verify blocks on an equi-join; texts stay out of the blocking shuffle") {
     val p = plan(graft.queries.DedupQueries.queries("q128_edit_verify")(spark, sf))
     assert(p.contains("lev_bounded"), s"kernel expression missing:\n$p")
