@@ -216,6 +216,68 @@ object MiscOps {
       |            THEN 1 ELSE 0 END AS is_current
       |FROM iv ORDER BY user_id, version""".stripMargin
 
+  /** q168: two-sided CUSUM level-shift detection ([[Cusum.twoSided]])
+    * over the densified hourly event-rate series — the accumulating
+    * companion to q138's pointwise z-score anomaly: CUSUM's sequential
+    * recursion is rewritten as cumulative-sum-minus-running-min, so the
+    * whole detector is stock window algebra on ONE key exchange. Runs
+    * on the q159 time spine (skipped empty buckets would stall the
+    * detector), in 2^16 fixed point end to end.
+    */
+  def q168CusumShift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Load.events(spark, dir)
+    val counts = ev
+      .select(col("event_type"),
+        expr("(ts_ns div 1000) div 3600000000").as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("n_events"))
+    val dense = TimeSpine.densify(counts, Seq("event_type"), "bucket",
+      Seq("n_events" -> lit(0L)))
+    Cusum.twoSided(dense, Seq("event_type"), "bucket", "n_events")
+      .orderBy("event_type", "bucket")
+  }
+
+  val q168Sql: String =
+    """WITH cnt AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+      |         count(*)::BIGINT AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT s.event_type, u.bucket
+      |  FROM (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+      |        FROM cnt GROUP BY 1) s,
+      |       UNNEST(generate_series(s.lo, s.hi)) u(bucket)),
+      |dense AS (
+      |  SELECT s.event_type, s.bucket,
+      |         coalesce(c.n_events, 0)::BIGINT AS n_events
+      |  FROM spine s LEFT JOIN cnt c USING (event_type, bucket)),
+      |base AS (
+      |  SELECT *,
+      |    (CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+      |      * 65536) // (count(*) OVER (PARTITION BY event_type)) AS mu16
+      |  FROM dense),
+      |cs AS (
+      |  SELECT *,
+      |    CAST(sum(n_events * 65536 - mu16 - mu16 // 4) OVER
+      |      (PARTITION BY event_type ORDER BY bucket
+      |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cpos,
+      |    CAST(sum(mu16 - mu16 // 4 - n_events * 65536) OVER
+      |      (PARTITION BY event_type ORDER BY bucket
+      |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cneg
+      |  FROM base),
+      |sc AS (
+      |  SELECT event_type, bucket, n_events, mu16,
+      |    cpos - least(0, min(cpos) OVER
+      |      (PARTITION BY event_type ORDER BY bucket
+      |       ROWS UNBOUNDED PRECEDING)) AS s_pos,
+      |    cneg - least(0, min(cneg) OVER
+      |      (PARTITION BY event_type ORDER BY bucket
+      |       ROWS UNBOUNDED PRECEDING)) AS s_neg
+      |  FROM cs)
+      |SELECT event_type, bucket, n_events, s_pos, s_neg,
+      |       CASE WHEN s_pos > 4 * mu16 OR s_neg > 4 * mu16
+      |            THEN 1 ELSE 0 END AS alarm
+      |FROM sc ORDER BY event_type, bucket""".stripMargin
+
   /** J3 fuzzy dictionary translate: nation names as the dictionary,
     * typo'd tokens (trailing X) as input — exact tier misses, fuzzy tier
     * (QRatio ≥ 90) recovers ("NATION_19X" → "nation 19x" vs "nation 19"
@@ -1679,6 +1741,7 @@ object MiscOps {
     "q15_recode" -> q15Recode,
     "q16_scd_merge" -> q16ScdMerge,
     "q167_scd2_history" -> (q167Scd2History _),
+    "q168_cusum_shift" -> (q168CusumShift _),
     "q17_fuzzy_translate" -> q17FuzzyTranslate,
     "q17b_exact_translate" -> q17bExactTranslate,
     "q18_nested_series" -> q18NestedSeries,
@@ -1723,6 +1786,7 @@ object MiscOps {
     "q15_recode" -> q15Sql,
     "q16_scd_merge" -> q16Sql,
     "q167_scd2_history" -> q167Sql,
+    "q168_cusum_shift" -> q168Sql,
     "q17_fuzzy_translate" -> q17Sql,
     "q17b_exact_translate" -> q17bSql,
     "q18_nested_series" -> q18Sql,

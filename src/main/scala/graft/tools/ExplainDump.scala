@@ -94,7 +94,8 @@ object ExplainDump {
     "q164_hll_distinct" -> "registers are plain groupBy(flag,bucket).max partials (map-side combined, <=512 rows/group cross the wire); merge is an idempotent max over register relations; estimator runs on the 3-row aggregate",
     "q165_phrase_search" -> "phrase terms broadcast onto term-keyed postings (corpus never re-partitions per query); anchor counting is a map-side-combined agg keyed by (query,doc,anchor)",
     "q166_link_predict" -> "one z-keyed wedge shuffle; degree cap drops hub intermediates BEFORE the join; (a,b) aggregation partial; anti-join against the edge set ends the plan",
-    "q167_scd2_history" -> "lag change-points, lead interval-close, and version numbering share ONE user-keyed Exchange (PlanShapeSpec pins exchanges == 1); no history self-join")
+    "q167_scd2_history" -> "lag change-points, lead interval-close, and version numbering share ONE user-keyed Exchange (PlanShapeSpec pins exchanges == 1); no history self-join",
+    "q168_cusum_shift" -> "CUSUM recursion rewritten as cumsum-minus-running-min: baseline window + 2 cumsums + 2 running mins all ride ONE event_type exchange; spine densification upstream is the q159 shape")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

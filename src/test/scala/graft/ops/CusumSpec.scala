@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class CusumSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Textbook sequential CUSUM in the same fixed point — the reference
+    * the window closed-form must reproduce exactly. */
+  private def reference(xs: Seq[Long], slackDiv: Long, thr: Long)
+      : Seq[(Long, Long, Int)] = {
+    val mu16 = xs.sum * 65536L / xs.size
+    val k16 = mu16 / slackDiv
+    var sp = 0L; var sn = 0L
+    xs.map { x =>
+      sp = math.max(0L, sp + (x * 65536L - mu16 - k16))
+      sn = math.max(0L, sn + (mu16 - k16 - x * 65536L))
+      (sp, sn, if (sp > thr * mu16 || sn > thr * mu16) 1 else 0)
+    }
+  }
+
+  private def run(xs: Seq[Long]) =
+    Cusum.twoSided(
+        xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+          .toDF("g", "bucket", "x"),
+        Seq("g"), "bucket", "x")
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(3), r.getLong(4), r.getInt(5))).toSeq
+
+  test("closed form == sequential recursion on a planted level shift") {
+    val xs = Seq.fill(20)(10L) ++ Seq.fill(10)(25L) ++ Seq.fill(10)(10L)
+    val got = run(xs)
+    assert(got == reference(xs, 4, 4))
+    // the shift raises an alarm; the calm prefix does not
+    assert(got.take(20).forall(_._3 == 0))
+    assert(got.slice(20, 30).exists(_._3 == 1))
+  }
+
+  test("downward shifts trip the negative side") {
+    val xs = Seq.fill(20)(20L) ++ Seq.fill(12)(2L)
+    val got = run(xs)
+    assert(got == reference(xs, 4, 4))
+    assert(got.drop(20).exists(t => t._3 == 1 && t._2 > t._1))
+  }
+
+  test("flat series never alarms and both sides stay near zero") {
+    val xs = Seq.fill(30)(7L)
+    val got = run(xs)
+    assert(got == reference(xs, 4, 4))
+    assert(got.forall(_._3 == 0))
+  }
+
+  test("detector resets after excursions (max-with-zero floor)") {
+    val xs = Seq.fill(10)(10L) ++ Seq.fill(5)(30L) ++ Seq.fill(20)(10L)
+    val got = run(xs)
+    assert(got == reference(xs, 4, 4))
+    // after the spike passes, s_pos decays back to the flat-series level
+    assert(got.last._1 <= got(14)._1)
+  }
+
+  test("keys are independent and partitioning does not matter") {
+    val rows = (for (k <- 1 to 20; b <- 0 until 40)
+      yield (s"k$k", b.toLong, ((b * k * 7) % 13).toLong)).toSeq
+    val df = rows.toDF("g", "bucket", "x")
+    val a = Cusum.twoSided(df, Seq("g"), "bucket", "x")
+      .orderBy("g", "bucket").collect().toSeq
+    val b = Cusum.twoSided(df.repartition(11), Seq("g"), "bucket", "x")
+      .orderBy("g", "bucket").collect().toSeq
+    assert(a == b && a.size == 800)
+  }
+}

@@ -430,6 +430,17 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a single key exchange for lag/lead/version, got $exchanges:\n$p")
   }
 
+  test("q168: the whole CUSUM window stack shares one key-only exchange") {
+    val p = plan(graft.queries.MiscOps.queries("q168_cusum_shift")(spark, sf))
+    val keyOnly = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(event_type#") &&
+        !l.contains("bucket"))
+    assert(keyOnly == 1,
+      s"baseline + cumsums + running mins should share ONE event_type " +
+        s"exchange, found $keyOnly:\n$p")
+    assert(!p.contains("CartesianProduct"), s"spine joined as a product:\n$p")
+  }
+
   test("q128: edit verify blocks on an equi-join; texts stay out of the blocking shuffle") {
     val p = plan(graft.queries.DedupQueries.queries("q128_edit_verify")(spark, sf))
     assert(p.contains("lev_bounded"), s"kernel expression missing:\n$p")
