@@ -474,4 +474,57 @@ object Dedup {
           .cast(LongType).as("dist"))
       .filter(col("dist") >= 0) // threshold form yields -1 above maxDist
   }
+
+  /** Set-CONTAINMENT pairs — the asymmetric overlap Jaccard is blind
+    * to: C(A → B) = |A ∩ B| / |A| finds a short document living inside
+    * a long one (quotes, excerpts, boilerplate-wrapped reposts) where
+    * resemblance |A∩B|/|A∪B| stays tiny and LSH-on-minhash (q32/q34)
+    * never even proposes the pair. Exact, over the same distinct
+    * char-5-gram hash sets as the Jaccard tier.
+    *
+    * Scale shape: the inverted gram index is the one corpus shuffle;
+    * the gram-keyed self-join is the classical all-pairs hazard, so
+    * grams with document frequency > maxDf are dropped from the
+    * UNIVERSE — index AND denominators together, so containment stays
+    * exact over the pruned gram space (the common-boilerplate grams
+    * removed are precisely the ones that assert nothing about
+    * containment) — and the cap is mirrored by the oracle, never
+    * silent. Per-gram fan-out is then ≤ maxDf², and pair counting is
+    * map-side combinable.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      thresholdPct: Int = 80,
+      minGrams: Int = 10,
+      maxDf: Int = 100): DataFrame = {
+    val grams = df
+      .select(col(idCol).cast(LongType).as("id"),
+        explode(shingleHashes(col(textCol), 5)).as("g"))
+    val kept = grams.join(
+      grams.groupBy("g").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf),
+      "g").select("id", "g")
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") >= minGrams)
+    val idx = kept.join(sizes, "id")
+    val shared = idx
+      .select(col("g"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(idx.select(col("g"), col("id").as("id_b"), col("sz").as("sz_b")),
+        "g")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("shared"))
+    val ab = shared
+      .filter(lit(100L) * col("shared") >= lit(thresholdPct.toLong) * col("sz_a"))
+      .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+        col("shared"), col("sz_a").as("size_c"))
+    val ba = shared
+      .filter(lit(100L) * col("shared") >= lit(thresholdPct.toLong) * col("sz_b"))
+      .select(col("id_b").as("contained_id"), col("id_a").as("container_id"),
+        col("shared"), col("sz_b").as("size_c"))
+    ab.unionByName(ba)
+      .withColumn("c_pct", expr("(shared * 100L) div size_c"))
+  }
 }

@@ -850,6 +850,49 @@ object DedupQueries {
       .orderBy("l_returnflag")
   }
 
+  /** q169: set-containment pairs ([[Dedup.containmentPairs]]) — the
+    * asymmetric overlap the resemblance tiers (q32/q34) are blind to:
+    * the mutated-union corpus plants perfect containments (every
+    * original lives inside its tail-extended copy with near-total
+    * gram coverage, while Jaccard on the pair is diluted), and the
+    * exact inverted-index formulation scores both directions of every
+    * sharing pair. df > maxDf grams leave the UNIVERSE (index and
+    * denominators together), so containment is exact over the pruned
+    * gram space and the oracle replays the identical cap.
+    */
+  def q169Containment(spark: SparkSession, dir: String): DataFrame = {
+    Dedup.containmentPairs(withMutatedCopies(spark, dir), "text", "doc_id")
+      .orderBy("contained_id", "container_id")
+  }
+
+  val q169Sql: String =
+    s"""WITH uni AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' appended tail marker' FROM documents),
+       |${shingleCtesFrom("uni")},
+       |g AS (SELECT doc_id AS id, u.g FROM shl, UNNEST(hlist) u(g)),
+       |dfc AS (SELECT g, count(*)::BIGINT AS dfn FROM g GROUP BY g),
+       |kept AS (SELECT id, g.g FROM g JOIN dfc USING (g) WHERE dfn <= 100),
+       |sz AS (SELECT id, count(*)::BIGINT AS sz FROM kept
+       |       GROUP BY id HAVING count(*) >= 10),
+       |idx AS (SELECT k.id, k.g, s.sz FROM kept k JOIN sz s USING (id)),
+       |sh AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+       |         count(*)::BIGINT AS shared
+       |  FROM idx a JOIN idx b USING (g) WHERE a.id < b.id
+       |  GROUP BY 1, 2, 3, 4),
+       |dir AS (
+       |  SELECT id_a AS contained_id, id_b AS container_id, shared,
+       |         sz_a AS size_c
+       |  FROM sh WHERE 100 * shared >= 80 * sz_a
+       |  UNION ALL
+       |  SELECT id_b, id_a, shared, sz_b
+       |  FROM sh WHERE 100 * shared >= 80 * sz_b)
+       |SELECT contained_id, container_id, shared, size_c,
+       |       (shared * 100) // size_c AS c_pct
+       |FROM dir ORDER BY contained_id, container_id""".stripMargin
+
   /** The full fixed-point HLL replayed per key family: hash62 →
     * (bucket, max rho via minimal binary-string length) → exact
     * Σ 2^−r → guarded harmonic division → LC branch through the
@@ -1750,6 +1793,7 @@ object DedupQueries {
     "q122_cms_frequency" -> (q122CmsFrequency _),
     "q114_kmv_distinct" -> (q114KmvDistinct _),
     "q164_hll_distinct" -> (q164HllDistinct _),
+    "q169_containment" -> (q169Containment _),
     "q30_exact_dedup" -> q30Exact,
     "q31_fingerprint_dedup" -> q31Fingerprint,
     "q32_minhash_pairs" -> q32Minhash,
@@ -1781,6 +1825,7 @@ object DedupQueries {
     "q122_cms_frequency" -> q122Sql,
     "q114_kmv_distinct" -> q114Sql,
     "q164_hll_distinct" -> q164Sql,
+    "q169_containment" -> q169Sql,
     "q30_exact_dedup" -> q30Sql,
     "q31_fingerprint_dedup" -> q31Sql,
     "q32_minhash_pairs" -> q32Sql,
