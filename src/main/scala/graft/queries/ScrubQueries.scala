@@ -9,6 +9,54 @@ import graft.text.Scrub
 /** Scrubbing / composition queries over the documents table. */
 object ScrubQueries {
 
+  /** q170: proportional stratified sampling with exact Hamilton
+    * apportionment ([[Scrub.stratifiedSample]]) — a global target of
+    * 1000 orders split across the five o_orderpriority strata by
+    * largest remainder (Σ alloc == 1000 exactly, no float shares),
+    * membership by stable per-stratum hash rank. The oracle replays
+    * the apportionment arithmetic and the hash62 rank; output carries
+    * N_h and alloc per row so the allocation itself hash-gates, not
+    * just membership.
+    */
+  def q170StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Load.table(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"))
+    Scrub.stratifiedSample(orders, "o_orderpriority", "o_orderkey", 1000L)
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  val q170Sql: String = {
+    val h62 = DedupQueries.h62Sql("CAST(o_orderkey AS VARCHAR)")
+    s"""WITH n AS (
+       |  SELECT o_orderpriority AS strat, count(*)::BIGINT AS n_h
+       |  FROM orders GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_h) AS BIGINT) AS n FROM n),
+       |fl AS (
+       |  SELECT strat, n_h, (1000 * n_h) // n AS base, (1000 * n_h) % n AS rem
+       |  FROM n, tot),
+       |rk AS (
+       |  SELECT *, row_number() OVER (ORDER BY rem DESC, strat) AS rr,
+       |         (SELECT 1000 - CAST(sum(base) AS BIGINT) FROM fl) AS deficit
+       |  FROM fl),
+       |al AS (
+       |  SELECT strat, n_h,
+       |         base + CASE WHEN rr <= deficit THEN 1 ELSE 0 END AS alloc
+       |  FROM rk),
+       |h AS (
+       |  SELECT o_orderpriority AS strat, o_orderkey, $h62 AS hv
+       |  FROM orders),
+       |r AS (
+       |  SELECT strat, o_orderkey,
+       |         CAST(row_number() OVER (PARTITION BY strat
+       |                ORDER BY hv, o_orderkey) AS BIGINT) AS rn
+       |  FROM h)
+       |SELECT r.strat AS o_orderpriority, r.o_orderkey, r.rn,
+       |       al.n_h, al.alloc
+       |FROM r JOIN al USING (strat)
+       |WHERE r.rn <= al.alloc
+       |ORDER BY o_orderpriority, rn""".stripMargin
+  }
+
   /** Repetition signals. duplicate-line fraction is 0 on this corpus
     * (single-line docs) — the oracle confirms the negative exactly;
     * topTokenFraction and distinctNgramRatio carry the signal.
@@ -317,6 +365,7 @@ object ScrubQueries {
     "q23_repetition" -> q23Repetition,
     "q24_pii_redact" -> q24Redact,
     "q25_hash_sample" -> q25HashSample,
+    "q170_stratified_sample" -> (q170StratifiedSample _),
     "q26_curation" -> q26Curation,
     "q99_epoch_mix" -> (q99EpochMix _))
 
@@ -433,6 +482,7 @@ object ScrubQueries {
     "q23_repetition" -> q23Sql,
     "q24_pii_redact" -> q24Sql,
     "q25_hash_sample" -> q25Sql,
+    "q170_stratified_sample" -> q170Sql,
     "q26_curation" -> q26Sql,
     "q99_epoch_mix" -> q99Sql)
 }

@@ -341,4 +341,63 @@ object Scrub {
       .drop("__cutbkt", "__base", "__draw", "__bkt", "__prior")
     below.unionByName(atCut)
   }
+
+  /** Proportional STRATIFIED sampling with exact Hamilton
+    * (largest-remainder) apportionment — the survey-sampling primitive
+    * between [[sampleByHash]] (global rate) and [[weightedSample]]
+    * (fixed k per stratum): a single corpus-wide target `totalN` is
+    * split across strata as
+    *
+    *   base_h = ⌊totalN · N_h / N⌋,  deficit = totalN − Σ base_h,
+    *   +1 to the `deficit` strata with the largest remainders
+    *   (totalN · N_h mod N, ties by stratum key)
+    *
+    * so Σ alloc_h == totalN EXACTLY — no float shares, no rounding
+    * drift, fully mirrored in a second engine. Membership is then the
+    * stable hash order within each stratum (first alloc_h rows by
+    * (hash62(id), id)), deterministic across runs and partitionings.
+    *
+    * Scale shape: the allocation runs on the ≤|strata| count relation
+    * (tiny by contract — its windows are deliberately unpartitioned)
+    * and broadcasts back; row selection rides [[graft.plans.TopKPerKey]]
+    * bounded heaps at k = max alloc, so a billion-row stratum moves
+    * k × partitions rows, never a full sort window. The final
+    * per-stratum rank runs over ≤ k surviving rows per stratum.
+    *
+    * Contract: totalN ≤ N (an over-asked stratum would truncate at its
+    * population; callers wanting with-replacement semantics want a
+    * different operator).
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      totalN: Long): DataFrame = {
+    import graft.plans.TopKPerKey
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val alloc = df.groupBy(stratumCol).agg(count(lit(1)).as("n_h"))
+      .withColumn("__n", sum("n_h").over(wAll))
+      .withColumn("base", expr(s"(${totalN}L * n_h) div __n"))
+      .withColumn("__rem", expr(s"(${totalN}L * n_h) % __n"))
+      .withColumn("__deficit", lit(totalN) - sum("base").over(wAll))
+      .withColumn("__rr", row_number().over(
+        Window.orderBy(col("__rem").desc, col(stratumCol))))
+      .withColumn("alloc",
+        col("base") + when(col("__rr") <= col("__deficit"), 1L).otherwise(0L))
+      .select(col(stratumCol), col("n_h"), col("alloc"))
+    // k for the bounded heaps: the largest allocation — a scalar off the
+    // strata relation (small by contract), never off the corpus
+    val kMax = math.max(1L,
+      alloc.agg(max("alloc")).head().getLong(0)).toInt
+    val keyed = df.withColumn("__hv",
+      graft.functions.Kmv.hash62(col(idCol).cast(StringType)))
+    val ranked = TopKPerKey.topK(keyed, Seq(stratumCol),
+        Seq(TopKPerKey.Sort("__hv"), TopKPerKey.Sort(idCol)), kMax)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(stratumCol).orderBy(col("__hv"), col(idCol)))
+        .cast(LongType))
+    ranked.join(broadcast(alloc), Seq(stratumCol))
+      .filter(col("rn") <= col("alloc"))
+      .select(col(stratumCol), col(idCol), col("rn"), col("n_h"),
+        col("alloc"))
+  }
 }

@@ -441,6 +441,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"spine joined as a product:\n$p")
   }
 
+  test("q170: selection rides bounded heaps; the allocation joins back broadcast") {
+    val p = plan(graft.queries.ScrubQueries
+      .queries("q170_stratified_sample")(spark, sf))
+    assert(p.contains("TopKPerKeyPartial"),
+      s"stratum selection lost the map-side bounded heap:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"alloc relation should broadcast onto the ranked sample:\n$p")
+  }
+
   test("q128: edit verify blocks on an equi-join; texts stay out of the blocking shuffle") {
     val p = plan(graft.queries.DedupQueries.queries("q128_edit_verify")(spark, sf))
     assert(p.contains("lev_bounded"), s"kernel expression missing:\n$p")
