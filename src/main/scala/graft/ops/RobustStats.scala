@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact robust statistics — median / MAD / modified-z outlier flags
+  * (Iglewicz–Hoaglin M = 0.6745·(x − med)/MAD, flag at M > 3.5) over
+  * integer-scaled values. The robust counterpart to moment-based
+  * screens (PSI drift q160, z-score rates q138): a handful of corrupt
+  * extremes moves mean/σ arbitrarily but cannot move the median or the
+  * MAD, so the fences hold exactly when they're needed.
+  *
+  * Exactness conventions, mirrored by any second engine:
+  *   - values enter as integers (scale decimals first — cents, not
+  *     dollars);
+  *   - "median" is the LOWER median: the rank-⌈n/2⌉ order statistic
+  *     ((n+1) div 2, 1-based) — a value FROM the data, never an
+  *     interpolated float;
+  *   - the outlier test is the cross-multiplied integer compare
+  *     6745 · |x − med| > 35000 · MAD (no division, no epsilon; a zero
+  *     MAD — over half the data identical — flags every deviating row,
+  *     the standard caveat of the modified z).
+  *
+  * Scale contract: exact order statistics need a per-group sort, so
+  * this is the EXACT tier — two key-partitioned sort windows (one for
+  * the median, one over absolute deviations for the MAD) plus
+  * map-side-combined counting. At 100 TB per-group, swap the medians
+  * for [[Quantiles]]' mergeable sketch and keep the same fences; the
+  * two tiers share the flag algebra.
+  */
+object RobustStats {
+
+  /** Per-group lower median of `xCol` (long): rank-((n+1) div 2) order
+    * statistic. */
+  def lowerMedian(df: DataFrame, keyCols: Seq[String], xCol: String,
+      outCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(col(xCol))))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(keys: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("__rn") === expr("(__n + 1) div 2"))
+      .select(keys :+ col(xCol).as(outCol): _*)
+  }
+
+  /** (keys..., n, med, mad, n_outliers) — modified-z screen at 3.5. */
+  def medianMadOutliers(df: DataFrame, keyCols: Seq[String],
+      xCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val med = lowerMedian(df, keyCols, xCol, "med")
+    val dev = df.join(med, keyCols)
+      .withColumn("__adev", abs(col(xCol) - col("med")))
+    val mad = lowerMedian(dev, keyCols, "__adev", "mad")
+    dev.join(mad, keyCols)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(lit(6745L) * col("__adev") > lit(35000L) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+}

@@ -278,6 +278,71 @@ object MiscOps {
       |            THEN 1 ELSE 0 END AS alarm
       |FROM sc ORDER BY event_type, bucket""".stripMargin
 
+  /** q171: exact median/MAD robust outlier screen
+    * ([[RobustStats.medianMadOutliers]]) — the Iglewicz–Hoaglin
+    * modified z over integer cents per (returnflag, linestatus): the
+    * order-statistic counterpart to the moment-based screens (q138
+    * z-rates, q160 PSI), immune to the extremes it hunts. Prices cross
+    * into integers via the q1 decimal route (double → DECIMAL(18,4) →
+    * ×100), medians are the mirrored lower-median convention, and the
+    * 3.5-fence is a cross-multiplied integer compare — no division, no
+    * float, so all four group rows hash-gate.
+    */
+  def q171RobustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    // fat-finger corruption planted on ~0.08% of rows (price ×50): the
+    // fences must catch every one while the median/MAD stand still —
+    // the uniform TPC-H price spread alone flags nothing (modified z of
+    // a uniform tail tops out ≈ 1.3), so n_outliers counts exactly the
+    // planted rows
+    val li = Load.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("l_extendedprice").cast(DecimalType(18, 4)) * 100)
+          .cast(LongType).as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("cents",
+        when(col("l_orderkey") % 249 === 0 && col("l_linenumber") === 1,
+          col("cents") * 50).otherwise(col("cents")))
+    RobustStats.medianMadOutliers(li,
+        Seq("l_returnflag", "l_linestatus"), "cents")
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q171Sql: String =
+    """WITH v AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+      |           * CASE WHEN l_orderkey % 249 = 0 AND l_linenumber = 1
+      |                  THEN 50 ELSE 1 END AS cents
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT *, row_number() OVER
+      |           (PARTITION BY l_returnflag, l_linestatus ORDER BY cents)
+      |           AS rn,
+      |         count(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+      |  FROM v),
+      |med AS (
+      |  SELECT l_returnflag, l_linestatus, cents AS med
+      |  FROM r WHERE rn = (n + 1) // 2),
+      |dv AS (
+      |  SELECT v.l_returnflag, v.l_linestatus, v.cents, m.med,
+      |         abs(v.cents - m.med) AS adev
+      |  FROM v JOIN med m USING (l_returnflag, l_linestatus)),
+      |r2 AS (
+      |  SELECT *, row_number() OVER
+      |           (PARTITION BY l_returnflag, l_linestatus ORDER BY adev)
+      |           AS rn,
+      |         count(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+      |  FROM dv),
+      |mad AS (
+      |  SELECT l_returnflag, l_linestatus, adev AS mad
+      |  FROM r2 WHERE rn = (n + 1) // 2)
+      |SELECT d.l_returnflag, d.l_linestatus, count(*)::BIGINT AS n,
+      |       CAST(min(d.med) AS BIGINT) AS med, CAST(min(m.mad) AS BIGINT) AS mad,
+      |       CAST(sum(CASE WHEN 6745 * d.adev > 35000 * m.mad
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dv d JOIN mad m USING (l_returnflag, l_linestatus)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** J3 fuzzy dictionary translate: nation names as the dictionary,
     * typo'd tokens (trailing X) as input — exact tier misses, fuzzy tier
     * (QRatio ≥ 90) recovers ("NATION_19X" → "nation 19x" vs "nation 19"
@@ -1742,6 +1807,7 @@ object MiscOps {
     "q16_scd_merge" -> q16ScdMerge,
     "q167_scd2_history" -> (q167Scd2History _),
     "q168_cusum_shift" -> (q168CusumShift _),
+    "q171_robust_outliers" -> (q171RobustOutliers _),
     "q17_fuzzy_translate" -> q17FuzzyTranslate,
     "q17b_exact_translate" -> q17bExactTranslate,
     "q18_nested_series" -> q18NestedSeries,
@@ -1787,6 +1853,7 @@ object MiscOps {
     "q16_scd_merge" -> q16Sql,
     "q167_scd2_history" -> q167Sql,
     "q168_cusum_shift" -> q168Sql,
+    "q171_robust_outliers" -> q171Sql,
     "q17_fuzzy_translate" -> q17Sql,
     "q17b_exact_translate" -> q17bSql,
     "q18_nested_series" -> q18Sql,
