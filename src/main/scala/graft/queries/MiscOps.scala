@@ -343,6 +343,83 @@ object MiscOps {
       |FROM dv d JOIN mad m USING (l_returnflag, l_linestatus)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q172: Weight-of-Evidence / Information-Value feature scoring
+    * ([[Woe.binsWoe]]) — how well does a binned feature separate a
+    * binary outcome, the risk-analytics sibling of the NB evidence
+    * weights (q113): a deterministic label with per-priority bad-rates
+    * (40/30/20/10/5 per 100, keyed off o_orderkey) plants real
+    * separation, and the five bins' WOE spread + IV contributions
+    * hash-gate through the smoothed fixed-point formula. Sign-safe by
+    * construction: every floor division runs on non-negative operands
+    * (sign applied after), so Spark's truncating `div` and DuckDB's
+    * flooring `//` agree.
+    */
+  def q172WoeIv(spark: SparkSession, dir: String): DataFrame = {
+    val thr = when(col("o_orderpriority") === "1-URGENT", 40)
+      .when(col("o_orderpriority") === "2-HIGH", 30)
+      .when(col("o_orderpriority") === "3-MEDIUM", 20)
+      .when(col("o_orderpriority") === "4-NOT SPECIFIED", 10)
+      .otherwise(5)
+    val labeled = Load.table(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        (col("o_orderkey") % 100 < thr).cast(IntegerType).as("bad"))
+    Woe.binsWoe(labeled, "o_orderpriority", "bad")
+      .orderBy("o_orderpriority")
+  }
+
+  val q172Sql: String =
+    """WITH RECURSIVE lb AS (
+      |  SELECT o_orderpriority AS bin,
+      |         CASE WHEN o_orderkey % 100 <
+      |                CASE o_orderpriority
+      |                     WHEN '1-URGENT' THEN 40 WHEN '2-HIGH' THEN 30
+      |                     WHEN '3-MEDIUM' THEN 20
+      |                     WHEN '4-NOT SPECIFIED' THEN 10 ELSE 5 END
+      |              THEN 1 ELSE 0 END AS bad
+      |  FROM orders),
+      |c AS (
+      |  SELECT bin,
+      |         sum(CASE WHEN bad = 0 THEN 1 ELSE 0 END)::BIGINT AS n_good,
+      |         sum(bad)::BIGINT AS n_bad
+      |  FROM lb GROUP BY bin),
+      |t AS (
+      |  SELECT CAST(sum(n_good + 1) AS BIGINT) AS gt,
+      |         CAST(sum(n_bad + 1) AS BIGINT) AS bt
+      |  FROM c),
+      |r AS (
+      |  SELECT bin, n_good, n_bad,
+      |         greatest(1, ((n_good + 1) * 1073741824) // gt) AS rg,
+      |         greatest(1, ((n_bad + 1) * 1073741824) // bt) AS rb
+      |  FROM c, t),
+      |qq AS (
+      |  SELECT bin, n_good, n_bad, rg, rb,
+      |         CASE WHEN rg <= rb THEN (rg * 1073741824) // rb
+      |              ELSE (rb * 1073741824) // rg END AS q
+      |  FROM r),
+      |nrm AS (
+      |  SELECT bin, greatest(q, 1) AS m, 0::BIGINT AS k FROM qq
+      |  UNION ALL
+      |  SELECT bin, m * 2, k + 1 FROM nrm WHERE m < 1073741824),
+      |sq AS (
+      |  SELECT bin, k, m, 0 AS i, 0::BIGINT AS acc
+      |  FROM nrm WHERE m >= 1073741824
+      |  UNION ALL
+      |  SELECT bin, k,
+      |         CASE WHEN m2 >= 2147483648::BIGINT THEN m2 // 2 ELSE m2 END,
+      |         i + 1,
+      |         acc * 2 + CASE WHEN m2 >= 2147483648::BIGINT THEN 1 ELSE 0 END
+      |  FROM (SELECT bin, k, (m * m) // 1073741824 AS m2, i, acc
+      |        FROM sq WHERE i < 16) s),
+      |bt2 AS (SELECT bin, k * 65536 - acc AS bits FROM sq WHERE i = 16),
+      |w AS (
+      |  SELECT q.bin, q.n_good, q.n_bad, q.rg, q.rb,
+      |         (CASE WHEN q.rg <= q.rb THEN -1 ELSE 1 END)
+      |           * ((b.bits * 45426) // 65536) AS woe_fix
+      |  FROM qq q JOIN bt2 b USING (bin))
+      |SELECT bin AS o_orderpriority, n_good, n_bad, woe_fix,
+      |       ((rg - rb) * woe_fix) // 65536 AS iv_fix
+      |FROM w ORDER BY 1""".stripMargin
+
   /** J3 fuzzy dictionary translate: nation names as the dictionary,
     * typo'd tokens (trailing X) as input — exact tier misses, fuzzy tier
     * (QRatio ≥ 90) recovers ("NATION_19X" → "nation 19x" vs "nation 19"
@@ -1808,6 +1885,7 @@ object MiscOps {
     "q167_scd2_history" -> (q167Scd2History _),
     "q168_cusum_shift" -> (q168CusumShift _),
     "q171_robust_outliers" -> (q171RobustOutliers _),
+    "q172_woe_iv" -> (q172WoeIv _),
     "q17_fuzzy_translate" -> q17FuzzyTranslate,
     "q17b_exact_translate" -> q17bExactTranslate,
     "q18_nested_series" -> q18NestedSeries,
@@ -1854,6 +1932,7 @@ object MiscOps {
     "q167_scd2_history" -> q167Sql,
     "q168_cusum_shift" -> q168Sql,
     "q171_robust_outliers" -> q171Sql,
+    "q172_woe_iv" -> q172Sql,
     "q17_fuzzy_translate" -> q17Sql,
     "q17b_exact_translate" -> q17bSql,
     "q18_nested_series" -> q18Sql,
