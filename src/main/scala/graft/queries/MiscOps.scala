@@ -420,6 +420,45 @@ object MiscOps {
       |       ((rg - rb) * woe_fix) // 65536 AS iv_fix
       |FROM w ORDER BY 1""".stripMargin
 
+  /** q173: within-session event path mining ([[PathMining.sessionTrigrams]])
+    * — the frequent-walks view of the clickstream that q162's one-step
+    * transition matrix can't see: sessionize on the 30-minute gap rule,
+    * form trigram paths with `lead` over the SAME user window (a
+    * lead(session)==session guard replaces the second exchange a
+    * (user, session) re-window would force), count occurrences and exact
+    * distinct-user support per path. Everything before the final path
+    * aggregate rides ONE user-keyed exchange.
+    */
+  def q173PathMining(spark: SparkSession, dir: String): DataFrame =
+    PathMining.sessionTrigrams(Load.events(spark, dir))
+
+  val q173Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS t, event_id
+      |  FROM events),
+      |b AS (
+      |  SELECT user_id, event_type, t, event_id,
+      |         CASE WHEN lag(t) OVER w IS NULL
+      |                OR t - lag(t) OVER w > 1800000000000 THEN 1 ELSE 0 END
+      |           AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      |s AS (
+      |  SELECT user_id, event_type, t, event_id,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM b),
+      |p AS (
+      |  SELECT user_id, sess, event_type,
+      |         lead(event_type, 1) OVER w AS e1, lead(sess, 1) OVER w AS s1,
+      |         lead(event_type, 2) OVER w AS e2, lead(sess, 2) OVER w AS s2
+      |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+      |SELECT event_type || '>' || e1 || '>' || e2 AS path,
+      |       count(*)::BIGINT AS cnt,
+      |       count(DISTINCT user_id)::BIGINT AS n_users
+      |FROM p WHERE s1 = sess AND s2 = sess
+      |GROUP BY 1 HAVING count(*) >= 2
+      |ORDER BY cnt DESC, path""".stripMargin
+
   /** J3 fuzzy dictionary translate: nation names as the dictionary,
     * typo'd tokens (trailing X) as input — exact tier misses, fuzzy tier
     * (QRatio ≥ 90) recovers ("NATION_19X" → "nation 19x" vs "nation 19"
@@ -1886,6 +1925,7 @@ object MiscOps {
     "q168_cusum_shift" -> (q168CusumShift _),
     "q171_robust_outliers" -> (q171RobustOutliers _),
     "q172_woe_iv" -> (q172WoeIv _),
+    "q173_path_mining" -> (q173PathMining _),
     "q17_fuzzy_translate" -> q17FuzzyTranslate,
     "q17b_exact_translate" -> q17bExactTranslate,
     "q18_nested_series" -> q18NestedSeries,
@@ -1933,6 +1973,7 @@ object MiscOps {
     "q168_cusum_shift" -> q168Sql,
     "q171_robust_outliers" -> q171Sql,
     "q172_woe_iv" -> q172Sql,
+    "q173_path_mining" -> q173Sql,
     "q17_fuzzy_translate" -> q17Sql,
     "q17b_exact_translate" -> q17bSql,
     "q18_nested_series" -> q18Sql,
