@@ -459,6 +459,40 @@ object MiscOps {
       |GROUP BY 1 HAVING count(*) >= 2
       |ORDER BY cnt DESC, path""".stripMargin
 
+  /** q174: market-basket association rules ([[Association.pairRules]]) —
+    * orders as baskets, parts as items; the A-priori item prune
+    * (support ≥ 30) runs BEFORE the pair join, pair support ≥ 2, both
+    * directed rules with 2^30 confidence and 2^16 lift in DECIMAL(38,0)
+    * intermediates (pair·N·2^16 overflows int64 at real basket counts).
+    */
+  def q174AssocRules(spark: SparkSession, dir: String): DataFrame =
+    Association.pairRules(
+      Load.table(spark, dir, "lineitem").select("l_orderkey", "l_partkey"),
+      "l_orderkey", "l_partkey", minItemSupport = 30L, minPairSupport = 2L)
+
+  val q174Sql: String =
+    """WITH d AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      |ic AS (SELECT i, count(*)::BIGINT AS c FROM d GROUP BY 1
+      |       HAVING count(*) >= 30),
+      |f AS (SELECT b, d.i, c FROM d JOIN ic USING (i)),
+      |n AS (SELECT count(DISTINCT b)::HUGEINT AS nb FROM d),
+      |p AS (
+      |  SELECT a.i AS ia, bb.i AS ib, a.c AS ca, bb.c AS cb,
+      |         count(*)::BIGINT AS pc
+      |  FROM f a JOIN f bb USING (b) WHERE a.i < bb.i
+      |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+      |r AS (
+      |  SELECT ia AS antecedent, ib AS consequent, pc, ca AS ante_cnt,
+      |         cb AS cons_cnt FROM p
+      |  UNION ALL
+      |  SELECT ib, ia, pc, cb, ca FROM p)
+      |SELECT antecedent, consequent, pc AS pair_cnt, ante_cnt, cons_cnt,
+      |       CAST((pc::HUGEINT * 1073741824) // ante_cnt AS BIGINT)
+      |         AS conf_fix,
+      |       CAST((pc::HUGEINT * nb * 65536)
+      |            // (ante_cnt::HUGEINT * cons_cnt) AS BIGINT) AS lift_fix
+      |FROM r, n ORDER BY antecedent, consequent""".stripMargin
+
   /** J3 fuzzy dictionary translate: nation names as the dictionary,
     * typo'd tokens (trailing X) as input — exact tier misses, fuzzy tier
     * (QRatio ≥ 90) recovers ("NATION_19X" → "nation 19x" vs "nation 19"
@@ -1926,6 +1960,7 @@ object MiscOps {
     "q171_robust_outliers" -> (q171RobustOutliers _),
     "q172_woe_iv" -> (q172WoeIv _),
     "q173_path_mining" -> (q173PathMining _),
+    "q174_assoc_rules" -> (q174AssocRules _),
     "q17_fuzzy_translate" -> q17FuzzyTranslate,
     "q17b_exact_translate" -> q17bExactTranslate,
     "q18_nested_series" -> q18NestedSeries,
@@ -1974,6 +2009,7 @@ object MiscOps {
     "q171_robust_outliers" -> q171Sql,
     "q172_woe_iv" -> q172Sql,
     "q173_path_mining" -> q173Sql,
+    "q174_assoc_rules" -> q174Sql,
     "q17_fuzzy_translate" -> q17Sql,
     "q17b_exact_translate" -> q17bSql,
     "q18_nested_series" -> q18Sql,
