@@ -493,6 +493,53 @@ object MiscOps {
       |            // (ante_cnt::HUGEINT * cons_cnt) AS BIGINT) AS lift_fix
       |FROM r, n ORDER BY antecedent, consequent""".stripMargin
 
+  /** q175: ordered funnel conversion ([[Funnel.ordered]]) — users
+    * reaching signup → view → purchase IN ORDER, as a chain of running
+    * maxima on one user-keyed window (a later step only fires once all
+    * earlier steps already have); per-step counts + 2^30 step-over-step
+    * and from-first conversion ratios.
+    */
+  def q175Funnel(spark: SparkSession, dir: String): DataFrame =
+    Funnel.ordered(Load.events(spark, dir), Seq("signup", "view", "purchase"))
+
+  val q175Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS t, event_id FROM events),
+      |f0 AS (
+      |  SELECT *, max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY t, event_id
+      |          ROWS UNBOUNDED PRECEDING) AS r0
+      |  FROM e),
+      |f1 AS (
+      |  SELECT *, max(CASE WHEN event_type = 'view' AND r0 = 1
+      |                     THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY t, event_id
+      |          ROWS UNBOUNDED PRECEDING) AS r1
+      |  FROM f0),
+      |f2 AS (
+      |  SELECT *, max(CASE WHEN event_type = 'purchase' AND r1 = 1
+      |                     THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY t, event_id
+      |          ROWS UNBOUNDED PRECEDING) AS r2
+      |  FROM f1),
+      |u AS (SELECT user_id, max(r0) AS u0, max(r1) AS u1, max(r2) AS u2
+      |      FROM f2 GROUP BY 1),
+      |n AS (SELECT sum(u0)::BIGINT AS n0, sum(u1)::BIGINT AS n1,
+      |             sum(u2)::BIGINT AS n2 FROM u),
+      |s AS (
+      |  SELECT CAST(1 AS INTEGER) AS step_no, 'signup' AS step, n0 AS n_users
+      |  FROM n
+      |  UNION ALL SELECT 2, 'view', n1 FROM n
+      |  UNION ALL SELECT 3, 'purchase', n2 FROM n)
+      |SELECT step_no, step, n_users,
+      |       (n_users * 1073741824)
+      |         // nullif(lag(n_users) OVER (ORDER BY step_no), 0)
+      |         AS conv_prev_fix,
+      |       (n_users * 1073741824)
+      |         // nullif(first_value(n_users) OVER (ORDER BY step_no
+      |              ROWS UNBOUNDED PRECEDING), 0) AS conv_first_fix
+      |FROM s ORDER BY step_no""".stripMargin
+
   /** J3 fuzzy dictionary translate: nation names as the dictionary,
     * typo'd tokens (trailing X) as input — exact tier misses, fuzzy tier
     * (QRatio ≥ 90) recovers ("NATION_19X" → "nation 19x" vs "nation 19"
@@ -1961,6 +2008,7 @@ object MiscOps {
     "q172_woe_iv" -> (q172WoeIv _),
     "q173_path_mining" -> (q173PathMining _),
     "q174_assoc_rules" -> (q174AssocRules _),
+    "q175_funnel" -> (q175Funnel _),
     "q17_fuzzy_translate" -> q17FuzzyTranslate,
     "q17b_exact_translate" -> q17bExactTranslate,
     "q18_nested_series" -> q18NestedSeries,
@@ -2010,6 +2058,7 @@ object MiscOps {
     "q172_woe_iv" -> q172Sql,
     "q173_path_mining" -> q173Sql,
     "q174_assoc_rules" -> q174Sql,
+    "q175_funnel" -> q175Sql,
     "q17_fuzzy_translate" -> q17Sql,
     "q17b_exact_translate" -> q17bSql,
     "q18_nested_series" -> q18Sql,
