@@ -619,6 +619,49 @@ object CurationQueries {
       |FROM nodes n LEFT JOIN pern p USING (id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q176: multi-source BFS hop distance ([[graft.graphs.Bfs]]) over
+    * q97's closed-form multigraph, symmetrized — the crawl-depth /
+    * trust-propagation distance completing the graph tier: seeds are
+    * doc_id < 10, three rounds of synchronous frontier expansion, hop
+    * = min distance BY CONSTRUCTION (earlier rounds settle first), the
+    * 7 nodes outside the 3-hop ball report NULL. The oracle replays it
+    * as a recursive-CTE walk bounded at hop < 3 with min(hop) per node
+    * — a genuinely different algorithm arriving at the same relation.
+    */
+  def q176BfsHops(spark: SparkSession, dir: String): DataFrame = {
+    import graft.graphs.Bfs
+    val docs = Load.table(spark, dir, "documents").select(col("doc_id").as("id"))
+    val n = docs.count()
+    val base = docs.select(col("id").as("src"),
+      explode(array(
+        (col("id") * 7 + 13) % n,
+        (col("id") * 31 + 7) % n,
+        (col("id") * 13 + 101) % n)).as("dst"))
+    val sym = base.unionByName(
+      base.select(col("dst").as("src"), col("src").as("dst")))
+    Bfs.hops(sym, docs, "id", docs.filter(col("id") < 10), maxHops = 3)
+      .select(col("id").as("doc_id"), col("hop"))
+      .orderBy("doc_id")
+  }
+
+  val q176Sql: String =
+    """WITH RECURSIVE nn AS (SELECT count(*) AS cnt FROM documents),
+      |nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+      |e0 AS (
+      |  SELECT id AS src, (id * 7 + 13) % cnt AS dst FROM nodes, nn
+      |  UNION ALL SELECT id, (id * 31 + 7) % cnt FROM nodes, nn
+      |  UNION ALL SELECT id, (id * 13 + 101) % cnt FROM nodes, nn),
+      |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |walk(id, hop) AS (
+      |  SELECT id, 0 FROM nodes WHERE id < 10
+      |  UNION
+      |  SELECT e.dst, w.hop + 1 FROM walk w JOIN e ON e.src = w.id
+      |  WHERE w.hop < 3),
+      |d AS (SELECT id, CAST(min(hop) AS BIGINT) AS hop FROM walk GROUP BY 1)
+      |SELECT n.id AS doc_id, d.hop
+      |FROM nodes n LEFT JOIN d USING (id)
+      |ORDER BY doc_id""".stripMargin
+
   /** q166: neighborhood link prediction ([[graft.graphs.LinkPredict]])
     * over q141's graph (3-out multigraph + planted triples) — the
     * missing-edge scorer next to the existing structure (q47/q155),
@@ -1294,6 +1337,7 @@ object CurationQueries {
     "q97_pagerank" -> (q97PageRank _),
     "q141_triangles" -> (q141Triangles _),
     "q166_link_predict" -> (q166LinkPredict _),
+    "q176_bfs_hops" -> (q176BfsHops _),
     "q142_label_prop" -> (q142LabelProp _),
     "q118_quantile_sketch" -> (q118QuantileSketch _),
     "q119_weighted_sample" -> (q119WeightedSample _))
@@ -1428,6 +1472,7 @@ object CurationQueries {
     "q97_pagerank" -> q97Sql,
     "q141_triangles" -> q141Sql,
     "q166_link_predict" -> q166Sql,
+    "q176_bfs_hops" -> q176Sql,
     "q142_label_prop" -> q142Sql,
     "q118_quantile_sketch" -> q118Sql,
     "q119_weighted_sample" -> q119Sql)
