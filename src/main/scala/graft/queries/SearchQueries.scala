@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 import graft.ops.Load
@@ -202,6 +203,96 @@ object SearchQueries {
       |            ORDER BY score DESC, doc_id) AS rn
       |  FROM scored) x
       |WHERE rn <= 5 ORDER BY query_id, doc_id""".stripMargin
+
+  /** q177: hybrid retrieval via reciprocal-rank fusion
+    * ([[graft.similarity.Rrf.fuse]]) — the composition the engine's two
+    * retrieval legs exist FOR: BM25 top-10 (q120's integer scoring) and
+    * brute-force cosine top-10 (q40's, self kept on both sides so the
+    * lists mirror exactly) fused on ranks alone, each contribution the
+    * exact 2^16 div (60 + rank), re-ranked by (rrf desc, doc_id). Docs
+    * strong in only one modality surface; docs present in both dominate.
+    */
+  def q177HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.{Ann, Bm25, Rrf}
+    val d = Load.table(spark, dir, "documents")
+    val e = Load.table(spark, dir, "embeddings").select("vec_id", "embedding")
+    val queries = d.filter(col("doc_id") % 37 === 0)
+    val wLex = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = Bm25.topK(d, queries, "text", "doc_id", "doc_id", k = 10)
+      .withColumn("rank", row_number().over(wLex))
+    val sem = Ann.bruteForceTopK(e, e.filter(col("vec_id") % 37 === 0),
+        "vec_id", "embedding", k = 10, excludeSelf = false)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    Rrf.fuse(Seq(lex.select("query_id", "doc_id", "rank"), sem), k0 = 60L,
+        topK = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val q177Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x <> '') AS w
+      |  FROM documents),
+      |postings AS (
+      |  SELECT doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM toks, UNNEST(w) AS t(term) GROUP BY doc_id, t.term),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM postings GROUP BY doc_id),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+      |ad AS (SELECT greatest(1, CAST(sum(tf) AS BIGINT) // nd) AS adl
+      |       FROM postings, nn GROUP BY nd),
+      |wt AS (
+      |  SELECT term,
+      |         least(CAST(floor((nd - df + 0.5) / (df + 0.5) * 1048576.0)
+      |                    AS BIGINT), 1099511627776) AS w
+      |  FROM (SELECT term, CAST(count(*) AS BIGINT) AS df
+      |        FROM postings GROUP BY term), nn),
+      |sat AS (
+      |  SELECT p.doc_id, p.term,
+      |         CAST((22528 * p.tf * 16384)
+      |              // (10240 * p.tf + 3072 + 9 * ((d.dl * 1024) // ad.adl))
+      |              AS BIGINT) AS v
+      |  FROM postings p JOIN dl d USING (doc_id), ad),
+      |qt AS (SELECT DISTINCT doc_id AS query_id, t.term
+      |       FROM toks, UNNEST(w) AS t(term) WHERE doc_id % 37 = 0),
+      |lscored AS (
+      |  SELECT qt.query_id, s.doc_id, CAST(sum(s.v * wt.w) AS BIGINT) AS score
+      |  FROM qt JOIN sat s USING (term) JOIN wt USING (term)
+      |  GROUP BY qt.query_id, s.doc_id),
+      |lex AS (
+      |  SELECT query_id, doc_id, rn AS rank FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |              ORDER BY score DESC, doc_id) AS rn
+      |    FROM lscored) x
+      |  WHERE rn <= 10),
+      |qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |       FROM embeddings WHERE vec_id % 37 = 0),
+      |cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv
+      |       FROM embeddings),
+      |sscored AS (
+      |  SELECT query_id, doc_id,
+      |         list_dot_product(qv, cv)
+      |           / (sqrt(list_dot_product(qv, qv))
+      |              * sqrt(list_dot_product(cv, cv))) AS sim
+      |  FROM qv CROSS JOIN cv),
+      |sem AS (
+      |  SELECT query_id, doc_id, rn AS rank FROM (
+      |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+      |           ORDER BY sim DESC, doc_id) AS rn
+      |    FROM sscored) x
+      |  WHERE rn <= 10),
+      |u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+      |fused AS (
+      |  SELECT query_id, doc_id,
+      |         CAST(sum(65536 // (60 + rank)) AS BIGINT) AS rrf_fix,
+      |         count(*)::BIGINT AS n_lists
+      |  FROM u GROUP BY 1, 2)
+      |SELECT query_id, rank, doc_id, rrf_fix, n_lists FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |            ORDER BY rrf_fix DESC, doc_id) AS INTEGER) AS rank
+      |  FROM fused) f
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** q156: incremental inverted-index maintenance
     * ([[graft.similarity.Bm25.index]]/`mergeIndex`/`topKFromIndex`) —
@@ -417,6 +508,7 @@ object SearchQueries {
     "q156_incremental_index" -> (q156IncrementalIndex _),
     "q132_wordpiece_encode" -> (q132WordPieceEncode _),
     "q120_bm25_search" -> (q120Bm25Search _),
+    "q177_hybrid_rrf" -> (q177HybridRrf _),
     "q165_phrase_search" -> (q165PhraseSearch _),
     "q67_span_dedup" -> (q67SpanDedup _),
     "q68_quality_rules" -> (q68QualityRules _),
@@ -856,6 +948,7 @@ object SearchQueries {
     "q156_incremental_index" -> q156Sql,
     "q132_wordpiece_encode" -> q132Sql,
     "q120_bm25_search" -> q120Sql,
+    "q177_hybrid_rrf" -> q177Sql,
     "q165_phrase_search" -> q165Sql,
     "q67_span_dedup" -> q67Sql,
     "q68_quality_rules" -> q68Sql,

@@ -103,7 +103,8 @@ object ExplainDump {
     "q173_path_mining" -> "sessionize + trigram leads all ride ONE user-keyed exchange (lead(session)==session guard replaces a (user,session) re-window); path count + exact user support partial map-side into one path-keyed exchange",
     "q174_assoc_rules" -> "A-priori item prune BEFORE the basket-keyed pair self-join bounds fan-out at C(k_freq,2); pair counts map-side combined; basket total is a broadcast 1-row aggregate, never a window",
     "q175_funnel" -> "all k running maxima share one user-keyed window spec (one exchange, one sort); corpus collapses to per-user flags map-side; ratio windows run on the |steps|-row relation",
-    "q176_bfs_hops" -> "per round one frontier-keyed equi-join + one anti-join, only (id,hop) pairs cross exchanges; localCheckpoint truncates iterative lineage; early exit on frontier drain")
+    "q176_bfs_hops" -> "per round one frontier-keyed equi-join + one anti-join, only (id,hop) pairs cross exchanges; localCheckpoint truncates iterative lineage; early exit on frontier drain",
+    "q177_hybrid_rrf" -> "fusion never sees the corpus: both retriever outputs are per-query bounded, one map-side-combined (query,doc) exchange, per-query window over <= lists*k rows")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
