@@ -148,6 +148,54 @@ object Profile {
         (col("psi_fix") >= thresholdFix).cast("int"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance per key — the exact-CDF
+    * drift test completing the distribution-monitor pair with
+    * [[psiFix]]: PSI needs a bucketing choice and saturates on tail
+    * mass; KS is binning-free on the (quantized) value grid and reads
+    * off the worst single point of CDF divergence. Everything is
+    * integer-exact: with cumulative counts c_a(v), c_b(v),
+    *
+    *   D = max_v |c_a(v)·n_b − c_b(v)·n_a| / (n_a·n_b)
+    *
+    * reported as the cross-multiplied numerator (DECIMAL(38,0) — the
+    * product overflows int64 at 10⁹-row sides), its 2^30 floor ratio,
+    * and the SMALLEST value attaining the max (deterministic argmax).
+    * Values must already be integral — quantize floats on the repo's
+    * 2⁻¹⁶ grid first; that grid is what bounds the windowed relation.
+    *
+    * Scale shape: the corpus collapses map-side into the per-(key,
+    * value) histogram — ONE count exchange; the running-CDF window then
+    * sorts the histogram per key (grid-bounded, not corpus-bounded),
+    * and the final per-key max is a map-side-combinable aggregation.
+    */
+  def ksStatistic(a: DataFrame, b: DataFrame, keyCol: String,
+      valCol: String): DataFrame = {
+    def side(df: DataFrame, tag: Int) =
+      df.select(col(keyCol).as("__k"), col(valCol).cast("long").as("__v"),
+        lit(tag).as("__s"))
+    val hist = side(a, 0).unionByName(side(b, 1))
+      .groupBy("__k", "__v")
+      .agg(sum(when(col("__s") === 0, 1L).otherwise(0L)).as("__ha"),
+        sum(when(col("__s") === 1, 1L).otherwise(0L)).as("__hb"))
+    val wCdf = Window.partitionBy("__k").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wKey = Window.partitionBy("__k")
+    val cdf = hist
+      .withColumn("__na", sum("__ha").over(wKey).cast(DecimalType(38, 0)))
+      .withColumn("__nb", sum("__hb").over(wKey).cast(DecimalType(38, 0)))
+      .withColumn("__ca", sum("__ha").over(wCdf).cast(DecimalType(38, 0)))
+      .withColumn("__cb", sum("__hb").over(wCdf).cast(DecimalType(38, 0)))
+      .withColumn("__d", abs(col("__ca") * col("__nb") - col("__cb") * col("__na")))
+      .withColumn("__dmax", max(col("__d")).over(wKey))
+    cdf.groupBy(col("__k").as(keyCol))
+      .agg(max(col("__na")).cast("long").as("n_a"),
+        max(col("__nb")).cast("long").as("n_b"),
+        max(col("__d")).as("ks_num"),
+        min(when(col("__d") === col("__dmax"), col("__v"))).as("ks_at"))
+      .withColumn("ks_fix",
+        expr(s"(ks_num * ${1L << 30}L) div (CAST(n_a AS DECIMAL(38,0)) * n_b)"))
+  }
+
   /** Snapshot drift report — [[profile]] of two corpus generations
     * joined per column with INTEGER drift decisions (the data-quality
     * monitor between crawls; pairs with [[graft.ops.SnapshotDiff]]'s

@@ -430,7 +430,9 @@ object MiscOps {
     * aggregate rides ONE user-keyed exchange.
     */
   def q173PathMining(spark: SparkSession, dir: String): DataFrame =
-    PathMining.sessionTrigrams(Load.events(spark, dir))
+    // minCount 1: the sf0.001 smoke corpus has no repeated trigram, and
+    // the gate must hold at every SF; pruning is PathMiningSpec's job
+    PathMining.sessionTrigrams(Load.events(spark, dir), minCount = 1L)
 
   val q173Sql: String =
     """WITH e AS (
@@ -456,7 +458,7 @@ object MiscOps {
       |       count(*)::BIGINT AS cnt,
       |       count(DISTINCT user_id)::BIGINT AS n_users
       |FROM p WHERE s1 = sess AND s2 = sess
-      |GROUP BY 1 HAVING count(*) >= 2
+      |GROUP BY 1
       |ORDER BY cnt DESC, path""".stripMargin
 
   /** q174: market-basket association rules ([[Association.pairRules]]) —
@@ -539,6 +541,54 @@ object MiscOps {
       |         // nullif(first_value(n_users) OVER (ORDER BY step_no
       |              ROWS UNBOUNDED PRECEDING), 0) AS conv_first_fix
       |FROM s ORDER BY step_no""".stripMargin
+
+  /** q178: two-sample Kolmogorov-Smirnov drift ([[Profile.ksStatistic]])
+    * — the exact-CDF companion to q160's bucketed PSI: extended-price
+    * cents of low-quantity vs high-quantity line items per return flag
+    * (price scales with quantity, so the CDFs are far apart and the
+    * statistic is decisive). Numerator, argmax value, and the 2^30
+    * ratio all integer/decimal-exact.
+    */
+  def q178KsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val li = Load.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"),
+        (col("l_extendedprice") * 100).cast(LongType).as("cents"))
+    Profile.ksStatistic(
+      li.filter(col("l_quantity") <= 25), li.filter(col("l_quantity") > 25),
+      "l_returnflag", "cents")
+      .orderBy("l_returnflag")
+  }
+
+  val q178Sql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag AS k, CAST(l_extendedprice * 100 AS BIGINT) AS v,
+      |         CASE WHEN l_quantity <= 25 THEN 0 ELSE 1 END AS side
+      |  FROM lineitem),
+      |h AS (
+      |  SELECT k, v,
+      |         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS ha,
+      |         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS hb
+      |  FROM s GROUP BY 1, 2),
+      |c AS (
+      |  SELECT k, v,
+      |         sum(ha) OVER (PARTITION BY k)::HUGEINT AS na,
+      |         sum(hb) OVER (PARTITION BY k)::HUGEINT AS nb,
+      |         sum(ha) OVER (PARTITION BY k ORDER BY v
+      |                       ROWS UNBOUNDED PRECEDING)::HUGEINT AS ca,
+      |         sum(hb) OVER (PARTITION BY k ORDER BY v
+      |                       ROWS UNBOUNDED PRECEDING)::HUGEINT AS cb
+      |  FROM h),
+      |d AS (
+      |  SELECT k, v, na, nb, abs(ca * nb - cb * na) AS df,
+      |         max(abs(ca * nb - cb * na)) OVER (PARTITION BY k) AS dmax
+      |  FROM c)
+      |SELECT k AS l_returnflag,
+      |       CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+      |       CAST(max(df) AS BIGINT) AS ks_num,
+      |       min(CASE WHEN df = dmax THEN v END) AS ks_at,
+      |       CAST((max(df) * 1073741824) // (max(na) * max(nb)) AS BIGINT)
+      |         AS ks_fix
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** J3 fuzzy dictionary translate: nation names as the dictionary,
     * typo'd tokens (trailing X) as input — exact tier misses, fuzzy tier
@@ -2009,6 +2059,7 @@ object MiscOps {
     "q173_path_mining" -> (q173PathMining _),
     "q174_assoc_rules" -> (q174AssocRules _),
     "q175_funnel" -> (q175Funnel _),
+    "q178_ks_drift" -> (q178KsDrift _),
     "q17_fuzzy_translate" -> q17FuzzyTranslate,
     "q17b_exact_translate" -> q17bExactTranslate,
     "q18_nested_series" -> q18NestedSeries,
@@ -2059,6 +2110,7 @@ object MiscOps {
     "q173_path_mining" -> q173Sql,
     "q174_assoc_rules" -> q174Sql,
     "q175_funnel" -> q175Sql,
+    "q178_ks_drift" -> q178Sql,
     "q17_fuzzy_translate" -> q17Sql,
     "q17b_exact_translate" -> q17bSql,
     "q18_nested_series" -> q18Sql,
