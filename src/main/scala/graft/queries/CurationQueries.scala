@@ -662,6 +662,67 @@ object CurationQueries {
       |FROM nodes n LEFT JOIN d USING (id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q179: k-core decomposition ([[graft.graphs.KCore.membership]])
+    * at k = 4 over a sparse 2-out closed-form graph with a PLANTED
+    * 10-clique: the bulk (degree ~4) peels away over ~8 synchronous
+    * rounds while the clique (internal degree 9) survives intact —
+    * exactly the dense-community/spam-ring read k-core exists for.
+    * The oracle unrolls 12 peel rounds as nested CTEs (≥ convergence
+    * at every tested scale; extra rounds are no-ops on the fixpoint,
+    * which is unique) and must land on the identical membership AND
+    * in-core degrees.
+    */
+  def q179KCore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.graphs.KCore
+    val docs = Load.table(spark, dir, "documents").select(col("doc_id").as("id"))
+    val n = docs.count()
+    val base = docs.select(col("id").as("src"),
+      explode(array((col("id") * 7 + 13) % n, (col("id") * 31 + 7) % n)).as("dst"))
+    val ten = docs.filter(col("id") < 10)
+    val clique = ten.select(col("id").as("src"))
+      .crossJoin(ten.select(col("id").as("dst")))
+      .filter(col("src") < col("dst"))
+    KCore.membership(base.unionByName(clique), docs, "id", k = 4)
+      .select(col("id").as("doc_id"), col("in_core"), col("core_degree"))
+      .orderBy("doc_id")
+  }
+
+  val q179Sql: String = {
+    val rounds = 12
+    val sb = new StringBuilder
+    sb ++= """WITH nn AS (SELECT count(*) AS cnt FROM documents),
+      |nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+      |raw AS (
+      |  SELECT id AS src, (id * 7 + 13) % cnt AS dst FROM nodes, nn
+      |  UNION ALL SELECT id, (id * 31 + 7) % cnt FROM nodes, nn
+      |  UNION ALL SELECT a.id, b.id FROM nodes a JOIN nodes b
+      |            ON a.id < b.id WHERE a.id < 10 AND b.id < 10),
+      |g0 AS MATERIALIZED (
+      |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM raw WHERE src <> dst),
+      |""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s"""k$r AS MATERIALIZED (
+  SELECT id FROM (SELECT a AS id FROM g${r - 1}
+                  UNION ALL SELECT b FROM g${r - 1}) z
+  GROUP BY id HAVING count(*) >= 4),
+g$r AS MATERIALIZED (
+  SELECT g.a, g.b FROM g${r - 1} g
+  JOIN k$r x ON g.a = x.id JOIN k$r y ON g.b = y.id),
+"""
+    }
+    sb ++= s"""core AS (
+  SELECT id, count(*)::BIGINT AS core_degree
+  FROM (SELECT a AS id FROM g$rounds UNION ALL SELECT b FROM g$rounds) z
+  GROUP BY id HAVING count(*) >= 4)
+SELECT n.id AS doc_id,
+       CASE WHEN c.id IS NULL THEN 0 ELSE 1 END AS in_core,
+       coalesce(c.core_degree, 0) AS core_degree
+FROM nodes n LEFT JOIN core c USING (id)
+ORDER BY doc_id"""
+    sb.toString
+  }
+
   /** q166: neighborhood link prediction ([[graft.graphs.LinkPredict]])
     * over q141's graph (3-out multigraph + planted triples) — the
     * missing-edge scorer next to the existing structure (q47/q155),
@@ -1338,6 +1399,7 @@ object CurationQueries {
     "q141_triangles" -> (q141Triangles _),
     "q166_link_predict" -> (q166LinkPredict _),
     "q176_bfs_hops" -> (q176BfsHops _),
+    "q179_kcore" -> (q179KCore _),
     "q142_label_prop" -> (q142LabelProp _),
     "q118_quantile_sketch" -> (q118QuantileSketch _),
     "q119_weighted_sample" -> (q119WeightedSample _))
@@ -1473,6 +1535,7 @@ object CurationQueries {
     "q141_triangles" -> q141Sql,
     "q166_link_predict" -> q166Sql,
     "q176_bfs_hops" -> q176Sql,
+    "q179_kcore" -> q179Sql,
     "q142_label_prop" -> q142Sql,
     "q118_quantile_sketch" -> q118Sql,
     "q119_weighted_sample" -> q119Sql)
