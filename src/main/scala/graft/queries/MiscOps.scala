@@ -590,6 +590,61 @@ object MiscOps {
       |         AS ks_fix
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q180: RFM customer segmentation — the marketing-analytics staple:
+    * per customer, recency (last order epoch-day), frequency (order
+    * count), monetary (lifetime cents), each cut into exact ntile(5)
+    * quintiles with a fully deterministic (metric, custkey) order, then
+    * a rule CASE into named segments. Exact tier by contract: the
+    * ntile windows run on the ALREADY-COLLAPSED per-customer relation
+    * (one map-side-combined aggregation is the only corpus exchange);
+    * at PB scale swap the global ntile for q118 sketch cutoffs, same
+    * rule table.
+    */
+  def q180RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val per = Load.table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum((col("o_totalprice") * 100).cast(LongType)).as("cents"))
+    def quint(c: String) =
+      ntile(5).over(Window.orderBy(col(c), col("o_custkey")))
+    val scored = per
+      .withColumn("r", quint("last_day"))
+      .withColumn("f", quint("freq"))
+      .withColumn("m", quint("cents"))
+    scored.select(col("o_custkey"), col("r"), col("f"), col("m"),
+        when(col("r") >= 4 && col("f") >= 4, "champion")
+          .when(col("f") >= 4, "loyal")
+          .when(col("r") >= 4 && col("f") <= 2, "new")
+          .when(col("r") <= 2 && col("f") >= 3, "at_risk")
+          .when(col("r") <= 2, "hibernating")
+          .otherwise("regular").as("segment"))
+      .orderBy("o_custkey")
+  }
+
+  val q180Sql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |         max(o_orderdate::DATE - DATE '1970-01-01') AS last_day,
+      |         count(*)::BIGINT AS freq,
+      |         sum(CAST(o_totalprice * 100 AS BIGINT))::BIGINT AS cents
+      |  FROM orders GROUP BY 1),
+      |q AS (
+      |  SELECT o_custkey,
+      |         ntile(5) OVER (ORDER BY last_day, o_custkey) AS r,
+      |         ntile(5) OVER (ORDER BY freq, o_custkey) AS f,
+      |         ntile(5) OVER (ORDER BY cents, o_custkey) AS m
+      |  FROM per)
+      |SELECT o_custkey, r, f, m,
+      |       CASE WHEN r >= 4 AND f >= 4 THEN 'champion'
+      |            WHEN f >= 4 THEN 'loyal'
+      |            WHEN r >= 4 AND f <= 2 THEN 'new'
+      |            WHEN r <= 2 AND f >= 3 THEN 'at_risk'
+      |            WHEN r <= 2 THEN 'hibernating'
+      |            ELSE 'regular' END AS segment
+      |FROM q ORDER BY o_custkey""".stripMargin
+
   /** J3 fuzzy dictionary translate: nation names as the dictionary,
     * typo'd tokens (trailing X) as input — exact tier misses, fuzzy tier
     * (QRatio ≥ 90) recovers ("NATION_19X" → "nation 19x" vs "nation 19"
@@ -2060,6 +2115,7 @@ object MiscOps {
     "q174_assoc_rules" -> (q174AssocRules _),
     "q175_funnel" -> (q175Funnel _),
     "q178_ks_drift" -> (q178KsDrift _),
+    "q180_rfm_segments" -> (q180RfmSegments _),
     "q17_fuzzy_translate" -> q17FuzzyTranslate,
     "q17b_exact_translate" -> q17bExactTranslate,
     "q18_nested_series" -> q18NestedSeries,
@@ -2111,6 +2167,7 @@ object MiscOps {
     "q174_assoc_rules" -> q174Sql,
     "q175_funnel" -> q175Sql,
     "q178_ks_drift" -> q178Sql,
+    "q180_rfm_segments" -> q180Sql,
     "q17_fuzzy_translate" -> q17Sql,
     "q17b_exact_translate" -> q17bSql,
     "q18_nested_series" -> q18Sql,
