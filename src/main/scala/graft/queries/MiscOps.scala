@@ -552,7 +552,8 @@ object MiscOps {
   def q178KsDrift(spark: SparkSession, dir: String): DataFrame = {
     val li = Load.table(spark, dir, "lineitem")
       .select(col("l_returnflag"), col("l_quantity"),
-        (col("l_extendedprice") * 100).cast(LongType).as("cents"))
+        (col("l_extendedprice").cast(DecimalType(18, 4)) * 100)
+          .cast(LongType).as("cents"))
     Profile.ksStatistic(
       li.filter(col("l_quantity") <= 25), li.filter(col("l_quantity") > 25),
       "l_returnflag", "cents")
@@ -561,7 +562,9 @@ object MiscOps {
 
   val q178Sql: String =
     """WITH s AS (
-      |  SELECT l_returnflag AS k, CAST(l_extendedprice * 100 AS BIGINT) AS v,
+      |  SELECT l_returnflag AS k,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+      |           AS v,
       |         CASE WHEN l_quantity <= 25 THEN 0 ELSE 1 END AS side
       |  FROM lineitem),
       |h AS (
@@ -606,7 +609,8 @@ object MiscOps {
       .agg(max(datediff(col("o_orderdate").cast("date"),
           lit("1970-01-01").cast("date"))).as("last_day"),
         count(lit(1)).as("freq"),
-        sum((col("o_totalprice") * 100).cast(LongType)).as("cents"))
+        sum((col("o_totalprice").cast(DecimalType(18, 4)) * 100)
+          .cast(LongType)).as("cents"))
     def quint(c: String) =
       ntile(5).over(Window.orderBy(col(c), col("o_custkey")))
     val scored = per
@@ -628,7 +632,8 @@ object MiscOps {
       |  SELECT o_custkey,
       |         max(o_orderdate::DATE - DATE '1970-01-01') AS last_day,
       |         count(*)::BIGINT AS freq,
-      |         sum(CAST(o_totalprice * 100 AS BIGINT))::BIGINT AS cents
+      |         sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT))
+      |           ::BIGINT AS cents
       |  FROM orders GROUP BY 1),
       |q AS (
       |  SELECT o_custkey,
@@ -644,6 +649,55 @@ object MiscOps {
       |            WHEN r <= 2 THEN 'hibernating'
       |            ELSE 'regular' END AS segment
       |FROM q ORDER BY o_custkey""".stripMargin
+
+  /** q181: per-group OLS trend ([[Ols.groupTrend]]) — daily revenue
+    * (whole dollars) regressed on the epoch day per return flag, from
+    * the five map-side-combinable sums; slope/intercept as sign-split
+    * 2^16 floors, r² as the staged 2^15·2^15 floor product (squaring
+    * the covariance would overflow both DECIMAL(38,0) and HUGEINT).
+    */
+  def q181OlsTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Load.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"),
+        datediff(col("l_shipdate").cast("date"),
+          lit("1970-01-01").cast("date")).as("day"))
+      .agg(expr("sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100" +
+        " AS BIGINT)) div 100").as("dollars"))
+    Ols.groupTrend(daily, "l_returnflag", "day", "dollars")
+      .orderBy("l_returnflag")
+  }
+
+  val q181Sql: String =
+    """WITH daily AS (
+      |  SELECT l_returnflag AS k,
+      |         (l_shipdate::DATE - DATE '1970-01-01') AS day,
+      |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100
+      |                        AS BIGINT)) // 100 AS BIGINT) AS dollars
+      |  FROM lineitem GROUP BY 1, 2),
+      |based AS (
+      |  SELECT k, (day - min(day) OVER (PARTITION BY k))::HUGEINT AS x,
+      |         dollars::HUGEINT AS y
+      |  FROM daily),
+      |s AS (
+      |  SELECT k, count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+      |         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM based GROUP BY 1),
+      |d AS (
+      |  SELECT k, n, n * sxy - sx * sy AS cov, n * sxx - sx * sx AS vx,
+      |         n * syy - sy * sy AS vy, sy * sxx - sx * sxy AS inum
+      |  FROM s)
+      |SELECT k AS l_returnflag, CAST(n AS BIGINT) AS n,
+      |       CASE WHEN vx = 0 THEN NULL ELSE
+      |         CAST((CASE WHEN cov < 0 THEN -1 ELSE 1 END)
+      |              * ((abs(cov) * 65536) // vx) AS BIGINT) END AS slope_fix,
+      |       CASE WHEN vx = 0 THEN NULL ELSE
+      |         CAST((CASE WHEN inum < 0 THEN -1 ELSE 1 END)
+      |              * ((abs(inum) * 65536) // vx) AS BIGINT) END
+      |         AS intercept_fix,
+      |       CASE WHEN vx = 0 OR vy = 0 THEN NULL ELSE
+      |         CAST(((abs(cov) * 32768) // vx) * ((abs(cov) * 32768) // vy)
+      |              AS BIGINT) END AS r2_fix
+      |FROM d ORDER BY 1""".stripMargin
 
   /** J3 fuzzy dictionary translate: nation names as the dictionary,
     * typo'd tokens (trailing X) as input — exact tier misses, fuzzy tier
@@ -2116,6 +2170,7 @@ object MiscOps {
     "q175_funnel" -> (q175Funnel _),
     "q178_ks_drift" -> (q178KsDrift _),
     "q180_rfm_segments" -> (q180RfmSegments _),
+    "q181_ols_trend" -> (q181OlsTrend _),
     "q17_fuzzy_translate" -> q17FuzzyTranslate,
     "q17b_exact_translate" -> q17bExactTranslate,
     "q18_nested_series" -> q18NestedSeries,
@@ -2168,6 +2223,7 @@ object MiscOps {
     "q175_funnel" -> q175Sql,
     "q178_ks_drift" -> q178Sql,
     "q180_rfm_segments" -> q180Sql,
+    "q181_ols_trend" -> q181Sql,
     "q17_fuzzy_translate" -> q17Sql,
     "q17b_exact_translate" -> q17bSql,
     "q18_nested_series" -> q18Sql,
