@@ -699,6 +699,50 @@ object MiscOps {
       |              AS BIGINT) END AS r2_fix
       |FROM d ORDER BY 1""".stripMargin
 
+  /** q182: time-decayed engagement scoring ([[Decay.decayedCount]]) —
+    * per-user recency-weighted activity with a 7-day half-life: each
+    * event worth 2^(−age/halfLife) through the exact bit-factor
+    * exponential (the q129 kernel), the exponent assembled
+    * overflow-safely from whole half-lives + a scaled remainder; one
+    * wordcount-shaped aggregation. The oracle replays the 16-step
+    * bit-factor recursion PER EVENT.
+    */
+  def q182DecayedScore(spark: SparkSession, dir: String): DataFrame =
+    Decay.decayedCount(Load.events(spark, dir), "user_id", "ts_ns",
+      halfLifeUs = 604800000000L)
+
+  val q182Sql: String = {
+    val cases = graft.functions.FixedLogKernel.POW2_FRAC.zipWithIndex
+      .map { case (c, i) => s"WHEN $i THEN ${c}::BIGINT" }.mkString(" ")
+    s"""WITH RECURSIVE e AS (
+       |  SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+       |mx AS (SELECT max(t) AS ref FROM e),
+       |ys AS (
+       |  SELECT user_id, event_id,
+       |         least((ref - t) // 604800000000, 63) * 65536
+       |           + (((ref - t) % 604800000000) * 65536) // 604800000000
+       |           AS y
+       |  FROM e, mx),
+       |pw AS (
+       |  SELECT user_id, event_id, y, 15 AS i, 2147483648::BIGINT AS r
+       |  FROM ys
+       |  UNION ALL
+       |  SELECT user_id, event_id, y, i - 1,
+       |         CASE WHEN ((y % 65536) // (1::BIGINT << i)) % 2 = 1
+       |              THEN (r * CASE i $cases END) // 2147483648
+       |              ELSE r END
+       |  FROM pw WHERE i >= 0),
+       |wv AS (
+       |  SELECT user_id,
+       |         r // (1::BIGINT << CAST(least(y // 65536, 62) AS INTEGER))
+       |           AS w
+       |  FROM pw WHERE i = -1)
+       |SELECT user_id, count(*)::BIGINT AS cnt,
+       |       CAST(sum(w) AS BIGINT) AS decayed_fix
+       |FROM wv GROUP BY 1
+       |ORDER BY decayed_fix DESC, user_id""".stripMargin
+  }
+
   /** J3 fuzzy dictionary translate: nation names as the dictionary,
     * typo'd tokens (trailing X) as input — exact tier misses, fuzzy tier
     * (QRatio ≥ 90) recovers ("NATION_19X" → "nation 19x" vs "nation 19"
@@ -2171,6 +2215,7 @@ object MiscOps {
     "q178_ks_drift" -> (q178KsDrift _),
     "q180_rfm_segments" -> (q180RfmSegments _),
     "q181_ols_trend" -> (q181OlsTrend _),
+    "q182_decayed_score" -> (q182DecayedScore _),
     "q17_fuzzy_translate" -> q17FuzzyTranslate,
     "q17b_exact_translate" -> q17bExactTranslate,
     "q18_nested_series" -> q18NestedSeries,
@@ -2224,6 +2269,7 @@ object MiscOps {
     "q178_ks_drift" -> q178Sql,
     "q180_rfm_segments" -> q180Sql,
     "q181_ols_trend" -> q181Sql,
+    "q182_decayed_score" -> q182Sql,
     "q17_fuzzy_translate" -> q17Sql,
     "q17b_exact_translate" -> q17bSql,
     "q18_nested_series" -> q18Sql,
