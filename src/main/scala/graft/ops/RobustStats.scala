@@ -60,4 +60,51 @@ object RobustStats {
         sum(when(lit(6745L) * col("__adev") > lit(35000L) * col("mad"), 1L)
           .otherwise(0L)).as("n_outliers"))
   }
+
+  /** Per-group winsorized mean — the robust AGGREGATE next to the
+    * outlier FLAGS above: clamp every value to the group's exact
+    * [loMilli‰, hiMilli‰] order statistics (rank ⌈p·n/1000⌉, clamped
+    * ≥ 1 — always a value FROM the data), then take the exact integer
+    * mean. Fat-finger extremes move a raw mean arbitrarily; they
+    * cannot move a winsorized one past the fences.
+    *
+    * Returns (keys..., n, lo, hi, winsor_mean_fix, raw_mean_fix) —
+    * means as sign-split 2^16 floors (truncating `div` and flooring
+    * `//` agree because every floor runs on a non-negative operand).
+    *
+    * Exact tier by contract: ONE key-partitioned sort window (rank +
+    * count ride the same spec), one broadcast-back of the ≤|groups|
+    * fence relation, one map-side-combined aggregation. At 100 TB
+    * per-group, swap the fences for [[Quantiles]]' mergeable sketch —
+    * the clamp-and-mean algebra is unchanged.
+    */
+  def winsorizedMean(df: DataFrame, keyCols: Seq[String], xCol: String,
+      loMilli: Long = 50L, hiMilli: Long = 950L): DataFrame = {
+    require(loMilli >= 0 && hiMilli <= 1000 && loMilli <= hiMilli,
+      s"bad fences [$loMilli, $hiMilli]")
+    val keys = keyCols.map(col)
+    val ranked = df
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(col(xCol))))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(keys: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__lor", greatest(lit(1L), expr(s"($loMilli * __n + 999) div 1000")))
+      .withColumn("__hir", greatest(lit(1L), expr(s"($hiMilli * __n + 999) div 1000")))
+    val fences = ranked.groupBy(keys: _*)
+      .agg(min(when(col("__rn") === col("__lor"), col(xCol))).as("lo"),
+        min(when(col("__rn") === col("__hir"), col(xCol))).as("hi"))
+    def meanFix(sumCol: String) =
+      expr(s"(CASE WHEN $sumCol < 0 THEN -1 ELSE 1 END) * " +
+        s"((abs(CAST($sumCol AS DECIMAL(38,0))) * 65536) div __cnt)")
+    df.join(broadcast(fences), keyCols)
+      .withColumn("__w", greatest(col("lo"), least(col("hi"), col(xCol))))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("__cnt"), min("lo").as("lo"), min("hi").as("hi"),
+        sum("__w").as("__sw"), sum(col(xCol)).as("__sr"))
+      .withColumn("winsor_mean_fix", meanFix("__sw").cast("long"))
+      .withColumn("raw_mean_fix", meanFix("__sr").cast("long"))
+      .select(keys ++ Seq(col("__cnt").as("n"), col("lo"), col("hi"),
+        col("winsor_mean_fix"), col("raw_mean_fix")): _*)
+  }
 }

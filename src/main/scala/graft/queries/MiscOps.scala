@@ -743,6 +743,61 @@ object MiscOps {
        |ORDER BY decayed_fix DESC, user_id""".stripMargin
   }
 
+  /** q183: winsorized mean ([[RobustStats.winsorizedMean]]) over q171's
+    * corrupted-cents corpus — the robust AGGREGATE companion to q171's
+    * outlier flags: the planted x50 fat-fingers drag the raw mean
+    * visibly while the [5%, 95%] winsorized mean stands still; fences
+    * are exact order statistics, means sign-split 2^16 floors.
+    */
+  def q183WinsorMean(spark: SparkSession, dir: String): DataFrame = {
+    val li = Load.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("l_extendedprice").cast(DecimalType(18, 4)) * 100)
+          .cast(LongType).as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("cents",
+        when(col("l_orderkey") % 249 === 0 && col("l_linenumber") === 1,
+          col("cents") * 50).otherwise(col("cents")))
+    RobustStats.winsorizedMean(li, Seq("l_returnflag", "l_linestatus"),
+        "cents")
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q183Sql: String =
+    """WITH v AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+      |           * CASE WHEN l_orderkey % 249 = 0 AND l_linenumber = 1
+      |                  THEN 50 ELSE 1 END AS cents
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+      |                               ORDER BY cents) AS rn,
+      |         count(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+      |  FROM v),
+      |f AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |         min(CASE WHEN rn = greatest(1, (50 * n + 999) // 1000)
+      |                  THEN cents END) AS lo,
+      |         min(CASE WHEN rn = greatest(1, (950 * n + 999) // 1000)
+      |                  THEN cents END) AS hi
+      |  FROM r GROUP BY 1, 2),
+      |j AS (
+      |  SELECT v.l_returnflag, v.l_linestatus, f.lo, f.hi, v.cents,
+      |         greatest(f.lo, least(f.hi, v.cents)) AS w
+      |  FROM v JOIN f USING (l_returnflag, l_linestatus)),
+      |s AS (
+      |  SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+      |         min(lo) AS lo, min(hi) AS hi,
+      |         sum(w)::HUGEINT AS sw, sum(cents)::HUGEINT AS sr
+      |  FROM j GROUP BY 1, 2)
+      |SELECT l_returnflag, l_linestatus, n, lo, hi,
+      |       CAST((CASE WHEN sw < 0 THEN -1 ELSE 1 END)
+      |            * ((abs(sw) * 65536) // n) AS BIGINT) AS winsor_mean_fix,
+      |       CAST((CASE WHEN sr < 0 THEN -1 ELSE 1 END)
+      |            * ((abs(sr) * 65536) // n) AS BIGINT) AS raw_mean_fix
+      |FROM s ORDER BY 1, 2""".stripMargin
+
   /** J3 fuzzy dictionary translate: nation names as the dictionary,
     * typo'd tokens (trailing X) as input — exact tier misses, fuzzy tier
     * (QRatio ≥ 90) recovers ("NATION_19X" → "nation 19x" vs "nation 19"
@@ -2216,6 +2271,7 @@ object MiscOps {
     "q180_rfm_segments" -> (q180RfmSegments _),
     "q181_ols_trend" -> (q181OlsTrend _),
     "q182_decayed_score" -> (q182DecayedScore _),
+    "q183_winsor_mean" -> (q183WinsorMean _),
     "q17_fuzzy_translate" -> q17FuzzyTranslate,
     "q17b_exact_translate" -> q17bExactTranslate,
     "q18_nested_series" -> q18NestedSeries,
@@ -2270,6 +2326,7 @@ object MiscOps {
     "q180_rfm_segments" -> q180Sql,
     "q181_ols_trend" -> q181Sql,
     "q182_decayed_score" -> q182Sql,
+    "q183_winsor_mean" -> q183Sql,
     "q17_fuzzy_translate" -> q17Sql,
     "q17b_exact_translate" -> q17bSql,
     "q18_nested_series" -> q18Sql,
