@@ -798,6 +798,59 @@ object MiscOps {
       |            * ((abs(sr) * 65536) // n) AS BIGINT) AS raw_mean_fix
       |FROM s ORDER BY 1, 2""".stripMargin
 
+  /** q184: Benford first-digit audit ([[Benford.firstDigit]]) —
+    * extended-price cents per return flag vs the nine shared
+    * ⌊log10(1+1/d)·2^30⌋ constants. TPC-H prices are synthetic
+    * (uniform-ish), so the audit rightly reports a large
+    * total-variation distance — the screen detecting fabricated
+    * numbers is itself the demonstration.
+    */
+  def q184Benford(spark: SparkSession, dir: String): DataFrame = {
+    val li = Load.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast(DecimalType(18, 4)) * 100)
+          .cast(LongType).as("cents"))
+    Benford.firstDigit(li, "l_returnflag", "cents")
+      .orderBy("l_returnflag")
+  }
+
+  val q184Sql: String = {
+    val expCase = graft.ops.Benford.ExpFix.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN ${v}::HUGEINT" }
+      .mkString(" ")
+    s"""WITH v AS (
+       |  SELECT l_returnflag AS k,
+       |         CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+       |           AS v
+       |  FROM lineitem),
+       |c AS (
+       |  SELECT k, CAST(left(CAST(v AS VARCHAR), 1) AS INTEGER) AS d,
+       |         count(*)::BIGINT AS c
+       |  FROM v WHERE v > 0 GROUP BY 1, 2),
+       |sk AS (SELECT k, sum(CASE WHEN v <= 0 THEN 1 ELSE 0 END)::BIGINT
+       |                  AS ns
+       |       FROM v GROUP BY 1),
+       |sp AS (SELECT DISTINCT k FROM c),
+       |dg AS (SELECT unnest(generate_series(1, 9)) AS d),
+       |j AS (
+       |  SELECT sp.k, dg.d, coalesce(c.c, 0)::HUGEINT AS c,
+       |         CASE dg.d $expCase END AS ef
+       |  FROM sp CROSS JOIN dg LEFT JOIN c ON c.k = sp.k AND c.d = dg.d),
+       |w AS (SELECT *, sum(c) OVER (PARTITION BY k) AS n FROM j),
+       |dv AS (
+       |  SELECT k, d, n, abs((c * 1073741824) // n - ef) AS dev,
+       |         max(abs((c * 1073741824) // n - ef))
+       |           OVER (PARTITION BY k) AS dmax
+       |  FROM w)
+       |SELECT dv.k AS l_returnflag, CAST(max(dv.n) AS BIGINT) AS n,
+       |       coalesce(max(sk.ns), 0) AS n_skipped,
+       |       CAST(sum(dv.dev) AS BIGINT) AS tvd_fix,
+       |       min(CASE WHEN dv.dev = dv.dmax THEN dv.d END) AS worst_digit,
+       |       CAST(max(dv.dev) AS BIGINT) AS worst_dev_fix
+       |FROM dv LEFT JOIN sk ON sk.k = dv.k
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** J3 fuzzy dictionary translate: nation names as the dictionary,
     * typo'd tokens (trailing X) as input — exact tier misses, fuzzy tier
     * (QRatio ≥ 90) recovers ("NATION_19X" → "nation 19x" vs "nation 19"
@@ -2272,6 +2325,7 @@ object MiscOps {
     "q181_ols_trend" -> (q181OlsTrend _),
     "q182_decayed_score" -> (q182DecayedScore _),
     "q183_winsor_mean" -> (q183WinsorMean _),
+    "q184_benford" -> (q184Benford _),
     "q17_fuzzy_translate" -> q17FuzzyTranslate,
     "q17b_exact_translate" -> q17bExactTranslate,
     "q18_nested_series" -> q18NestedSeries,
@@ -2327,6 +2381,7 @@ object MiscOps {
     "q181_ols_trend" -> q181Sql,
     "q182_decayed_score" -> q182Sql,
     "q183_winsor_mean" -> q183Sql,
+    "q184_benford" -> q184Sql,
     "q17_fuzzy_translate" -> q17Sql,
     "q17b_exact_translate" -> q17bSql,
     "q18_nested_series" -> q18Sql,
