@@ -478,7 +478,7 @@ object SearchQueries {
         graft.text.Decontaminate.wordTokens(col("text")).as("__toks"))
       .filter(col("doc_id") % 53 === 0 && size(col("__toks")) >= 8)
       .select(col("doc_id"), slice(col("__toks"), 6, 3).as("__ph"))
-    PhraseSearch.matches(post,
+    PhraseSearch.matchesRareFirst(post,
         PhraseSearch.phraseTerms(phrases, "doc_id", "__ph"))
       .orderBy("query_id", "doc_id")
   }

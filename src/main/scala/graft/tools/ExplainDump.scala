@@ -92,7 +92,7 @@ object ExplainDump {
     "q162_transitions" -> "one user-key shuffle for the lead window; probabilities divide the 25-row count matrix via broadcast totals",
     "q163_incremental_lm" -> "history counts arrive as a parquet scan (never re-tokenized); delta counts alone; merge is one (v,w) shuffle over vocab-sized relations; model derivation reuses q98's three reduced-relation aggs",
     "q164_hll_distinct" -> "registers are plain groupBy(flag,bucket).max partials (map-side combined, <=512 rows/group cross the wire); merge is an idempotent max over register relations; estimator runs on the 3-row aggregate",
-    "q165_phrase_search" -> "phrase terms broadcast onto term-keyed postings (corpus never re-partitions per query); anchor counting is a map-side-combined agg keyed by (query,doc,anchor)",
+    "q165_phrase_search" -> "rare-first: candidates from the lowest-df term only; verify probes match at most one posting on (term,doc,pos) — hot terms cause no fan-out; phrase terms broadcast onto term-keyed postings (corpus never re-partitions per query); anchor counting is a map-side-combined agg keyed by (query,doc,anchor)",
     "q166_link_predict" -> "one z-keyed wedge shuffle; degree cap drops hub intermediates BEFORE the join; (a,b) aggregation partial; anti-join against the edge set ends the plan",
     "q167_scd2_history" -> "lag change-points, lead interval-close, and version numbering share ONE user-keyed Exchange (PlanShapeSpec pins exchanges == 1); no history self-join",
     "q168_cusum_shift" -> "CUSUM recursion rewritten as cumsum-minus-running-min: baseline window + 2 cumsums + 2 running mins all ride ONE event_type exchange; spine densification upstream is the q159 shape",

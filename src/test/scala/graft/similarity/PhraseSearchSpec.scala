@@ -54,4 +54,29 @@ class PhraseSearchSpec extends SparkSpec {
       Seq(1L -> Seq("quick", "brown")))
     assert(got == Seq((1L, 1L, 1L, 2L)))
   }
+
+  test("matchesRareFirst is row-for-row equal to matches") {
+    val docs = Seq(
+      1L -> "a b c a b c a b",       // repeated phrase, hot terms
+      2L -> "a a a a a a",           // degenerate hot
+      3L -> "x y z q r s",           // rare terms
+      4L -> "b c a b c x",           // overlap
+      5L -> "z z y x w")
+    val phrases = Seq(
+      10L -> Seq("a", "b", "c"),     // multi-anchor
+      11L -> Seq("x"),               // single-term phrase (no verify leg)
+      12L -> Seq("a", "a"),          // repeated term in the phrase
+      13L -> Seq("nope", "b"),       // absent term -> zero-df seed
+      14L -> Seq("z", "z", "y"))
+    val d = docs.toDF("doc_id", "text")
+    val p = phrases.toDF("query_id", "ph")
+    val post = PhraseSearch.postings(d, "text", "doc_id")
+    val terms = PhraseSearch.phraseTerms(p, "query_id", "ph")
+    val a = PhraseSearch.matches(post, terms)
+      .orderBy("query_id", "doc_id").collect().toSeq
+    val b = PhraseSearch.matchesRareFirst(post, terms)
+      .orderBy("query_id", "doc_id").collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty) // the law must bite on real matches
+  }
 }
