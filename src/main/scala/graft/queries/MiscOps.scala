@@ -851,6 +851,96 @@ object MiscOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q185: activity streaks (gaps-and-islands) — per user, the longest
+    * run of CONSECUTIVE active days: distinct epoch-days, island id =
+    * day − row_number (constant within a consecutive run — the classic
+    * identity), longest streak by (length desc, start asc). One
+    * user-keyed exchange carries the distinct, the numbering window,
+    * and both rollups; only (user, day) pairs ever shuffle.
+    */
+  def q185Streaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Load.events(spark, dir)
+      .select(col("user_id"),
+        expr("ts_ns div 86400000000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val isl = days
+      .withColumn("__isl", col("day") - row_number().over(w))
+      .groupBy("user_id", "__isl")
+      .agg(count(lit(1)).as("len"), min("day").as("start"))
+    val wBest = Window.partitionBy("user_id")
+      .orderBy(col("len").desc, col("start"))
+    isl.withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1)
+      .join(days.groupBy("user_id").agg(count(lit(1)).as("n_active_days")),
+        Seq("user_id"))
+      .select(col("user_id"), col("n_active_days"),
+        col("len").as("longest_streak"), col("start").as("streak_start"))
+      .orderBy("user_id")
+  }
+
+  val q185Sql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |i AS (
+      |  SELECT user_id, day,
+      |         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+      |           AS isl
+      |  FROM d),
+      |s AS (
+      |  SELECT user_id, isl, count(*)::BIGINT AS len, min(day) AS start
+      |  FROM i GROUP BY 1, 2),
+      |b AS (
+      |  SELECT user_id, len, start,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY len DESC, start) AS rn
+      |  FROM s),
+      |n AS (SELECT user_id, count(*)::BIGINT AS n_active_days
+      |      FROM d GROUP BY 1)
+      |SELECT b.user_id, n.n_active_days, b.len AS longest_streak,
+      |       b.start AS streak_start
+      |FROM b JOIN n USING (user_id) WHERE b.rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** q186: q53's LEFT OUTER twin, batch form of
+    * [[graft.streaming.Streams.intervalJoinOuter]] — the non-conversion
+    * report: every view appears, unconverted ones with null purchase
+    * columns (the rows an inner funnel join silently drops are usually
+    * the ones the analyst wanted). Null-safe ordering via coalesce(-1)
+    * — Spark sorts nulls first ASC, DuckDB last, so never ORDER BY a
+    * nullable column raw.
+    */
+  def q186FunnelOuter(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.ops.Load.events(spark, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts_ns").as("view_ns"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("__buyer"), col("ts_ns").as("purchase_ns"))
+    views.join(buys,
+        col("user_id") === col("__buyer") &&
+        col("purchase_ns") >= col("view_ns") &&
+        col("purchase_ns") <= col("view_ns") + lit(1800000000000L),
+        "left_outer")
+      .select(col("view_id"), col("user_id"), col("purchase_id"),
+        expr("(purchase_ns - view_ns) div 1000000").as("delay_ms"),
+        col("purchase_id").isNull.cast("int").as("unconverted"))
+      .orderBy(col("view_id"), coalesce(col("purchase_id"), lit(-1L)))
+  }
+
+  val q186Sql: String =
+    """SELECT v.event_id AS view_id, v.user_id, p.event_id AS purchase_id,
+      |       (epoch_ns(p.ts) - epoch_ns(v.ts)) // 1000000 AS delay_ms,
+      |       CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END AS unconverted
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id
+      | AND epoch_ns(p.ts) >= epoch_ns(v.ts)
+      | AND epoch_ns(p.ts) <= epoch_ns(v.ts) + 1800000000000
+      |ORDER BY view_id, coalesce(purchase_id, -1)""".stripMargin
+
   /** J3 fuzzy dictionary translate: nation names as the dictionary,
     * typo'd tokens (trailing X) as input — exact tier misses, fuzzy tier
     * (QRatio ≥ 90) recovers ("NATION_19X" → "nation 19x" vs "nation 19"
@@ -2326,6 +2416,8 @@ object MiscOps {
     "q182_decayed_score" -> (q182DecayedScore _),
     "q183_winsor_mean" -> (q183WinsorMean _),
     "q184_benford" -> (q184Benford _),
+    "q185_streaks" -> (q185Streaks _),
+    "q186_funnel_outer" -> (q186FunnelOuter _),
     "q17_fuzzy_translate" -> q17FuzzyTranslate,
     "q17b_exact_translate" -> q17bExactTranslate,
     "q18_nested_series" -> q18NestedSeries,
@@ -2382,6 +2474,8 @@ object MiscOps {
     "q182_decayed_score" -> q182Sql,
     "q183_winsor_mean" -> q183Sql,
     "q184_benford" -> q184Sql,
+    "q185_streaks" -> q185Sql,
+    "q186_funnel_outer" -> q186Sql,
     "q17_fuzzy_translate" -> q17Sql,
     "q17b_exact_translate" -> q17bSql,
     "q18_nested_series" -> q18Sql,

@@ -134,6 +134,34 @@ object Streams {
         col("right_id"), col("right_ts"))
   }
 
+  /** [[intervalJoin]]'s LEFT OUTER twin — the non-conversion report: a
+    * left event with no matching right event inside its window is still
+    * EMITTED, with nulls on the right side. What makes this a genuinely
+    * different streaming feature (not a join-type flag): an inner match
+    * can emit the moment both rows meet, but "no match" is only decided
+    * when the WATERMARK passes the window's far edge — the engine holds
+    * each unmatched left row until `left_ts + maxDelaySeconds` clears
+    * the watermark, then emits it null-extended. Results arrive late by
+    * construction; the state bound is the same eviction argument as the
+    * inner join's.
+    */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame,
+      maxDelaySeconds: Long, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("event_id").as("left_id"), col("user_id"),
+        col("ts").as("left_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("event_id").as("right_id"), col("user_id").as("__ruser"),
+        col("ts").as("right_ts"))
+    l.join(r, expr(
+      s"""user_id = __ruser AND
+         |right_ts >= left_ts AND
+         |right_ts <= left_ts + interval $maxDelaySeconds seconds""".stripMargin),
+      "left_outer")
+      .select(col("left_id"), col("user_id"), col("left_ts"),
+        col("right_id"), col("right_ts"))
+  }
+
   /** Stream-STATIC dedup probe: drop arriving rows whose `keys` already
     * exist in a static index (the persisted fingerprint store of all
     * previously-ingested documents — [[graft.dedup.Dedup.buildSignatureIndex]]'s

@@ -4,6 +4,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 
 /** Structured Streaming parity: the windowed aggregation that q50 runs in
@@ -129,6 +131,62 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
     assert(batch.nonEmpty, "fixture must produce at least one funnel pair")
+  }
+
+  test("stream-stream LEFT OUTER interval join == batch twin after the watermark flush (q186 twin)") {
+    val dir = java.nio.file.Files.createTempDirectory("events_outer_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val src = Streams.readEvents(spark, dir.toString)
+    val joined = Streams.intervalJoinOuter(
+      src.filter(col("event_type") === "view"),
+      src.filter(col("event_type") === "purchase"),
+      maxDelaySeconds = 1800, watermark = "1 hour")
+    val qname = "stream_interval_join_outer"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      q.processAllAvailable()
+      // "no match" is only decided when the watermark clears the window,
+      // and the watermark applied in batch N is computed from batch N-1's
+      // data — so evicting the corpus TAIL takes two flush batches: the
+      // first carries the +10d event time, the second makes the engine
+      // run with it (eviction-only batches don't fire without new data)
+      Seq(("flush1", 10, -1L), ("flush2", 20, -2L)).foreach {
+        case (d, days, id) =>
+          val tmp = java.nio.file.Files.createTempDirectory(d)
+          val base = spark.read.parquet(s"$sf/events.parquet")
+            .orderBy(col("ts").desc).limit(1)
+            .withColumn("ts", col("ts") + expr(s"interval $days days"))
+            .withColumn("event_id", lit(id))
+            .withColumn("user_id", lit(-999L))
+          // the global watermark is the MIN across both inputs — a
+          // view-only flush leaves the purchase side's watermark at the
+          // corpus tail and strands the last ~90 min of views in state
+          base.withColumn("event_type", lit("view"))
+            .unionByName(base.withColumn("event_type", lit("purchase")))
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          // the file source lists only top-level files: the flush must
+          // land NEXT TO part-0.parquet, not in a subdirectory
+          val part = java.nio.file.Files.list(tmp).iterator().asScala
+            .find(_.toString.endsWith(".parquet")).get
+          java.nio.file.Files.copy(part, dir.resolve(s"$d.parquet"))
+          q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table(qname)
+      .filter(col("left_id") >= 0L) // flush rows' own windows never all close
+      .select(col("left_id"),
+        coalesce(col("right_id"), lit(-1L)).as("right_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.queries.MiscOps.q186FunnelOuter(spark, sf)
+      .select(col("view_id"), coalesce(col("purchase_id"), lit(-1L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+    assert(batch.exists(_._2 == -1L), "fixture must contain unconverted views")
+    assert(batch.exists(_._2 != -1L), "fixture must contain conversions")
   }
 
   test("stream-static dedup probe == batch twin (q78 twin)") {
