@@ -50,4 +50,48 @@ object PageRank {
     }
     ranks
   }
+
+  /** PERSONALIZED PageRank (Page et al.'s original generalization; the
+    * "related items" / topic-sensitive ranking): the restart mass goes
+    * to a SEED set instead of uniformly everywhere, so authority flows
+    * out from the seeds and decays with link distance — where
+    * [[fixedPoint]] answers "globally important", this answers
+    * "important RELATIVE TO these nodes". Same integer discipline
+    * (floor-divided contributions, `base + floor(85·s/100)` damping),
+    * same per-round shape (one src-keyed join + one dst-keyed sum);
+    * only the restart term differs: seeds get `scale·|V| div |S|` base
+    * mass (total restart mass matches the uniform variant's, so
+    * magnitudes stay comparable), non-seeds get 0 and start at 0.
+    */
+  def personalized(
+      edges: DataFrame,
+      nodes: DataFrame,
+      seeds: DataFrame,
+      iterations: Int = 3,
+      scale: Long = 1L << 20,
+      dampNum: Long = 85,
+      dampDen: Long = 100): DataFrame = {
+    val s = seeds.select(col("id")).distinct()
+    val counts = nodes.agg(count(lit(1)).as("__nv"))
+      .crossJoin(s.agg(count(lit(1)).as("__ns")))
+    val seeded = nodes.join(s.withColumn("__isSeed", lit(1L)), Seq("id"), "left")
+      .crossJoin(broadcast(counts))
+      .select(col("id"),
+        when(col("__isSeed").isNotNull,
+          expr(s"($scale * (${dampDen - dampNum}) div $dampDen) * __nv div __ns"))
+          .otherwise(lit(0L)).as("__base"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val e = edges.join(deg, "src")
+    var ranks = seeded.select(col("id"), col("__base").as("rank"))
+    for (_ <- 1 to iterations) {
+      val sums = e.join(ranks, e("src") === ranks("id"))
+        .select(col("dst"), expr("rank div __deg").as("__c"))
+        .groupBy("dst").agg(sum("__c").as("__s"))
+      ranks = seeded.join(sums, seeded("id") === sums("dst"), "left")
+        .select(seeded("id"),
+          (col("__base") + expr(s"$dampNum * coalesce(__s, 0L) div $dampDen"))
+            .cast(LongType).as("rank"))
+    }
+    ranks
+  }
 }

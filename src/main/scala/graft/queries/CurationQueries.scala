@@ -619,6 +619,64 @@ object CurationQueries {
       |FROM nodes n LEFT JOIN pern p USING (id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q187: personalized PageRank ([[graft.graphs.PageRank.personalized]])
+    * over q97's closed-form multigraph — authority RELATIVE TO a seed
+    * set (doc_id < 5): restart mass goes to the seeds (scale·|V| div
+    * |S| each, so total restart mass matches q97's uniform variant),
+    * non-seeds start at 0 and earn rank only through link distance
+    * from the seeds. Same integer discipline and per-round shape as
+    * q97; the oracle replays all three seeded rounds.
+    */
+  def q187PersonalizedPr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.graphs.PageRank
+    val docs = Load.table(spark, dir, "documents").select(col("doc_id").as("id"))
+    val n = docs.count()
+    val edges = docs.select(col("id").as("src"),
+      explode(array(
+        (col("id") * 7 + 13) % n,
+        (col("id") * 31 + 7) % n,
+        (col("id") * 13 + 101) % n)).as("dst"))
+    PageRank.personalized(edges, docs, docs.filter(col("id") < 5),
+        iterations = 3)
+      .select(col("id").as("doc_id"), col("rank"))
+      .orderBy("doc_id")
+  }
+
+  val q187Sql: String =
+    """WITH nn AS (SELECT count(*) AS cnt FROM documents),
+      |nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+      |edges AS (
+      |  SELECT id AS src, (id * 7 + 13) % cnt AS dst FROM nodes, nn
+      |  UNION ALL SELECT id, (id * 31 + 7) % cnt FROM nodes, nn
+      |  UNION ALL SELECT id, (id * 13 + 101) % cnt FROM nodes, nn),
+      |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+      |ns AS (SELECT count(*) AS k FROM nodes WHERE id < 5),
+      |b AS (SELECT nodes.id,
+      |             CASE WHEN nodes.id < 5
+      |                  THEN ((1048576 * 15) // 100) * cnt // k
+      |                  ELSE 0 END AS base
+      |      FROM nodes, nn, ns),
+      |r0 AS (SELECT id, base AS r FROM b),
+      |s1 AS (SELECT e.dst, sum(r0.r // deg.d) AS s
+      |       FROM edges e JOIN deg USING (src) JOIN r0 ON r0.id = e.src
+      |       GROUP BY e.dst),
+      |r1 AS (SELECT b.id, CAST(b.base + 85 * coalesce(s1.s, 0) // 100
+      |                         AS BIGINT) AS r
+      |       FROM b LEFT JOIN s1 ON s1.dst = b.id),
+      |s2 AS (SELECT e.dst, sum(r1.r // deg.d) AS s
+      |       FROM edges e JOIN deg USING (src) JOIN r1 ON r1.id = e.src
+      |       GROUP BY e.dst),
+      |r2 AS (SELECT b.id, CAST(b.base + 85 * coalesce(s2.s, 0) // 100
+      |                         AS BIGINT) AS r
+      |       FROM b LEFT JOIN s2 ON s2.dst = b.id),
+      |s3 AS (SELECT e.dst, sum(r2.r // deg.d) AS s
+      |       FROM edges e JOIN deg USING (src) JOIN r2 ON r2.id = e.src
+      |       GROUP BY e.dst),
+      |r3 AS (SELECT b.id, CAST(b.base + 85 * coalesce(s3.s, 0) // 100
+      |                         AS BIGINT) AS r
+      |       FROM b LEFT JOIN s3 ON s3.dst = b.id)
+      |SELECT id AS doc_id, r AS rank FROM r3 ORDER BY doc_id""".stripMargin
+
   /** q176: multi-source BFS hop distance ([[graft.graphs.Bfs]]) over
     * q97's closed-form multigraph, symmetrized — the crawl-depth /
     * trust-propagation distance completing the graph tier: seeds are
@@ -1399,6 +1457,7 @@ ORDER BY doc_id"""
     "q141_triangles" -> (q141Triangles _),
     "q166_link_predict" -> (q166LinkPredict _),
     "q176_bfs_hops" -> (q176BfsHops _),
+    "q187_personalized_pr" -> (q187PersonalizedPr _),
     "q179_kcore" -> (q179KCore _),
     "q142_label_prop" -> (q142LabelProp _),
     "q118_quantile_sketch" -> (q118QuantileSketch _),
@@ -1535,6 +1594,7 @@ ORDER BY doc_id"""
     "q141_triangles" -> q141Sql,
     "q166_link_predict" -> q166Sql,
     "q176_bfs_hops" -> q176Sql,
+    "q187_personalized_pr" -> q187Sql,
     "q179_kcore" -> q179Sql,
     "q142_label_prop" -> q142Sql,
     "q118_quantile_sketch" -> q118Sql,
