@@ -101,4 +101,44 @@ object Quantiles {
   def approxQuantiles(df: DataFrame, keys: Seq[String], valueCol: String,
       qs: Seq[(Int, Int)]): DataFrame =
     quantiles(histogram(df, keys, valueCol), keys, qs)
+
+  /** EXACT quantile normalization — map every value of `df` onto the
+    * reference distribution `ref` at the same quantile position (the
+    * batch-effect / score-calibration transform: after it, df's values
+    * ARE draws from ref's empirical distribution, rank structure
+    * preserved). The corrective companion to [[Profile.ksStatistic]]:
+    * KS tells you two batches drifted, this maps one onto the other.
+    *
+    * Integer-exact convention: a row at rank r of n (1-based, ordered
+    * by (value, tieCol) — the tiebreak makes equal values map
+    * deterministically) takes the reference value at rank
+    * ⌈r·m/n⌉ = (r·m + n − 1) div n of m — always a value FROM the
+    * reference, never interpolated.
+    *
+    * Exact tier by contract: one sort window per side (rank + count
+    * share the window spec) and ONE equi-join on (keys, target rank) —
+    * ranks are dense on the reference side so the join is 1:1. At
+    * 100 TB swap both rank passes for [[histogram]] cutoffs — same
+    * join, quantized positions.
+    */
+  def quantileNormalize(df: DataFrame, ref: DataFrame, keys: Seq[String],
+      valCol: String, tieCol: String): DataFrame = {
+    val ks = keys.map(col)
+    def ranked(x: DataFrame, tie: Column) = x
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(ks: _*).orderBy(col(valCol), tie)))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(ks: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val a = ranked(df, col(tieCol))
+    val b = ranked(ref.select((keys :+ valCol).map(col): _*), lit(1))
+      .select(ks ++ Seq(col("__rn").as("__tr"),
+        col("__n").as("__m"), col(valCol).as("__refv")): _*)
+    val m = b.groupBy(ks: _*).agg(max("__m").as("__m"))
+    a.join(broadcast(m), keys)
+      .withColumn("__tr", expr("(__rn * __m + __n - 1) div __n"))
+      .join(b.drop("__m"), keys :+ "__tr")
+      .select(a.columns.filterNot(_.startsWith("__")).map(col) :+
+        col("__refv").as(s"${valCol}_norm"): _*)
+  }
 }

@@ -941,6 +941,54 @@ object MiscOps {
       | AND epoch_ns(p.ts) <= epoch_ns(v.ts) + 1800000000000
       |ORDER BY view_id, coalesce(purchase_id, -1)""".stripMargin
 
+  /** q188: exact quantile normalization
+    * ([[Quantiles.quantileNormalize]]) — q178 detected that low- and
+    * high-quantity extended prices are different distributions; this
+    * CORRECTS it, mapping each low-quantity price onto the
+    * high-quantity distribution at the same quantile position (rank
+    * ⌈r·m/n⌉ of the reference — always a reference value, never an
+    * interpolation). Per return flag; ties broken by the line's unique
+    * (orderkey·10 + linenumber).
+    */
+  def q188QuantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val li = Load.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"),
+        (col("l_extendedprice").cast(DecimalType(18, 4)) * 100)
+          .cast(LongType).as("cents"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("line_uid"))
+    val a = li.filter(col("l_quantity") <= 25)
+      .select("l_returnflag", "cents", "line_uid")
+    val b = li.filter(col("l_quantity") > 25)
+      .select("l_returnflag", "cents")
+    Quantiles.quantileNormalize(a, b, Seq("l_returnflag"), "cents",
+        "line_uid")
+      .orderBy("l_returnflag", "line_uid")
+  }
+
+  val q188Sql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag AS k, l_quantity,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+      |           AS cents,
+      |         l_orderkey * 10 + l_linenumber AS line_uid
+      |  FROM lineitem),
+      |a AS (
+      |  SELECT k, cents, line_uid,
+      |         row_number() OVER (PARTITION BY k ORDER BY cents, line_uid)
+      |           AS rn,
+      |         count(*) OVER (PARTITION BY k) AS n
+      |  FROM li WHERE l_quantity <= 25),
+      |b AS (
+      |  SELECT k, cents AS refv,
+      |         row_number() OVER (PARTITION BY k ORDER BY cents) AS tr,
+      |         count(*) OVER (PARTITION BY k) AS m
+      |  FROM li WHERE l_quantity > 25)
+      |SELECT a.k AS l_returnflag, a.cents, a.line_uid,
+      |       b.refv AS cents_norm
+      |FROM a JOIN b ON b.k = a.k
+      |             AND b.tr = (a.rn * b.m + a.n - 1) // a.n
+      |ORDER BY l_returnflag, line_uid""".stripMargin
+
   /** J3 fuzzy dictionary translate: nation names as the dictionary,
     * typo'd tokens (trailing X) as input — exact tier misses, fuzzy tier
     * (QRatio ≥ 90) recovers ("NATION_19X" → "nation 19x" vs "nation 19"
@@ -2418,6 +2466,7 @@ object MiscOps {
     "q184_benford" -> (q184Benford _),
     "q185_streaks" -> (q185Streaks _),
     "q186_funnel_outer" -> (q186FunnelOuter _),
+    "q188_quantile_norm" -> (q188QuantileNorm _),
     "q17_fuzzy_translate" -> q17FuzzyTranslate,
     "q17b_exact_translate" -> q17bExactTranslate,
     "q18_nested_series" -> q18NestedSeries,
@@ -2476,6 +2525,7 @@ object MiscOps {
     "q184_benford" -> q184Sql,
     "q185_streaks" -> q185Sql,
     "q186_funnel_outer" -> q186Sql,
+    "q188_quantile_norm" -> q188Sql,
     "q17_fuzzy_translate" -> q17Sql,
     "q17b_exact_translate" -> q17bSql,
     "q18_nested_series" -> q18Sql,
