@@ -815,8 +815,40 @@ object TextQueries {
        |       dup10_chars, keep
        |FROM rep ORDER BY doc_id""".stripMargin
 
+  /** q189: sliding-window chunking ([[graft.text.Chunker]]) — RAG /
+    * embedding prep: 64-token windows at stride 48 (16-token overlap),
+    * positional boundaries, canonical token-join chunk text; pure
+    * narrow plan (scan → tokenize → bounded explode → slice), zero
+    * shuffle before the output sort.
+    */
+  def q189Chunking(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Chunker.slidingWindows(
+        graft.ops.Load.table(spark, dir, "documents"),
+        "text", "doc_id", window = 64, stride = 48)
+      .orderBy("doc_id", "chunk_no")
+
+  val q189Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x <> '') AS w
+      |  FROM documents),
+      |nz AS (SELECT doc_id, w, len(w) AS nt FROM toks WHERE len(w) > 0),
+      |c AS (
+      |  SELECT doc_id, nt, w,
+      |         unnest(generate_series(0, (nt - 1) // 48)) AS chunk_no
+      |  FROM nz)
+      |SELECT doc_id, chunk_no::BIGINT AS chunk_no,
+      |       (chunk_no * 48 + 1)::BIGINT AS tok_start,
+      |       least(chunk_no * 48 + 64, nt)::BIGINT AS tok_end,
+      |       (least(chunk_no * 48 + 64, nt) - chunk_no * 48)::BIGINT
+      |         AS n_tokens,
+      |       array_to_string(w[(chunk_no * 48 + 1):(chunk_no * 48 + 64)], ' ')
+      |         AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_no""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_ngram_novelty" -> (q104NgramNovelty _),
+    "q189_chunking" -> (q189Chunking _),
     "q113_nb_classifier" -> (q113NbClassifier _),
     "q115_span_corrupt" -> (q115SpanCorrupt _),
     "q20_text_profile" -> q20Profile,
@@ -844,6 +876,7 @@ object TextQueries {
     "q163_incremental_lm" -> q163Sql,
     "q102_perplexity_gate" -> q102Sql,
     "q104_ngram_novelty" -> q104Sql,
+    "q189_chunking" -> q189Sql,
     "q113_nb_classifier" -> q113Sql,
     "q115_span_corrupt" -> q115Sql)
 }
