@@ -364,10 +364,71 @@ object ScrubQueries {
     "q117_multi_scrub" -> (q117MultiScrub _),
     "q23_repetition" -> q23Repetition,
     "q24_pii_redact" -> q24Redact,
+    "q190_luhn_cards" -> (q190LuhnCards _),
     "q25_hash_sample" -> q25HashSample,
     "q170_stratified_sample" -> (q170StratifiedSample _),
     "q26_curation" -> q26Curation,
     "q99_epoch_mix" -> (q99EpochMix _))
+
+  /** q190: Luhn-gated card detection ([[graft.text.Scrub.luhnSum]]/
+    * `luhnValid`) — the PRECISION tier q24's regex redaction lacks: a
+    * 13–19 digit run that fails the ISO/IEC 7812 checksum is an order
+    * id, not a card. Each customer yields one VALID candidate (check
+    * digit computed by the same arithmetic) and one corrupted twin
+    * (+5 mod 10), and the flags must split them exactly.
+    */
+  def q190LuhnCards(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Scrub
+    val c = Load.table(spark, dir, "customer")
+      .select(col("c_custkey"),
+        lpad(col("c_custkey").cast("string"), 15, "4").as("base"))
+      .withColumn("__s0", Scrub.luhnSum(concat(col("base"), lit("0"))))
+      .withColumn("__good", (lit(10) - col("__s0") % 10) % 10)
+      .withColumn("card_ok", concat(col("base"), col("__good").cast("string")))
+      .withColumn("card_bad",
+        concat(col("base"), ((col("__good") + 5) % 10).cast("string")))
+    c.select(col("c_custkey"), col("card_ok"),
+        Scrub.luhnValid(col("card_ok")).cast("int").as("ok_is_card"),
+        col("card_bad"),
+        Scrub.luhnValid(col("card_bad")).cast("int").as("bad_is_card"))
+      .orderBy("c_custkey")
+  }
+
+  val q190Sql: String =
+    """WITH b AS (SELECT c_custkey, lpad(CAST(c_custkey AS VARCHAR),15,'4') AS base FROM customer),
+      |s0 AS (
+      |  SELECT b.c_custkey, b.base,
+      |         sum(CASE WHEN j % 2 = 0 THEN
+      |               CASE WHEN 2*CAST(substring(base || '0', len(base)+2-j, 1) AS INTEGER) > 9
+      |                    THEN 2*CAST(substring(base || '0', len(base)+2-j, 1) AS INTEGER) - 9
+      |                    ELSE 2*CAST(substring(base || '0', len(base)+2-j, 1) AS INTEGER) END
+      |             ELSE CAST(substring(base || '0', len(base)+2-j, 1) AS INTEGER) END) AS s
+      |  FROM b, UNNEST(generate_series(1, len(base)+1)) t(j)
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT c_custkey,
+      |         base || CAST((10 - s % 10) % 10 AS VARCHAR) AS card_ok,
+      |         base || CAST(((10 - s % 10) % 10 + 5) % 10 AS VARCHAR) AS card_bad
+      |  FROM s0),
+      |chk AS (
+      |  SELECT z.c_custkey AS ck, z.which,
+      |         CASE WHEN len(z.cand) BETWEEN 13 AND 19 AND
+      |              sum(CASE WHEN j % 2 = 0 THEN
+      |                    CASE WHEN 2*CAST(substring(z.cand, len(z.cand)+1-j, 1) AS INTEGER) > 9
+      |                         THEN 2*CAST(substring(z.cand, len(z.cand)+1-j, 1) AS INTEGER) - 9
+      |                         ELSE 2*CAST(substring(z.cand, len(z.cand)+1-j, 1) AS INTEGER) END
+      |                  ELSE CAST(substring(z.cand, len(z.cand)+1-j, 1) AS INTEGER) END) % 10 = 0
+      |              THEN 1 ELSE 0 END AS flag
+      |  FROM (SELECT c_custkey, card_ok AS cand, 'ok' AS which FROM cand
+      |        UNION ALL SELECT c_custkey, card_bad, 'bad' FROM cand) z,
+      |       UNNEST(generate_series(1, len(z.cand))) t(j)
+      |  GROUP BY z.c_custkey, z.which, len(z.cand))
+      |SELECT cd.c_custkey, cd.card_ok, ok.flag AS ok_is_card,
+      |       cd.card_bad, bad.flag AS bad_is_card
+      |FROM cand cd
+      |JOIN chk ok ON ok.ck = cd.c_custkey AND ok.which = 'ok'
+      |JOIN chk bad ON bad.ck = cd.c_custkey AND bad.which = 'bad'
+      |ORDER BY c_custkey""".stripMargin
 
   /** PII redaction: text seeded with synthetic PII derived from the row
     * itself — both engines construct and redact the same strings.
@@ -481,6 +542,7 @@ object ScrubQueries {
     "q117_multi_scrub" -> q117Sql,
     "q23_repetition" -> q23Sql,
     "q24_pii_redact" -> q24Sql,
+    "q190_luhn_cards" -> q190Sql,
     "q25_hash_sample" -> q25Sql,
     "q170_stratified_sample" -> q170Sql,
     "q26_curation" -> q26Sql,

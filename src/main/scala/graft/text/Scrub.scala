@@ -30,6 +30,31 @@ object Scrub {
     size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("phones"),
     size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).as("ips"))
 
+  /** Luhn checksum sum of a digit string (ISO/IEC 7812): reversed
+    * digits, every second one doubled, digits of products summed. The
+    * PRECISION tier of card-number detection — a 13–19 digit run that
+    * fails Luhn is an order id or a phone, not a card, and redacting it
+    * destroys data for no privacy gain. Pure codegen'd higher-order
+    * builtins (transform-with-index + aggregate): no UDF, stays inside
+    * WholeStageCodegen.
+    */
+  def luhnSum(digits: Column): Column = {
+    val ds = reverse(filter(split(digits, ""), c => c.rlike("[0-9]")))
+    val vals = transform(ds, (c, i) => {
+      val d = c.cast(IntegerType)
+      when(i % 2 === 1,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    aggregate(vals, lit(0), (acc, x) => acc + x)
+  }
+
+  /** Luhn validity for a candidate card run (length gate 13–19 digits
+    * + checksum ≡ 0 mod 10). */
+  def luhnValid(digits: Column): Column = {
+    val n = size(filter(split(digits, ""), c => c.rlike("[0-9]")))
+    n >= 13 && n <= 19 && luhnSum(digits) % 10 === 0
+  }
+
   // ---- repetition signals (Gopher/C4 quality filters) ------------------
 
   /** Fraction of lines that are duplicates of an earlier line. */
