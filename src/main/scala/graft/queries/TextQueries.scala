@@ -846,9 +846,52 @@ object TextQueries {
       |         AS chunk_text
       |FROM c ORDER BY doc_id, chunk_no""".stripMargin
 
+  /** q191: cluster template extraction ([[graft.text.Templates]]) —
+    * planted form-letter clusters (per doc_id div 5, a shared header
+    * derived from the cluster id prefixed onto each member's text);
+    * the op recovers the shared prefix via the min/max identity. The
+    * cluster header plus however far members KEEP agreeing (documents
+    * in a cluster may share further text) — the oracle replays the
+    * same monotone prefix count.
+    */
+  def q191Templates(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.ops.Load.table(spark, dir, "documents")
+      .select((col("doc_id") % 100).as("cluster_id"),
+        concat(lit("FORM-"), (col("doc_id") % 100).cast("string"),
+          lit(" :: dear customer :: "), col("text")).as("text"))
+    graft.text.Templates.clusterPrefix(d, "cluster_id", "text")
+      .orderBy("cluster_id")
+  }
+
+  val q191Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id % 100 AS cluster_id,
+      |         'FORM-' || CAST(doc_id % 100 AS VARCHAR)
+      |           || ' :: dear customer :: ' || text AS text
+      |  FROM documents),
+      |mm AS (
+      |  SELECT cluster_id, count(*)::BIGINT AS n_members,
+      |         min(text) AS lo, max(text) AS hi
+      |  FROM d GROUP BY 1),
+      |lcp AS (
+      |  SELECT mm.cluster_id,
+      |         CASE WHEN least(len(mm.lo), len(mm.hi)) < 1 THEN 0
+      |              ELSE (SELECT count(*)
+      |                    FROM UNNEST(generate_series(1,
+      |                           least(len(mm.lo), len(mm.hi)))) t(i)
+      |                    WHERE substring(mm.lo, 1, i) = substring(mm.hi, 1, i))
+      |              END AS template_len
+      |  FROM mm)
+      |SELECT mm.cluster_id AS cluster_id, mm.n_members,
+      |       CAST(l.template_len AS BIGINT) AS template_len,
+      |       substring(mm.lo, 1, CAST(l.template_len AS INTEGER)) AS template
+      |FROM mm JOIN lcp l ON l.cluster_id = mm.cluster_id
+      |ORDER BY mm.cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_ngram_novelty" -> (q104NgramNovelty _),
     "q189_chunking" -> (q189Chunking _),
+    "q191_templates" -> (q191Templates _),
     "q113_nb_classifier" -> (q113NbClassifier _),
     "q115_span_corrupt" -> (q115SpanCorrupt _),
     "q20_text_profile" -> q20Profile,
@@ -877,6 +920,7 @@ object TextQueries {
     "q102_perplexity_gate" -> q102Sql,
     "q104_ngram_novelty" -> q104Sql,
     "q189_chunking" -> q189Sql,
+    "q191_templates" -> q191Sql,
     "q113_nb_classifier" -> q113Sql,
     "q115_span_corrupt" -> q115Sql)
 }
