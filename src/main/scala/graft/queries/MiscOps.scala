@@ -989,6 +989,58 @@ object MiscOps {
       |             AND b.tr = (a.rn * b.m + a.n - 1) // a.n
       |ORDER BY l_returnflag, line_uid""".stripMargin
 
+  /** q192: rendezvous (HRW) consistent sharding
+    * ([[Rendezvous.assign]]) — documents assigned to 8 shards and to
+    * 9, with the stability law IN the gated output: `moved` must imply
+    * `shard9 = 8` (growing the ring only hands keys to the NEW shard;
+    * a mod-n scheme would reshuffle nearly everything). `law_violated`
+    * is a gated all-zeros column, not just a spec assertion.
+    */
+  def q192Rendezvous(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents").select("doc_id")
+    val a8 = Rendezvous.assign(d, "doc_id", 8, "shard8")
+    val a9 = Rendezvous.assign(a8, "doc_id", 9, "shard9")
+    a9.withColumn("moved", (col("shard8") =!= col("shard9")).cast("int"))
+      .withColumn("law_violated",
+        (col("moved") === 1 && col("shard9") =!= 8).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val q192Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         greatest(
+      |         __TERMS8__) AS b8,
+      |         greatest(
+      |         __TERMS9__) AS b9
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(65535 - b8 % 65536 AS INTEGER) AS shard8,
+      |       CAST(65535 - b9 % 65536 AS INTEGER) AS shard9,
+      |       CASE WHEN 65535 - b8 % 65536 <> 65535 - b9 % 65536
+      |            THEN 1 ELSE 0 END AS moved,
+      |       CASE WHEN 65535 - b8 % 65536 <> 65535 - b9 % 65536
+      |             AND 65535 - b9 % 65536 <> 8 THEN 1 ELSE 0 END
+      |         AS law_violated
+      |FROM w ORDER BY doc_id""".stripMargin
+      .replace("__TERMS8__", """CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8) AS BIGINT) AS BIGINT) * 65536 + 65535,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 8) AS BIGINT) AS BIGINT) * 65536 + 65534,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':2'), 1, 8) AS BIGINT) AS BIGINT) * 65536 + 65533,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':3'), 1, 8) AS BIGINT) AS BIGINT) * 65536 + 65532,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':4'), 1, 8) AS BIGINT) AS BIGINT) * 65536 + 65531,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':5'), 1, 8) AS BIGINT) AS BIGINT) * 65536 + 65530,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':6'), 1, 8) AS BIGINT) AS BIGINT) * 65536 + 65529,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8) AS BIGINT) AS BIGINT) * 65536 + 65528""")
+      .replace("__TERMS9__", """CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8) AS BIGINT) AS BIGINT) * 65536 + 65535,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 8) AS BIGINT) AS BIGINT) * 65536 + 65534,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':2'), 1, 8) AS BIGINT) AS BIGINT) * 65536 + 65533,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':3'), 1, 8) AS BIGINT) AS BIGINT) * 65536 + 65532,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':4'), 1, 8) AS BIGINT) AS BIGINT) * 65536 + 65531,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':5'), 1, 8) AS BIGINT) AS BIGINT) * 65536 + 65530,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':6'), 1, 8) AS BIGINT) AS BIGINT) * 65536 + 65529,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8) AS BIGINT) AS BIGINT) * 65536 + 65528,
+         CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':8'), 1, 8) AS BIGINT) AS BIGINT) * 65536 + 65527""")
+
   /** J3 fuzzy dictionary translate: nation names as the dictionary,
     * typo'd tokens (trailing X) as input — exact tier misses, fuzzy tier
     * (QRatio ≥ 90) recovers ("NATION_19X" → "nation 19x" vs "nation 19"
@@ -2467,6 +2519,7 @@ object MiscOps {
     "q185_streaks" -> (q185Streaks _),
     "q186_funnel_outer" -> (q186FunnelOuter _),
     "q188_quantile_norm" -> (q188QuantileNorm _),
+    "q192_rendezvous" -> (q192Rendezvous _),
     "q17_fuzzy_translate" -> q17FuzzyTranslate,
     "q17b_exact_translate" -> q17bExactTranslate,
     "q18_nested_series" -> q18NestedSeries,
@@ -2526,6 +2579,7 @@ object MiscOps {
     "q185_streaks" -> q185Sql,
     "q186_funnel_outer" -> q186Sql,
     "q188_quantile_norm" -> q188Sql,
+    "q192_rendezvous" -> q192Sql,
     "q17_fuzzy_translate" -> q17Sql,
     "q17b_exact_translate" -> q17bSql,
     "q18_nested_series" -> q18Sql,
