@@ -1041,6 +1041,55 @@ object MiscOps {
          CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8) AS BIGINT) AS BIGINT) * 65536 + 65528,
          CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':8'), 1, 8) AS BIGINT) AS BIGINT) * 65536 + 65527""")
 
+  /** q193: time-weighted average (TWAP) per event type — the
+    * irregular-sampling average (finance/telemetry: a value holds until
+    * the next sample, so a plain mean over-weights bursts): each
+    * sample's 2^16-quantized value weighted by its holding interval
+    * (last sample holds to the corpus end), one lead window + one
+    * aggregation per key; Σ v_fix·dt in DECIMAL(38,0), final 2^16 TWAP
+    * by floor division over the key's span.
+    */
+  def q193Twap(spark: SparkSession, dir: String): DataFrame = {
+    val e = Load.events(spark, dir)
+      .select(col("event_type"), col("ts_ns"), col("event_id"),
+        floor(col("value") * 65536).cast(LongType).as("v_fix"))
+    val endRel = e.agg(max("ts_ns").as("__end"))
+    val w = Window.partitionBy("event_type").orderBy(col("ts_ns"), col("event_id"))
+    e.crossJoin(broadcast(endRel))
+      .withColumn("__dt",
+        coalesce(lead("ts_ns", 1).over(w), col("__end") + 1) - col("ts_ns"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(v_fix AS DECIMAL(38,0)) * __dt")).as("__wsum"),
+        sum("__dt").as("__span"))
+      .withColumn("twap_fix", expr(
+        """(CASE WHEN __wsum < 0 THEN -1 ELSE 1 END)
+          | * (abs(__wsum) div __span)""".stripMargin).cast("long"))
+      .select("event_type", "n", "twap_fix")
+      .orderBy("event_type")
+  }
+
+  val q193Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_ns(ts) AS t, event_id,
+      |         CAST(floor(value * 65536) AS BIGINT) AS v_fix
+      |  FROM events),
+      |mx AS (SELECT max(t) AS e_end FROM e),
+      |d AS (
+      |  SELECT event_type, v_fix,
+      |         coalesce(lead(t) OVER (PARTITION BY event_type
+      |                                ORDER BY t, event_id), e_end + 1) - t
+      |           AS dt
+      |  FROM e, mx),
+      |s AS (
+      |  SELECT event_type, count(*)::BIGINT AS n,
+      |         sum(v_fix::HUGEINT * dt) AS wsum, sum(dt)::HUGEINT AS span
+      |  FROM d GROUP BY 1)
+      |SELECT event_type, n,
+      |       CAST((CASE WHEN wsum < 0 THEN -1 ELSE 1 END)
+      |            * (abs(wsum) // span) AS BIGINT) AS twap_fix
+      |FROM s ORDER BY event_type""".stripMargin
+
   /** J3 fuzzy dictionary translate: nation names as the dictionary,
     * typo'd tokens (trailing X) as input — exact tier misses, fuzzy tier
     * (QRatio ≥ 90) recovers ("NATION_19X" → "nation 19x" vs "nation 19"
@@ -2520,6 +2569,7 @@ object MiscOps {
     "q186_funnel_outer" -> (q186FunnelOuter _),
     "q188_quantile_norm" -> (q188QuantileNorm _),
     "q192_rendezvous" -> (q192Rendezvous _),
+    "q193_twap" -> (q193Twap _),
     "q17_fuzzy_translate" -> q17FuzzyTranslate,
     "q17b_exact_translate" -> q17bExactTranslate,
     "q18_nested_series" -> q18NestedSeries,
@@ -2580,6 +2630,7 @@ object MiscOps {
     "q186_funnel_outer" -> q186Sql,
     "q188_quantile_norm" -> q188Sql,
     "q192_rendezvous" -> q192Sql,
+    "q193_twap" -> q193Sql,
     "q17_fuzzy_translate" -> q17Sql,
     "q17b_exact_translate" -> q17bSql,
     "q18_nested_series" -> q18Sql,
