@@ -402,13 +402,19 @@ class PlanShapeSpec extends SparkSpec {
       s"register build lost map-side combine:\n$p")
   }
 
-  test("q165: phrase terms broadcast onto postings; anchor count is map-side partial") {
+  test("q165: rare-first seeds broadcast; verify join is exact equi, count partial") {
     val p = plan(graft.queries.SearchQueries
       .queries("q165_phrase_search")(spark, sf))
+    // the seed relation (and the per-query others) broadcast onto the
+    // postings — candidate generation never re-shuffles the corpus
     assert(p.contains("BroadcastHashJoin"),
-      s"phrase-term set not broadcast — corpus would re-shuffle per query:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"postings join degenerated to a sort-merge shuffle:\n$p")
+      s"seed terms not broadcast — corpus would re-shuffle per query:\n$p")
+    // the verify step is an equi-join on (term, doc_id, pos) — a shuffle
+    // by design (the bucketed index makes it co-located at scale), but
+    // NEVER a product
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"verify degenerated to a product:\n$p")
     assert(p.contains("partial_count"),
       s"anchor counting lost map-side combine:\n$p")
   }
