@@ -102,6 +102,30 @@ object Quantiles {
       qs: Seq[(Int, Int)]): DataFrame =
     quantiles(histogram(df, keys, valueCol), keys, qs)
 
+  /** Percentile-rank (empirical CDF) transform — the rank-based feature
+    * scaling that is immune to outliers and scale: each row gets
+    * `pct_fix` = (rank − 1)·2^30 div (n − 1) in [0, 2^30], computed
+    * with RANK (not row_number), so EQUAL values get EQUAL percentiles
+    * with no tiebreak column needed — the property a feature transform
+    * must have (two identical inputs may never map differently). A
+    * single-row group maps to 0 by convention (no spread to place it
+    * on). One key-partitioned sort window; rank and count share the
+    * spec.
+    */
+  def percentileRank(df: DataFrame, keys: Seq[String], valCol: String,
+      outCol: String = "pct_fix"): DataFrame = {
+    val ks = keys.map(col)
+    df.withColumn("__r", rank().over(
+        Window.partitionBy(ks: _*).orderBy(col(valCol))))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(ks: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn(outCol,
+        when(col("__n") <= 1, 0L)
+          .otherwise(expr(s"((__r - 1) * ${1L << 30}L) div (__n - 1)")))
+      .drop("__r", "__n")
+  }
+
   /** EXACT quantile normalization — map every value of `df` onto the
     * reference distribution `ref` at the same quantile position (the
     * batch-effect / score-calibration transform: after it, df's values

@@ -1090,6 +1090,100 @@ object MiscOps {
       |            * (abs(wsum) // span) AS BIGINT) AS twap_fix
       |FROM s ORDER BY event_type""".stripMargin
 
+  /** q194: association rules over SESSION baskets — [[Association]]
+    * reused on a different domain: baskets are (user, 30-min session)
+    * from q173's gap rule, items are event types, so lift reads "which
+    * behaviors co-drive within a sitting". Demonstrates that the
+    * A-priori op and the sessionizer compose as one Catalyst plan.
+    */
+  def q194SessionRules(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Load.events(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = ev.select(col("user_id"), col("event_type"), col("ts_ns"),
+        col("event_id"))
+      .withColumn("__brk",
+        when(lag("ts_ns", 1).over(w).isNull ||
+          col("ts_ns") - lag("ts_ns", 1).over(w) > 1800000000000L, 1L)
+          .otherwise(0L))
+      .withColumn("__sess", sum("__brk").over(wRun))
+      .select(concat_ws("#", col("user_id"), col("__sess")).as("basket"),
+        col("event_type"))
+    Association.pairRules(sess, "basket", "event_type",
+        minItemSupport = 5L, minPairSupport = 5L)
+      .orderBy("antecedent", "consequent")
+  }
+
+  val q194Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS t, event_id FROM events),
+      |b AS (
+      |  SELECT user_id, event_type, t, event_id,
+      |         CASE WHEN lag(t) OVER w IS NULL
+      |                OR t - lag(t) OVER w > 1800000000000 THEN 1 ELSE 0 END
+      |           AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      |s AS (
+      |  SELECT CAST(user_id AS VARCHAR) || '#' ||
+      |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS VARCHAR)
+      |           AS basket,
+      |         event_type AS i
+      |  FROM b),
+      |d AS (SELECT DISTINCT basket AS bk, i FROM s),
+      |ic AS (SELECT i, count(*)::BIGINT AS c FROM d GROUP BY 1
+      |       HAVING count(*) >= 5),
+      |f AS (SELECT bk, d.i, c FROM d JOIN ic USING (i)),
+      |n AS (SELECT count(DISTINCT bk)::HUGEINT AS nb FROM d),
+      |p AS (
+      |  SELECT a.i AS ia, bb.i AS ib, a.c AS ca, bb.c AS cb,
+      |         count(*)::BIGINT AS pc
+      |  FROM f a JOIN f bb USING (bk) WHERE a.i < bb.i
+      |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 5),
+      |r AS (
+      |  SELECT ia AS antecedent, ib AS consequent, pc, ca AS ante_cnt,
+      |         cb AS cons_cnt FROM p
+      |  UNION ALL
+      |  SELECT ib, ia, pc, cb, ca FROM p)
+      |SELECT antecedent, consequent, pc AS pair_cnt, ante_cnt, cons_cnt,
+      |       CAST((pc::HUGEINT * 1073741824) // ante_cnt AS BIGINT)
+      |         AS conf_fix,
+      |       CAST((pc::HUGEINT * nb * 65536)
+      |            // (ante_cnt::HUGEINT * cons_cnt) AS BIGINT) AS lift_fix
+      |FROM r, n ORDER BY antecedent, consequent""".stripMargin
+
+  /** q195: percentile-rank feature transform
+    * ([[Quantiles.percentileRank]]) — account balances CDF-scaled per
+    * market segment: rank-based (RANK, so duplicate balances map
+    * identically — no tiebreak column, the property a feature
+    * transform must have), outlier- and scale-immune, 2^30 fixed.
+    */
+  def q195PercentileRank(spark: SparkSession, dir: String): DataFrame = {
+    val c = Load.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (col("c_acctbal").cast(DecimalType(18, 4)) * 100)
+          .cast(LongType).as("bal_cents"))
+    Quantiles.percentileRank(c, Seq("c_mktsegment"), "bal_cents")
+      .orderBy("c_custkey")
+  }
+
+  val q195Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |         CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100 AS BIGINT)
+      |           AS bal_cents
+      |  FROM customer),
+      |r AS (
+      |  SELECT *, rank() OVER (PARTITION BY c_mktsegment
+      |                         ORDER BY bal_cents) AS rk,
+      |         count(*) OVER (PARTITION BY c_mktsegment) AS n
+      |  FROM c)
+      |SELECT c_custkey, c_mktsegment, bal_cents,
+      |       CASE WHEN n <= 1 THEN 0
+      |            ELSE CAST(((rk - 1) * 1073741824) // (n - 1) AS BIGINT)
+      |            END AS pct_fix
+      |FROM r ORDER BY c_custkey""".stripMargin
+
   /** J3 fuzzy dictionary translate: nation names as the dictionary,
     * typo'd tokens (trailing X) as input — exact tier misses, fuzzy tier
     * (QRatio ≥ 90) recovers ("NATION_19X" → "nation 19x" vs "nation 19"
@@ -2570,6 +2664,8 @@ object MiscOps {
     "q188_quantile_norm" -> (q188QuantileNorm _),
     "q192_rendezvous" -> (q192Rendezvous _),
     "q193_twap" -> (q193Twap _),
+    "q194_session_rules" -> (q194SessionRules _),
+    "q195_percentile_rank" -> (q195PercentileRank _),
     "q17_fuzzy_translate" -> q17FuzzyTranslate,
     "q17b_exact_translate" -> q17bExactTranslate,
     "q18_nested_series" -> q18NestedSeries,
@@ -2631,6 +2727,8 @@ object MiscOps {
     "q188_quantile_norm" -> q188Sql,
     "q192_rendezvous" -> q192Sql,
     "q193_twap" -> q193Sql,
+    "q194_session_rules" -> q194Sql,
+    "q195_percentile_rank" -> q195Sql,
     "q17_fuzzy_translate" -> q17Sql,
     "q17b_exact_translate" -> q17bSql,
     "q18_nested_series" -> q18Sql,

@@ -60,4 +60,30 @@ class QuantileNormSpec extends SparkSpec {
     assert(x.filter(_._1 == "g0").forall(t => b.filter(_._1 == "g0")
       .map(_._2).contains(t._4)))
   }
+
+  test("percentileRank: ties share a percentile; range and single-row edge") {
+    val rows = Seq(("k", 10L), ("k", 20L), ("k", 20L), ("k", 30L), ("k", 40L))
+      .zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+    val got = Quantiles.percentileRank(
+        rows.toDF("k", "v", "id"), Seq("k"), "v")
+      .orderBy("id").collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    val q = 1L << 30
+    assert(got == Seq((10L, 0L), (20L, q / 4), (20L, q / 4),
+      (30L, 3 * q / 4), (40L, q)))
+    // single-row group: percentile 0 by convention
+    val one = Quantiles.percentileRank(
+        Seq(("z", 99L, 0L)).toDF("k", "v", "id"), Seq("k"), "v")
+      .collect()(0).getLong(3)
+    assert(one == 0L)
+  }
+
+  test("percentileRank is partition invariant (no tiebreak needed)") {
+    val rows = (0L until 200L).map(i => ("k", (i * 13) % 47, i))
+    val a = Quantiles.percentileRank(rows.toDF("k", "v", "id"), Seq("k"), "v")
+      .orderBy("id").collect().map(_.getLong(3)).toSeq
+    val b = Quantiles.percentileRank(
+        rows.toDF("k", "v", "id").repartition(11), Seq("k"), "v")
+      .orderBy("id").collect().map(_.getLong(3)).toSeq
+    assert(a == b)
+  }
 }
