@@ -60,4 +60,28 @@ object Cusum {
       .select(keys ++ Seq(col(bucketCol), col(xCol), col("s_pos"),
         col("s_neg"), col("alarm")): _*)
   }
+
+  /** Floor-at-zero running sum — the inventory/credit-balance recursion
+    * S_t = max(0, S_{t−1} + Δ_t) (a sale can't take stock below zero;
+    * the shortfall is LOST, not borrowed), which is exactly Page's
+    * CUSUM recursion with Δ in place of the deviation, so the same
+    * closed prefix form applies: S_t = C_t − min(0, min_{j≤t} C_j)
+    * with C the plain cumulative sum. One key-partitioned ordered
+    * window carries the cumsum AND its running min — stock window
+    * algebra, no recursion, no UDF, partitioning-invariant.
+    *
+    * Also emits `lost` — the cumulative clamped-away shortfall
+    * (−min(0, min C)), the business number the clamp hides.
+    */
+  def clampedRunningSum(df: DataFrame, keyCols: Seq[String],
+      orderCol: String, deltaCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val wRun = Window.partitionBy(keys: _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__c", sum(col(deltaCol)).over(wRun))
+      .withColumn("__floor", least(lit(0L), min(col("__c")).over(wRun)))
+      .withColumn("balance", col("__c") - col("__floor"))
+      .withColumn("lost", -col("__floor"))
+      .drop("__c", "__floor")
+  }
 }

@@ -1184,6 +1184,48 @@ object MiscOps {
       |            END AS pct_fix
       |FROM r ORDER BY c_custkey""".stripMargin
 
+  /** q196: floor-at-zero running inventory
+    * ([[Cusum.clampedRunningSum]]) — the max(0, S+Δ) recursion IS
+    * Page's CUSUM recursion, so q168's closed prefix form solves it as
+    * stock window algebra: per-part restocks (+qty, even parity) and
+    * sales (−qty), ordered by ship day then line uid; emits the
+    * balance AND the clamped-away `lost` shortfall the clamp hides.
+    */
+  def q196Inventory(spark: SparkSession, dir: String): DataFrame = {
+    val li = Load.table(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        (datediff(col("l_shipdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast(LongType) * 10000000L +
+          col("l_orderkey") * 10 + col("l_linenumber")).as("ord"),
+        when((col("l_orderkey") + col("l_linenumber")) % 2 === 0,
+          col("l_quantity")).otherwise(-col("l_quantity"))
+          .cast(LongType).as("delta"))
+    Cusum.clampedRunningSum(li, Seq("l_partkey"), "ord", "delta")
+      .orderBy("l_partkey", "ord")
+  }
+
+  val q196Sql: String =
+    """WITH li AS (
+      |  SELECT l_partkey,
+      |         (l_shipdate::DATE - DATE '1970-01-01')::BIGINT * 10000000
+      |           + l_orderkey * 10 + l_linenumber AS ord,
+      |         CAST(CASE WHEN (l_orderkey + l_linenumber) % 2 = 0
+      |                   THEN l_quantity ELSE -l_quantity END AS BIGINT)
+      |           AS delta
+      |  FROM lineitem),
+      |cs AS (
+      |  SELECT l_partkey, ord, delta,
+      |         sum(delta) OVER (PARTITION BY l_partkey ORDER BY ord
+      |                          ROWS UNBOUNDED PRECEDING) AS c
+      |  FROM li),
+      |f AS (
+      |  SELECT *, least(0, min(c) OVER (PARTITION BY l_partkey ORDER BY ord
+      |                                  ROWS UNBOUNDED PRECEDING)) AS flr
+      |  FROM cs)
+      |SELECT l_partkey, ord, delta, CAST(c - flr AS BIGINT) AS balance,
+      |       CAST(-flr AS BIGINT) AS lost
+      |FROM f ORDER BY l_partkey, ord""".stripMargin
+
   /** J3 fuzzy dictionary translate: nation names as the dictionary,
     * typo'd tokens (trailing X) as input — exact tier misses, fuzzy tier
     * (QRatio ≥ 90) recovers ("NATION_19X" → "nation 19x" vs "nation 19"
@@ -2666,6 +2708,7 @@ object MiscOps {
     "q193_twap" -> (q193Twap _),
     "q194_session_rules" -> (q194SessionRules _),
     "q195_percentile_rank" -> (q195PercentileRank _),
+    "q196_inventory" -> (q196Inventory _),
     "q17_fuzzy_translate" -> q17FuzzyTranslate,
     "q17b_exact_translate" -> q17bExactTranslate,
     "q18_nested_series" -> q18NestedSeries,
@@ -2729,6 +2772,7 @@ object MiscOps {
     "q193_twap" -> q193Sql,
     "q194_session_rules" -> q194Sql,
     "q195_percentile_rank" -> q195Sql,
+    "q196_inventory" -> q196Sql,
     "q17_fuzzy_translate" -> q17Sql,
     "q17b_exact_translate" -> q17bSql,
     "q18_nested_series" -> q18Sql,

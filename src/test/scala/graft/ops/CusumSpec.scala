@@ -68,4 +68,44 @@ class CusumSpec extends SparkSpec {
       .orderBy("g", "bucket").collect().toSeq
     assert(a == b && a.size == 800)
   }
+
+  test("clampedRunningSum: closed form equals the textbook recursion") {
+    import spark.implicits._
+    val deltas = Seq(5L, -10L, 3L, -5L, 4L, -3L, 1L, -2L, 10L, -30L, 7L)
+    val rows = deltas.zipWithIndex.map { case (d, i) => ("k", i.toLong, d) }
+    val got = Cusum.clampedRunningSum(rows.toDF("k", "ord", "delta"),
+        Seq("k"), "ord", "delta")
+      .orderBy("ord").collect()
+      .map(r => (r.getLong(3), r.getLong(4))).toSeq
+    // the recursion, scalar: S = max(0, S + d); lost accumulates clamps
+    val ref = deltas.scanLeft((0L, 0L)) { case ((s, l), d) =>
+      val raw = s + d
+      if (raw < 0) (0L, l - raw) else (raw, l)
+    }.tail
+    assert(got == ref)
+  }
+
+  test("clampedRunningSum: all-positive deltas is a plain cumsum, lost 0") {
+    import spark.implicits._
+    val rows = (0L until 20L).map(i => ("k", i, i + 1))
+    val got = Cusum.clampedRunningSum(rows.toDF("k", "ord", "delta"),
+        Seq("k"), "ord", "delta")
+      .orderBy("ord").collect().map(r => (r.getLong(3), r.getLong(4))).toSeq
+    assert(got.map(_._1) == (1L to 20L).scanLeft(0L)(_ + _).tail)
+    assert(got.forall(_._2 == 0L))
+  }
+
+  test("clampedRunningSum: keys independent, partitioning invariant") {
+    import spark.implicits._
+    val rows = (0L until 90L).map(i =>
+      (s"g${i % 3}", i, (if (i % 4 == 0) -7L else 3L)))
+    val a = Cusum.clampedRunningSum(rows.toDF("k", "ord", "delta"),
+        Seq("k"), "ord", "delta").orderBy("k", "ord")
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4))).toSeq
+    val b = Cusum.clampedRunningSum(
+        rows.toDF("k", "ord", "delta").repartition(8),
+        Seq("k"), "ord", "delta").orderBy("k", "ord")
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4))).toSeq
+    assert(a == b)
+  }
 }
