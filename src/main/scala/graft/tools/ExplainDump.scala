@@ -104,7 +104,26 @@ object ExplainDump {
     "q174_assoc_rules" -> "A-priori item prune BEFORE the basket-keyed pair self-join bounds fan-out at C(k_freq,2); pair counts map-side combined; basket total is a broadcast 1-row aggregate, never a window",
     "q175_funnel" -> "all k running maxima share one user-keyed window spec (one exchange, one sort); corpus collapses to per-user flags map-side; ratio windows run on the |steps|-row relation",
     "q176_bfs_hops" -> "per round one frontier-keyed equi-join + one anti-join, only (id,hop) pairs cross exchanges; localCheckpoint truncates iterative lineage; early exit on frontier drain",
-    "q177_hybrid_rrf" -> "fusion never sees the corpus: both retriever outputs are per-query bounded, one map-side-combined (query,doc) exchange, per-query window over <= lists*k rows")
+    "q177_hybrid_rrf" -> "fusion never sees the corpus: both retriever outputs are per-query bounded, one map-side-combined (query,doc) exchange, per-query window over <= lists*k rows",
+    "q178_ks_drift" -> "corpus collapses map-side into one (key,value) histogram exchange; CDF window runs on the grid-bounded histogram, never the corpus; per-key max combines map-side",
+    "q179_kcore" -> "per round: one map-side-combined degree count + two semi-joins on a shrinking edge list; only (id,cnt) pairs cross exchanges; localCheckpoint truncates lineage; early exit at the fixpoint",
+    "q180_rfm_segments" -> "one map-side-combined per-customer aggregation is the only corpus exchange; the three ntile windows run on the collapsed |customers| relation (PB-scale swap: q118 sketch cutoffs)",
+    "q181_ols_trend" -> "regression from five map-side-combinable sums: points never co-locate or sort; one aggregation exchange, narrow fixed-point arithmetic on the per-group relation",
+    "q182_decayed_score" -> "narrow codegen pow2 weight projection (no shuffle) + one wordcount-shaped map-side-combined aggregation; scores mergeable at a common reference",
+    "q183_winsor_mean" -> "one key sort window (rank+count share the spec), broadcast-back of the <=|groups| fence relation, one map-side-combined aggregation; PB swap = q118 sketch fences",
+    "q184_benford" -> "one map-side-combined (key,digit) count is the only corpus touch; 9-row spine + rollup on the <=9*|keys| relation; expected shares are shared literals, no runtime log",
+    "q185_streaks" -> "one user-keyed exchange carries distinct + island numbering + both rollups; only (user,day) pairs shuffle",
+    "q186_funnel_outer" -> "equi-join on user_id + range post-filter (no range cross-product), left-outer; streaming twin bounds state by the two-sided time window",
+    "q187_personalized_pr" -> "q97's per-round shape with a seeded restart vector; only (dst, contribution) pairs cross each round's exchange",
+    "q188_quantile_norm" -> "one sort window per side + a 1:1 equi-join on (keys, target rank); the <=|keys| size relation broadcasts; PB swap = histogram cutoffs",
+    "q189_chunking" -> "pure narrow: scan -> tokenize -> bounded explode -> slice; zero shuffle before the output sort; chunks at scan throughput",
+    "q190_luhn_cards" -> "Luhn as codegen'd transform+aggregate builtins (no UDF); narrow scalar pass, zero shuffle before the output sort",
+    "q191_templates" -> "LCP(set) = LCP(min, max): one map-side-combined min/max exchange collapses the corpus; the LCP itself touches two strings per cluster",
+    "q192_rendezvous" -> "completely narrow: literal shard list, per-row md5 weights, argmax+tiebreak in one long max; no explode, no join, no shuffle - assignment is a map stage",
+    "q193_twap" -> "one key-window exchange (lead) + one map-side-combined aggregation; holding intervals computed in-plan, scalar end broadcast",
+    "q194_session_rules" -> "sessionizer + A-priori compose into one plan: user window exchange, then the basket-keyed pair join with the item prune ahead of it",
+    "q195_percentile_rank" -> "one key sort window; rank and count share the spec; RANK (not row_number) keeps duplicate values identical with no tiebreak",
+    "q196_inventory" -> "the CUSUM closed form reused: cumsum + running min ride one part-keyed exchange; no recursion, no UDF")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
