@@ -1226,6 +1226,40 @@ object MiscOps {
       |       CAST(-flr AS BIGINT) AS lost
       |FROM f ORDER BY l_partkey, ord""".stripMargin
 
+  /** q198: compaction planning ([[Compaction.planBins]]) — synthetic
+    * file metadata (one "file" per (return flag, ship month), size =
+    * its row bytes proxy) packed into 256 KB rewrite bins per return
+    * flag by the virtual-concatenation rule: closed-form, replayable,
+    * partition-invariant where first-fit's mutable bin state is none
+    * of those.
+    */
+  def q198CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val files = Load.table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"),
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("file_id"))
+      .agg((count(lit(1)) * 64).as("bytes"))
+    Compaction.planBins(files, Seq("l_returnflag"), "file_id", "bytes",
+        targetBytes = 262144L)
+      .orderBy("l_returnflag", "file_id")
+  }
+
+  val q198Sql: String =
+    """WITH f AS (
+      |  SELECT l_returnflag,
+      |         year(l_shipdate) * 100 + month(l_shipdate) AS file_id,
+      |         count(*)::BIGINT * 64 AS bytes
+      |  FROM lineitem GROUP BY 1, 2),
+      |p AS (
+      |  SELECT l_returnflag, file_id, bytes,
+      |         sum(bytes) OVER (PARTITION BY l_returnflag
+      |                          ORDER BY bytes DESC, file_id
+      |                          ROWS UNBOUNDED PRECEDING) - bytes AS st
+      |  FROM f)
+      |SELECT l_returnflag, file_id, bytes,
+      |       CAST(st // 262144 AS BIGINT) AS bin,
+      |       CAST(st % 262144 AS BIGINT) AS bin_offset
+      |FROM p ORDER BY l_returnflag, file_id""".stripMargin
+
   /** J3 fuzzy dictionary translate: nation names as the dictionary,
     * typo'd tokens (trailing X) as input — exact tier misses, fuzzy tier
     * (QRatio ≥ 90) recovers ("NATION_19X" → "nation 19x" vs "nation 19"
@@ -2709,6 +2743,7 @@ object MiscOps {
     "q194_session_rules" -> (q194SessionRules _),
     "q195_percentile_rank" -> (q195PercentileRank _),
     "q196_inventory" -> (q196Inventory _),
+    "q198_compaction_plan" -> (q198CompactionPlan _),
     "q17_fuzzy_translate" -> q17FuzzyTranslate,
     "q17b_exact_translate" -> q17bExactTranslate,
     "q18_nested_series" -> q18NestedSeries,
@@ -2773,6 +2808,7 @@ object MiscOps {
     "q194_session_rules" -> q194Sql,
     "q195_percentile_rank" -> q195Sql,
     "q196_inventory" -> q196Sql,
+    "q198_compaction_plan" -> q198Sql,
     "q17_fuzzy_translate" -> q17Sql,
     "q17b_exact_translate" -> q17bSql,
     "q18_nested_series" -> q18Sql,

@@ -377,8 +377,40 @@ object SinkQueries {
       |       CAST(max(pos) AS BIGINT) AS max_pos
       |FROM p GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** q197: ORC round-trip — the columnar-format sibling of the parquet
+    * scans and q148's JSONL shards: documents written as ORC (Spark's
+    * second native columnar format; zlib, vectorized reader), read
+    * back, and content-fingerprinted per doc-id bucket. Any loss,
+    * duplication, or type mangling in the encode → file → decode path
+    * breaks a fingerprint sum. The oracle computes the manifest from
+    * the base table — the round trip must be invisible.
+    */
+  def q197OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = freshScratch(dir, "orc") + "/docs"
+    Load.table(spark, dir, "documents")
+      .select("doc_id", "lang", "n_chars", "text")
+      .write.mode("overwrite").format("orc").save(out)
+    spark.read.format("orc").load(out)
+      .groupBy((col("doc_id") % 16).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast(LongType)).as("sum_chars"),
+        sum(graft.text.Scrub.hashDraw(concat(col("doc_id").cast(StringType),
+          lit("|"), col("lang"), lit("|"), col("text")))).as("content_fp"))
+      .orderBy("bucket")
+  }
+
+  val q197Sql: String =
+    """SELECT doc_id % 16 AS bucket, count(*)::BIGINT AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(CAST('0x' ||
+      |           substring(md5(CAST(doc_id AS VARCHAR) || '|' || lang || '|'
+      |                         || text), 1, 8) AS BIGINT)) AS BIGINT)
+      |         AS content_fp
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q148_jsonl_shards" -> (q148JsonlShards _),
+    "q197_orc_roundtrip" -> (q197OrcRoundtrip _),
     "q95_sitemap" -> (q95Sitemap _),
     "q96_bucketed_join" -> (q96BucketedJoin _),
     "q39_xlsx_roundtrip" -> q39XlsxRoundtrip,
@@ -389,6 +421,7 @@ object SinkQueries {
 
   val oracles: Map[String, String] = Map(
     "q148_jsonl_shards" -> q148Sql,
+    "q197_orc_roundtrip" -> q197Sql,
     "q95_sitemap" -> q95Sql,
     "q96_bucketed_join" -> q96Sql,
     "q39_xlsx_roundtrip" -> q39Sql,

@@ -123,7 +123,9 @@ object ExplainDump {
     "q193_twap" -> "one key-window exchange (lead) + one map-side-combined aggregation; holding intervals computed in-plan, scalar end broadcast",
     "q194_session_rules" -> "sessionizer + A-priori compose into one plan: user window exchange, then the basket-keyed pair join with the item prune ahead of it",
     "q195_percentile_rank" -> "one key sort window; rank and count share the spec; RANK (not row_number) keeps duplicate values identical with no tiebreak",
-    "q196_inventory" -> "the CUSUM closed form reused: cumsum + running min ride one part-keyed exchange; no recursion, no UDF")
+    "q196_inventory" -> "the CUSUM closed form reused: cumsum + running min ride one part-keyed exchange; no recursion, no UDF",
+    "q197_orc_roundtrip" -> "write zlib ORC, vectorized read; one fingerprint aggregation after the scan — the round trip must be invisible to it",
+    "q198_compaction_plan" -> "metadata-only: per-key sort window + prefix sum; closed-form bin = start-offset div target; no mutable bin state")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
