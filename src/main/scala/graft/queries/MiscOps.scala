@@ -1260,6 +1260,49 @@ object MiscOps {
       |       CAST(st % 262144 AS BIGINT) AS bin_offset
       |FROM p ORDER BY l_returnflag, file_id""".stripMargin
 
+  /** q199: next-event recommendation — q162's transition matrix read
+    * as a predictor: per from_type, the top-3 next types by fixed-point
+    * probability (ties by to_type), with rank drawn on the ≤|types|²
+    * relation. The "what will this user do next" serving view of the
+    * Markov estimate.
+    */
+  def q199NextEvent(spark: SparkSession, dir: String): DataFrame = {
+    val m = q162Transitions(spark, dir)
+    val w = Window.partitionBy("from_type")
+      .orderBy(col("p_fix").desc, col("to_type"))
+    m.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("from_type", "rank", "to_type", "p_fix")
+      .orderBy("from_type", "rank")
+  }
+
+  val q199Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY t, event_id) AS next_type
+      |  FROM e),
+      |c AS (
+      |  SELECT event_type AS from_type, next_type AS to_type,
+      |         count(*)::BIGINT AS cnt
+      |  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(sum(cnt) AS HUGEINT) AS tot
+      |        FROM c GROUP BY 1),
+      |p AS (
+      |  SELECT c.from_type, c.to_type,
+      |         CAST((CAST(c.cnt AS HUGEINT) * 1073741824) // t.tot AS BIGINT)
+      |           AS p_fix
+      |  FROM c JOIN tot t USING (from_type)),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY from_type
+      |            ORDER BY p_fix DESC, to_type) AS INTEGER) AS rank
+      |  FROM p)
+      |SELECT from_type, rank, to_type, p_fix
+      |FROM r WHERE rank <= 3 ORDER BY from_type, rank""".stripMargin
+
   /** J3 fuzzy dictionary translate: nation names as the dictionary,
     * typo'd tokens (trailing X) as input — exact tier misses, fuzzy tier
     * (QRatio ≥ 90) recovers ("NATION_19X" → "nation 19x" vs "nation 19"
@@ -2744,6 +2787,7 @@ object MiscOps {
     "q195_percentile_rank" -> (q195PercentileRank _),
     "q196_inventory" -> (q196Inventory _),
     "q198_compaction_plan" -> (q198CompactionPlan _),
+    "q199_next_event" -> (q199NextEvent _),
     "q17_fuzzy_translate" -> q17FuzzyTranslate,
     "q17b_exact_translate" -> q17bExactTranslate,
     "q18_nested_series" -> q18NestedSeries,
@@ -2809,6 +2853,7 @@ object MiscOps {
     "q195_percentile_rank" -> q195Sql,
     "q196_inventory" -> q196Sql,
     "q198_compaction_plan" -> q198Sql,
+    "q199_next_event" -> q199Sql,
     "q17_fuzzy_translate" -> q17Sql,
     "q17b_exact_translate" -> q17bSql,
     "q18_nested_series" -> q18Sql,

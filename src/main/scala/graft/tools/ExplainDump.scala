@@ -125,7 +125,8 @@ object ExplainDump {
     "q195_percentile_rank" -> "one key sort window; rank and count share the spec; RANK (not row_number) keeps duplicate values identical with no tiebreak",
     "q196_inventory" -> "the CUSUM closed form reused: cumsum + running min ride one part-keyed exchange; no recursion, no UDF",
     "q197_orc_roundtrip" -> "write zlib ORC, vectorized read; one fingerprint aggregation after the scan — the round trip must be invisible to it",
-    "q198_compaction_plan" -> "metadata-only: per-key sort window + prefix sum; closed-form bin = start-offset div target; no mutable bin state")
+    "q198_compaction_plan" -> "metadata-only: per-key sort window + prefix sum; closed-form bin = start-offset div target; no mutable bin state",
+    "q199_next_event" -> "the rank window runs on the <=|types|^2 matrix relation, never the events; one user-keyed lead exchange upstream (q162's)")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
