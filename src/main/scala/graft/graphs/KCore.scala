@@ -30,7 +30,12 @@ object KCore {
     * @param nodes one row per node
     * @param idCol node id column in `nodes`
     * @param k     minimum in-core degree
-    * @param maxRounds safety bound on peel rounds
+    * @param maxRounds safety bound on peel rounds; must exceed the
+    *                  graph's peel depth (a path of n nodes at k=2
+    *                  needs ~n/2 rounds). Hitting the bound before the
+    *                  fixpoint THROWS — a truncated peel would silently
+    *                  report interior nodes as in-core, violating the
+    *                  repo's no-silent-caps discipline.
     * @return (idCol, in_core 0/1, core_degree — degree within the core,
     *         0 for peeled nodes)
     */
@@ -56,6 +61,12 @@ object KCore {
       es = pruned
       rounds += 1
     }
+    // never a silent cap: an unconverged peel is an ERROR, not a result
+    // (interior nodes of a long path would read in_core=1 when they are
+    // not — advisor finding, round 8)
+    if (!stable) throw new IllegalStateException(
+      s"k-core peeling did not converge within $maxRounds rounds (k=$k); " +
+        "raise maxRounds past the graph's degeneracy peel depth")
     val coreDeg = es.select(col("a").as("id"))
       .unionByName(es.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("core_degree"))

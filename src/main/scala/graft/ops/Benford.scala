@@ -32,7 +32,11 @@ object Benford {
 
   /** @return (keyCol, n, n_skipped, tvd_fix, worst_digit,
     *         worst_dev_fix) — tvd_fix = Σ_d |obs_d − exp_d| (2^30);
-    *         worst digit ties break low
+    *         worst digit ties break low. EVERY key of the input appears:
+    *         a key whose values are all non-positive (no Benford first
+    *         digit exists) reports n=0 with its n_skipped count and NULL
+    *         tvd/worst columns — an all-zero column must surface in the
+    *         audit, not silently escape it (advisor finding, round 8).
     */
   def firstDigit(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
     val vals = df.select(col(keyCol).as("__k"), col(valCol).cast("long").as("__v"))
@@ -53,11 +57,14 @@ object Benford {
       .withColumn("__obs",
         expr(s"(CAST(__c AS DECIMAL(38,0)) * ${1L << 30}) div __n"))
       .withColumn("__dev", abs(col("__obs") - expr(s"CASE __d $expCase END")))
-    dev.groupBy("__k")
+    val stats = dev.groupBy("__k")
       .agg(max("__n").as("n"), sum("__dev").as("tvd_fix"),
         min(struct((-col("__dev")).as("negdev"), col("__d").as("d")))
           .as("__worst"))
-      .join(skipped, Seq("__k"), "left").na.fill(0L, Seq("n_skipped"))
+    // key spine = skipped (one row per INPUT key, ≤|keys| — the same
+    // map-side-combined pass that counts n_skipped), so all-non-positive
+    // keys survive the left join with NULL stats rather than vanishing
+    skipped.join(stats, Seq("__k"), "left").na.fill(0L, Seq("n"))
       .select(col("__k").as(keyCol), col("n"), col("n_skipped"),
         col("tvd_fix").cast("long").as("tvd_fix"),
         col("__worst.d").as("worst_digit"),

@@ -101,23 +101,36 @@ object RecordLinkage {
     * `agree_<f>` flags, `n_agree`, the summed 16.16 `score_fix`, and
     * the three-way `decision` (1 link / 0 possible / −1 non-link) at
     * ±`thresholdBits`·2¹⁶.
+    *
+    * NULL convention (Fellegi–Sunter missing-data handling): a field
+    * that is NULL on EITHER side carries no evidence — its `agree_<f>`
+    * flag is NULL, it adds 0 to both `n_agree` and `score_fix`. Scoring
+    * missing data as active disagreement would bias sparse records
+    * toward non-link (advisor finding, round 8); null-vs-null is
+    * likewise "unknown", never "agree".
     */
   def scorePairs(pairs: DataFrame, weights: DataFrame, fields: Seq[Field],
       thresholdBits: Int = 2): DataFrame = {
     val wide = weights.groupBy().pivot("field", fields.map(_.name))
       .agg(first("w_agree_fix").as("wa"), first("w_disagree_fix").as("wd"))
     val withW = pairs.crossJoin(broadcast(wide))
+    // a === b is three-valued: NULL on either side yields a NULL flag
+    // (SQL semantics, identical in the mirroring engine)
     val flagged = fields.foldLeft(withW) { (df, f) =>
       df.withColumn(s"agree_${f.name}",
         (col(s"${f.name}_a") === col(s"${f.name}_b")).cast("int"))
     }
+    // NULL flag -> 0 contribution (neither w_agree nor w_disagree):
+    // missing data is absence of evidence, not disagreement evidence
     val score = fields.map(f =>
       when(col(s"agree_${f.name}") === 1, col(s"${f.name}_wa"))
-        .otherwise(col(s"${f.name}_wd"))).reduce(_ + _)
+        .when(col(s"agree_${f.name}") === 0, col(s"${f.name}_wd"))
+        .otherwise(lit(0L))).reduce(_ + _)
     val thr = thresholdBits.toLong << 16
     flagged
       .withColumn("n_agree",
-        fields.map(f => col(s"agree_${f.name}").cast(LongType)).reduce(_ + _))
+        fields.map(f => coalesce(col(s"agree_${f.name}"), lit(0))
+          .cast(LongType)).reduce(_ + _))
       .withColumn("score_fix", score)
       .withColumn("decision",
         when(col("score_fix") >= thr, 1)

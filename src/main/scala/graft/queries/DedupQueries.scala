@@ -1762,12 +1762,17 @@ object DedupQueries {
        |  FROM prs),
        |sc AS (
        |  SELECT id_a, id_b,
-       |    CAST(agree_lang + agree_source + agree_head + agree_lenb
+       |    CAST(coalesce(agree_lang, 0) + coalesce(agree_source, 0)
+       |       + coalesce(agree_head, 0) + coalesce(agree_lenb, 0)
        |      AS BIGINT) AS n_agree,
-       |    CAST((CASE WHEN agree_lang = 1 THEN wl.wa ELSE wl.wd END)
-       |       + (CASE WHEN agree_source = 1 THEN ws.wa ELSE ws.wd END)
-       |       + (CASE WHEN agree_head = 1 THEN wh.wa ELSE wh.wd END)
-       |       + (CASE WHEN agree_lenb = 1 THEN wn.wa ELSE wn.wd END)
+       |    CAST((CASE WHEN agree_lang = 1 THEN wl.wa
+       |               WHEN agree_lang = 0 THEN wl.wd ELSE 0 END)
+       |       + (CASE WHEN agree_source = 1 THEN ws.wa
+       |               WHEN agree_source = 0 THEN ws.wd ELSE 0 END)
+       |       + (CASE WHEN agree_head = 1 THEN wh.wa
+       |               WHEN agree_head = 0 THEN wh.wd ELSE 0 END)
+       |       + (CASE WHEN agree_lenb = 1 THEN wn.wa
+       |               WHEN agree_lenb = 0 THEN wn.wd ELSE 0 END)
        |      AS BIGINT) AS score_fix
        |  FROM ag, w wl, w ws, w wh, w wn
        |  WHERE wl.field = 'lang' AND ws.field = 'source'

@@ -841,14 +841,18 @@ object MiscOps {
        |  SELECT k, d, n, abs((c * 1073741824) // n - ef) AS dev,
        |         max(abs((c * 1073741824) // n - ef))
        |           OVER (PARTITION BY k) AS dmax
-       |  FROM w)
-       |SELECT dv.k AS l_returnflag, CAST(max(dv.n) AS BIGINT) AS n,
-       |       coalesce(max(sk.ns), 0) AS n_skipped,
-       |       CAST(sum(dv.dev) AS BIGINT) AS tvd_fix,
-       |       min(CASE WHEN dv.dev = dv.dmax THEN dv.d END) AS worst_digit,
-       |       CAST(max(dv.dev) AS BIGINT) AS worst_dev_fix
-       |FROM dv LEFT JOIN sk ON sk.k = dv.k
-       |GROUP BY 1 ORDER BY 1""".stripMargin
+       |  FROM w),
+       |ag AS (
+       |  SELECT k, CAST(max(n) AS BIGINT) AS n,
+       |         CAST(sum(dev) AS BIGINT) AS tvd_fix,
+       |         min(CASE WHEN dev = dmax THEN d END) AS worst_digit,
+       |         CAST(max(dev) AS BIGINT) AS worst_dev_fix
+       |  FROM dv GROUP BY 1)
+       |SELECT sk.k AS l_returnflag, coalesce(ag.n, 0) AS n,
+       |       sk.ns AS n_skipped, ag.tvd_fix, ag.worst_digit,
+       |       ag.worst_dev_fix
+       |FROM sk LEFT JOIN ag ON ag.k = sk.k
+       |ORDER BY 1""".stripMargin
   }
 
   /** q185: activity streaks (gaps-and-islands) — per user, the longest

@@ -55,6 +55,21 @@ class KCoreSpec extends SparkSpec {
     assert(got(3L)._2 == 4L && got(0L)._2 == 3L)
   }
 
+  test("hitting maxRounds before the fixpoint throws, never truncates") {
+    // path 0-1-...-19 at k=2 peels two endpoints per round: ~10 rounds.
+    // maxRounds=3 cannot reach the fixpoint -> must THROW (a silent cap
+    // would report interior nodes in_core=1); a sufficient bound peels
+    // the whole path away.
+    val path = (0L until 19L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] {
+      KCore.membership(path.toDF("src", "dst"), (0L to 19L).toDF("id"),
+        "id", k = 2, maxRounds = 3).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    val got = run(path, 0L to 19L, k = 2)
+    assert(got.values.forall(_ == ((0, 0L))))
+  }
+
   test("partition invariance under a 9-way repartition") {
     val edges = (0L until 100L).map(i => (i % 19, (i * 7 + 3) % 19)) ++
       clique(Seq(30L, 31L, 32L, 33L, 34L))

@@ -45,6 +45,19 @@ class BenfordSpec extends SparkSpec {
     assert(got._2 == 2L && got._3 == 2L)
   }
 
+  test("a key whose values are ALL non-positive still surfaces (n=0, NULL stats)") {
+    val rows = Seq(("dead", 0L), ("dead", -3L), ("live", 5L))
+    val got = Benford.firstDigit(rows.toDF("k", "v"), "k", "v")
+      .orderBy("k").collect()
+    assert(got.length == 2, "all-non-positive key escaped the audit")
+    val dead = got(0)
+    assert(dead.getString(0) == "dead" && dead.getLong(1) == 0L &&
+      dead.getLong(2) == 2L)
+    assert(dead.isNullAt(3) && dead.isNullAt(4) && dead.isNullAt(5),
+      "n=0 key must report NULL tvd/worst, not fabricated zeros")
+    assert(got(1).getString(0) == "live" && got(1).getLong(1) == 1L)
+  }
+
   test("partition invariance under a 6-way repartition") {
     val rows = (1L until 500L).map(v => (s"g${v % 2}", v * v % 977 + 1))
     val a = run(rows)

@@ -57,6 +57,35 @@ class RecordLinkageSpec extends SparkSpec {
     assert(out(2) == ((0L, wm("k")._2 + wm("t")._2, -1)))
   }
 
+  test("scorePairs: a NULL on either side is zero evidence, not disagreement") {
+    val recs = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "x"),
+      (4L, "b", "z")).toDF("id", "k", "t")
+    val fields = Seq(Field("k", col("k"), M9, M1),
+      Field("t", col("t"), M9, M1))
+    val w = RecordLinkage.fieldWeights(recs, fields)
+    val wm = w.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val pairs = Seq(
+      (1L, 2L, Some("a"), Some("a"), None, Some("y")),    // t missing left
+      (1L, 3L, None, Some("b"), Some("x"), Some("x")),    // k missing left
+      (2L, 4L, Option.empty[String], None, None, None))   // all missing
+      .toDF("id_a", "id_b", "k_a", "k_b", "t_a", "t_b")
+    val out = RecordLinkage.scorePairs(pairs, w, fields, thresholdBits = 2)
+      .orderBy("id_a", "id_b")
+      .collect()
+    // agree flags: NULL where a side is missing
+    assert(out(0).isNullAt(out(0).fieldIndex("agree_t")))
+    assert(out(0).getInt(out(0).fieldIndex("agree_k")) == 1)
+    // score: only the observed field contributes
+    assert(out(0).getLong(out(0).fieldIndex("score_fix")) == wm("k")._1)
+    assert(out(0).getLong(out(0).fieldIndex("n_agree")) == 1L)
+    assert(out(1).getLong(out(1).fieldIndex("score_fix")) == wm("t")._1)
+    // an all-missing pair scores exactly 0 -> "possible", never non-link
+    assert(out(2).getLong(out(2).fieldIndex("score_fix")) == 0L)
+    assert(out(2).getLong(out(2).fieldIndex("n_agree")) == 0L)
+    assert(out(2).getInt(out(2).fieldIndex("decision")) == 0)
+  }
+
   private def decide(s: Long): Int =
     if (s >= 131072L) 1 else if (s >= -131072L) 0 else -1
 }

@@ -456,6 +456,19 @@ class PlanShapeSpec extends SparkSpec {
       s"alloc relation should broadcast onto the ranked sample:\n$p")
   }
 
+  test("q171: median/MAD is one key exchange, two in-partition sorts, zero joins") {
+    // the round-8 formulation executed the input three times and joined
+    // the med/mad relations back; the window-lift rewrite must keep the
+    // whole screen on a single hashpartitioning(keys) exchange
+    val p = plan(graft.queries.MiscOps.queries("q171_robust_outliers")(spark, sf))
+    assert(!p.contains("Join"), s"med/mad joined back — single-pass lost:\n$p")
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(hashEx == 1, s"expected ONE key exchange, got $hashEx:\n$p")
+    assert("FileScan".r.findAllIn(p).size <= 1,
+      s"input relation scanned more than once:\n$p")
+  }
+
   test("q128: edit verify blocks on an equi-join; texts stay out of the blocking shuffle") {
     val p = plan(graft.queries.DedupQueries.queries("q128_edit_verify")(spark, sf))
     assert(p.contains("lev_bounded"), s"kernel expression missing:\n$p")
