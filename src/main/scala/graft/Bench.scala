@@ -1,16 +1,108 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Two modes:
+  *
+  *   - SHARDED (default for > trancheSize queries): the parent process
+  *     creates NO SparkSession — it splits the sorted query list into
+  *     tranches of ≤ SPARK_GRAFT_TRANCHE_SIZE (default 50), runs each
+  *     tranche in its own child JVM (same flags, sequential), merges
+  *     the per-tranche JSON files, and emits the usual artifact. One
+  *     JVM running 200+ whole-stage-codegen'd queries saturates even a
+  *     1 GB reserved code cache mid-run and the sweeper deoptimizes
+  *     hot methods — round-8's artifact showed 16 queries timing
+  *     SLOWER at sf0.1 in the full run than at sf1 in isolation, a
+  *     2.3× phantom regression. Per-tranche JVMs keep every query's
+  *     steady-state JIT within cache budget, so the artifact is
+  *     comparable round-over-round.
+  *   - INLINE (child mode, small SPARK_GRAFT_BENCH_ONLY subsets, or
+  *     SPARK_GRAFT_TRANCHE_SIZE=0): the classic single-JVM timed loop.
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n))).sorted
+    val trancheSize = sys.env.getOrElse("SPARK_GRAFT_TRANCHE_SIZE", "50").toInt
+    val isChild = sys.env.contains("SPARK_GRAFT_BENCH_TRANCHE")
+    if (isChild || trancheSize <= 0 || names.size <= trancheSize)
+      runInline(names)
+    else
+      runSharded(names, trancheSize)
+  }
+
+  // ---------------------------------------------------------------- sharded
+
+  private def runSharded(names: Seq[String], trancheSize: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val tranches = names.grouped(trancheSize).toSeq
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    // replicate THIS JVM's flags (add-opens, heap, code cache) verbatim —
+    // the child must time under the same memory/JIT regime sbt gave us
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val cp = System.getProperty("java.class.path")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench-")
+    val perQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    val trancheMeta = scala.collection.mutable.ArrayBuffer[String]()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    tranches.zipWithIndex.foreach { case (qs, i) =>
+      val outFile = tmp.resolve(s"tranche_$i.json")
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", cp, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_BENCH_TRANCHE", i.toString)
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", qs.mkString(","))
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      System.err.println(
+        s"[bench] tranche $i/${tranches.size}: ${qs.size} queries " +
+          s"(${qs.head}..${qs.last})")
+      val t0 = System.nanoTime()
+      val proc = pb.start()
+      // drain child stdout onto OUR stderr: the parent's final merged
+      // lines must be the only JSON on stdout (driver tail-parses it)
+      val pump = new Thread(() => {
+        val in = proc.getInputStream
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { System.err.write(buf, 0, n); n = in.read(buf) }
+      })
+      pump.setDaemon(true); pump.start()
+      val code = proc.waitFor()
+      pump.join(2000)
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (code != 0 || !java.nio.file.Files.exists(outFile)) {
+        // a dead tranche must surface as FAILURES, never vanish
+        System.err.println(s"[bench] tranche $i exited $code without output")
+        qs.foreach(failed += _)
+      } else {
+        val node = om.readTree(java.nio.file.Files.readAllBytes(outFile))
+        node.get("queries").fields().asScala
+          .foreach(e => perQuery(e.getKey) = e.getValue.asDouble())
+        node.get("failed").elements().asScala
+          .foreach(f => failed += f.asText())
+      }
+      trancheMeta += s"""{"i":$i,"n":${qs.size},"first":"${qs.head}",""" +
+        s""""last":"${qs.last}","wall_sec":${ms(wall)}}"""
+    }
+    emit(names.map(n => (n, perQuery.getOrElse(n, 0.0),
+        !failed.contains(n) && perQuery.contains(n))),
+      sfDir, Some(trancheMeta.toSeq))
+  }
+
+  // ----------------------------------------------------------------- inline
+
+  private def runInline(names: Seq[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
-    // dev convenience: comma-separated query subset (e.g. the round-3
-    // 50-query set for regression isolation); absent = full suite
-    val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
-    val benchQueries = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val benchQueries = names.map(n => n -> SparkEntry.queries(n))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -43,7 +135,7 @@ object Bench {
     System.gc()
     Thread.sleep(3000)
 
-    val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = benchQueries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every output column —
       // count() would let Catalyst prune the projection away
@@ -57,12 +149,39 @@ object Bench {
       spark.catalog.clearCache()
       (name, t, ok)
     }
-    // ms precision on the stdout line keeps the 95-query record compact;
-    // BENCH_LOCAL.json keeps full nanosecond-derived precision.
-    // Locale.ROOT: the default-locale format would print "1,234" on
-    // comma-decimal locales and break the JSON the driver tail-parses.
-    def ms(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // optional JIT telemetry for SCALING.md: the high-water mark answers
+    // "does the code cache still saturate mid-run?" without a JFR attach
+    if (sys.env.contains("SPARK_GRAFT_CODECACHE_STATS"))
+      codeCacheStats().foreach(s => System.err.println(s"[codecache] $s"))
+    // Stop Spark BEFORE emitting the metric lines so shutdown chatter can
+    // never land after them — the short JSON must be the very last line.
+    val emitAfterStop = () => emit(results, sfDir, None)
+    spark.stop()
+    emitAfterStop()
+  }
+
+  private def codeCacheStats(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.toLowerCase.contains("code"))
+      .map { p =>
+        val u = p.getUsage; val pk = p.getPeakUsage
+        s"${p.getName}: used=${u.getUsed / 1048576}MB " +
+          s"peak=${pk.getUsed / 1048576}MB max=${u.getMax / 1048576}MB"
+      }.toSeq
+  }
+
+  // ------------------------------------------------------------------- emit
+
+  // ms precision on the stdout line keeps the 200-query record compact;
+  // BENCH_LOCAL.json keeps full nanosecond-derived precision.
+  // Locale.ROOT: the default-locale format would print "1,234" on
+  // comma-decimal locales and break the JSON the driver tail-parses.
+  private def ms(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  private def emit(results: Seq[(String, Double, Boolean)], sfDir: String,
+      tranches: Option[Seq[String]]): Unit = {
     // a failed query's wall time is meaningless — exclude it from the
     // total and name it in `failed` so a broken round can never read as a
     // speedup (round-6 advisor finding: 7 dead queries timed at ~0.06 s
@@ -74,12 +193,15 @@ object Bench {
     val qsShort = results.map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val trancheJson = tranches
+      .map(t => s""","tranches":${t.mkString("[", ",", "]")}""")
+      .getOrElse("")
     val jsonFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedJson$trancheJson,"sf":"$sfDir"}"""
     val jsonDetail =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"failed":$failedJson$trancheJson,"sf":"$sfDir"}"""
     // The driver's tail capture keeps only the last ~2 KB of stdout; a
-    // 95-query detail line is bigger than that, so its head (with
+    // 200-query detail line is bigger than that, so its head (with
     // "value":total) gets truncated and the round scores parsed:null
     // (round-4 verdict #1). Emit the detail line first, then a SHORT
     // self-contained total record as the very last line — whatever prefix
@@ -99,9 +221,6 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] durable write failed: $e")
     }
-    // Stop Spark BEFORE emitting the metric lines so shutdown chatter can
-    // never land after them — the short JSON must be the very last line.
-    spark.stop()
     System.out.flush()
     println(jsonDetail)
     println(jsonTail)

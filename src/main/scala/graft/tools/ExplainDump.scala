@@ -98,7 +98,7 @@ object ExplainDump {
     "q168_cusum_shift" -> "CUSUM recursion rewritten as cumsum-minus-running-min: baseline window + 2 cumsums + 2 running mins all ride ONE event_type exchange; spine densification upstream is the q159 shape",
     "q169_containment" -> "inverted gram index is the one corpus shuffle; df>cap grams leave index AND denominators together (per-gram fan-out <= cap^2); pair counting map-side combined; both directions derive from one a<b count",
     "q170_stratified_sample" -> "Hamilton apportionment runs on the <=|strata| count relation (unpartitioned windows are deliberate there) and broadcasts back; membership rides TopKPerKey bounded heaps at k = max alloc — no corpus sort window",
-    "q171_robust_outliers" -> "exact tier by contract: two key-partitioned sort windows (median, then MAD over deviations) + map-side-combined flag counting; the 100 TB swap is the q118 sketch with the same cross-multiplied fences",
+    "q171_robust_outliers" -> "window-lift single pass: median and MAD lifted onto rows as whole-partition window aggregates — ONE key exchange, two in-partition sorts, zero joins, input executed once (was 3 executions + 2 joins; 26.1 s -> 7.8 s at sf1); 100 TB swap is the q118 sketch with the same cross-multiplied fences",
     "q172_woe_iv" -> "one map-side-combined (bin -> good/bad) aggregation; everything after runs on the <=|bins| relation (unpartitioned totals deliberate); every floor division on non-negative operands so div and // agree",
     "q173_path_mining" -> "sessionize + trigram leads all ride ONE user-keyed exchange (lead(session)==session guard replaces a (user,session) re-window); path count + exact user support partial map-side into one path-keyed exchange",
     "q174_assoc_rules" -> "A-priori item prune BEFORE the basket-keyed pair self-join bounds fan-out at C(k_freq,2); pair counts map-side combined; basket total is a broadcast 1-row aggregate, never a window",
