@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.CompositeQueries.queries ++
       graft.queries.SinkQueries.queries ++
       graft.queries.CurationQueries.queries ++
-      graft.queries.SearchQueries.queries
+      graft.queries.SearchQueries.queries ++
+      graft.queries.AuditQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.CompositeQueries.oracles ++
       graft.queries.SinkQueries.oracles ++
       graft.queries.CurationQueries.oracles ++
-      graft.queries.SearchQueries.oracles
+      graft.queries.SearchQueries.oracles ++
+      graft.queries.AuditQueries.oracles
 }

@@ -543,6 +543,13 @@ object Multimodal {
   trait AudioCodec extends Serializable {
     def audioFeatures(bytes: Array[Byte]): AudioFeatures
     def resample(bytes: Array[Byte], targetRate: Int): Array[Byte]
+
+    /** Per-window energy of channel 0: Σ|sample| over each consecutive
+      * `windowSamples`-sample window (last window may be partial), as
+      * exact integers on the 16-bit grid — energy 0 ⟺ every sample in
+      * the window is EXACTLY zero, the integer-exact silence test the
+      * VAD tier (q207) segments on. */
+    def energyWindows(bytes: Array[Byte], windowSamples: Int): Seq[Long]
   }
 
   object JavaSoundCodec extends AudioCodec {
@@ -631,6 +638,27 @@ object Multimodal {
       AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
     }
+
+    /** Exact integer window energies: decodePcm yields k/32768.0 for
+      * 16-bit sample k (a power-of-two division, so k recovers exactly
+      * by multiplication) — Σ|k| per window is bit-deterministic and 0
+      * precisely when the window is digital silence. */
+    def energyWindows(bytes: Array[Byte], windowSamples: Int): Seq[Long] = {
+      require(windowSamples > 0, s"bad window $windowSamples")
+      val (_, _, s) = decodePcm(bytes)
+      val out = scala.collection.mutable.ArrayBuffer[Long]()
+      var i = 0
+      while (i < s.length) {
+        var e = 0L
+        val end = math.min(i + windowSamples, s.length)
+        while (i < end) {
+          e += math.abs(math.round(s(i) * 32768.0))
+          i += 1
+        }
+        out += e
+      }
+      out.toSeq
+    }
   }
 
   /** Deterministic fake for codecs outside the JDK (mp3/opus): features
@@ -650,6 +678,14 @@ object Multimodal {
     }
     def resample(bytes: Array[Byte], targetRate: Int): Array[Byte] =
       bytes.take(math.max(16, bytes.length / 2))
+    def energyWindows(bytes: Array[Byte], windowSamples: Int): Seq[Long] = {
+      // 8 hash-derived windows; every third is silent — gives specs a
+      // deterministic island structure without any decode
+      val k = h(bytes, 53)
+      (0 until 8).map(w =>
+        if ((math.abs(k) + w) % 3 == 0) 0L
+        else 1L + math.abs(h(bytes, w + 100)) % 1000L)
+    }
   }
 
   /** Per-blob audio features, batch-shaped like [[withImageFeatures]]. */
@@ -711,6 +747,84 @@ object Multimodal {
     val enc = Encoders.row(schema)
     ids.mapPartitions { rows =>
       rows.map { r => Row(r.getLong(0), renderWav(r.getLong(0))) }
+    }(enc)
+  }
+
+  /** A speech-shaped WAV: 20 + id%5 blocks of 400 samples each; block b
+    * is DIGITAL SILENCE iff (id + b) % 3 == 0, else the q61 square wave
+    * — so q207's voice-activity segmentation has a closed-form oracle
+    * (the silence pattern is pure arithmetic on (id, window index)).
+    */
+  def renderSpeechWav(id: Long): Array[Byte] = {
+    val blocks = (20 + id % 5).toInt
+    val w = 400
+    val hp = 1 + (id % 7).toInt
+    val a = (1000L + (id * 37L) % 20000L).toInt
+    val n = blocks * w
+    val pcm = new Array[Byte](n * 2)
+    var b = 0
+    while (b < blocks) {
+      val silent = (id + b) % 3 == 0
+      var i = 0
+      while (i < w) {
+        val v = if (silent) 0 else if ((i / hp) % 2 == 0) a else -a
+        val j = (b * w + i) * 2
+        pcm(j) = (v & 0xFF).toByte
+        pcm(j + 1) = ((v >> 8) & 0xFF).toByte
+        i += 1
+      }
+      b += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** A speech corpus with planted silence gaps (every sampled doc id). */
+  def syntheticSpeech(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = graft.ops.Par.fanOut(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id")).filter(col("doc_id") % 7 === 3))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("blob", BinaryType)))
+    val enc = Encoders.row(schema)
+    ids.mapPartitions { rows =>
+      rows.map { r => Row(r.getLong(0), renderSpeechWav(r.getLong(0))) }
+    }(enc)
+  }
+
+  /** A real "video" corpus: one frame ARRAY per sampled document id —
+    * video as the schema the prompt prescribes (opaque binary frames +
+    * typed metadata), no container codec. Construction is fully
+    * deterministic so q206's oracle derives the expected scene algebra
+    * from arithmetic: video doc_id has 6 + id%5 frames, the scene
+    * changes every 3 frames (scene image id = id·16 + f div 3 — scene
+    * ids never collide across videos since scenes/video ≤ 4 < 16), and
+    * every id % 13 == 0 video ships an identical replica at
+    * id + 10'000'000 (the cross-video dup the pipeline must find).
+    */
+  def syntheticVideos(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = graft.ops.Par.fanOut(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id")).filter(col("doc_id") % 7 === 0))
+    val schema = StructType(Seq(
+      StructField("video_id", LongType),
+      StructField("frames", ArrayType(BinaryType))))
+    val enc = Encoders.row(schema)
+    ids.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val nf = (6 + id % 5).toInt
+        val frames: Array[Array[Byte]] =
+          (0 until nf).map(f => renderPng(id * 16 + f / 3)).toArray
+        val base = Row(id, frames)
+        if (id % 13 == 0) Seq(base, Row(id + 10000000L, frames))
+        else Seq(base)
+      }
     }(enc)
   }
 

@@ -1,0 +1,473 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.functions.FixedLogExprs
+import graft.ops.{Iban, Load, Ols, RobustStats}
+
+/** Round-9 audit tier: financial-identifier validation (IBAN mod-97),
+  * corpus power-law diagnostics (Zipf slope), and seasonal robust
+  * outlier screens — each a composition of existing kernels
+  * (fixed-point logs, OLS sums, window-lift median/MAD) with its own
+  * independent DuckDB oracle.
+  */
+object AuditQueries {
+
+  /** q200: IBAN mod-97 audit ([[Iban]]) — the financial-identifier
+    * precision tier next to q190's Luhn gate: per customer a synthetic
+    * account is assembled from deterministic fields (two country
+    * letters from the nation key, two check digits from the customer
+    * key, an 18-digit BBAN from key + balance cents) and the ISO 7064
+    * residue of the rearranged number decides validity — ~1/97 of the
+    * accounts verify, exactly the ones whose key-derived check digits
+    * happen to solve the congruence. The residue is a DECIMAL(38,0) /
+    * HUGEINT modulo of the 24-digit transliterated number — one narrow
+    * codegen'd projection, zero shuffles before the output sort.
+    */
+  def q200IbanAudit(spark: SparkSession, dir: String): DataFrame = {
+    val c = Load.table(spark, dir, "customer")
+      .withColumn("__l1", expr("chr(65 + c_nationkey % 26)"))
+      .withColumn("__l2", expr("chr(65 + (c_nationkey * 7 + 3) % 26)"))
+      .withColumn("__cd",
+        lpad((col("c_custkey") % 100).cast("string"), 2, "0"))
+      .withColumn("__cents",
+        abs((col("c_acctbal").cast(DecimalType(18, 4)) * 100)
+          .cast(LongType)) % 100000000L)
+      .withColumn("__bban",
+        concat(lpad(col("c_custkey").cast("string"), 10, "0"),
+          lpad(col("__cents").cast("string"), 8, "0")))
+    c.select(col("c_custkey"),
+        concat(col("__l1"), col("__l2"), col("__cd"), col("__bban"))
+          .as("iban"),
+        Iban.mod97(concat(col("__bban"), col("__l1"), col("__l2"),
+          col("__cd"))).as("residue"))
+      .withColumn("valid", (col("residue") === 1).cast("int"))
+      .orderBy("c_custkey")
+  }
+
+  val q200Sql: String =
+    """WITH b AS (
+      |  SELECT c_custkey,
+      |         chr(65 + c_nationkey % 26) AS l1,
+      |         chr(65 + (c_nationkey * 7 + 3) % 26) AS l2,
+      |         lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') AS cd,
+      |         lpad(CAST(c_custkey AS VARCHAR), 10, '0') ||
+      |           lpad(CAST(abs(CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100
+      |                               AS BIGINT)) % 100000000 AS VARCHAR),
+      |                8, '0') AS bban
+      |  FROM customer),
+      |r AS (
+      |  SELECT c_custkey, l1 || l2 || cd || bban AS iban,
+      |         CAST(CAST(bban
+      |                || CAST(ascii(l1) - 55 AS VARCHAR)
+      |                || CAST(ascii(l2) - 55 AS VARCHAR)
+      |                || cd AS HUGEINT) % 97 AS BIGINT) AS residue
+      |  FROM b)
+      |SELECT c_custkey, iban, residue,
+      |       CASE WHEN residue = 1 THEN 1 ELSE 0 END AS valid
+      |FROM r ORDER BY c_custkey""".stripMargin
+
+  /** q201: Zipf slope per language — the corpus power-law diagnostic
+    * (natural text ranks its vocabulary at slope ≈ −1; template spam,
+    * boilerplate floods, and synthetic filler bend it): regress
+    * log₂(freq) on log₂(rank) over each language's top-256 terms with
+    * [[Ols.groupTrend]]'s map-side-combinable sums. Both logs are the
+    * exact square-and-shift 16.16 binary log (log₂(n) = 30·2¹⁶ +
+    * log2fix(n/2³⁰)), so every point — and therefore the OLS sums and
+    * the 2¹⁶-floored slope — is bit-identical across engines. Scale
+    * shape: ONE corpus exchange (the wordcount); the rank window and
+    * the regression run on the ≤256·|langs| relation.
+    */
+  def q201ZipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Load.table(spark, dir, "documents")
+      .select(col("lang"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("lang", "token").agg(count(lit(1)).as("freq"))
+    val ranked = tf
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang")
+          .orderBy(col("freq").desc, col("token"))))
+      .filter(col("rank") <= 256)
+    def lg2(c: Column): Column =
+      lit(30L * 65536L) + FixedLogExprs.log2fix(c.cast("long"), 30, 16)
+    val pts = ranked.select(col("lang"),
+      lg2(col("rank")).as("x"), lg2(col("freq")).as("y"))
+    Ols.groupTrend(pts, "lang", "x", "y").orderBy("lang")
+  }
+
+  val q201Sql: String =
+    """WITH RECURSIVE tf AS (
+      |  SELECT lang, token, count(*)::BIGINT AS freq
+      |  FROM (SELECT lang,
+      |               unnest(string_split_regex(trim(lower(text)), '\s+'))
+      |                 AS token
+      |        FROM documents)
+      |  WHERE token <> '' GROUP BY lang, token),
+      |rk AS (
+      |  SELECT lang, freq,
+      |         row_number() OVER (PARTITION BY lang
+      |           ORDER BY freq DESC, token) AS rank
+      |  FROM tf QUALIFY rank <= 256),
+      |vals AS (
+      |  SELECT DISTINCT v FROM (
+      |    SELECT rank AS v FROM rk UNION SELECT freq FROM rk)),
+      |nrm AS (
+      |  SELECT v, greatest(v, 1) AS m, 0::BIGINT AS k FROM vals
+      |  UNION ALL
+      |  SELECT v, m * 2, k + 1 FROM nrm WHERE m < 1073741824),
+      |normed AS (SELECT v, m, k FROM nrm WHERE m >= 1073741824),
+      |sq AS (
+      |  SELECT v, k, m, 0 AS i, 0::BIGINT AS acc FROM normed
+      |  UNION ALL
+      |  SELECT v, k,
+      |         CASE WHEN m2 >= 2147483648::BIGINT THEN m2 // 2 ELSE m2 END,
+      |         i + 1,
+      |         acc * 2 + CASE WHEN m2 >= 2147483648::BIGINT THEN 1 ELSE 0 END
+      |  FROM (SELECT v, k, (m * m) // 1073741824 AS m2, i, acc
+      |        FROM sq WHERE i < 16) s),
+      |lgv AS (SELECT v, 1966080 + acc - k * 65536 AS lg
+      |        FROM sq WHERE i = 16),
+      |pts AS (
+      |  SELECT rk.lang, lx.lg AS x0, ly.lg AS y
+      |  FROM rk JOIN lgv lx ON lx.v = rk.rank
+      |          JOIN lgv ly ON ly.v = rk.freq),
+      |based AS (
+      |  SELECT lang,
+      |         (x0 - min(x0) OVER (PARTITION BY lang))::HUGEINT AS x,
+      |         y::HUGEINT AS y
+      |  FROM pts),
+      |s AS (
+      |  SELECT lang, count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+      |         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM based GROUP BY 1),
+      |d AS (
+      |  SELECT lang, n, n * sxy - sx * sy AS cov, n * sxx - sx * sx AS vx,
+      |         n * syy - sy * sy AS vy, sy * sxx - sx * sxy AS inum
+      |  FROM s)
+      |SELECT lang, CAST(n AS BIGINT) AS n,
+      |       CASE WHEN vx = 0 THEN NULL ELSE
+      |         CAST((CASE WHEN cov < 0 THEN -1 ELSE 1 END)
+      |              * ((abs(cov) * 65536) // vx) AS BIGINT) END AS slope_fix,
+      |       CASE WHEN vx = 0 THEN NULL ELSE
+      |         CAST((CASE WHEN inum < 0 THEN -1 ELSE 1 END)
+      |              * ((abs(inum) * 65536) // vx) AS BIGINT) END
+      |         AS intercept_fix,
+      |       CASE WHEN vx = 0 OR vy = 0 THEN NULL ELSE
+      |         CAST(((abs(cov) * 32768) // vx) * ((abs(cov) * 32768) // vy)
+      |              AS BIGINT) END AS r2_fix
+      |FROM d ORDER BY lang""".stripMargin
+
+  /** q202: seasonal robust outlier screen — day-of-week baselines for
+    * event volume: daily counts per (event_type, day-of-week), then
+    * [[RobustStats.medianMadOutliers]]'s window-lift median/MAD flags
+    * the days whose volume breaks their weekday's norm (the Monday
+    * traffic that looks nothing like other Mondays). A second consumer
+    * of the q171 single-pass operator: one corpus-collapsing count,
+    * then the screen runs on the |types|·7-keyed daily relation.
+    */
+  def q202SeasonalOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Load.events(spark, dir)
+      .select(col("event_type"),
+        expr("ts_ns div 86400000000000").as("__day"))
+      .groupBy("event_type", "__day").agg(count(lit(1)).as("cnt"))
+      // 1970-01-01 is a Thursday; dow 0 = Thursday by this convention
+      .withColumn("dow", (col("__day") + 4) % 7)
+    RobustStats.medianMadOutliers(daily, Seq("event_type", "dow"), "cnt")
+      .orderBy("event_type", "dow")
+  }
+
+  val q202Sql: String =
+    """WITH v AS (
+      |  SELECT event_type, (day + 4) % 7 AS dow, count(*)::BIGINT AS cnt
+      |  FROM (SELECT event_type, epoch_us(ts) // 86400000000 AS day
+      |        FROM events)
+      |  GROUP BY event_type, day),
+      |r AS (
+      |  SELECT *, row_number() OVER
+      |           (PARTITION BY event_type, dow ORDER BY cnt) AS rn,
+      |         count(*) OVER (PARTITION BY event_type, dow) AS n
+      |  FROM v),
+      |med AS (
+      |  SELECT event_type, dow, cnt AS med
+      |  FROM r WHERE rn = (n + 1) // 2),
+      |dv AS (
+      |  SELECT v.event_type, v.dow, v.cnt, m.med,
+      |         abs(v.cnt - m.med) AS adev
+      |  FROM v JOIN med m USING (event_type, dow)),
+      |r2 AS (
+      |  SELECT *, row_number() OVER
+      |           (PARTITION BY event_type, dow ORDER BY adev) AS rn,
+      |         count(*) OVER (PARTITION BY event_type, dow) AS n
+      |  FROM dv),
+      |mad AS (
+      |  SELECT event_type, dow, adev AS mad
+      |  FROM r2 WHERE rn = (n + 1) // 2)
+      |SELECT d.event_type, d.dow, count(*)::BIGINT AS n,
+      |       CAST(min(d.med) AS BIGINT) AS med,
+      |       CAST(min(m.mad) AS BIGINT) AS mad,
+      |       sum(CASE WHEN 6745 * d.adev > 35000 * m.mad
+      |                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+      |FROM dv d JOIN mad m USING (event_type, dow)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q203: l-diversity audit — the disclosure screen k-anonymity (q140)
+    * misses: a quasi-identifier cell can hold ≥ k rows yet leak the
+    * sensitive attribute when all of them share its value. Per
+    * (balance-bucket, segment) cell: group size, the number of DISTINCT
+    * sensitive values (nation), and the modal value's share as a 2¹⁶
+    * floor — `diverse` requires l ≥ 3 AND modal share ≤ ½. Scale
+    * shape: one map-side-combined (cell, value) count, then every
+    * window/rollup runs on the ≤|cells|·|values| relation — the corpus
+    * is touched once.
+    */
+  def q203LDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Load.table(spark, dir, "customer")
+      .select(
+        when(col("c_acctbal") < 0, lit(-1L))
+          .otherwise(floor(col("c_acctbal") / 250.0).cast("long"))
+          .as("bal_bucket"),
+        col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("long").as("nation"))
+    val cells = keyed.groupBy("bal_bucket", "segment", "nation")
+      .agg(count(lit(1)).as("__c"))
+    cells.groupBy("bal_bucket", "segment")
+      .agg(sum("__c").as("group_n"),
+        count(lit(1)).as("l_distinct"),
+        max("__c").as("__modal"))
+      .withColumn("modal_share_fix",
+        expr("(CAST(__modal AS DECIMAL(38,0)) * 65536) div group_n")
+          .cast("long"))
+      .withColumn("diverse",
+        (col("l_distinct") >= 3 &&
+          lit(2L) * col("__modal") <= col("group_n")).cast("int"))
+      .select(col("bal_bucket"), col("segment"),
+        col("group_n").cast("long").as("group_n"),
+        col("l_distinct").cast("long").as("l_distinct"),
+        col("modal_share_fix"), col("diverse"))
+      .orderBy("bal_bucket", "segment")
+  }
+
+  val q203Sql: String =
+    """WITH keyed AS (
+      |  SELECT CASE WHEN c_acctbal < 0 THEN -1
+      |              ELSE CAST(floor(c_acctbal / 250.0) AS BIGINT) END
+      |           AS bal_bucket,
+      |         c_mktsegment AS segment,
+      |         CAST(c_nationkey AS BIGINT) AS nation
+      |  FROM customer),
+      |cells AS (
+      |  SELECT bal_bucket, segment, nation, count(*)::BIGINT AS c
+      |  FROM keyed GROUP BY 1, 2, 3),
+      |g AS (
+      |  SELECT bal_bucket, segment, sum(c)::BIGINT AS group_n,
+      |         count(*)::BIGINT AS l_distinct, max(c)::HUGEINT AS modal
+      |  FROM cells GROUP BY 1, 2)
+      |SELECT bal_bucket, segment, group_n, l_distinct,
+      |       CAST((modal * 65536) // group_n AS BIGINT) AS modal_share_fix,
+      |       CASE WHEN l_distinct >= 3 AND 2 * modal <= group_n
+      |            THEN 1 ELSE 0 END AS diverse
+      |FROM g ORDER BY bal_bucket, segment""".stripMargin
+
+  /** q204: tokenizer fertility — bytes per token per language, the
+    * compression diagnostic that decides whether a tokenizer is fair
+    * to a language (high bytes/token = cheap; a language forced into
+    * char-level splits pays 3–4× the sequence length for the same
+    * content). Runs q101's fixed BPE merge table over every document
+    * and rolls token counts per language: the corpus work is the
+    * narrow codegen'd encode + ONE language-keyed aggregation; the
+    * fixed-point ratio divides on the |langs| relation.
+    */
+  def q204TokenFertility(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+      .select("doc_id", "lang", "text")
+    val perDoc = graft.text.Bpe.encode(d.select("doc_id", "text"), "text",
+        SearchQueries.q101Merges, sep = "+")
+      .groupBy("doc_id").agg(count(lit(1)).as("__toks"))
+    d.join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("__toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__toks").as("n_tokens"),
+        sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+      .withColumn("bytes_per_token_fix",
+        when(col("n_tokens") > 0,
+          expr("(CAST(n_bytes AS DECIMAL(38,0)) * 65536) div n_tokens")
+            .cast("long")))
+      .orderBy("lang")
+  }
+
+  val q204Sql: String = {
+    val chain = SearchQueries.q101Merges.foldLeft(
+      """regexp_replace(word, '(.)', ' \1 ', 'g')""") { case (acc, (l, r)) =>
+      s"replace($acc, ' $l  $r ', ' $l+$r ')"
+    }
+    s"""WITH words AS (
+       |  SELECT doc_id, w[i] AS word
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text), '\\s+'),
+       |                      x -> x <> '') AS w
+       |        FROM documents),
+       |       UNNEST(generate_series(1, len(w))) t(i)),
+       |enc AS (SELECT doc_id, $chain AS s FROM words),
+       |perdoc AS (
+       |  SELECT doc_id,
+       |         sum(len(list_filter(string_split(s, ' '), x -> x <> '')))
+       |           ::BIGINT AS toks
+       |  FROM enc GROUP BY 1),
+       |lg AS (
+       |  SELECT d.lang, count(*)::BIGINT AS n_docs,
+       |         sum(coalesce(p.toks, 0))::BIGINT AS n_tokens,
+       |         sum(strlen(d.text))::BIGINT AS n_bytes
+       |  FROM documents d LEFT JOIN perdoc p USING (doc_id)
+       |  GROUP BY 1)
+       |SELECT lang, n_docs, n_tokens, n_bytes,
+       |       CASE WHEN n_tokens > 0 THEN
+       |         CAST((n_bytes::HUGEINT * 65536) // n_tokens AS BIGINT)
+       |       END AS bytes_per_token_fix
+       |FROM lg ORDER BY lang""".stripMargin
+  }
+
+  /** q205: CCNet-style perplexity buckets — per language, docs split
+    * into head / middle / tail terciles by Kneser–Ney perplexity (the
+    * CCNet curation signal: head = fluent, tail = likely junk, middle
+    * = the gray zone worth a second screen). Per-doc surprisal is
+    * q102's float-free fixed-point model verbatim; the per-bigram rate
+    * becomes the 2¹⁶-floored `ppl_fix` sort key and the tercile is the
+    * closed-form ((rank−1)·3) div n — a value-function of the exact
+    * rank, so both engines bucket identically even on ties (doc_id
+    * tiebreak). Exact tier: the per-lang rank is a sort window; at
+    * 100 TB swap the cutoffs for the q118 histogram quantiles and keep
+    * the same bucket algebra (the q180 swap note).
+    */
+  def q205PerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val model = graft.text.KneserNey.bigramModel(d, "text")
+    val pp = graft.text.KneserNey.perplexityBits(model, d, "text", "doc_id")
+      .filter(col("n_bigrams") > 0)
+      .withColumn("ppl_fix",
+        expr("(CAST(bits_fix AS DECIMAL(38,0)) * 65536) div n_bigrams")
+          .cast("long"))
+    val w = Window.partitionBy("lang").orderBy(col("ppl_fix"), col("doc_id"))
+    pp.join(d.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("__rank", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy("lang")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("bucket", expr("((__rank - 1) * 3) div __n"))
+      .select(col("doc_id"), col("lang"), col("ppl_fix"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val q205Sql: String =
+    s"""WITH base AS (
+       |${TextQueries.q102Sql.replace("ORDER BY d.doc_id", "")}
+       |),
+       |p AS (
+       |  SELECT b.doc_id, d.lang,
+       |         CAST((b.bits_fix::HUGEINT * 65536) // b.n_bigrams AS BIGINT)
+       |           AS ppl_fix
+       |  FROM base b JOIN documents d USING (doc_id)
+       |  WHERE b.n_bigrams > 0),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY lang
+       |           ORDER BY ppl_fix, doc_id) AS rank,
+       |         count(*) OVER (PARTITION BY lang) AS n
+       |  FROM p)
+       |SELECT doc_id, lang, ppl_fix, ((rank - 1) * 3) // n AS bucket
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  /** q206: video scene segmentation + cross-video dedup
+    * ([[graft.multimodal.VideoDedup]]) — the temporal multimodal tier:
+    * deterministic synthetic videos (frame arrays of REAL PNGs, scene
+    * change every 3 frames, replicas planted at id%13) run the full
+    * pipeline — narrow frame explode → per-frame DCT pHash → run-length
+    * scene collapse on one video-keyed window → 16-byte sequence
+    * fingerprint dedup. The oracle derives every expected value from
+    * the construction arithmetic (q75's pattern): frames = 6 + id%5,
+    * segments = ⌈frames/3⌉, dup group 2 iff the replica exists — so
+    * the decode → hash → window → fingerprint path must be exactly
+    * right to reproduce three closed-form columns.
+    */
+  def q206VideoSceneDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{Multimodal, VideoDedup}
+    VideoDedup.sceneSummary(Multimodal.syntheticVideos(spark, dir),
+        "video_id", "frames", Multimodal.ImageIoDecoder)
+      .orderBy("video_id")
+  }
+
+  val q206Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id AS b FROM documents WHERE doc_id % 7 = 0),
+      |vids AS (
+      |  SELECT b AS video_id, b FROM base
+      |  UNION ALL
+      |  SELECT b + 10000000, b FROM base WHERE b % 13 = 0)
+      |SELECT video_id, CAST(6 + b % 5 AS BIGINT) AS n_frames,
+      |       CAST((6 + b % 5 + 2) // 3 AS BIGINT) AS n_segments,
+      |       CAST(CASE WHEN b % 13 = 0 THEN 2 ELSE 1 END AS BIGINT)
+      |         AS dup_group_size
+      |FROM vids ORDER BY video_id""".stripMargin
+
+  /** q207: voice-activity segmentation
+    * ([[graft.multimodal.AudioSegments]]) — the audio twin of q206:
+    * REAL WAV decode (JDK javax.sound) to per-window integer energies,
+    * digital-silence windows (energy exactly 0 on the 16-bit grid)
+    * collapse with their neighbors into talk/silence segments. The
+    * synthetic speech plants silence at (id + window) % 3 == 0, so the
+    * oracle replays the whole VAD — islands and all — from arithmetic
+    * on (id, window index) without touching a byte of audio: the
+    * decode → energy → run-length path must reproduce it exactly.
+    */
+  def q207VoiceActivity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{AudioSegments, Multimodal}
+    AudioSegments.silenceSegments(Multimodal.syntheticSpeech(spark, dir),
+        "doc_id", "blob", Multimodal.JavaSoundCodec, windowSamples = 400)
+      .orderBy("doc_id")
+  }
+
+  val q207Sql: String =
+    """WITH ids AS (
+      |  SELECT doc_id AS id FROM documents WHERE doc_id % 7 = 3),
+      |w AS (
+      |  SELECT id, j AS widx,
+      |         CASE WHEN (id + j) % 3 = 0 THEN 1 ELSE 0 END AS sil
+      |  FROM ids, UNNEST(generate_series(0, 19 + CAST(id % 5 AS INTEGER)))
+      |       t(j)),
+      |r AS (
+      |  SELECT *, lag(sil) OVER (PARTITION BY id ORDER BY widx) AS prev
+      |  FROM w),
+      |seg AS (
+      |  SELECT id, count(*)::BIGINT AS n_windows,
+      |         sum(CASE WHEN prev IS NULL OR prev <> sil
+      |                  THEN 1 ELSE 0 END)::BIGINT AS n_segments,
+      |         sum(1 - sil)::BIGINT AS speech_windows
+      |  FROM r GROUP BY id)
+      |SELECT id AS doc_id, n_windows, n_segments, speech_windows,
+      |       CAST((speech_windows::HUGEINT * 65536) // n_windows AS BIGINT)
+      |         AS speech_ratio_fix
+      |FROM seg ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_voice_activity" -> (q207VoiceActivity _),
+    "q206_video_scene_dedup" -> (q206VideoSceneDedup _),
+    "q205_perplexity_buckets" -> (q205PerplexityBuckets _),
+    "q200_iban_audit" -> (q200IbanAudit _),
+    "q201_zipf_slope" -> (q201ZipfSlope _),
+    "q202_seasonal_outliers" -> (q202SeasonalOutliers _),
+    "q203_l_diversity" -> (q203LDiversity _),
+    "q204_token_fertility" -> (q204TokenFertility _))
+
+  val oracles: Map[String, String] = Map(
+    "q207_voice_activity" -> q207Sql,
+    "q206_video_scene_dedup" -> q206Sql,
+    "q205_perplexity_buckets" -> q205Sql,
+    "q200_iban_audit" -> q200Sql,
+    "q201_zipf_slope" -> q201Sql,
+    "q202_seasonal_outliers" -> q202Sql,
+    "q203_l_diversity" -> q203Sql,
+    "q204_token_fertility" -> q204Sql)
+}

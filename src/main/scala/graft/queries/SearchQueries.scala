@@ -606,7 +606,7 @@ object SearchQueries {
         col("tidx")))
   }
 
-  private val q101Merges: Seq[(String, String)] = Seq(
+  private[queries] val q101Merges: Seq[(String, String)] = Seq(
     "t" -> "a", "t+a" -> "b", "l" -> "e", "t+a+b" -> "l+e",
     "r" -> "o", "r+o" -> "w", "a" -> "l")
 

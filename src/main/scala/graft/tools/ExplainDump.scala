@@ -126,7 +126,15 @@ object ExplainDump {
     "q196_inventory" -> "the CUSUM closed form reused: cumsum + running min ride one part-keyed exchange; no recursion, no UDF",
     "q197_orc_roundtrip" -> "write zlib ORC, vectorized read; one fingerprint aggregation after the scan — the round trip must be invisible to it",
     "q198_compaction_plan" -> "metadata-only: per-key sort window + prefix sum; closed-form bin = start-offset div target; no mutable bin state",
-    "q199_next_event" -> "the rank window runs on the <=|types|^2 matrix relation, never the events; one user-keyed lead exchange upstream (q162's)")
+    "q199_next_event" -> "the rank window runs on the <=|types|^2 matrix relation, never the events; one user-keyed lead exchange upstream (q162's)",
+    "q200_iban_audit" -> "mod-97 as a DECIMAL(38,0) modulo of the transliterated digit string: one narrow codegen projection, zero shuffles before the output sort",
+    "q201_zipf_slope" -> "one corpus wordcount exchange; rank window + fixed-point log-log OLS run on the <=256*|langs| relation",
+    "q202_seasonal_outliers" -> "one corpus-collapsing (type, day) count; the q171 window-lift median/MAD screen runs on the |types|*7-keyed daily relation",
+    "q203_l_diversity" -> "one map-side-combined (cell, value) count touches the corpus; l/modal-share rollup runs on the <=|cells|*|values| relation",
+    "q204_token_fertility" -> "narrow codegen'd BPE encode (merge table as reference object) + one language-keyed aggregation; the fixed-point ratio divides on the |langs| relation",
+    "q205_perplexity_buckets" -> "q102's fixed-point KN surprisal verbatim; tercile = closed-form rank algebra under a lang-partitioned sort window (100 TB swap: q118 histogram cutoffs, q180 note)",
+    "q206_video_scene_dedup" -> "narrow frame explode -> per-frame pHash BEFORE any wide op (blobs never shuffle); lag window + scene/video rollups ride ONE video exchange; dup grouping keys the 16-byte sequence fingerprint",
+    "q207_voice_activity" -> "decode happens in the same narrow stage that emits (id, widx, energy) — audio bytes never reach an exchange; VAD islands + rollup + ratio ride ONE id exchange")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
