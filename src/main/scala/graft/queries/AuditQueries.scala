@@ -451,7 +451,119 @@ object AuditQueries {
       |         AS speech_ratio_fix
       |FROM seg ORDER BY doc_id""".stripMargin
 
+  /** q208: DoReMi-style mixture reweighting, one exponentiated-gradient
+    * step — the training-mix optimizer above the static mixers (q121
+    * UniMax, q129 temperature): per SOURCE domain, excess loss =
+    * max(0, domain bits/bigram − corpus bits/bigram) (q102's
+    * fixed-point KN model as the proxy reference loss), and the new
+    * weight multiplies the domain's token mass by 2^(excess/4) — the
+    * EG update that upweights domains the reference model finds hard.
+    * Everything stays on the integer grid: domain loss is the
+    * AGGREGATE ratio (Σbits·2¹⁶) div Σbigrams (never a float mean of
+    * ratios), and 2^(m) for m = k·2¹⁶+f ≥ 0 is built from the exact
+    * bit-factor kernel as pow2NegFix(2¹⁶−f) << (k+1) — so any engine
+    * reproduces every weight bit. Scale shape: the corpus collapses in
+    * q102's model pass + ONE source-keyed aggregation; the EG update
+    * runs on the |sources| relation.
+    */
+  def q208DoremiStep(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val model = graft.text.KneserNey.bigramModel(d, "text")
+    val pp = graft.text.KneserNey.perplexityBits(model, d, "text", "doc_id")
+    val dom = pp.join(d.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(sum("n_bigrams").as("n_bigrams"), sum("bits_fix").as("__bits"))
+      .filter(col("n_bigrams") > 0)
+      // bits_fix is ALREADY 16.16 (q102's surprisal scale): the per-
+      // bigram rate is a plain integral divide, no rescale
+      .withColumn("loss_fix",
+        expr("CAST(__bits AS DECIMAL(38,0)) div n_bigrams").cast("long"))
+    val tot = dom.agg(sum("__bits").as("__tb"), sum("n_bigrams").as("__tn"))
+      .select(expr("CAST(__tb AS DECIMAL(38,0)) div __tn")
+        .cast("long").as("__ref"))
+    val stepped = dom.crossJoin(broadcast(tot))
+      .withColumn("excess_fix",
+        greatest(lit(0L), col("loss_fix") - col("__ref")))
+      // eta = 1/4; m = k*2^16 + f >= 0; 2^m*2^31 via the exact kernel
+      .withColumn("__m", expr("excess_fix div 4"))
+      .withColumn("__k", expr("__m div 65536"))
+      .withColumn("__f", expr("__m % 65536"))
+      // excess is bounded by the 30-bit probability floor (≤ 30·2¹⁶),
+      // so k = excess div 4 div 2¹⁶ ≤ 7 and every shift stays in BIGINT
+      .withColumn("__mult",
+        when(col("__f") === 0L,
+          expr(s"CAST(shiftleft(CAST(${1L << 31} AS BIGINT), " +
+            "CAST(__k AS INT)) AS DECIMAL(38,0))"))
+          .otherwise(
+            FixedLogExprs.pow2NegFix(lit(65536L) - col("__f"))
+              .cast(DecimalType(38, 0)) *
+              expr("CAST(shiftleft(CAST(1 AS BIGINT), " +
+                "CAST(__k + 1 AS INT)) AS DECIMAL(38,0))")))
+      .withColumn("__raw", col("n_bigrams").cast(DecimalType(38, 0)) *
+        col("__mult"))
+    val denom = stepped.agg(sum("__raw").as("__den"))
+    stepped.crossJoin(broadcast(denom))
+      .withColumn("weight_fix",
+        expr(s"(__raw * ${1L << 20}) div __den").cast("long"))
+      .select(col("source"), col("n_bigrams"), col("loss_fix"),
+        col("excess_fix"), col("weight_fix"))
+      .orderBy("source")
+  }
+
+  val q208Sql: String = {
+    val cases = graft.functions.FixedLogKernel.POW2_FRAC.zipWithIndex
+      .map { case (c, i) => s"WHEN $i THEN ${c}::BIGINT" }.mkString(" ")
+    s"""WITH RECURSIVE base AS (
+       |${TextQueries.q102Sql.replace("ORDER BY d.doc_id", "")}
+       |),
+       |dom AS (
+       |  SELECT d.source, sum(b.n_bigrams)::BIGINT AS n_bigrams,
+       |         sum(b.bits_fix)::HUGEINT AS bits
+       |  FROM base b JOIN documents d USING (doc_id)
+       |  GROUP BY 1 HAVING sum(b.n_bigrams) > 0),
+       |ref AS (
+       |  SELECT CAST(sum(bits) // sum(n_bigrams) AS BIGINT) AS ref
+       |  FROM dom),
+       |ex AS (
+       |  SELECT source, n_bigrams,
+       |         CAST(bits // n_bigrams AS BIGINT) AS loss_fix,
+       |         greatest(0, CAST(bits // n_bigrams AS BIGINT) - ref)
+       |           AS excess_fix
+       |  FROM dom, ref),
+       |mkf AS (
+       |  SELECT source, n_bigrams, loss_fix, excess_fix,
+       |         (excess_fix // 4) // 65536 AS k,
+       |         (excess_fix // 4) % 65536 AS f
+       |  FROM ex),
+       |pw AS (
+       |  SELECT source, k, f, 15 AS i, 2147483648::BIGINT AS r
+       |  FROM mkf WHERE f <> 0
+       |  UNION ALL
+       |  SELECT source, k, f, i - 1,
+       |         CASE WHEN (((65536 - f) % 65536) // (1::BIGINT << i)) % 2 = 1
+       |              THEN (r * CASE i $cases END) // 2147483648
+       |              ELSE r END
+       |  FROM pw WHERE i >= 0),
+       |mult AS (
+       |  SELECT m.source,
+       |         CASE WHEN m.f = 0
+       |              THEN 2147483648::HUGEINT * (1::BIGINT << CAST(m.k AS INTEGER))
+       |              ELSE p.r::HUGEINT * (1::BIGINT << CAST(m.k + 1 AS INTEGER))
+       |         END AS mult
+       |  FROM mkf m LEFT JOIN (SELECT source, r FROM pw WHERE i = -1) p
+       |    USING (source)),
+       |raw AS (
+       |  SELECT m.source, k.n_bigrams, k.loss_fix, k.excess_fix,
+       |         k.n_bigrams::HUGEINT * m.mult AS raw
+       |  FROM mult m JOIN mkf k USING (source)),
+       |den AS (SELECT sum(raw) AS den FROM raw)
+       |SELECT source, n_bigrams, loss_fix, excess_fix,
+       |       CAST((raw * ${1L << 20}) // den AS BIGINT) AS weight_fix
+       |FROM raw, den ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_doremi_step" -> (q208DoremiStep _),
     "q207_voice_activity" -> (q207VoiceActivity _),
     "q206_video_scene_dedup" -> (q206VideoSceneDedup _),
     "q205_perplexity_buckets" -> (q205PerplexityBuckets _),
@@ -462,6 +574,7 @@ object AuditQueries {
     "q204_token_fertility" -> (q204TokenFertility _))
 
   val oracles: Map[String, String] = Map(
+    "q208_doremi_step" -> q208Sql,
     "q207_voice_activity" -> q207Sql,
     "q206_video_scene_dedup" -> q206Sql,
     "q205_perplexity_buckets" -> q205Sql,

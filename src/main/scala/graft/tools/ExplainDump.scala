@@ -134,7 +134,8 @@ object ExplainDump {
     "q204_token_fertility" -> "narrow codegen'd BPE encode (merge table as reference object) + one language-keyed aggregation; the fixed-point ratio divides on the |langs| relation",
     "q205_perplexity_buckets" -> "q102's fixed-point KN surprisal verbatim; tercile = closed-form rank algebra under a lang-partitioned sort window (100 TB swap: q118 histogram cutoffs, q180 note)",
     "q206_video_scene_dedup" -> "narrow frame explode -> per-frame pHash BEFORE any wide op (blobs never shuffle); lag window + scene/video rollups ride ONE video exchange; dup grouping keys the 16-byte sequence fingerprint",
-    "q207_voice_activity" -> "decode happens in the same narrow stage that emits (id, widx, energy) — audio bytes never reach an exchange; VAD islands + rollup + ratio ride ONE id exchange")
+    "q207_voice_activity" -> "decode happens in the same narrow stage that emits (id, widx, energy) — audio bytes never reach an exchange; VAD islands + rollup + ratio ride ONE id exchange",
+    "q208_doremi_step" -> "corpus collapses in q102's model pass + one source aggregation; the EG update (exact bit-factor 2^m) runs on the |sources| relation; scalar ref/denominator broadcast")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
