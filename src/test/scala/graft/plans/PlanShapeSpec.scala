@@ -469,6 +469,20 @@ class PlanShapeSpec extends SparkSpec {
       s"input relation scanned more than once:\n$p")
   }
 
+  test("q206/q207: media decode runs BELOW the key exchange — bytes never shuffle") {
+    // the decode mapPartitions stage must be UPSTREAM of (printed below)
+    // every hash exchange: features reduce blobs to fixed-size values
+    // before anything wide. If a refactor moved the explode/decode past
+    // the shuffle, MapPartitions would print above an Exchange here.
+    for (q <- Seq("q206_video_scene_dedup", "q207_voice_activity")) {
+      val p = plan(graft.SparkEntry.queries(q)(spark, sf))
+      val ex = p.indexOf("Exchange hashpartitioning")
+      val mp = p.indexOf("MapPartitions")
+      assert(ex >= 0 && mp >= 0, s"$q plan missing exchange or decode:\n$p")
+      assert(mp > ex, s"$q decodes media AFTER a shuffle:\n$p")
+    }
+  }
+
   test("q128: edit verify blocks on an equi-join; texts stay out of the blocking shuffle") {
     val p = plan(graft.queries.DedupQueries.queries("q128_edit_verify")(spark, sf))
     assert(p.contains("lev_bounded"), s"kernel expression missing:\n$p")
