@@ -36,11 +36,15 @@ val jdk17AddOpens = Seq(
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 // 8g measured FASTER than 48g here: a huge lazily-committed heap pays
 // page-zeroing + G1 ergonomics on first touch (q12 went 2.5s -> 20s).
-// The workload's persists fit comfortably in 8g. -Xms=-Xmx +
-// AlwaysPreTouch UNCONDITIONALLY: pre-committing and pre-zeroing the heap
-// at JVM boot moves first-touch page-zeroing outside every timed section
-// (gating it on SPARK_DRIVER_MEM cost the round-3 bench +8% on the default
-// heap); at 8g the boot-time cost is ~1 s, noise for tests/Verify too.
+// The workload's persists fit comfortably in 8g.
+// NOTE (round-9 verdict): -Xms / -XX:+AlwaysPreTouch are deliberately NOT
+// set here anymore. The sharded graft.Bench parent forks under these
+// options but does no Spark work; pre-committing 8 GiB in the idle
+// orchestrator plus 8 GiB in its child got the round-9 driver run
+// SIGKILLed. The parent now appends -Xms<xmx> -XX:+AlwaysPreTouch to the
+// CHILD command line it builds (Bench.scala heapArgs), so only JVMs that
+// actually time queries pre-touch their heap; the timed regime is
+// unchanged. Tests/Verify just boot ~1 s faster.
 val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
 // 100 queries of whole-stage codegen in one JVM overflow the JDK-17 default
 // 240 MB reserved code cache; once it fills, the sweeper deoptimizes hot
@@ -53,6 +57,6 @@ val codeCache = sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "1g")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx$driverMem", s"-Xms$driverMem", "-XX:+AlwaysPreTouch",
+  s"-Xmx$driverMem",
   s"-XX:ReservedCodeCacheSize=$codeCache", "-XX:+UseCodeCacheFlushing",
 )

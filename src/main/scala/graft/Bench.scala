@@ -35,16 +35,43 @@ object Bench {
 
   // ---------------------------------------------------------------- sharded
 
+  /** Current process RSS in MB from /proc/self/status (Linux only; -1 if
+    * unreadable). Used by the tranche canary so a dead run says what died. */
+  private def rssMb(pid: Long = -1): Long = {
+    val path = if (pid < 0) "/proc/self/status" else s"/proc/$pid/status"
+    try {
+      val src = scala.io.Source.fromFile(path)
+      try src.getLines().collectFirst {
+        case l if l.startsWith("VmRSS:") =>
+          l.split("\\s+")(1).toLong / 1024
+      }.getOrElse(-1L)
+      finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+  }
+
   private def runSharded(names: Seq[String], trancheSize: Int): Unit = {
     import scala.jdk.CollectionConverters._
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val tranches = names.grouped(trancheSize).toSeq
     val javaBin = System.getProperty("java.home") + "/bin/java"
-    // replicate THIS JVM's flags (add-opens, heap, code cache) verbatim —
-    // the child must time under the same memory/JIT regime sbt gave us
-    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+    // replicate THIS JVM's flags (add-opens, -Xmx, code cache) verbatim —
+    // the child must time under the same memory/JIT regime sbt gave us —
+    // and ADD the heap pre-commit flags the slimmed parent deliberately
+    // lacks (round-9 verdict: the do-nothing orchestrator was booting with
+    // -Xms8g -XX:+AlwaysPreTouch, fully committing 8 GiB of dead weight
+    // before the child committed its own 8 GiB — the run was SIGKILLed in
+    // tranche 0 and the whole artifact vanished). Only JVMs that actually
+    // run queries pre-touch their heap now.
+    val baseArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val heapArgs = {
+      val xmx = baseArgs.find(_.startsWith("-Xmx")).map(_.stripPrefix("-Xmx"))
+        .getOrElse("8g")
+      Seq(s"-Xms$xmx", "-XX:+AlwaysPreTouch")
+        .filterNot(baseArgs.contains) // idempotent if build flags change back
+    }
+    val jvmArgs = baseArgs ++ heapArgs
     val cp = System.getProperty("java.class.path")
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench-")
     val perQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -63,6 +90,7 @@ object Bench {
       System.err.println(
         s"[bench] tranche $i/${tranches.size}: ${qs.size} queries " +
           s"(${qs.head}..${qs.last})")
+      val rssBefore = rssMb()
       val t0 = System.nanoTime()
       val proc = pb.start()
       // drain child stdout onto OUR stderr: the parent's final merged
@@ -74,26 +102,62 @@ object Bench {
         while (n >= 0) { System.err.write(buf, 0, n); n = in.read(buf) }
       })
       pump.setDaemon(true); pump.start()
+      // canary: sample the child's RSS once a second so a SIGKILLed run
+      // records how big the child actually got before it died
+      val childPeakRss = new java.util.concurrent.atomic.AtomicLong(-1)
+      val sampler = new Thread(() => {
+        while (proc.isAlive) {
+          val r = rssMb(proc.pid())
+          if (r > childPeakRss.get()) childPeakRss.set(r)
+          try Thread.sleep(1000) catch { case _: InterruptedException => return }
+        }
+      })
+      sampler.setDaemon(true); sampler.start()
       val code = proc.waitFor()
-      pump.join(2000)
+      pump.join(2000); sampler.interrupt()
       val wall = (System.nanoTime() - t0) / 1e9
+      val rssAfter = rssMb()
+      System.err.println(
+        s"[bench] tranche $i done: exit=$code wall=${ms(wall)}s " +
+          s"parent_rss_mb=$rssBefore->$rssAfter " +
+          s"child_peak_rss_mb=${childPeakRss.get()}")
       if (code != 0 || !java.nio.file.Files.exists(outFile)) {
         // a dead tranche must surface as FAILURES, never vanish
         System.err.println(s"[bench] tranche $i exited $code without output")
         qs.foreach(failed += _)
       } else {
-        val node = om.readTree(java.nio.file.Files.readAllBytes(outFile))
-        node.get("queries").fields().asScala
-          .foreach(e => perQuery(e.getKey) = e.getValue.asDouble())
-        node.get("failed").elements().asScala
-          .foreach(f => failed += f.asText())
+        // a child killed mid-write leaves a truncated file that EXISTS —
+        // a parse failure must degrade this tranche to failures, exactly
+        // like the missing-file path, never abort the merged run
+        try {
+          val node = om.readTree(java.nio.file.Files.readAllBytes(outFile))
+          node.get("queries").fields().asScala
+            .foreach(e => perQuery(e.getKey) = e.getValue.asDouble())
+          node.get("failed").elements().asScala
+            .foreach(f => failed += f.asText())
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[bench] tranche $i output unparseable ($e) — marking failed")
+            qs.foreach(failed += _)
+        }
       }
       trancheMeta += s"""{"i":$i,"n":${qs.size},"first":"${qs.head}",""" +
-        s""""last":"${qs.last}","wall_sec":${ms(wall)}}"""
+        s""""last":"${qs.last}","wall_sec":${ms(wall)},"exit":$code,""" +
+        s""""child_peak_rss_mb":${childPeakRss.get()}}"""
+      // Crash-proofing (the round-9 deliverable failure): rewrite the merged
+      // partial artifact to the durable out-path and print a short
+      // self-contained partial-total line after EVERY tranche, so a SIGKILL
+      // at any point — including of this parent — leaves both a parseable
+      // file on disk and a parseable last line on stdout. The final emit
+      // below overwrites/supersedes these when the run completes.
+      val doneSoFar = tranches.take(i + 1).flatten
+      emit(doneSoFar.map(n => (n, perQuery.getOrElse(n, 0.0),
+          !failed.contains(n) && perQuery.contains(n))),
+        sfDir, Some(trancheMeta.toSeq),
+        partial = if (i + 1 < tranches.size)
+          Some((i + 1, tranches.size, names.size)) else None)
     }
-    emit(names.map(n => (n, perQuery.getOrElse(n, 0.0),
-        !failed.contains(n) && perQuery.contains(n))),
-      sfDir, Some(trancheMeta.toSeq))
   }
 
   // ----------------------------------------------------------------- inline
@@ -122,13 +186,19 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // touch the target-SF tables so the timed section reads a warm page
-    // cache instead of charging the first query per table with the disk I/O
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").write
-        .format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
+    // cache instead of charging the first query per table with the disk
+    // I/O. The OS page cache is shared across processes, so in sharded
+    // mode only tranche 0 needs the touch — re-reading every table in all
+    // five child JVMs was pure fixed overhead against a possible driver
+    // wall-clock kill (round-9 verdict 1c).
+    val trancheIdx = sys.env.get("SPARK_GRAFT_BENCH_TRANCHE")
+    if (trancheIdx.forall(_ == "0"))
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").write
+          .format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     spark.catalog.clearCache()
     // settle: let GC reclaim warmup garbage so the first timed query
     // doesn't absorb the collection pause
@@ -180,8 +250,15 @@ object Bench {
   private def ms(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** Writes the merged artifact to the durable out-path and prints the
+    * stdout record(s). `partial = Some((done, total, nQueriesPlanned))`
+    * marks a mid-run checkpoint: the durable file is rewritten in full and
+    * ONE short self-contained line (flagged `"partial":true`) goes to
+    * stdout, so a kill between tranches still leaves the driver's
+    * tail-parse a valid total for the completed prefix. */
   private def emit(results: Seq[(String, Double, Boolean)], sfDir: String,
-      tranches: Option[Seq[String]]): Unit = {
+      tranches: Option[Seq[String]],
+      partial: Option[(Int, Int, Int)] = None): Unit = {
     // a failed query's wall time is meaningless — exclude it from the
     // total and name it in `failed` so a broken round can never read as a
     // speedup (round-6 advisor finding: 7 dead queries timed at ~0.06 s
@@ -196,10 +273,13 @@ object Bench {
     val trancheJson = tranches
       .map(t => s""","tranches":${t.mkString("[", ",", "]")}""")
       .getOrElse("")
+    val partialJson = partial
+      .map { case (d, t, _) => s""","partial":true,"tranches_done":$d,"tranches_total":$t""" }
+      .getOrElse("")
     val jsonFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedJson$trancheJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedJson$trancheJson$partialJson,"sf":"$sfDir"}"""
     val jsonDetail =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"failed":$failedJson$trancheJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"failed":$failedJson$trancheJson$partialJson,"sf":"$sfDir"}"""
     // The driver's tail capture keeps only the last ~2 KB of stdout; a
     // 200-query detail line is bigger than that, so its head (with
     // "value":total) gets truncated and the round scores parsed:null
@@ -207,7 +287,7 @@ object Bench {
     // self-contained total record as the very last line — whatever prefix
     // the tail loses, the final line always fits and always parses.
     val jsonTail =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}$partialJson}"""
     // Durable copy so a harness that misses the stdout line can still
     // recover the record from disk. Best-effort: an unwritable path must
     // not abort the run before the primary stdout metric line prints.
@@ -222,7 +302,7 @@ object Bench {
         System.err.println(s"[bench] durable write failed: $e")
     }
     System.out.flush()
-    println(jsonDetail)
+    if (partial.isEmpty) println(jsonDetail) // checkpoints stay short
     println(jsonTail)
     System.out.flush()
   }

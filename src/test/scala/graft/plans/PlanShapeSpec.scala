@@ -486,8 +486,12 @@ class PlanShapeSpec extends SparkSpec {
   test("q128: edit verify blocks on an equi-join; texts stay out of the blocking shuffle") {
     val p = plan(graft.queries.DedupQueries.queries("q128_edit_verify")(spark, sf))
     assert(p.contains("lev_bounded"), s"kernel expression missing:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop") ||
-      p.contains("BroadcastNestedLoopJoin") === false,
+    // two independent asserts (round-9 verdict #3: the old combined
+    // expression's `&&`/`||` precedence made the right disjunct true
+    // whenever BNLJ was absent, so a CartesianProduct slipped through)
+    assert(!p.contains("CartesianProduct"),
+      s"blocking degenerated to a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
       s"blocking degenerated to a nested loop:\n$p")
     // the candidate-pair join keys on the block tuple, never on text
     val blockJoins = p.linesIterator.filter(_.contains("hashpartitioning"))
