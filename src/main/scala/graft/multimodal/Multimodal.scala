@@ -74,6 +74,17 @@ object Multimodal {
     def pixelStats(bytes: Array[Byte]): PixelStats
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
     def sampleFrames(bytes: Array[Byte], everyMs: Long): Seq[Array[Byte]]
+
+    /** The ERROR-POLICY decode for corpus pipelines: a NULL or
+      * undecodable blob yields None — the caller surfaces it as null
+      * features and COUNTS it (never a silent drop, never a task
+      * failure: one truncated PNG in a 100 TB corpus must not kill a
+      * stage). Strict [[imageFeatures]] stays the default for paths
+      * where a bad blob is a bug, not data. */
+    final def tryImageFeatures(bytes: Array[Byte]): Option[ImageFeatures] =
+      if (bytes == null) None
+      else try Some(imageFeatures(bytes))
+      catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Real image codec on the JDK's `javax.imageio` + `java.awt` — zero
@@ -404,6 +415,31 @@ object Multimodal {
     }(enc)
   }
 
+  /** [[withImageFeatures]] under the error policy: the feature struct is
+    * NULL for a null or undecodable blob instead of failing the task —
+    * the caller counts the nulls (no silent drop). Used by the frame
+    * pipelines ([[VideoDedup]]), where one corrupt frame in a billion
+    * must cost a counter, not a stage retry loop.
+    */
+  def withImageFeaturesLenient(df: DataFrame, blobCol: String,
+      decoder: Decoder): DataFrame = {
+    val featSchema = StructType(Seq(
+      StructField("mean_luma", DoubleType),
+      StructField("sharpness", DoubleType),
+      StructField("phash", LongType)))
+    val schema = df.schema.add("image_features", featSchema, nullable = true)
+    val enc = Encoders.row(schema)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val feat = decoder
+          .tryImageFeatures(r.get(blobIdx).asInstanceOf[Array[Byte]])
+          .map(f => Row(f.mean_luma, f.sharpness, f.phash)).orNull
+        Row.fromSeq(r.toSeq :+ feat)
+      }
+    }(enc)
+  }
+
   /** Per-blob integer pixel-plane sums, batch-shaped — the decode
     * checksum column for hash-gating the image path (see [[PixelStats]]).
     */
@@ -550,6 +586,17 @@ object Multimodal {
       * the window is EXACTLY zero, the integer-exact silence test the
       * VAD tier (q207) segments on. */
     def energyWindows(bytes: Array[Byte], windowSamples: Int): Seq[Long]
+
+    /** Error-policy twin of [[Decoder.tryImageFeatures]]: None for a
+      * NULL or undecodable blob (bad container, truncated stream);
+      * Some(Seq.empty) for a VALID zero-sample stream — the two cases
+      * are distinct downstream (counted as bad vs. reported with zero
+      * windows). */
+    final def tryEnergyWindows(bytes: Array[Byte],
+        windowSamples: Int): Option[Seq[Long]] =
+      if (bytes == null) None
+      else try Some(energyWindows(bytes, windowSamples))
+      catch { case scala.util.control.NonFatal(_) => None }
   }
 
   object JavaSoundCodec extends AudioCodec {
@@ -755,8 +802,13 @@ object Multimodal {
     * — so q207's voice-activity segmentation has a closed-form oracle
     * (the silence pattern is pure arithmetic on (id, window index)).
     */
-  def renderSpeechWav(id: Long): Array[Byte] = {
-    val blocks = (20 + id % 5).toInt
+  def renderSpeechWav(id: Long): Array[Byte] =
+    renderSpeechWav(id, (20 + id % 5).toInt)
+
+  /** As above with an explicit block count — `blocks = 0` renders a
+    * VALID zero-sample WAV (44-byte container, no data), the "empty but
+    * well-formed" case of the decode error policy. */
+  def renderSpeechWav(id: Long, blocks: Int): Array[Byte] = {
     val w = 400
     val hp = 1 + (id % 7).toInt
     val a = (1000L + (id * 37L) % 20000L).toInt
@@ -793,7 +845,17 @@ object Multimodal {
       StructField("doc_id", LongType), StructField("blob", BinaryType)))
     val enc = Encoders.row(schema)
     ids.mapPartitions { rows =>
-      rows.map { r => Row(r.getLong(0), renderSpeechWav(r.getLong(0))) }
+      rows.map { r =>
+        val id = r.getLong(0)
+        // planted error-policy rows: id%13==5 is NOT audio at all (the
+        // undecodable case → decode_ok = 0); id%13==7 is a VALID WAV
+        // with zero sample frames (→ n_windows = 0, decode_ok = 1)
+        val blob =
+          if (id % 13 == 5) s"NOT-A-WAV-$id".getBytes("UTF-8")
+          else if (id % 13 == 7) renderSpeechWav(id, blocks = 0)
+          else renderSpeechWav(id)
+        Row(id, blob)
+      }
     }(enc)
   }
 
@@ -819,11 +881,23 @@ object Multimodal {
       rows.flatMap { r =>
         val id = r.getLong(0)
         val nf = (6 + id % 5).toInt
+        val good: Seq[Array[Byte]] =
+          (0 until nf).map(f => renderPng(id * 16 + f / 3))
+        // id % 11: append a TRUNCATED PNG (magic + partial header) —
+        // the planted undecodable frame the error policy must count,
+        // not drop and not crash on. Replicas inherit it, so the
+        // corrupted pair still dedups on its decodable scenes.
         val frames: Array[Array[Byte]] =
-          (0 until nf).map(f => renderPng(id * 16 + f / 3)).toArray
+          (if (id % 11 == 0) good :+ renderPng(id).take(20) else good).toArray
         val base = Row(id, frames)
-        if (id % 13 == 0) Seq(base, Row(id + 10000000L, frames))
-        else Seq(base)
+        val withDup =
+          if (id % 13 == 0) Seq(base, Row(id + 10000000L, frames))
+          else Seq(base)
+        // id % 17: plant an EMPTY video (zero frames) — the spine case
+        // posexplode_outer must surface with n_frames = 0
+        if (id % 17 == 0)
+          withDup :+ Row(id + 20000000L, Array.empty[Array[Byte]])
+        else withDup
       }
     }(enc)
   }

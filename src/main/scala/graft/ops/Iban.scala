@@ -12,12 +12,18 @@ import org.apache.spark.sql.types.DecimalType
   * 100 TB the false-positive mass of a regex-only scrubber is
   * enormous.
   *
-  * Exactness: the standard's "big number mod 97" is computed by
-  * CASTING the transliterated digit string into DECIMAL(38,0) — an
-  * IBAN is ≤ 34 chars and transliterates to ≤ 36 digits (each letter
-  * becomes two), so the full rearranged number fits 38 digits exactly
-  * and `%` is the same integer on any engine (DuckDB: HUGEINT). No
-  * chunked-fold loop, no floating point, no UDF.
+  * Exactness: the standard's "big number mod 97" is computed on
+  * DECIMAL(38,0) integers — but an IBAN is ≤ 34 chars and EVERY
+  * letter transliterates to two digits, so a letter-heavy BBAN (Malta,
+  * Guatemala, …) can reach 68 digits and overflow any fixed decimal.
+  * The residue therefore folds in two halves per ISO 7064:
+  * `N mod 97 = ((hi mod 97) · (10³⁶ mod 97) + lo mod 97) mod 97` with
+  * `lo` the last 36 digits, `hi` the ≤ 32-digit prefix, and
+  * `10³⁶ mod 97 = 64` a compile-time constant — both halves fit
+  * DECIMAL(38,0)/HUGEINT exactly, so `%` is the same integer on any
+  * engine. (Round-9 advisor: the old single-cast path returned NULL
+  * for structurally valid IBANs with ≥ 5 BBAN letters — a genuine
+  * account escaped redaction.) No floating point, no UDF.
   *
   * Scale shape: a pure narrow codegen'd projection (string slice +
   * transform + decimal modulo) — zero shuffles, scan throughput, same
@@ -42,8 +48,17 @@ object Iban {
     * as valid. */
   def mod97(rearranged: Column): Column = {
     val digits = transliterate(rearranged)
-    (when(digits.rlike("^[0-9]{1,38}$"), digits.cast(DecimalType(38, 0)))
-      % 97).cast("long")
+    val n = length(digits)
+    // ≤ 36 digits: one exact cast. Longer (letter-heavy BBANs, up to 68
+    // digits for a 34-char IBAN): fold the ≤ 32-digit prefix over the
+    // last 36 with 10^36 ≡ 64 (mod 97). 72 = guard headroom; both
+    // halves stay within DECIMAL(38,0).
+    val whole = digits.cast(DecimalType(38, 0)) % 97
+    val hi = digits.substr(lit(1), n - 36).cast(DecimalType(38, 0)) % 97
+    val lo = digits.substr(n - lit(35), lit(36)).cast(DecimalType(38, 0)) % 97
+    val folded = (hi * 64 + lo) % 97
+    when(digits.rlike("^[0-9]{1,72}$"),
+      when(n <= 36, whole).otherwise(folded)).cast("long")
   }
 
   /** Full-IBAN validity: move the leading 4 chars (country + check) to

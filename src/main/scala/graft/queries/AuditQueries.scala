@@ -23,9 +23,13 @@ object AuditQueries {
     * key, an 18-digit BBAN from key + balance cents) and the ISO 7064
     * residue of the rearranged number decides validity — ~1/97 of the
     * accounts verify, exactly the ones whose key-derived check digits
-    * happen to solve the congruence. The residue is a DECIMAL(38,0) /
-    * HUGEINT modulo of the 24-digit transliterated number — one narrow
-    * codegen'd projection, zero shuffles before the output sort.
+    * happen to solve the congruence. Every third customer gets a
+    * LETTER-HEAVY BBAN (18 letters → a 42-digit transliteration), so
+    * the oracle exercises [[Iban]]'s two-half mod-97 fold, not just
+    * the single-cast path (round-9 advisor: the old 38-digit guard
+    * silently invalidated letter-heavy IBANs). The residue is a
+    * DECIMAL(38,0) / HUGEINT chunked modulo — one narrow codegen'd
+    * projection, zero shuffles before the output sort.
     */
   def q200IbanAudit(spark: SparkSession, dir: String): DataFrame = {
     val c = Load.table(spark, dir, "customer")
@@ -36,9 +40,15 @@ object AuditQueries {
       .withColumn("__cents",
         abs((col("c_acctbal").cast(DecimalType(18, 4)) * 100)
           .cast(LongType)) % 100000000L)
-      .withColumn("__bban",
+      .withColumn("__digits",
         concat(lpad(col("c_custkey").cast("string"), 10, "0"),
           lpad(col("__cents").cast("string"), 8, "0")))
+      // every 3rd account: map each BBAN digit to a letter (0→A … 9→J)
+      // so the transliterated number is 42 digits — the fold path
+      .withColumn("__bban",
+        when(col("c_custkey") % 3 === 0,
+          translate(col("__digits"), "0123456789", "ABCDEFGHIJ"))
+          .otherwise(col("__digits")))
     c.select(col("c_custkey"),
         concat(col("__l1"), col("__l2"), col("__cd"), col("__bban"))
           .as("iban"),
@@ -54,18 +64,34 @@ object AuditQueries {
       |         chr(65 + c_nationkey % 26) AS l1,
       |         chr(65 + (c_nationkey * 7 + 3) % 26) AS l2,
       |         lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') AS cd,
-      |         lpad(CAST(c_custkey AS VARCHAR), 10, '0') ||
-      |           lpad(CAST(abs(CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100
-      |                               AS BIGINT)) % 100000000 AS VARCHAR),
-      |                8, '0') AS bban
+      |         CASE WHEN c_custkey % 3 = 0
+      |              THEN translate(lpad(CAST(c_custkey AS VARCHAR), 10, '0') ||
+      |                     lpad(CAST(abs(CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100
+      |                                         AS BIGINT)) % 100000000 AS VARCHAR),
+      |                          8, '0'), '0123456789', 'ABCDEFGHIJ')
+      |              ELSE lpad(CAST(c_custkey AS VARCHAR), 10, '0') ||
+      |                     lpad(CAST(abs(CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100
+      |                                         AS BIGINT)) % 100000000 AS VARCHAR),
+      |                          8, '0') END AS bban
       |  FROM customer),
-      |r AS (
+      |t AS (
       |  SELECT c_custkey, l1 || l2 || cd || bban AS iban,
-      |         CAST(CAST(bban
-      |                || CAST(ascii(l1) - 55 AS VARCHAR)
-      |                || CAST(ascii(l2) - 55 AS VARCHAR)
-      |                || cd AS HUGEINT) % 97 AS BIGINT) AS residue
-      |  FROM b)
+      |         list_aggregate(
+      |           [CASE WHEN x BETWEEN 'A' AND 'Z'
+      |                 THEN CAST(ascii(x) - 55 AS VARCHAR) ELSE x END
+      |            FOR x IN string_split(bban || l1 || l2 || cd, '')],
+      |           'string_agg', '') AS d
+      |  FROM b),
+      |r AS (
+      |  -- two-half ISO 7064 fold: 10^36 mod 97 = 64; both halves fit HUGEINT
+      |  SELECT c_custkey, iban,
+      |         CASE WHEN length(d) <= 36
+      |              THEN CAST(CAST(d AS HUGEINT) % 97 AS BIGINT)
+      |              ELSE CAST(((CAST(substr(d, 1, length(d) - 36) AS HUGEINT) % 97)
+      |                           * 64
+      |                         + CAST(substr(d, length(d) - 35, 36) AS HUGEINT) % 97)
+      |                        % 97 AS BIGINT) END AS residue
+      |  FROM t)
       |SELECT c_custkey, iban, residue,
       |       CASE WHEN residue = 1 THEN 1 ELSE 0 END AS valid
       |FROM r ORDER BY c_custkey""".stripMargin
@@ -225,10 +251,14 @@ object AuditQueries {
     * is touched once.
     */
   def q203LDiversity(spark: SparkSession, dir: String): DataFrame = {
+    // bucket on exact integer cents (q171 pattern), never float division:
+    // 2-dp balances make DECIMAL(18,4)*100 integer-valued, so `div 25000`
+    // is floor(bal/250) without either engine's decimal→double path
     val keyed = Load.table(spark, dir, "customer")
       .select(
         when(col("c_acctbal") < 0, lit(-1L))
-          .otherwise(floor(col("c_acctbal") / 250.0).cast("long"))
+          .otherwise(expr(
+            "CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100 AS BIGINT) div 25000"))
           .as("bal_bucket"),
         col("c_mktsegment").as("segment"),
         col("c_nationkey").cast("long").as("nation"))
@@ -254,7 +284,8 @@ object AuditQueries {
   val q203Sql: String =
     """WITH keyed AS (
       |  SELECT CASE WHEN c_acctbal < 0 THEN -1
-      |              ELSE CAST(floor(c_acctbal / 250.0) AS BIGINT) END
+      |              ELSE CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100 AS BIGINT)
+      |                     // 25000 END
       |           AS bal_bucket,
       |         c_mktsegment AS segment,
       |         CAST(c_nationkey AS BIGINT) AS nation
@@ -390,7 +421,12 @@ object AuditQueries {
     * the construction arithmetic (q75's pattern): frames = 6 + id%5,
     * segments = ⌈frames/3⌉, dup group 2 iff the replica exists — so
     * the decode → hash → window → fingerprint path must be exactly
-    * right to reproduce three closed-form columns.
+    * right to reproduce the closed-form columns. The corpus also
+    * plants the decode ERROR POLICY end-to-end: id%11 videos carry a
+    * truncated PNG frame (counted in n_bad_frames, transparent to the
+    * scene run-length) and id%17 ships an additional EMPTY video
+    * (n_frames = 0 spine row; all empty videos share the empty
+    * fingerprint, so their dup group is the planted-empty count).
     */
   def q206VideoSceneDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.{Multimodal, VideoDedup}
@@ -403,12 +439,21 @@ object AuditQueries {
     """WITH base AS (
       |  SELECT doc_id AS b FROM documents WHERE doc_id % 7 = 0),
       |vids AS (
-      |  SELECT b AS video_id, b FROM base
+      |  SELECT b AS video_id, b, 0 AS empty FROM base
       |  UNION ALL
-      |  SELECT b + 10000000, b FROM base WHERE b % 13 = 0)
-      |SELECT video_id, CAST(6 + b % 5 AS BIGINT) AS n_frames,
-      |       CAST((6 + b % 5 + 2) // 3 AS BIGINT) AS n_segments,
-      |       CAST(CASE WHEN b % 13 = 0 THEN 2 ELSE 1 END AS BIGINT)
+      |  SELECT b + 10000000, b, 0 FROM base WHERE b % 13 = 0
+      |  UNION ALL
+      |  SELECT b + 20000000, b, 1 FROM base WHERE b % 17 = 0),
+      |n_empty AS (SELECT count(*)::BIGINT AS c FROM base WHERE b % 17 = 0)
+      |SELECT video_id,
+      |       CAST(CASE WHEN empty = 1 THEN 0 ELSE 6 + b % 5 END AS BIGINT)
+      |         AS n_frames,
+      |       CAST(CASE WHEN empty = 1 THEN 0 ELSE (6 + b % 5 + 2) // 3 END
+      |            AS BIGINT) AS n_segments,
+      |       CAST(CASE WHEN empty = 0 AND b % 11 = 0 THEN 1 ELSE 0 END
+      |            AS BIGINT) AS n_bad_frames,
+      |       CAST(CASE WHEN empty = 1 THEN (SELECT c FROM n_empty)
+      |                 WHEN b % 13 = 0 THEN 2 ELSE 1 END AS BIGINT)
       |         AS dup_group_size
       |FROM vids ORDER BY video_id""".stripMargin
 
@@ -421,6 +466,10 @@ object AuditQueries {
     * oracle replays the whole VAD — islands and all — from arithmetic
     * on (id, window index) without touching a byte of audio: the
     * decode → energy → run-length path must reproduce it exactly.
+    * The corpus also plants the decode error policy: id%13==5 blobs
+    * are NOT audio (decode_ok = 0, zeroed counters, never dropped) and
+    * id%13==7 blobs are valid zero-sample WAVs (n_windows = 0,
+    * decode_ok = 1, NULL ratio).
     */
   def q207VoiceActivity(spark: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.{AudioSegments, Multimodal}
@@ -436,7 +485,8 @@ object AuditQueries {
       |  SELECT id, j AS widx,
       |         CASE WHEN (id + j) % 3 = 0 THEN 1 ELSE 0 END AS sil
       |  FROM ids, UNNEST(generate_series(0, 19 + CAST(id % 5 AS INTEGER)))
-      |       t(j)),
+      |       t(j)
+      |  WHERE id % 13 <> 5 AND id % 13 <> 7),
       |r AS (
       |  SELECT *, lag(sil) OVER (PARTITION BY id ORDER BY widx) AS prev
       |  FROM w),
@@ -448,8 +498,16 @@ object AuditQueries {
       |  FROM r GROUP BY id)
       |SELECT id AS doc_id, n_windows, n_segments, speech_windows,
       |       CAST((speech_windows::HUGEINT * 65536) // n_windows AS BIGINT)
-      |         AS speech_ratio_fix
-      |FROM seg ORDER BY doc_id""".stripMargin
+      |         AS speech_ratio_fix,
+      |       CAST(1 AS BIGINT) AS decode_ok
+      |FROM seg
+      |UNION ALL
+      |-- planted error-policy rows: id%13==5 undecodable, id%13==7 a
+      |-- valid zero-sample WAV — both surface with zeroed counters
+      |SELECT id, 0, 0, 0, NULL,
+      |       CASE WHEN id % 13 = 5 THEN 0 ELSE 1 END
+      |FROM ids WHERE id % 13 = 5 OR id % 13 = 7
+      |ORDER BY doc_id""".stripMargin
 
   /** q208: DoReMi-style mixture reweighting, one exponentiated-gradient
     * step — the training-mix optimizer above the static mixers (q121

@@ -30,6 +30,27 @@ class AudioSegmentsSpec extends SparkSpec {
     assert(out.getLong(3) > 0L && out.getLong(3) < 8L)
   }
 
+  test("undecodable and zero-sample blobs surface, never vanish") {
+    // round-9 advisor: flatMap over energy windows dropped both cases
+    val df = Seq(
+      (1L, Multimodal.renderSpeechWav(1L)),       // normal speech
+      (2L, "garbage, not audio".getBytes("UTF-8")), // undecodable
+      (3L, Multimodal.renderSpeechWav(3L, blocks = 0))) // valid, empty
+      .toDF("id", "blob")
+    val got = AudioSegments.silenceSegments(df, "id", "blob",
+        Multimodal.JavaSoundCodec, windowSamples = 400)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "every input id must surface")
+    assert(got(1L).getLong(1) == 21L && got(1L).getLong(5) == 1L)
+    // undecodable: decode_ok = 0, zeroed counters, NULL ratio
+    assert(got(2L).getLong(1) == 0L && got(2L).getLong(2) == 0L &&
+      got(2L).getLong(3) == 0L && got(2L).isNullAt(4) &&
+      got(2L).getLong(5) == 0L)
+    // valid zero-sample WAV: decode_ok = 1, zero windows, NULL ratio
+    assert(got(3L).getLong(1) == 0L && got(3L).isNullAt(4) &&
+      got(3L).getLong(5) == 1L)
+  }
+
   test("windows spanning a partial tail window still count") {
     // renderSpeechWav always emits whole 400-sample blocks; a 150-sample
     // window size forces partial-window arithmetic through the decode

@@ -26,6 +26,15 @@ class IbanSpec extends SparkSpec {
     assert(valid("gb82west12345698765432").contains(true))
   }
 
+  test("letter-heavy IBAN (45 transliterated digits) verifies via the fold") {
+    // round-9 advisor: transliterated length = IBAN length + letter
+    // count, so a letter-heavy BBAN overflows a single DECIMAL(38,0)
+    // cast — the two-half 10^36≡64 fold must still verify it
+    assert(valid("MT84MALT011000012345MTLCAST001S").contains(true))
+    // and a flipped check digit must still fail on the fold path
+    assert(valid("MT85MALT011000012345MTLCAST001S").contains(false))
+  }
+
   test("non-alphanumeric chars yield NULL, never a false positive") {
     assert(valid("GB82 WEST 1234 5698 7654 32").isEmpty)
   }
