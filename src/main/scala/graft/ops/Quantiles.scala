@@ -102,6 +102,143 @@ object Quantiles {
       qs: Seq[(Int, Int)]): DataFrame =
     quantiles(histogram(df, keys, valueCol), keys, qs)
 
+  // ------------------------------------------------------- sketch tier
+  // The EXECUTABLE 100 TB swap for the exact-tier rank windows
+  // (q205 terciles, q195 percentile rank, q188 quantile normalization).
+  // The exact tier sorts every row of a key inside one partition — fine
+  // while a key's rows fit an executor, a straggler at 100 TB. These
+  // variants replace the per-key global sort with the mergeable
+  // (keys, bucket) histogram: one map-side-combined count shuffle with
+  // ≤ 61·8+8 buckets per key, then all rank algebra runs on that
+  // bounded relation. Positions quantize to bucket resolution
+  // (rel err < 2⁻³; exact on values < 8 and on bucket lower bounds —
+  // QuantileTierSpec pins tier agreement on that lossless grid).
+  // Selected per session via spark.graft.quantileTier = exact|sketch.
+
+  /** Signed bucket id: negatives mirror below -1 so the id is monotone
+    * over the full long range (`-1 - bucketOf(-v)` decreases as |v|
+    * grows). */
+  def bucketOfSigned(v: Column): Column =
+    when(v >= 0, bucketOf(v)).otherwise(lit(-1L) - bucketOf(-v))
+
+  /** Monotone representative value of a signed bucket id (lower bound
+    * for non-negative ids, mirrored magnitude for negative ids). */
+  def bucketValueSigned(id: Column): Column =
+    when(id >= 0, bucketLowerBound(id))
+      .otherwise(-bucketLowerBound(lit(-1L) - id))
+
+  /** Session tier switch: `spark.graft.quantileTier` = `exact`
+    * (default — oracle-gated bit-exact rank windows) or `sketch` (the
+    * mergeable-histogram path above). */
+  def sketchTier(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.quantileTier").contains("sketch")
+
+  /** Per-key signed-bucket cumulative histogram:
+    * (keys..., __bkt, __cnt, __cum, __n). */
+  private def cumHist(df: DataFrame, keys: Seq[String],
+      valCol: String): DataFrame = {
+    val ks = keys.map(col)
+    df.select((ks :+ bucketOfSigned(col(valCol)).as("__bkt")): _*)
+      .groupBy((keys :+ "__bkt").map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cum", sum(col("__cnt")).over(
+        Window.partitionBy(ks: _*).orderBy(col("__bkt"))))
+      .withColumn("__n", sum(col("__cnt")).over(
+        Window.partitionBy(ks: _*)))
+  }
+
+  /** k equal-frequency rank buckets per key (tercile for k = 3):
+    * adds `outCol` in [0, k). Exact tier: bucket of rank r is
+    * ((r−1)·k) div n under the (valCol, tieCol) sort window. Sketch
+    * tier: the first value of exact bucket b sits at rank
+    * ⌈b·n/k⌉ + 1 (((r−1)k) div n ≥ b ⟺ r > ⌈bn/k⌉), so the b-th
+    * cutoff is that rank's histogram value and a row's bucket is the
+    * count of cutoffs ≤ its value —
+    * ties NEVER straddle a boundary in this tier (equal values share a
+    * bucket), the price of dropping the tiebreak column with the sort.
+    */
+  def rankBuckets(df: DataFrame, keys: Seq[String], valCol: String,
+      tieCol: String, k: Int, outCol: String,
+      sketch: Boolean): DataFrame = {
+    val ks = keys.map(col)
+    if (!sketch) {
+      df.withColumn("__r", row_number().over(
+          Window.partitionBy(ks: _*).orderBy(col(valCol), col(tieCol))))
+        .withColumn("__n", count(lit(1)).over(
+          Window.partitionBy(ks: _*)
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+        .withColumn(outCol, expr(s"((__r - 1) * $k) div __n"))
+        .drop("__r", "__n")
+    } else {
+      val hist = cumHist(df, keys, valCol)
+      val sparkSession = df.sparkSession
+      import sparkSession.implicits._
+      val bs = (1 until k).toDF("__b")
+      val cuts = hist.crossJoin(broadcast(bs))
+        .withColumn("__target",
+          expr(s"((__b * __n + ${k - 1}) div $k) + 1"))
+        .filter(col("__cum") >= col("__target"))
+        .groupBy((keys :+ "__b").map(col): _*)
+        .agg(min(col("__bkt")).as("__cb"))
+        .groupBy(ks: _*)
+        .agg(sort_array(collect_list(bucketValueSigned(col("__cb"))))
+          .as("__cuts"))
+      df.join(broadcast(cuts), keys)
+        .withColumn(outCol,
+          size(filter(col("__cuts"), c => c <= col(valCol))).cast("long"))
+        .drop("__cuts")
+    }
+  }
+
+  /** Sketch tier of [[percentileRank]]: rank(v) quantizes to
+    * 1 + (count below v's bucket) — RANK semantics preserved (equal
+    * values share a bucket, so they share a percentile), positions
+    * quantized to bucket resolution. One histogram shuffle + a
+    * broadcast join on (keys, bucket) instead of the per-key sort
+    * window.
+    */
+  def percentileRankSketch(df: DataFrame, keys: Seq[String], valCol: String,
+      outCol: String = "pct_fix"): DataFrame = {
+    val hist = cumHist(df, keys, valCol)
+      .select((keys.map(col) :+ col("__bkt") :+
+        (col("__cum") - col("__cnt")).as("__below") :+ col("__n")): _*)
+    df.withColumn("__bkt", bucketOfSigned(col(valCol)))
+      .join(broadcast(hist), keys :+ "__bkt")
+      .withColumn(outCol,
+        when(col("__n") <= 1, 0L)
+          .otherwise(expr(s"(__below * ${1L << 30}L) div (__n - 1)")))
+      .drop("__bkt", "__below", "__n")
+  }
+
+  /** Sketch tier of [[quantileNormalize]]: both sides collapse to
+    * cumulative histograms; every df-side BUCKET (not row) computes its
+    * target reference rank ⌈cum·m/n⌉ and resolves it to the first
+    * reference bucket reaching it — the whole mapping is built on the
+    * two bounded (keys × ≤496 buckets) relations and broadcast back
+    * onto the rows. Values map to reference BUCKET representatives
+    * (quantized), rank structure preserved.
+    */
+  def quantileNormalizeSketch(df: DataFrame, ref: DataFrame,
+      keys: Seq[String], valCol: String): DataFrame = {
+    val ks = keys.map(col)
+    val dh = cumHist(df, keys, valCol)
+    val rh = cumHist(ref, keys, valCol)
+      .select((ks :+ col("__bkt").as("__rb") :+ col("__cum").as("__rcum") :+
+        col("__n").as("__m")): _*)
+    val mapped = dh.join(rh, keys)
+      .withColumn("__t", expr("(__cum * __m + __n - 1) div __n"))
+      .filter(col("__rcum") >= col("__t"))
+      .groupBy((keys :+ "__bkt").map(col): _*)
+      .agg(min(col("__rb")).as("__refb"))
+      .withColumn("__refv", bucketValueSigned(col("__refb")))
+      .select((ks :+ col("__bkt") :+ col("__refv")): _*)
+    df.withColumn("__bkt", bucketOfSigned(col(valCol)))
+      .join(broadcast(mapped), keys :+ "__bkt")
+      .withColumn(s"${valCol}_norm", col("__refv"))
+      .drop("__bkt", "__refv")
+  }
+
   /** Percentile-rank (empirical CDF) transform — the rank-based feature
     * scaling that is immune to outliers and scale: each row gets
     * `pct_fix` = (rank − 1)·2^30 div (n − 1) in [0, 2^30], computed

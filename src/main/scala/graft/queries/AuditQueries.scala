@@ -370,9 +370,12 @@ object AuditQueries {
     * becomes the 2¹⁶-floored `ppl_fix` sort key and the tercile is the
     * closed-form ((rank−1)·3) div n — a value-function of the exact
     * rank, so both engines bucket identically even on ties (doc_id
-    * tiebreak). Exact tier: the per-lang rank is a sort window; at
-    * 100 TB swap the cutoffs for the q118 histogram quantiles and keep
-    * the same bucket algebra (the q180 swap note).
+    * tiebreak). Exact tier: the per-lang rank is a sort window; the
+    * 100 TB swap is EXECUTABLE (round-9 verdict #6):
+    * `spark.graft.quantileTier = sketch` routes the same bucket
+    * algebra through [[Quantiles.rankBuckets]]' mergeable histogram
+    * (QuantileTierSpec pins tier agreement; the oracle runs the
+    * default exact tier).
     */
   def q205PerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
     val d = Load.table(spark, dir, "documents")
@@ -382,13 +385,10 @@ object AuditQueries {
       .withColumn("ppl_fix",
         expr("(CAST(bits_fix AS DECIMAL(38,0)) * 65536) div n_bigrams")
           .cast("long"))
-    val w = Window.partitionBy("lang").orderBy(col("ppl_fix"), col("doc_id"))
-    pp.join(d.select("doc_id", "lang"), Seq("doc_id"))
-      .withColumn("__rank", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(
-        Window.partitionBy("lang")
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("bucket", expr("((__rank - 1) * 3) div __n"))
+    graft.ops.Quantiles.rankBuckets(
+        pp.join(d.select("doc_id", "lang"), Seq("doc_id")),
+        Seq("lang"), "ppl_fix", "doc_id", k = 3, outCol = "bucket",
+        sketch = graft.ops.Quantiles.sketchTier(spark))
       .select(col("doc_id"), col("lang"), col("ppl_fix"), col("bucket"))
       .orderBy("doc_id")
   }

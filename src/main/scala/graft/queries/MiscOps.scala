@@ -964,9 +964,16 @@ object MiscOps {
       .select("l_returnflag", "cents", "line_uid")
     val b = li.filter(col("l_quantity") > 25)
       .select("l_returnflag", "cents")
-    Quantiles.quantileNormalize(a, b, Seq("l_returnflag"), "cents",
-        "line_uid")
-      .orderBy("l_returnflag", "line_uid")
+    // executable 100 TB swap: sketch tier maps through both sides'
+    // mergeable histograms instead of two per-key sort windows
+    // (QuantileTierSpec; oracle runs the default exact tier)
+    val out =
+      if (Quantiles.sketchTier(spark))
+        Quantiles.quantileNormalizeSketch(a, b, Seq("l_returnflag"), "cents")
+      else
+        Quantiles.quantileNormalize(a, b, Seq("l_returnflag"), "cents",
+          "line_uid")
+    out.orderBy("l_returnflag", "line_uid")
   }
 
   val q188Sql: String =
@@ -1167,8 +1174,14 @@ object MiscOps {
       .select(col("c_custkey"), col("c_mktsegment"),
         (col("c_acctbal").cast(DecimalType(18, 4)) * 100)
           .cast(LongType).as("bal_cents"))
-    Quantiles.percentileRank(c, Seq("c_mktsegment"), "bal_cents")
-      .orderBy("c_custkey")
+    // executable 100 TB swap: the sketch tier quantizes the rank to
+    // histogram-bucket resolution but keeps RANK semantics (equal
+    // values share a bucket, hence a percentile); oracle = exact tier
+    val out =
+      if (Quantiles.sketchTier(spark))
+        Quantiles.percentileRankSketch(c, Seq("c_mktsegment"), "bal_cents")
+      else Quantiles.percentileRank(c, Seq("c_mktsegment"), "bal_cents")
+    out.orderBy("c_custkey")
   }
 
   val q195Sql: String =
