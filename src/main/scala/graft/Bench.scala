@@ -76,7 +76,33 @@ object Bench {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench-")
     val perQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    val trancheMeta = scala.collection.mutable.ArrayBuffer[String]()
+    // (index, queries, wall, exit code, child peak RSS MB)
+    val trancheInfo = scala.collection.mutable
+      .ArrayBuffer[(Int, Seq[String], Double, Int, Long)]()
+    // sibling-run reference for the ambient-load self-report
+    // (SCALING.md §10): per-tranche geomean-vs-ref + suspect flags in
+    // the artifact, so a crowded tranche is machine-readable instead of
+    // a human reading band medians
+    val refTimes = tools.BenchVariance.loadQueryTimesForSf(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_LOCAL.json"), sfDir)
+    def trancheJson(): Seq[String] = {
+      val verdicts: Seq[Option[tools.BenchVariance.TrancheVerdict]] =
+        if (refTimes.isEmpty) trancheInfo.toSeq.map(_ => None)
+        else tools.BenchVariance.annotate(
+          trancheInfo.map(_._2).toSeq, perQuery.toMap, refTimes).map(Some(_))
+      trancheInfo.toSeq.zip(verdicts).map { case ((i, qs, wall, code, rss), v) =>
+        // no reference → no verdict fields at all: an unchecked tranche
+        // must not read as "checked and clean"
+        val vj = v.map { tv =>
+          val vg = tv.geomean
+            .map(g => s""","geomean_vs_ref":${ms(g)}""").getOrElse("")
+          s"""$vg,"suspect":${tv.suspect}"""
+        }.getOrElse("")
+        s"""{"i":$i,"n":${qs.size},"first":"${qs.head}",""" +
+          s""""last":"${qs.last}","wall_sec":${ms(wall)},"exit":$code,""" +
+          s""""child_peak_rss_mb":$rss$vj}"""
+      }
+    }
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     tranches.zipWithIndex.foreach { case (qs, i) =>
       val outFile = tmp.resolve(s"tranche_$i.json")
@@ -142,9 +168,7 @@ object Bench {
             qs.foreach(failed += _)
         }
       }
-      trancheMeta += s"""{"i":$i,"n":${qs.size},"first":"${qs.head}",""" +
-        s""""last":"${qs.last}","wall_sec":${ms(wall)},"exit":$code,""" +
-        s""""child_peak_rss_mb":${childPeakRss.get()}}"""
+      trancheInfo += ((i, qs, wall, code, childPeakRss.get()))
       // Crash-proofing (the round-9 deliverable failure): rewrite the merged
       // partial artifact to the durable out-path and print a short
       // self-contained partial-total line after EVERY tranche, so a SIGKILL
@@ -154,7 +178,7 @@ object Bench {
       val doneSoFar = tranches.take(i + 1).flatten
       emit(doneSoFar.map(n => (n, perQuery.getOrElse(n, 0.0),
           !failed.contains(n) && perQuery.contains(n))),
-        sfDir, Some(trancheMeta.toSeq),
+        sfDir, Some(trancheJson()),
         partial = if (i + 1 < tranches.size)
           Some((i + 1, tranches.size, names.size)) else None)
     }

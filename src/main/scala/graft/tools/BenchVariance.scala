@@ -1,0 +1,148 @@
+package graft.tools
+
+/** Variance-aware bench reading (SCALING.md §10, round-9 verdict #7):
+  * three identical-code full runs spanned 230.7–314.4 s because ambient
+  * host load inflates whole tranches (the 314.4 s run's burst tranche
+  * showed a UNIFORM geomean ≈1.33 inflation and a 183 s wall vs ~125 s
+  * siblings). A contaminated tranche must self-report in the artifact
+  * instead of relying on a human reading band medians — per-query
+  * times from a crowded tranche must never be read as plan regressions.
+  *
+  * The check: per tranche, the geometric mean of this-run/reference
+  * per-query ratios. A tranche is `suspect` when its geomean is both
+  * absolutely inflated (≥ [[AbsThreshold]]) and LOCALIZED — materially
+  * above the artifact-wide geomean (≥ [[RelThreshold]] ×). A uniform
+  * shift across all tranches is NOT flagged: that is a code or data
+  * change, exactly what a bench exists to show.
+  *
+  * Used two ways: `graft.Bench` calls [[annotate]] at emit time when a
+  * reference artifact is available (env `SPARK_GRAFT_BENCH_REF`,
+  * default `BENCH_LOCAL.json` — the builder's committed sibling run at
+  * the same sf), so the DRIVER artifact ships the flags; and the
+  * [[main]] post-processor re-annotates any archived artifact against
+  * one or more sibling runs.
+  */
+object BenchVariance {
+
+  /** Minimum geomean inflation vs reference to consider a tranche hot.
+    * §10's burst measured 1.33; normal sibling scatter stays well
+    * under 1.15. */
+  val AbsThreshold = 1.25
+
+  /** The burst must also be localized: tranche geomean ≥ this × the
+    * artifact-wide geomean. */
+  val RelThreshold = 1.15
+
+  /** Fewer comparable queries than this → no verdict (None). */
+  val MinQueries = 5
+
+  final case class TrancheVerdict(geomean: Option[Double], suspect: Boolean)
+
+  private def geomean(rs: Seq[Double]): Option[Double] = {
+    val ok = rs.filter(r => r > 0 && !r.isNaN && !r.isInfinite)
+    if (ok.isEmpty) None
+    else Some(math.exp(ok.map(math.log).sum / ok.size))
+  }
+
+  /** Pure core: per-tranche per-query (this, ref) second pairs →
+    * verdicts. Queries with a sub-millisecond reference are dropped
+    * (ratio of two timer reads, not of work). */
+  def verdicts(tranches: Seq[Seq[(Double, Double)]]): Seq[TrancheVerdict] = {
+    val ratios = tranches.map(_.collect {
+      case (t, ref) if ref > 0.001 && t > 0 => t / ref
+    })
+    val overall = geomean(ratios.flatten).getOrElse(1.0)
+    ratios.map { rs =>
+      if (rs.size < MinQueries) TrancheVerdict(geomean(rs), suspect = false)
+      else {
+        val g = geomean(rs)
+        TrancheVerdict(g, g.exists(v =>
+          v >= AbsThreshold && v >= RelThreshold * overall))
+      }
+    }
+  }
+
+  /** Verdicts for named queries grouped into tranches, against a
+    * reference per-query map. */
+  def annotate(trancheQueries: Seq[Seq[String]],
+      times: Map[String, Double],
+      ref: Map[String, Double]): Seq[TrancheVerdict] =
+    verdicts(trancheQueries.map(_.flatMap(q =>
+      for (t <- times.get(q); r <- ref.get(q)) yield (t, r))))
+
+  /** [[loadQueryTimes]] gated on the artifact's recorded sf matching —
+    * a reference at a different scale factor would make every ratio
+    * meaningless (the relative condition would mask it, but an
+    * all-suspect-false annotation against the wrong sf still reads as
+    * "checked and clean"). */
+  def loadQueryTimesForSf(path: String, sfDir: String): Map[String, Double] = {
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)))
+      val sf = node.get("sf")
+      if (sf != null && sf.asText() == sfDir) loadQueryTimes(path)
+      else Map.empty
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
+  /** Loads `{"queries": {...}}` from a bench artifact; empty map on any
+    * parse problem (annotation is best-effort — it must never break an
+    * emit). */
+  def loadQueryTimes(path: String): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)))
+      val qs = node.get("queries")
+      if (qs == null) Map.empty
+      else qs.fields().asScala
+        .map(e => e.getKey -> e.getValue.asDouble()).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
+  /** Post-processor: re-annotate an archived artifact against sibling
+    * run(s). Usage: `runMain graft.tools.BenchVariance primary.json
+    * sibling.json [sibling2.json ...]` — prints one line per tranche
+    * and rewrites `primary` with `geomean_vs_ref` + `suspect` fields
+    * in its `tranches` array. The reference time per query is the
+    * MEDIAN across siblings.
+    */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: BenchVariance primary.json sibling.json [sibling2.json ...]")
+    import scala.jdk.CollectionConverters._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val primaryPath = java.nio.file.Paths.get(args(0))
+    val root = om.readTree(java.nio.file.Files.readAllBytes(primaryPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val times = root.get("queries").fields().asScala
+      .map(e => e.getKey -> e.getValue.asDouble()).toMap
+    val sib = args.drop(1).map(loadQueryTimes)
+    val ref = times.keys.flatMap { q =>
+      val vs = sib.flatMap(_.get(q)).sorted
+      if (vs.isEmpty) None else Some(q -> vs(vs.length / 2))
+    }.toMap
+    val tr = root.get("tranches")
+    require(tr != null && tr.isArray, s"${args(0)} has no tranches array")
+    // tranche membership from the sorted query list + recorded bounds
+    val sortedQ = times.keys.toSeq.sorted
+    val groups = tr.elements().asScala.toSeq.map { t =>
+      val first = t.get("first").asText(); val last = t.get("last").asText()
+      sortedQ.filter(q => q >= first && q <= last)
+    }
+    val vs = annotate(groups, times, ref)
+    tr.elements().asScala.toSeq.zip(vs).zipWithIndex.foreach {
+      case ((tn, v), i) =>
+        val o = tn.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        v.geomean.foreach(g => o.put("geomean_vs_ref",
+          math.rint(g * 1000) / 1000))
+        o.put("suspect", v.suspect)
+        println(f"tranche $i: geomean_vs_ref=${v.geomean.getOrElse(Double.NaN)}%.3f suspect=${v.suspect}")
+    }
+    java.nio.file.Files.write(primaryPath,
+      om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    println(s"annotated ${args(0)}")
+  }
+}
