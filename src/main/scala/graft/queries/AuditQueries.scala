@@ -620,7 +620,237 @@ object AuditQueries {
        |FROM raw, den ORDER BY source""".stripMargin
   }
 
+  /** q209: RHO-style two-model data selection — the selection tier
+    * above the single-model gates (q102 absolute perplexity, q205
+    * terciles): train the SAME fixed-point Kneser–Ney model twice —
+    * on the full corpus (the "current" model) and on a curated
+    * reference slice (doc_id % 5 == 0, the stand-in for the clean
+    * corpus a reference model is trained on) — score every document
+    * with both, and select documents whose EXCESS rate
+    * (bits/bigram under the current model − bits/bigram under the
+    * reference model) is positive: content the reference model finds
+    * easy relative to the corpus at large, i.e. clean-like data worth
+    * upweighting (Lin et al.'s RHO-1 selection shape at document
+    * granularity). Bigrams absent from the reference model score the
+    * 30-bit OOV floor, so the contrast degrades gracefully instead of
+    * dropping rows. Everything stays on the integer grid: both rates
+    * are the q205 DECIMAL(38,0) per-bigram floors, the excess is a
+    * long subtraction, and the selection is an integer compare.
+    *
+    * Scale shape: two wordcount-family model builds + two scoring
+    * passes (each ONE distinct-doc-bigram join, q102's shape); the
+    * final contrast is a doc-keyed 1:1 join. No corpus re-shuffle
+    * beyond the four map-side-combined aggregations.
+    */
+  def q209RhoSelection(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.KneserNey
+    val d = Load.table(spark, dir, "documents")
+    val ref = d.filter(col("doc_id") % 5 === 0)
+    def rate(model: DataFrame, out: String): DataFrame =
+      KneserNey.perplexityBits(model, d, "text", "doc_id")
+        .filter(col("n_bigrams") > 0)
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("(CAST(bits_fix AS DECIMAL(38,0)) * 65536) div n_bigrams")
+            .cast("long").as(out))
+    val full = rate(KneserNey.bigramModel(d, "text"), "rate_full")
+    val refd = rate(KneserNey.bigramModel(ref, "text"), "rate_ref")
+      .drop("n_bigrams")
+    full.join(refd, Seq("doc_id"))
+      .withColumn("excess_fix",
+        greatest(col("rate_full") - col("rate_ref"), lit(0L)))
+      .withColumn("selected", (col("excess_fix") > 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** One KN chain (counts → model → 16-step integer log → per-doc
+    * score) over the shared `bg`/`docb` CTEs, parameterized by a
+    * training filter — q102's oracle chain with suffixed CTE names so
+    * q209 composes TWO of them in one WITH RECURSIVE. The LEFT JOIN +
+    * 1966080 (= 30·2¹⁶) coalesce mirrors perplexityBits' OOV floor. */
+  private def knScoredSql(s: String, trainFilter: String): String =
+    s"""cvw$s AS (SELECT v, w, count(*)::BIGINT AS c_vw FROM bg
+       |          WHERE $trainFilter GROUP BY v, w),
+       |by_v$s AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v,
+       |                  count(*)::BIGINT AS n1_v FROM cvw$s GROUP BY v),
+       |by_w$s AS (SELECT w, count(*)::BIGINT AS n1_w FROM cvw$s GROUP BY w),
+       |tot$s AS (SELECT count(*)::BIGINT AS n_bb FROM cvw$s),
+       |model$s AS (
+       |  SELECT v, w,
+       |    CAST((1073741824::BIGINT * (4 * c_vw - 3)) // (4 * c_v)
+       |       + ((1073741824::BIGINT * 3 * n1_v) // (4 * c_v)) * n1_w // n_bb
+       |      AS BIGINT) AS p_fix
+       |  FROM cvw$s JOIN by_v$s USING (v) JOIN by_w$s USING (w), tot$s),
+       |nrm$s AS (
+       |  SELECT v, w, greatest(p_fix, 1) AS m, 0::BIGINT AS k FROM model$s
+       |  UNION ALL
+       |  SELECT v, w, m * 2, k + 1 FROM nrm$s WHERE m < 1073741824),
+       |sq$s AS (
+       |  SELECT v, w, k, m, 0 AS i, 0::BIGINT AS acc
+       |  FROM nrm$s WHERE m >= 1073741824
+       |  UNION ALL
+       |  SELECT v, w, k,
+       |         CASE WHEN m2 >= 2147483648::BIGINT THEN m2 // 2 ELSE m2 END,
+       |         i + 1,
+       |         acc * 2 + CASE WHEN m2 >= 2147483648::BIGINT THEN 1 ELSE 0 END
+       |  FROM (SELECT v, w, k, (m * m) // 1073741824 AS m2, i, acc
+       |        FROM sq$s WHERE i < 16) t),
+       |surp$s AS (SELECT v, w, k * 65536 - acc AS bits FROM sq$s WHERE i = 16),
+       |scored$s AS (
+       |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       |         CAST(sum(cnt * coalesce(bits, 1966080)) AS BIGINT) AS bits_fix
+       |  FROM docb LEFT JOIN surp$s USING (v, w) GROUP BY doc_id)""".stripMargin
+
+  val q209Sql: String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |                             x -> x <> '') AS tk
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, tk[i] AS v, tk[i + 1] AS w
+       |  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) t(i)
+       |  WHERE len(tk) >= 2),
+       |docb AS (SELECT doc_id, v, w, count(*)::BIGINT AS cnt
+       |         FROM bg GROUP BY doc_id, v, w),
+       |${knScoredSql("_f", "TRUE")},
+       |${knScoredSql("_r", "doc_id % 5 = 0")},
+       |rates AS (
+       |  SELECT f.doc_id, f.n_bigrams,
+       |         CAST((f.bits_fix::HUGEINT * 65536) // f.n_bigrams AS BIGINT)
+       |           AS rate_full,
+       |         CAST((r.bits_fix::HUGEINT * 65536) // r.n_bigrams AS BIGINT)
+       |           AS rate_ref
+       |  FROM scored_f f JOIN scored_r r USING (doc_id)
+       |  WHERE f.n_bigrams > 0)
+       |SELECT doc_id, n_bigrams, rate_full, rate_ref,
+       |       greatest(rate_full - rate_ref, 0) AS excess_fix,
+       |       CAST(rate_full - rate_ref > 0 AS INTEGER) AS selected
+       |FROM rates ORDER BY doc_id""".stripMargin
+
+  /** q210: token-mass concentration per source — the Gini coefficient
+    * of the per-document token distribution, the corpus-balance
+    * diagnostic next to q201's Zipf slope (Zipf asks whether a
+    * language's VOCABULARY is natural; this asks whether a source's
+    * DOCUMENT MASS is — a source where three mega-documents carry 90%
+    * of the tokens needs chunk-level sampling, not doc-level). Exact
+    * Lorenz algebra on integers: docs ranked ascending by (tokens,
+    * doc_id), G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) as a 2¹⁶ floor in
+    * DECIMAL(38,0) — tie-order inside equal token counts cannot change
+    * Σi·xᵢ, so the rank window is engine-stable without caveats.
+    *
+    * Scale shape: the corpus collapses to (source, doc, tokens) in a
+    * narrow pass; ONE source-keyed sort window ranks it; one
+    * aggregation finishes. 100 TB swap: rank through the q118
+    * histogram (Lorenz from bucket cumulative masses), same algebra.
+    */
+  def q210GiniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val toks = d.select(col("source"), col("doc_id"),
+      size(graft.text.Decontaminate.wordTokens(col("text")))
+        .cast("long").as("tok"))
+    val w = Window.partitionBy("source").orderBy(col("tok"), col("doc_id"))
+    toks.withColumn("__i", row_number().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tok").as("total_tokens"),
+        sum(expr("CAST(__i AS DECIMAL(38,0)) * tok")).as("__ixt"))
+      .withColumn("gini_fix",
+        when(col("total_tokens") > 0, expr(
+          """CAST(((2 * __ixt - (CAST(n_docs AS DECIMAL(38,0)) + 1)
+            |       * total_tokens) * 65536)
+            |     div (CAST(n_docs AS DECIMAL(38,0)) * total_tokens)
+            |     AS BIGINT)""".stripMargin)))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        col("total_tokens").cast("long").as("total_tokens"), col("gini_fix"))
+      .orderBy("source")
+  }
+
+  val q210Sql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |         len(list_filter(string_split_regex(lower(text), '\s+'),
+      |                         x -> x <> ''))::BIGINT AS tok
+      |  FROM documents),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source
+      |                               ORDER BY tok, doc_id) AS i
+      |  FROM t),
+      |g AS (
+      |  SELECT source, count(*)::BIGINT AS n_docs,
+      |         CAST(sum(tok) AS BIGINT) AS total_tokens,
+      |         CAST(sum(i::HUGEINT * tok) AS HUGEINT) AS ixt
+      |  FROM r GROUP BY source)
+      |SELECT source, n_docs, total_tokens,
+      |       CASE WHEN total_tokens > 0 THEN
+      |         CAST(((2 * ixt - (n_docs::HUGEINT + 1) * total_tokens) * 65536)
+      |              // (n_docs::HUGEINT * total_tokens) AS BIGINT)
+      |       END AS gini_fix
+      |FROM g ORDER BY source""".stripMargin
+
+  /** q211: matryoshka prefix-variance audit over the embedding corpus
+    * — for each dimension index d, the exact variance mass of
+    * components 1..d as a share of the total: the measurement behind
+    * truncating matryoshka-style embeddings (can dim 16 of 64 carry
+    * 95% of the corpus variance?). Exact by the q110 discipline:
+    * components quantize to 2⁻¹⁶ integers, per-dimension n·Σv² − (Σv)²
+    * runs in DECIMAL(38,0) (n² × variance — never a float mean), the
+    * cumulative share is a 2¹⁶ floor, and `covers95` cross-multiplies.
+    *
+    * Scale shape: the corpus collapses in ONE narrow posexplode +
+    * map-side-combined per-dimension aggregation (≤ |dims| rows out);
+    * the prefix window and the total run on that |dims| relation —
+    * its unpartitioned window is deliberate (q172's pattern).
+    */
+  def q211MatryoshkaVariance(spark: SparkSession, dir: String): DataFrame = {
+    val e = Load.table(spark, dir, "embeddings")
+    val q = e.select(posexplode(transform(col("embedding"),
+      x => floor(x.cast("double") * 65536d).cast("long")))
+      .as(Seq("dim", "__v")))
+    val perDim = q.groupBy("dim")
+      .agg(count(lit(1)).as("__n"),
+        sum(expr("CAST(__v AS DECIMAL(38,0))")).as("__s"),
+        sum(expr("CAST(__v AS DECIMAL(38,0)) * __v")).as("__s2"))
+      .withColumn("__var", expr("__n * __s2 - __s * __s"))
+    val w = Window.orderBy("dim")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDim
+      .withColumn("__cum", sum("__var").over(w))
+      .withColumn("__tot", sum("__var").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("dim").cast("long").as("dim"),
+        expr("CAST(__var div (__n * __n) AS BIGINT)").as("var_fix"),
+        expr("CAST((__cum * 65536) div __tot AS BIGINT)").as("cum_share_fix"),
+        expr("CAST(__cum * 100 >= __tot * 95 AS INT)").as("covers95"))
+      .orderBy("dim")
+  }
+
+  val q211Sql: String =
+    """WITH q AS (
+      |  SELECT i - 1 AS dim,
+      |         CAST(floor(e[i] * 65536) AS BIGINT) AS v
+      |  FROM (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+      |       UNNEST(generate_series(1, len(e))) t(i)),
+      |d AS (
+      |  SELECT dim, count(*)::HUGEINT AS n,
+      |         CAST(sum(v) AS HUGEINT) AS s,
+      |         CAST(sum(v::HUGEINT * v) AS HUGEINT) AS s2
+      |  FROM q GROUP BY dim),
+      |vv AS (SELECT dim, n, n * s2 - s * s AS var FROM d),
+      |c AS (
+      |  SELECT dim, n, var,
+      |         sum(var) OVER (ORDER BY dim) AS cum,
+      |         sum(var) OVER () AS tot
+      |  FROM vv)
+      |SELECT dim::BIGINT AS dim,
+      |       CAST(var // (n * n) AS BIGINT) AS var_fix,
+      |       CAST((cum * 65536) // tot AS BIGINT) AS cum_share_fix,
+      |       CAST(cum * 100 >= tot * 95 AS INT) AS covers95
+      |FROM c ORDER BY dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_rho_selection" -> (q209RhoSelection _),
+    "q210_gini_concentration" -> (q210GiniConcentration _),
+    "q211_matryoshka_variance" -> (q211MatryoshkaVariance _),
     "q208_doremi_step" -> (q208DoremiStep _),
     "q207_voice_activity" -> (q207VoiceActivity _),
     "q206_video_scene_dedup" -> (q206VideoSceneDedup _),
@@ -632,6 +862,9 @@ object AuditQueries {
     "q204_token_fertility" -> (q204TokenFertility _))
 
   val oracles: Map[String, String] = Map(
+    "q209_rho_selection" -> q209Sql,
+    "q210_gini_concentration" -> q210Sql,
+    "q211_matryoshka_variance" -> q211Sql,
     "q208_doremi_step" -> q208Sql,
     "q207_voice_activity" -> q207Sql,
     "q206_video_scene_dedup" -> q206Sql,

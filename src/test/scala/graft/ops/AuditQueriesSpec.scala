@@ -51,4 +51,64 @@ class AuditQueriesSpec extends SparkSpec {
     assert(out.map(_._2).sum == 1, s"expected exactly one flagged day: $out")
     assert(out.forall(_._1 == 8L), "8 samples per weekday expected")
   }
+
+  test("q209: reference-slice docs score lower under the reference model") {
+    val out = AuditQueries.q209RhoSelection(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      // selected <=> excess > 0, and excess is the clamped rate gap
+      assert(out.filter((col("excess_fix") > 0) =!=
+        (col("selected") === 1)).count() == 0)
+      // curated-slice docs (the ref model's own training data) must be
+      // selected at a HIGHER rate than out-of-slice docs — the whole
+      // point of the contrast
+      val inSel = out.filter(col("doc_id") % 5 === 0)
+        .agg(avg(col("selected"))).head.getDouble(0)
+      val outSel = out.filter(col("doc_id") % 5 =!= 0)
+        .agg(avg(col("selected"))).head.getDouble(0)
+      assert(inSel > outSel,
+        s"ref-slice selection rate $inSel !> out-of-slice $outSel")
+    } finally out.unpersist()
+  }
+
+  test("q210: Gini is 0 on equal masses and ~(n-1)/n on one-doc-takes-all") {
+    def gini(rows: Seq[(String, Long, Long)]): Long = {
+      // replicate the query's algebra on a toy frame via the same expr
+      val df = rows.toDF("source", "doc_id", "tok")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("tok"), col("doc_id"))
+      df.withColumn("__i", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("total_tokens"),
+          sum(expr("CAST(__i AS DECIMAL(38,0)) * tok")).as("__ixt"))
+        .withColumn("g", expr(
+          """CAST(((2 * __ixt - (CAST(n_docs AS DECIMAL(38,0)) + 1)
+            |       * total_tokens) * 65536)
+            |     div (CAST(n_docs AS DECIMAL(38,0)) * total_tokens)
+            |     AS BIGINT)""".stripMargin))
+        .select("g").head.getLong(0)
+    }
+    assert(gini((1L to 8L).map(i => ("a", i, 100L))) == 0L)
+    // one doc holds everything: G = (n-1)/n = 7/8 -> 57344 in 2^16
+    assert(gini((1L to 8L).map(i =>
+      ("a", i, if (i == 8L) 800L else 0L))) == 57344L)
+    // and the real corpus lands strictly inside (0, 1)
+    val real = AuditQueries.q210GiniConcentration(spark, sf)
+      .agg(min("gini_fix"), max("gini_fix")).head
+    assert(real.getLong(0) >= 0L && real.getLong(1) < 65536L)
+  }
+
+  test("q211: cumulative share is monotone, ends at 2^16, covers95 is a step") {
+    val out = AuditQueries.q211MatryoshkaVariance(spark, sf)
+      .orderBy("dim").collect()
+    assert(out.nonEmpty)
+    val shares = out.map(_.getLong(2))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b },
+      "cum share must be monotone in dim")
+    assert(shares.last == 65536L, s"full prefix must cover 100%: ${shares.last}")
+    val flags = out.map(_.getInt(3))
+    assert(flags.zip(flags.tail).forall { case (a, b) => a <= b },
+      "covers95 must be a monotone step")
+    assert(flags.last == 1)
+  }
 }
