@@ -847,7 +847,86 @@ object AuditQueries {
       |       CAST(cum * 100 >= tot * 95 AS INT) AS covers95
       |FROM c ORDER BY dim""".stripMargin
 
+  /** q212: contamination-SPAN localization — the removal-grade upgrade
+    * of doc-level decontamination (q48/q57 flag whole documents; this
+    * finds WHERE the benchmark text sits so the pipeline can excise
+    * the span and keep the rest — the standard treatment for long
+    * documents with one quoted benchmark item). Benchmark set = every
+    * 29th document; training docs' word-8-gram md5 keys semi-join the
+    * benchmark gram set (md5 is engine-identical, so the oracle joins
+    * the same keys); a matched gram at position i contaminates tokens
+    * [i, i+7], and overlapping/adjacent coverage intervals merge into
+    * maximal spans (new span ⟺ gap: i > prev + 8). Output: one row
+    * per (doc, span) with token bounds and the covered-token count —
+    * absence means clean.
+    *
+    * Scale shape: grams are a bounded in-row fan-out; ONE gram-keyed
+    * semi-join (at 100 TB: xxhash64 keys + a bloom pre-tier, q57's
+    * swap) and the island merge rides ONE doc-keyed window exchange.
+    */
+  def q212ContaminationSpans(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val n = 8
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"),
+        graft.text.Decontaminate.wordTokens(col("text")).as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__toks")) - (n - 1)),
+        i => struct(i.as("pos"),
+          md5(array_join(slice(col("__toks"), i, lit(n)), " ")).as("g"))))
+        .as("__gr"))
+      .select(col("doc_id"), col("__gr.pos").as("pos"), col("__gr.g").as("g"))
+    val bench = grams(d.filter(col("doc_id") % 29 === 0))
+      .select("g").distinct()
+    val hits = grams(d.filter(col("doc_id") % 29 =!= 0))
+      .join(bench, Seq("g"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("__new",
+        when(col("pos") > lag("pos", 1).over(w) + n, 1L)
+          .when(lag("pos", 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("span_idx", sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_idx")
+      .agg(min("pos").cast("long").as("tok_start"),
+        (max("pos") + (n - 1)).cast("long").as("tok_end"))
+      .withColumn("span_tokens", col("tok_end") - col("tok_start") + 1)
+      .orderBy("doc_id", "span_idx")
+  }
+
+  val q212Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x <> '') AS tk
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i AS pos, md5(array_to_string(tk[i:i+7], ' ')) AS g
+      |  FROM toks, UNNEST(generate_series(1, len(tk) - 7)) t(i)
+      |  WHERE len(tk) >= 8),
+      |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0),
+      |hits AS (
+      |  SELECT doc_id, pos FROM grams
+      |  WHERE doc_id % 29 <> 0
+      |    AND g IN (SELECT g FROM bench)),
+      |flagged AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN lag(pos) OVER w IS NULL
+      |                OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS nw
+      |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |spans AS (
+      |  SELECT doc_id, pos,
+      |         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS span_idx
+      |  FROM flagged)
+      |SELECT doc_id, span_idx::BIGINT AS span_idx,
+      |       min(pos)::BIGINT AS tok_start,
+      |       (max(pos) + 7)::BIGINT AS tok_end,
+      |       (max(pos) + 7 - min(pos) + 1)::BIGINT AS span_tokens
+      |FROM spans GROUP BY doc_id, span_idx
+      |ORDER BY doc_id, span_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_contamination_spans" -> (q212ContaminationSpans _),
     "q209_rho_selection" -> (q209RhoSelection _),
     "q210_gini_concentration" -> (q210GiniConcentration _),
     "q211_matryoshka_variance" -> (q211MatryoshkaVariance _),
@@ -862,6 +941,7 @@ object AuditQueries {
     "q204_token_fertility" -> (q204TokenFertility _))
 
   val oracles: Map[String, String] = Map(
+    "q212_contamination_spans" -> q212Sql,
     "q209_rho_selection" -> q209Sql,
     "q210_gini_concentration" -> q210Sql,
     "q211_matryoshka_variance" -> q211Sql,

@@ -98,6 +98,28 @@ class AuditQueriesSpec extends SparkSpec {
     assert(real.getLong(0) >= 0L && real.getLong(1) < 65536L)
   }
 
+  test("q212: island merge — adjacent coverage fuses, one clean token splits") {
+    // benchmark doc (id 29) carries two 8-gram phrases A and B; the
+    // training doc embeds A at pos 3 and B right after (coverage
+    // adjacent -> ONE span) and A again after exactly one clean token
+    // (gap 9 -> NEW span)
+    val A = (1 to 8).map(i => s"a$i")
+    val B = (1 to 8).map(i => s"b$i")
+    val pad = (1 to 2).map(i => s"p$i")
+    val trainToks = pad ++ A ++ B ++ Seq("clean") ++ A ++ Seq("tail")
+    val df = Seq(
+      (29L, (A ++ Seq("x") ++ B).mkString(" ")), // benchmark
+      (1L, trainToks.mkString(" ")))
+      .toDF("doc_id", "text")
+    val base = s"/tmp/graft_q212_spec_${ProcessHandle.current().pid()}"
+    df.write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val out = AuditQueries.q212ContaminationSpans(spark, base)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // spans: [3, 18] (A at 3..10 fused with B at 11..18) and [20, 27]
+    assert(out.toSeq == Seq((1L, 3L, 18L), (2L, 20L, 27L)),
+      s"unexpected spans: ${out.toSeq}")
+  }
+
   test("q211: cumulative share is monotone, ends at 2^16, covers95 is a step") {
     val out = AuditQueries.q211MatryoshkaVariance(spark, sf)
       .orderBy("dim").collect()
