@@ -8,10 +8,14 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
 import graft.functions.FixedLogExprs
 import graft.ops.{Iban, Load, Ols, RobustStats}
 
-/** Round-9 audit tier: financial-identifier validation (IBAN mod-97),
-  * corpus power-law diagnostics (Zipf slope), and seasonal robust
-  * outlier screens — each a composition of existing kernels
-  * (fixed-point logs, OLS sums, window-lift median/MAD) with its own
+/** Audit tier (rounds 9–10): financial-identifier validation (IBAN
+  * mod-97), corpus power-law diagnostics (Zipf slope), seasonal robust
+  * outlier screens, media temporal pipelines (video scenes, voice
+  * activity), training-mix optimization (DoReMi), two-model data
+  * selection (RHO), concentration/variance audits (Gini, matryoshka)
+  * and contamination-span localization — each a composition of
+  * existing kernels (fixed-point logs, OLS sums, window-lift
+  * median/MAD, the KN model, the quantize grid) with its own
   * independent DuckDB oracle.
   */
 object AuditQueries {
