@@ -19,20 +19,39 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Exact distinct (not approx_count_distinct) is deliberate: profiles
   * feed validation thresholds and the driver's hash-equality oracle;
-  * HLL estimates would make both nondeterministic. At 100 TB, profile a
-  * sampled partition or swap in [[graft.functions.Kmv.sketch]] — the
-  * mergeable KMV summary keeps the determinism (content is a pure
-  * set-function; integer estimator, q114-gated) at O(k) state, and the
-  * plan shape (one Expand) is the same. approx_count_distinct works too
-  * when nothing audits the number.
+  * HLL estimates would make both nondeterministic. The 100 TB swap is
+  * EXECUTABLE: `sketchDistinct = true` (or the session flag
+  * `spark.graft.distinctTier = sketch`, which q105 reads) computes
+  * n_distinct through [[graft.functions.Kmv.sketch]] inside the SAME
+  * single-agg pass — the mergeable KMV summary keeps the determinism
+  * (content is a pure set-function; integer estimator, q114-gated) at
+  * O(k) state, is EXACT below k = 1024 distincts
+  * (ProfileTierSpec pins tier equality there), and the multi-column
+  * exact COUNT(DISTINCT)'s Expand disappears entirely — sketches are
+  * plain partial-merge aggregates, so the corpus is touched once with
+  * no row multiplication. approx_count_distinct works too when
+  * nothing audits the number.
   */
 object Profile {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** Session tier switch for n_distinct, mirroring
+    * `spark.graft.quantileTier`: `exact` (default) or `sketch`. */
+  def sketchTier(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.distinctTier").contains("sketch")
+
+  def profile(df: DataFrame, cols: Seq[String],
+      sketchDistinct: Boolean = false, k: Int = 1024): DataFrame = {
     val aggs = cols.flatMap { c =>
+      val nd =
+        if (sketchDistinct)
+          graft.functions.Kmv.estimate(
+            graft.functions.Kmv.sketch(
+              graft.functions.Kmv.hash62(col(c).cast("string")), k), k)
+            .as(s"__nd_$c")
+        else count_distinct(col(c)).as(s"__nd_$c")
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
-        count_distinct(col(c)).as(s"__nd_$c"),
+        nd,
         min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"))
     }

@@ -2571,9 +2571,13 @@ object MiscOps {
     */
   def q105Profile(spark: SparkSession, dir: String): DataFrame = {
     val o = Load.table(spark, dir, "orders")
+    // executable 100 TB swap (spark.graft.distinctTier=sketch): KMV
+    // n_distinct in the same single-agg pass, exact below k=1024
+    // (ProfileTierSpec); oracle runs the default exact tier
     graft.ops.Profile.profile(o,
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
-        "o_orderdate"))
+        "o_orderdate"),
+      sketchDistinct = graft.ops.Profile.sketchTier(spark))
       .orderBy("column")
   }
 
