@@ -929,7 +929,221 @@ object AuditQueries {
       |FROM spans GROUP BY doc_id, span_idx
       |ORDER BY doc_id, span_idx""".stripMargin
 
+  /** q213: dominant principal component of the embedding corpus by
+    * integer-exact power iteration — the SPECTRAL audit q211's
+    * axis-aligned variance can't see (a corpus whose variance hides in
+    * a diagonal direction shows flat per-dimension numbers but one
+    * dominant eigenvector). The Gram matrix accumulates in ONE
+    * map-side-combined pass (bounded in-row d×d fan-out, ≤ dims² rows
+    * out); 8 fixed power-iteration steps run on the collected
+    * dims²-bounded artifact (the contract-bounded driver-collect
+    * family: k-means centroids, Outliers sums) with BigInt arithmetic
+    * — every step is y = G·x, then renormalize x = ⌊y·2¹⁶ / max|y|⌋
+    * with FLOOR division so DuckDB's `//` replays it bit-for-bit; the
+    * fixed step count makes the iterate (not "convergence") the
+    * contract. Output per dimension: the 2¹⁶-scaled eigenvector
+    * component and the Rayleigh quotient ⌊xᵀGx / xᵀx⌋. At huge dims
+    * keep the iteration distributed: 8 joins on the ≤ dims² relation.
+    */
+  def q213TopComponent(spark: SparkSession, dir: String): DataFrame = {
+    val e = Load.table(spark, dir, "embeddings")
+    val q = e.select(transform(col("embedding"),
+      x => floor(x.cast("double") * 65536d).cast("long")).as("qv"))
+    val gram = q
+      .select(explode(transform(sequence(lit(0), size(col("qv")) - 1),
+        d1 => struct(d1.as("d1"),
+          transform(col("qv"), v2 => element_at(col("qv"), d1 + 1) * v2)
+            .as("row")))).as("__g"))
+      .select(col("__g.d1"), posexplode(col("__g.row")).as(Seq("d2", "__p")))
+      .groupBy("d1", "d2")
+      .agg(sum(expr("CAST(__p AS DECIMAL(38,0))")).as("__s"))
+      .collect()
+    val dims = gram.map(_.getInt(0)).max + 1
+    val g = Array.ofDim[BigInt](dims, dims)
+    gram.foreach(r => g(r.getInt(0))(r.getInt(1)) =
+      BigInt(r.getDecimal(2).toBigInteger))
+    // BigInt `/` truncates toward zero — the SAME semantics as
+    // DuckDB's integer `//` on signed operands ((-7)//2 = -3 there),
+    // which matters here because eigenvector components go negative;
+    // the repo's usual floor-division discipline only coincides with
+    // truncation on the non-negative operands every other query uses
+    var x = Array.fill(dims)(BigInt(65536))
+    var y = x
+    for (_ <- 1 to 8) {
+      y = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => g(i)(j) * x(j)).sum)
+      val m = y.map(_.abs).max
+      x = y.map(v => (v * 65536) / m)
+    }
+    val gy = Array.tabulate(dims)(i =>
+      (0 until dims).map(j => g(i)(j) * x(j)).sum)
+    val lambda =
+      (0 until dims).map(i => x(i) * gy(i)).sum /
+        (0 until dims).map(i => x(i) * x(i)).sum
+    val rows = (0 until dims).map(d =>
+      (d.toLong, x(d).toLong, lambda.toLong))
+    import spark.implicits._
+    rows.toDF("dim", "eig_fix", "lambda_fix").orderBy("dim")
+  }
+
+  val q213Sql: String = {
+    // every iteration CTE is referenced twice (by m_t and x_t, and the
+    // chain above it) — AS MATERIALIZED stops DuckDB's multi-reference
+    // inlining from re-expanding the whole chain exponentially (the
+    // q179 k-core lesson)
+    val iters = (1 to 8).map { t =>
+      val p = if (t == 1) "x0" else s"x${t - 1}"
+      s"""y$t AS MATERIALIZED (
+         |  SELECT d1 AS d, CAST(sum(g * p.x) AS HUGEINT) AS y
+         |  FROM g JOIN $p p ON p.d = g.d2 GROUP BY d1),
+         |m$t AS MATERIALIZED (SELECT max(abs(y)) AS m FROM y$t),
+         |x$t AS MATERIALIZED (
+         |  SELECT d, (y * 65536) // (SELECT m FROM m$t) AS x
+         |  FROM y$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT list_transform(embedding::DOUBLE[],
+       |                        v -> CAST(floor(v * 65536) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |g AS MATERIALIZED (
+       |  SELECT i1 - 1 AS d1, i2 - 1 AS d2,
+       |         CAST(sum(qv[i1]::HUGEINT * qv[i2]) AS HUGEINT) AS g
+       |  FROM q, UNNEST(generate_series(1, len(qv))) t1(i1),
+       |       UNNEST(generate_series(1, len(qv))) t2(i2)
+       |  GROUP BY 1, 2),
+       |x0 AS MATERIALIZED (
+       |  SELECT DISTINCT d1 AS d, 65536::HUGEINT AS x FROM g),
+       |$iters,
+       |gy AS MATERIALIZED (
+       |  SELECT d1 AS d, CAST(sum(g * p.x) AS HUGEINT) AS y
+       |  FROM g JOIN x8 p ON p.d = g.d2 GROUP BY d1),
+       |lam AS (
+       |  SELECT CAST(sum(p.x * gy.y) // sum(p.x * p.x) AS BIGINT) AS l
+       |  FROM x8 p JOIN gy ON gy.d = p.d)
+       |SELECT p.d::BIGINT AS dim, CAST(p.x AS BIGINT) AS eig_fix,
+       |       (SELECT l FROM lam) AS lambda_fix
+       |FROM x8 p ORDER BY dim""".stripMargin
+  }
+
+  /** q214: Min-K%-Prob membership audit (Shi et al. 2023, "Detecting
+    * Pretraining Data from Large Language Models") — the
+    * contamination-DIRECTION complement of q48/q212: instead of asking
+    * "does this benchmark text appear in the corpus", it asks "does
+    * this document look memorized by the model" by scoring each doc on
+    * only its k = ⌈n/5⌉ most-surprising bigram occurrences (members
+    * have few surprising tokens, so their Min-K% tail mean is LOW).
+    * Float-free end to end on q102's fixed-point machinery: per-doc
+    * bigram-type surprisals ([[graft.text.KneserNey.docBigramBits]]),
+    * one doc-keyed sort window (bits DESC, v, w tiebreak) selects
+    * occurrences across type multiplicities via cumulative counts —
+    * take = clamp(k − cum_before, 0, cnt) — then mean = sum div k.
+    * Scale shape: the model pass + one (doc,v,w) combine + one
+    * doc-keyed window; the per-doc window is bounded by doc length
+    * (never corpus-wide). τ = 5.28125 bits (346112 in 16.16, the corpus median) sits inside
+    * the corpus Min-K% band so both flag branches are population-
+    * exercised; empty docs ride the no-silent-drop spine with k = 0.
+    */
+  def q214MinkMembership(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val model = graft.text.KneserNey.bigramModel(d, "text")
+    val db = graft.text.KneserNey.docBigramBits(model, d, "text", "doc_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("__bits").desc, col("v"), col("w"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val sel = db
+      .withColumn("__cum", sum(col("__cnt")).over(w) - col("__cnt"))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+      .withColumn("__k", expr("(__n + 4) div 5"))
+      .withColumn("__take",
+        greatest(lit(0L), least(col("__cnt"), col("__k") - col("__cum"))))
+    val agg = sel.groupBy("doc_id")
+      .agg(max("__n").as("n_bigrams"), max("__k").as("k_used"),
+        sum(col("__take") * col("__bits")).as("mink_bits_fix"))
+    d.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("k_used"), lit(0L)).as("k_used"),
+        coalesce(col("mink_bits_fix"), lit(0L)).as("mink_bits_fix"))
+      .withColumn("mink_mean_fix",
+        when(col("k_used") > 0,
+          expr("CAST(mink_bits_fix AS DECIMAL(38,0)) div k_used")
+            .cast("long")).otherwise(lit(0L)))
+      .withColumn("suspect_member",
+        (col("k_used") > 0 && col("mink_mean_fix") <= lit(346112L))
+          .cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val q214Sql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x <> '') AS tk
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, tk[i] AS v, tk[i + 1] AS w
+      |  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) t(i)
+      |  WHERE len(tk) >= 2),
+      |cvw AS (SELECT v, w, count(*)::BIGINT AS c_vw FROM bg GROUP BY v, w),
+      |by_v AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v,
+      |                count(*)::BIGINT AS n1_v FROM cvw GROUP BY v),
+      |by_w AS (SELECT w, count(*)::BIGINT AS n1_w FROM cvw GROUP BY w),
+      |tot AS (SELECT count(*)::BIGINT AS n_bb FROM cvw),
+      |model AS (
+      |  SELECT v, w,
+      |    CAST((1073741824::BIGINT * (4 * c_vw - 3)) // (4 * c_v)
+      |       + ((1073741824::BIGINT * 3 * n1_v) // (4 * c_v)) * n1_w // n_bb
+      |      AS BIGINT) AS p_fix
+      |  FROM cvw JOIN by_v USING (v) JOIN by_w USING (w), tot),
+      |nrm AS (
+      |  SELECT v, w, greatest(p_fix, 1) AS m, 0::BIGINT AS k FROM model
+      |  UNION ALL
+      |  SELECT v, w, m * 2, k + 1 FROM nrm WHERE m < 1073741824),
+      |normed AS (SELECT v, w, m, k FROM nrm WHERE m >= 1073741824),
+      |sq AS (
+      |  SELECT v, w, k, m, 0 AS i, 0::BIGINT AS acc FROM normed
+      |  UNION ALL
+      |  SELECT v, w, k,
+      |         CASE WHEN m2 >= 2147483648::BIGINT THEN m2 // 2 ELSE m2 END,
+      |         i + 1,
+      |         acc * 2 + CASE WHEN m2 >= 2147483648::BIGINT THEN 1 ELSE 0 END
+      |  FROM (SELECT v, w, k, (m * m) // 1073741824 AS m2, i, acc
+      |        FROM sq WHERE i < 16) s),
+      |surp AS (SELECT v, w, k * 65536 - acc AS bits FROM sq WHERE i = 16),
+      |docb AS (SELECT doc_id, v, w, count(*)::BIGINT AS cnt
+      |         FROM bg GROUP BY doc_id, v, w),
+      |sel AS (
+      |  SELECT doc_id, cnt, bits,
+      |         sum(cnt) OVER (PARTITION BY doc_id
+      |           ORDER BY bits DESC, v, w
+      |           ROWS UNBOUNDED PRECEDING) - cnt AS cum_before,
+      |         sum(cnt) OVER (PARTITION BY doc_id) AS n
+      |  FROM (SELECT d.doc_id, d.v, d.w, d.cnt,
+      |               coalesce(s.bits, 1966080) AS bits
+      |        FROM docb d LEFT JOIN surp s USING (v, w)) j),
+      |agg AS (
+      |  SELECT doc_id, max(n) AS n_bigrams, (max(n) + 4) // 5 AS k_used,
+      |         CAST(sum(greatest(0, least(cnt, (n + 4) // 5 - cum_before))
+      |                  * bits) AS BIGINT) AS mink_bits_fix
+      |  FROM sel GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+      |       coalesce(a.k_used, 0)::BIGINT AS k_used,
+      |       coalesce(a.mink_bits_fix, 0)::BIGINT AS mink_bits_fix,
+      |       CASE WHEN coalesce(a.k_used, 0) > 0 THEN
+      |         CAST(a.mink_bits_fix // a.k_used AS BIGINT)
+      |       ELSE 0 END AS mink_mean_fix,
+      |       CAST(coalesce(a.k_used, 0) > 0 AND
+      |            CASE WHEN coalesce(a.k_used, 0) > 0 THEN
+      |              a.mink_bits_fix // a.k_used ELSE 0 END <= 346112
+      |         AS INTEGER) AS suspect_member
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_mink_membership" -> (q214MinkMembership _),
+    "q213_top_component" -> (q213TopComponent _),
     "q212_contamination_spans" -> (q212ContaminationSpans _),
     "q209_rho_selection" -> (q209RhoSelection _),
     "q210_gini_concentration" -> (q210GiniConcentration _),
@@ -945,6 +1159,8 @@ object AuditQueries {
     "q204_token_fertility" -> (q204TokenFertility _))
 
   val oracles: Map[String, String] = Map(
+    "q214_mink_membership" -> q214Sql,
+    "q213_top_component" -> q213Sql,
     "q212_contamination_spans" -> q212Sql,
     "q209_rho_selection" -> q209Sql,
     "q210_gini_concentration" -> q210Sql,

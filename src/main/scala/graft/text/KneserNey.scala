@@ -107,11 +107,34 @@ object KneserNey {
     */
   def perplexityBits(model: DataFrame, docs: DataFrame, textCol: String,
       idCol: String, scaleBits: Int = 30, fracBits: Int = 16): DataFrame = {
+    val scored = docBigramBits(model, docs, textCol, idCol, scaleBits,
+        fracBits)
+      .groupBy("doc_id")
+      .agg(sum("__cnt").as("n_bigrams"),
+        sum(col("__cnt") * col("__bits")).as("bits_fix"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("bits_fix"), lit(0L)).as("bits_fix"))
+  }
+
+  /** Per-(doc, bigram-TYPE) surprisal — the relation `perplexityBits`
+    * aggregates, exposed for order-statistic consumers (q214's Min-K%
+    * selection needs the individual bits, not their sum). Columns:
+    * doc_id, v, w, __cnt (occurrences of the type in the doc), __bits
+    * (16.16 surprisal; unseen bigrams take the scaleBits floor, so no
+    * doc-bigram ever drops). Same scale shape as `perplexityBits`:
+    * narrow bigram fan-out → one map-side-combined (doc,v,w) shuffle →
+    * (v,w)-keyed join against the distributed model.
+    */
+  def docBigramBits(model: DataFrame, docs: DataFrame, textCol: String,
+      idCol: String, scaleBits: Int = 30, fracBits: Int = 16): DataFrame = {
     val surprisal = model.select(col("v"), col("w"),
       (-graft.functions.FixedLogExprs.log2fix(col("p_fix"), scaleBits,
         fracBits)).as("__bits"))
     val toks = Decontaminate.wordTokens(col(textCol))
-    val docBigrams = docs
+    val floorBits = (scaleBits.toLong << fracBits)
+    docs
       .select(col(idCol).as("doc_id"), toks.as("__toks"))
       .select(col("doc_id"), size(col("__toks")).as("__nt"), col("__toks"))
       .select(col("doc_id"), explode(when(col("__nt") >= 2,
@@ -121,15 +144,8 @@ object KneserNey {
         .otherwise(array())).as("bg"))
       .groupBy(col("doc_id"), col("bg.v").as("v"), col("bg.w").as("w"))
       .agg(count(lit(1)).as("__cnt"))
-    val floorBits = (scaleBits.toLong << fracBits)
-    val scored = docBigrams.join(surprisal, Seq("v", "w"), "left")
-      .groupBy("doc_id")
-      .agg(sum("__cnt").as("n_bigrams"),
-        sum(col("__cnt") * coalesce(col("__bits"), lit(floorBits)))
-          .as("bits_fix"))
-    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("bits_fix"), lit(0L)).as("bits_fix"))
+      .join(surprisal, Seq("v", "w"), "left")
+      .select(col("doc_id"), col("v"), col("w"), col("__cnt"),
+        coalesce(col("__bits"), lit(floorBits)).as("__bits"))
   }
 }

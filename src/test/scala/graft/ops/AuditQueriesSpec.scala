@@ -120,6 +120,59 @@ class AuditQueriesSpec extends SparkSpec {
       s"unexpected spans: ${out.toSeq}")
   }
 
+  test("q213: power iteration recovers a planted dominant direction") {
+    // corpus = multiples of the diagonal direction (1,1,1,1)/2: the
+    // Gram matrix is rank-1, so 8 iterations land exactly on it —
+    // every eigenvector component equals the normalization cap
+    val vs = (-2 to 2).flatMap(t => Seq.fill(3)(
+      Array.fill(4)(0.5f * t)))
+    val base = s"/tmp/graft_q213_spec_${ProcessHandle.current().pid()}"
+    vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    val out = AuditQueries.q213TopComponent(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._2).distinct.toSeq == Seq(65536L),
+      s"diagonal direction expected: ${out.toSeq}")
+    // axis-aligned control: variance only on dim 2 -> eigvec = e2
+    val ax = (-2 to 2).flatMap(t => Seq.fill(3)(
+      Array(0f, 0f, 1.0f * t, 0f)))
+    ax.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    val out2 = AuditQueries.q213TopComponent(spark, base)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(math.abs(out2(2L)) == 65536L &&
+      Seq(0L, 1L, 3L).forall(d => out2(d) == 0L),
+      s"axis direction expected: $out2")
+  }
+
+  test("q214: memorized-looking doc scores below the rare-bigram doc") {
+    // docs 0..7: the same common sentence (a "member" — every bigram
+    // is corpus-frequent, so even its most-surprising tail is cheap);
+    // doc 8: RARE CONTINUATIONS OF THE COMMON HISTORY "the" — under KN
+    // a singleton bigram is only surprising when its history is
+    // frequent (c_vw/c_v small); singleton-history singletons have
+    // ratio ≈ 1 and score LOW, so fully-unique words would not plant
+    // a high Min-K% tail; doc 9: no bigrams (the spine row)
+    val common = "the cat sat on the mat and the dog sat on the rug"
+    val docs = (0L to 7L).map(i => (i, common, "en", "s", 0L)) ++ Seq(
+      (8L, "the zyx the wvu the tsr qpo", "en", "s", 0L),
+      (9L, "solo", "en", "s", 0L))
+    val base = s"/tmp/graft_q214_spec_${ProcessHandle.current().pid()}"
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val out = AuditQueries.q214MinkMembership(spark, base)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    // k = ceil(n/5): 13 tokens -> 12 bigrams -> k = 3
+    assert(out(0L)._1 == 12L && out(0L)._2 == 3L, s"k shape: $out")
+    assert(out(8L)._3 > out(0L)._3,
+      s"rare doc must out-surprise the member: $out")
+    assert(out(9L)._1 == 0L && out(9L)._2 == 0L && out(9L)._3 == 0L,
+      s"empty-bigram doc rides the spine: $out")
+  }
+
   test("q211: cumulative share is monotone, ends at 2^16, covers95 is a step") {
     val out = AuditQueries.q211MatryoshkaVariance(spark, sf)
       .orderBy("dim").collect()
