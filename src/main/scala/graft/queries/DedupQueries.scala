@@ -1480,6 +1480,100 @@ object DedupQueries {
        |SELECT n_a, n_b, n_union, n_inter, k_actual, k_common
        |FROM tot, ks""".stripMargin
 
+  /** q215: cross-source overlap MATRIX — q149's pairwise measure
+    * generalized to every source pair at once (the "did source B
+    * scrape source A" audit a multi-source training mix runs before
+    * deciding dedup order and mixture weights). Exact tier: distinct
+    * (source, word-8-gram md5) in one bounded in-row fan-out + one
+    * map-side-combined shuffle; per gram the SORTED source set (≤
+    * |sources| elements) fans out in-row to its C(k,2) ordered pairs
+    * AND its k singletons, so ONE aggregation yields both every
+    * pairwise intersection and every per-source gram count — the
+    * corpus is touched once, never self-joined. The grouped artifact
+    * is ≤ |sources|² rows (the contract-bounded driver-collect family:
+    * q213's Gram, k-means centroids); Jaccard and containment finish
+    * as 2¹⁶ floors on that artifact, with a documents-spine source
+    * list so a gram-free source still surfaces (zeros, no silent
+    * drop). 100 TB swap: per-source KMV signatures (q114's sketch)
+    * unioned pairwise — same output shape, bounded state.
+    */
+  def q215SourceOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val n = 8
+    val sg = d
+      .select(col("source"),
+        graft.text.Decontaminate.wordTokens(col("text")).as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("source"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("__toks")) - (n - 1)),
+        i => md5(array_join(slice(col("__toks"), i, lit(n)), " ")))))
+        .as("g"))
+      .distinct()
+    val grouped = sg.groupBy("g")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .select(explode(concat(
+        transform(col("ss"), s =>
+          struct(s.as("s1"), lit(null).cast(StringType).as("s2"))),
+        flatten(transform(col("ss"), (s1, i) =>
+          transform(slice(col("ss"), i + 2, size(col("ss"))), s2 =>
+            struct(s1.as("s1"), s2.as("s2"))))))).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+    val sz = grouped.filter(_.isNullAt(1))
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val inter = grouped.filter(!_.isNullAt(1))
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sources = d.select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    val rows = for {
+      i <- sources.indices; j <- (i + 1) until sources.length
+      s1 = sources(i); s2 = sources(j)
+      sz1 = sz.getOrElse(s1, 0L); sz2 = sz.getOrElse(s2, 0L)
+      ix = inter.getOrElse((s1, s2), 0L)
+      uni = sz1 + sz2 - ix
+    } yield (s1, s2, sz1, sz2, ix,
+      if (uni > 0) (BigInt(ix) * 65536 / uni).toLong else 0L,
+      if (math.min(sz1, sz2) > 0)
+        (BigInt(ix) * 65536 / math.min(sz1, sz2)).toLong
+      else 0L)
+    import spark.implicits._
+    rows.toDF("s1", "s2", "sz1", "sz2", "inter", "jaccard_fix",
+      "containment_fix").orderBy("s1", "s2")
+  }
+
+  val q215Sql: String =
+    """WITH toks AS (
+      |  SELECT source, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x <> '') AS tk
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT source, md5(array_to_string(tk[i:i+7], ' ')) AS g
+      |  FROM toks, UNNEST(generate_series(1, len(tk) - 7)) t(i)
+      |  WHERE len(tk) >= 8),
+      |szg AS (SELECT source, count(*)::BIGINT AS sz FROM g GROUP BY source),
+      |srcs AS (SELECT DISTINCT source FROM documents),
+      |sz AS (
+      |  SELECT s.source, coalesce(z.sz, 0) AS sz
+      |  FROM srcs s LEFT JOIN szg z USING (source)),
+      |ix AS (
+      |  SELECT a.source AS s1, b.source AS s2, count(*)::BIGINT AS inter
+      |  FROM g a JOIN g b USING (g) WHERE a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT a.source AS s1, b.source AS s2, a.sz AS sz1, b.sz AS sz2,
+      |       coalesce(i.inter, 0)::BIGINT AS inter,
+      |       CASE WHEN a.sz + b.sz - coalesce(i.inter, 0) > 0 THEN
+      |         CAST(coalesce(i.inter, 0)::HUGEINT * 65536
+      |              // (a.sz + b.sz - coalesce(i.inter, 0)) AS BIGINT)
+      |       ELSE 0 END AS jaccard_fix,
+      |       CASE WHEN least(a.sz, b.sz) > 0 THEN
+      |         CAST(coalesce(i.inter, 0)::HUGEINT * 65536
+      |              // least(a.sz, b.sz) AS BIGINT)
+      |       ELSE 0 END AS containment_fix
+      |FROM sz a JOIN sz b ON a.source < b.source
+      |LEFT JOIN ix i ON i.s1 = a.source AND i.s2 = b.source
+      |ORDER BY s1, s2""".stripMargin
+
   /** q150: winnowing-fingerprint near-dup pairs (Schleimer et al. 2003,
     * the MOSS scheme) — the LOCAL fingerprinting tier between exact
     * shingles (every position — q34's index weight) and MinHash (a
@@ -1786,6 +1880,7 @@ object DedupQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_source_overlap" -> (q215SourceOverlapMatrix _),
     "q153_fellegi_sunter" -> (q153FellegiSunter _),
     "q151_sorted_neighborhood" -> (q151SortedNeighborhood _),
     "q150_winnow_pairs" -> (q150WinnowPairs _),
@@ -1818,6 +1913,7 @@ object DedupQueries {
     "q83_semantic_decontaminate" -> q83SemanticDecontaminate)
 
   val oracles: Map[String, String] = Map(
+    "q215_source_overlap" -> q215Sql,
     "q153_fellegi_sunter" -> q153Sql,
     "q151_sorted_neighborhood" -> q151Sql,
     "q150_winnow_pairs" -> q150Sql,
