@@ -639,6 +639,174 @@ object TextQueries {
       |CROSS JOIN po
       |ORDER BY te.doc_id""".stripMargin
 
+  /** q216: classifier CALIBRATION audit (reliability diagram + ECE) —
+    * the check a curation pipeline runs before trusting a model-based
+    * filter's scores as sampling weights (a quality classifier that
+    * says "90% positive" must be right ~90% of the time, or its
+    * threshold is meaningless). Held-out NB posteriors are computed
+    * EXACTLY: per-class surprisal ([[graft.text.NaiveBayes.scoreBits]]),
+    * Δ = bits − min_bits per doc, class factor 2^(−Δ) via the
+    * deterministic [[graft.functions.FixedLogKernel.pow2NegFix]]
+    * kernel (floored binary exponentiation — the q208 bit-factor
+    * machinery, negative direction), confidence = 2⁴⁷ div Σfactors.
+    * Docs bucket by confidence decile; per bucket the mean stated
+    * confidence and the empirical accuracy land on the 2¹⁶ grid, and
+    * ECE = Σ n_b·|conf_b − acc_b| div N rides a single unpartitioned
+    * window over the ≤10-row bucket relation (never a re-executing
+    * self-join). Zero-token docs carry no classifier evidence and are
+    * outside the reliability population by construction. Scale shape:
+    * train = q113's two wordcount exchanges; score = one (doc,w)
+    * combine + broadcast model join; the doc-keyed min/softmax is one
+    * exchange; buckets are ≤10 rows.
+    */
+  def q216NbCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Load.table(spark, dir, "documents")
+    val trainDf = d.filter(col("doc_id") % 5 =!= 0)
+    val testDf = d.filter(col("doc_id") % 5 === 0)
+    val model = graft.text.NaiveBayes.train(trainDf, "text", "lang")
+    val scored = graft.text.NaiveBayes.scoreBits(model, testDf, "text",
+      "doc_id")
+    val w = Window.partitionBy("doc_id")
+    val perDoc = scored
+      .withColumn("__best", min(struct(col("bits_fix"), col("y"))).over(w))
+      .withColumn("__factor", graft.functions.FixedLogExprs.pow2NegFix(
+        col("bits_fix") - col("__best.bits_fix")))
+      .groupBy("doc_id")
+      .agg(first(col("__best.y")).as("pred"),
+        sum(col("__factor")).as("__fsum"))
+      .withColumn("conf_fix",
+        expr(s"CAST(${1L << 47} AS BIGINT) div __fsum"))
+      .join(testDf.select(col("doc_id"), col("lang").as("actual")),
+        Seq("doc_id"))
+      .withColumn("correct", (col("pred") === col("actual")).cast("long"))
+      .withColumn("bucket",
+        least(lit(9L), expr("conf_fix * 10 div 65536")))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    perDoc.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(sum(conf_fix) AS DECIMAL(38,0)) div count(*)")
+          .cast("long").as("conf_mean_fix"),
+        expr("CAST(sum(correct) * 65536 AS DECIMAL(38,0)) div count(*)")
+          .cast("long").as("acc_fix"))
+      .withColumn("gap_fix", abs(col("conf_mean_fix") - col("acc_fix")))
+      .withColumn("__ngap_tot",
+        sum(col("n_docs") * col("gap_fix")).over(wAll))
+      .withColumn("__n_tot", sum(col("n_docs")).over(wAll))
+      .withColumn("ece_fix",
+        expr("CAST(__ngap_tot AS DECIMAL(38,0)) div __n_tot").cast("long"))
+      .select(col("bucket"), col("n_docs"), col("conf_mean_fix"),
+        col("acc_fix"), col("gap_fix"), col("ece_fix"))
+      .orderBy("bucket")
+  }
+
+  val q216Sql: String = {
+    val cases = graft.functions.FixedLogKernel.POW2_FRAC.zipWithIndex
+      .map { case (c, i) => s"WHEN $i THEN ${c}::BIGINT" }.mkString(" ")
+    s"""WITH RECURSIVE
+       |tr AS (SELECT doc_id, lang AS y, text FROM documents
+       |       WHERE doc_id % 5 <> 0),
+       |te AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+       |ttoks AS (
+       |  SELECT y, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                               x -> x <> '')) AS w
+       |  FROM tr),
+       |cwy AS (SELECT w, y, count(*)::BIGINT AS c_wy FROM ttoks GROUP BY w, y),
+       |cy AS (SELECT y, CAST(sum(c_wy) AS BIGINT) AS c_y FROM cwy GROUP BY y),
+       |voc AS (SELECT count(DISTINCT w)::BIGINT AS v_sz FROM cwy),
+       |pri AS (SELECT y, count(*)::BIGINT AS n_y FROM tr GROUP BY y),
+       |ntot AS (SELECT CAST(sum(n_y) AS BIGINT) AS n_tot FROM pri),
+       |vals AS (
+       |  SELECT 'w' AS kind, w, y,
+       |         (1073741824::BIGINT * (c_wy + 1)) // (c_y + v_sz) AS p
+       |  FROM cwy JOIN cy USING (y), voc
+       |  UNION ALL
+       |  SELECT 'p', '', y, (1073741824::BIGINT * n_y) // n_tot FROM pri, ntot
+       |  UNION ALL
+       |  SELECT 'd', '', y, 1073741824::BIGINT // (c_y + v_sz) FROM cy, voc),
+       |nrm AS (
+       |  SELECT kind, w, y, greatest(p, 1) AS m, 0::BIGINT AS k FROM vals
+       |  UNION ALL
+       |  SELECT kind, w, y, m * 2, k + 1 FROM nrm WHERE m < 1073741824),
+       |normed AS (SELECT kind, w, y, m, k FROM nrm WHERE m >= 1073741824),
+       |sq AS (
+       |  SELECT kind, w, y, k, m, 0 AS i, 0::BIGINT AS acc FROM normed
+       |  UNION ALL
+       |  SELECT kind, w, y, k,
+       |         CASE WHEN m2 >= 2147483648::BIGINT THEN m2 // 2 ELSE m2 END,
+       |         i + 1,
+       |         acc * 2 + CASE WHEN m2 >= 2147483648::BIGINT THEN 1 ELSE 0 END
+       |  FROM (SELECT kind, w, y, k, (m * m) // 1073741824 AS m2, i, acc
+       |        FROM sq WHERE i < 16) s),
+       |surp AS (SELECT kind, w, y, k * 65536 - acc AS b FROM sq WHERE i = 16),
+       |wb AS (SELECT w, y, b FROM surp WHERE kind = 'w'),
+       |pb AS (SELECT y, b FROM surp WHERE kind = 'p'),
+       |db AS (SELECT y, b FROM surp WHERE kind = 'd'),
+       |ttf AS (
+       |  SELECT doc_id, w, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id,
+       |               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                                  x -> x <> '')) AS w
+       |        FROM te)
+       |  GROUP BY doc_id, w),
+       |scored AS (
+       |  SELECT t.doc_id, p.y,
+       |         min(p.b) + CAST(sum(t.tf * coalesce(w.b, d.b)) AS BIGINT)
+       |           AS bits
+       |  FROM ttf t
+       |  CROSS JOIN pb p
+       |  JOIN db d ON d.y = p.y
+       |  LEFT JOIN wb w ON w.w = t.w AND w.y = p.y
+       |  GROUP BY t.doc_id, p.y),
+       |delta AS (
+       |  SELECT doc_id, y, bits - min(bits) OVER (PARTITION BY doc_id)
+       |           AS dl,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY bits, y)
+       |           AS rn
+       |  FROM scored),
+       |mkf AS (
+       |  SELECT doc_id, y, rn, dl // 65536 AS k, dl % 65536 AS f
+       |  FROM delta),
+       |pw AS (
+       |  SELECT doc_id, y, k, f, 15 AS i, 2147483648::BIGINT AS r
+       |  FROM mkf WHERE f <> 0 AND k < 63
+       |  UNION ALL
+       |  SELECT doc_id, y, k, f, i - 1,
+       |         CASE WHEN (f // (1::BIGINT << i)) % 2 = 1
+       |              THEN (r * CASE i $cases END) // 2147483648
+       |              ELSE r END
+       |  FROM pw WHERE i >= 0),
+       |fac AS (
+       |  SELECT m.doc_id, m.y, m.rn,
+       |         CASE WHEN m.k >= 63 THEN 0
+       |              WHEN m.f = 0 THEN 2147483648::BIGINT
+       |                                >> CAST(m.k AS INTEGER)
+       |              ELSE p.r >> CAST(m.k AS INTEGER) END AS factor
+       |  FROM mkf m LEFT JOIN (SELECT doc_id, y, r FROM pw WHERE i = -1) p
+       |    USING (doc_id, y)),
+       |perdoc AS (
+       |  SELECT f.doc_id,
+       |         max(CASE WHEN f.rn = 1 THEN f.y END) AS pred,
+       |         CAST(140737488355328 // sum(f.factor) AS BIGINT) AS conf_fix
+       |  FROM fac f GROUP BY f.doc_id),
+       |lab AS (
+       |  SELECT p.doc_id, p.conf_fix,
+       |         CASE WHEN p.pred = te.lang THEN 1 ELSE 0 END AS correct,
+       |         least(9, (p.conf_fix * 10) // 65536) AS bucket
+       |  FROM perdoc p JOIN te USING (doc_id)),
+       |bk AS (
+       |  SELECT bucket, count(*)::BIGINT AS n_docs,
+       |         CAST(sum(conf_fix) // count(*) AS BIGINT) AS conf_mean_fix,
+       |         CAST((sum(correct) * 65536) // count(*) AS BIGINT) AS acc_fix
+       |  FROM lab GROUP BY bucket)
+       |SELECT bucket::BIGINT AS bucket, n_docs, conf_mean_fix, acc_fix,
+       |       abs(conf_mean_fix - acc_fix) AS gap_fix,
+       |       CAST(sum(n_docs * abs(conf_mean_fix - acc_fix)) OVER ()
+       |            // sum(n_docs) OVER () AS BIGINT) AS ece_fix
+       |FROM bk ORDER BY bucket""".stripMargin
+  }
+
   /** q115: deterministic span corruption ([[graft.text.SpanCorruption]])
     * — the denoising-objective construction step (T5-style masked-span
     * input/target pairs) with the RNG replaced by a stable block hash,
@@ -893,6 +1061,7 @@ object TextQueries {
     "q189_chunking" -> (q189Chunking _),
     "q191_templates" -> (q191Templates _),
     "q113_nb_classifier" -> (q113NbClassifier _),
+    "q216_nb_calibration" -> (q216NbCalibration _),
     "q115_span_corrupt" -> (q115SpanCorrupt _),
     "q20_text_profile" -> q20Profile,
     "q21_quality_score" -> q21Quality,
@@ -922,5 +1091,6 @@ object TextQueries {
     "q189_chunking" -> q189Sql,
     "q191_templates" -> q191Sql,
     "q113_nb_classifier" -> q113Sql,
+    "q216_nb_calibration" -> q216Sql,
     "q115_span_corrupt" -> q115Sql)
 }
