@@ -1141,7 +1141,68 @@ object AuditQueries {
       |FROM documents d LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q217: split-conformal outlier gate — the finite-sample-guaranteed
+    * upgrade over a hand-picked threshold (q102's τ = 4.95, q205's
+    * terciles): calibration docs (doc_id % 5 = 0) provide the empirical
+    * score distribution, q̂ = the ⌈(n_cal+1)·(1−α)⌉-th smallest
+    * calibration perplexity (α = 0.1), and a test doc flags iff its
+    * score exceeds q̂ — by exchangeability the false-flag rate is ≤ α
+    * regardless of the score's distribution (Vovk et al.; Angelopoulos
+    * & Bates 2023 survey). Scores are q205's exact per-doc bits/bigram
+    * rate, so the whole gate lives on the 2¹⁶ integer grid and the rank
+    * is an exact order statistic (ppl, doc_id tiebreak). Zero-bigram
+    * docs carry no score and sit outside both sets (q205's precedent).
+    * Scale shape: one model pass + per-doc scores; the calibration rank
+    * is ONE sort window over the |cal| subset (100 TB swap: q118's
+    * mergeable quantile sketch — same crossover as q205's executable
+    * sketch tier); q̂ broadcasts to the test side as a 1-row join.
+    */
+  def q217ConformalGate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val model = graft.text.KneserNey.bigramModel(d, "text")
+    val pp = graft.text.KneserNey.perplexityBits(model, d, "text", "doc_id")
+      .filter(col("n_bigrams") > 0)
+      .withColumn("ppl_fix",
+        expr("(CAST(bits_fix AS DECIMAL(38,0)) * 65536) div n_bigrams")
+          .cast("long"))
+    val w = Window.orderBy("ppl_fix", "doc_id")
+    val qhat = pp.filter(col("doc_id") % 5 === 0)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .filter(col("__rn") === expr("((__n + 1) * 9 + 9) div 10"))
+      .select(col("ppl_fix").as("qhat_fix"))
+    pp.filter(col("doc_id") % 5 =!= 0)
+      .crossJoin(broadcast(qhat))
+      .select(col("doc_id"), col("ppl_fix"), col("qhat_fix"),
+        (col("ppl_fix") > col("qhat_fix")).cast("int").as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  val q217Sql: String =
+    s"""WITH base AS (
+       |${TextQueries.q102Sql.replace("ORDER BY d.doc_id", "")}
+       |),
+       |p AS (
+       |  SELECT doc_id,
+       |         CAST((bits_fix::HUGEINT * 65536) // n_bigrams AS BIGINT)
+       |           AS ppl_fix
+       |  FROM base WHERE n_bigrams > 0),
+       |cal AS (
+       |  SELECT ppl_fix,
+       |         row_number() OVER (ORDER BY ppl_fix, doc_id) AS rn,
+       |         count(*) OVER () AS n
+       |  FROM p WHERE doc_id % 5 = 0),
+       |qh AS (SELECT ppl_fix AS qhat_fix FROM cal
+       |       WHERE rn = ((n + 1) * 9 + 9) // 10)
+       |SELECT doc_id, ppl_fix, qh.qhat_fix,
+       |       CAST(ppl_fix > qh.qhat_fix AS INTEGER) AS flagged
+       |FROM p, qh WHERE doc_id % 5 <> 0
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_conformal_gate" -> (q217ConformalGate _),
     "q214_mink_membership" -> (q214MinkMembership _),
     "q213_top_component" -> (q213TopComponent _),
     "q212_contamination_spans" -> (q212ContaminationSpans _),
@@ -1159,6 +1220,7 @@ object AuditQueries {
     "q204_token_fertility" -> (q204TokenFertility _))
 
   val oracles: Map[String, String] = Map(
+    "q217_conformal_gate" -> q217Sql,
     "q214_mink_membership" -> q214Sql,
     "q213_top_component" -> q213Sql,
     "q212_contamination_spans" -> q212Sql,

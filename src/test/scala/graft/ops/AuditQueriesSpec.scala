@@ -173,6 +173,32 @@ class AuditQueriesSpec extends SparkSpec {
       s"empty-bigram doc rides the spine: $out")
   }
 
+  test("q217: q-hat is the exact conformal order statistic") {
+    val out = AuditQueries.q217ConformalGate(spark, sf).collect()
+    assert(out.nonEmpty)
+    val qhat = out.map(_.getLong(2)).distinct
+    assert(qhat.length == 1, s"one threshold: ${qhat.toSeq}")
+    // recompute the calibration order statistic independently
+    val cal = graft.text.KneserNey.perplexityBits(
+        graft.text.KneserNey.bigramModel(
+          spark.read.parquet(s"$sf/documents.parquet"), "text"),
+        spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id")
+      .filter("n_bigrams > 0 AND doc_id % 5 = 0")
+      .selectExpr("(CAST(bits_fix AS DECIMAL(38,0)) * 65536) div n_bigrams" +
+        " AS p", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted
+    val r = ((cal.length + 1) * 9 + 9) / 10
+    assert(qhat.head == cal(r - 1)._1, s"rank $r of ${cal.length}")
+    out.foreach { o =>
+      assert((o.getInt(3) == 1) == (o.getLong(1) > qhat.head),
+        "flag identity")
+    }
+    // finite-sample behavior: the flag rate sits near alpha, never wild
+    val rate = out.count(_.getInt(3) == 1).toDouble / out.length
+    assert(rate <= 0.25, s"flag rate: $rate")
+  }
+
   test("q211: cumulative share is monotone, ends at 2^16, covers95 is a step") {
     val out = AuditQueries.q211MatryoshkaVariance(spark, sf)
       .orderBy("dim").collect()
