@@ -807,6 +807,108 @@ object TextQueries {
        |FROM bk ORDER BY bucket""".stripMargin
   }
 
+  /** q218: fill-in-the-middle transformation (Bavarian et al. 2022;
+    * StarCoder's PSM/SPM variants) — the infilling data-prep stage:
+    * half the corpus is rearranged so the model learns to fill a
+    * masked middle from its context, the rest passes through plain.
+    * The RNG is q115's discipline — every decision (apply? PSM or
+    * SPM? both cut points) derives from the kmv_hash62 stable hash of
+    * (doc_id, salt), so the same corpus yields the same pairs on any
+    * run, partitioning, or engine, and the oracle replays every byte.
+    * Cuts: a = h_a % (n+1), b = a + h_b % (n+1−a) — empty prefix /
+    * middle / suffix are all legal FIM states. Rendering is sentinel
+    * markup over whitespace-normalized tokens (NOT lowercased — FIM
+    * preserves case): PSM = pre·P·suf·S·mid·M, SPM = suf·S·pre·P·mid·M.
+    * Plain rows carry cut −1. One narrow codegen'd projection, zero
+    * shuffles before the output sort.
+    */
+  def q218FimTransform(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Kmv
+    val d = Load.table(spark, dir, "documents")
+    def h(salt: String) =
+      Kmv.hash62(concat(col("doc_id").cast("string"), lit(salt)))
+    val tk = filter(split(col("text"), "\\s+"), t => t =!= "")
+    val base = d.select(col("doc_id"), tk.as("__tk"))
+      .withColumn("n_tokens", size(col("__tk")).cast("long"))
+      .withColumn("__mode",
+        when(col("n_tokens") < 2, lit("plain"))
+          .when(h(":m") % 4 === 0, lit("psm"))
+          .when(h(":m") % 4 === 1, lit("spm"))
+          .otherwise(lit("plain")))
+      .withColumn("cut_a",
+        when(col("__mode") === "plain", lit(-1L))
+          .otherwise(h(":a") % (col("n_tokens") + 1)))
+      .withColumn("cut_b",
+        when(col("__mode") === "plain", lit(-1L))
+          .otherwise(col("cut_a") +
+            h(":b") % (col("n_tokens") + 1 - col("cut_a"))))
+    val pre = array_join(slice(col("__tk"), lit(1),
+      col("cut_a").cast("int")), " ")
+    val mid = array_join(slice(col("__tk"), (col("cut_a") + 1).cast("int"),
+      (col("cut_b") - col("cut_a")).cast("int")), " ")
+    val suf = array_join(slice(col("__tk"), (col("cut_b") + 1).cast("int"),
+      (col("n_tokens") - col("cut_b")).cast("int")), " ")
+    base.select(col("doc_id"), col("__mode").as("mode"), col("n_tokens"),
+        col("cut_a"), col("cut_b"),
+        when(col("__mode") === "psm",
+          concat(lit("<fim_prefix>"), pre, lit("<fim_suffix>"), suf,
+            lit("<fim_middle>"), mid))
+          .when(col("__mode") === "spm",
+            concat(lit("<fim_suffix>"), suf, lit("<fim_prefix>"), pre,
+              lit("<fim_middle>"), mid))
+          .otherwise(array_join(col("__tk"), " ")).as("rendered"))
+      .orderBy("doc_id")
+  }
+
+  val q218Sql: String = {
+    def h(salt: String) =
+      DedupQueries.h62Sql(s"doc_id::VARCHAR || '$salt'")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(text, '\\s+'),
+       |                     x -> x <> '') AS tk
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id, tk, len(tk)::BIGINT AS n_tokens,
+       |         CASE WHEN len(tk) < 2 THEN 'plain'
+       |              WHEN ${h(":m")} % 4 = 0 THEN 'psm'
+       |              WHEN ${h(":m")} % 4 = 1 THEN 'spm'
+       |              ELSE 'plain' END AS mode
+       |  FROM toks),
+       |cuts AS (
+       |  SELECT doc_id, tk, n_tokens, mode,
+       |         CASE WHEN mode = 'plain' THEN -1
+       |              ELSE ${h(":a")} % (n_tokens + 1) END AS cut_a
+       |  FROM st),
+       |cuts2 AS (
+       |  SELECT doc_id, tk, n_tokens, mode, cut_a,
+       |         CASE WHEN mode = 'plain' THEN -1
+       |              ELSE cut_a + ${h(":b")} % (n_tokens + 1 - cut_a)
+       |         END AS cut_b
+       |  FROM cuts),
+       |parts AS (
+       |  SELECT doc_id, mode, n_tokens, cut_a, cut_b,
+       |         -- array_to_string is string_agg underneath: an EMPTY
+       |         -- slice yields NULL, not '' (Spark's array_join gives
+       |         -- '') — coalesce every part
+       |         coalesce(array_to_string(tk[1:cut_a], ' '), '') AS pre,
+       |         coalesce(array_to_string(tk[cut_a + 1:cut_b], ' '), '')
+       |           AS mid,
+       |         coalesce(array_to_string(tk[cut_b + 1:n_tokens], ' '), '')
+       |           AS suf,
+       |         coalesce(array_to_string(tk, ' '), '') AS plain
+       |  FROM cuts2)
+       |SELECT doc_id, mode, n_tokens, cut_a::BIGINT AS cut_a,
+       |       cut_b::BIGINT AS cut_b,
+       |       CASE mode
+       |         WHEN 'psm' THEN '<fim_prefix>' || pre || '<fim_suffix>'
+       |                         || suf || '<fim_middle>' || mid
+       |         WHEN 'spm' THEN '<fim_suffix>' || suf || '<fim_prefix>'
+       |                         || pre || '<fim_middle>' || mid
+       |         ELSE plain END AS rendered
+       |FROM parts ORDER BY doc_id""".stripMargin
+  }
+
   /** q115: deterministic span corruption ([[graft.text.SpanCorruption]])
     * — the denoising-objective construction step (T5-style masked-span
     * input/target pairs) with the RNG replaced by a stable block hash,
@@ -1062,6 +1164,7 @@ object TextQueries {
     "q191_templates" -> (q191Templates _),
     "q113_nb_classifier" -> (q113NbClassifier _),
     "q216_nb_calibration" -> (q216NbCalibration _),
+    "q218_fim_transform" -> (q218FimTransform _),
     "q115_span_corrupt" -> (q115SpanCorrupt _),
     "q20_text_profile" -> q20Profile,
     "q21_quality_score" -> q21Quality,
@@ -1092,5 +1195,6 @@ object TextQueries {
     "q191_templates" -> q191Sql,
     "q113_nb_classifier" -> q113Sql,
     "q216_nb_calibration" -> q216Sql,
+    "q218_fim_transform" -> q218Sql,
     "q115_span_corrupt" -> q115Sql)
 }
