@@ -516,6 +516,7 @@ object SearchQueries {
     "q81_cooccurrence" -> (q81Cooccurrence _),
     "q89_bpe_step" -> (q89BpeStep _),
     "q101_bpe_encode" -> (q101BpeEncode _),
+    "q219_vocab_prune" -> (q219VocabPrune _),
     "q109_tokenize_pack" -> (q109TokenizePack _),
     "q112_bpe_artifact" -> (q112BpeArtifact _),
     "q90_cdc_chunks" -> (q90CdcChunks _),
@@ -685,6 +686,111 @@ object SearchQueries {
        |       CAST(i - 1 AS BIGINT) AS tidx, ts[i] AS token
        |FROM toks, UNNEST(generate_series(1, len(ts))) t(i)
        |ORDER BY doc_id, widx, tidx""".stripMargin
+  }
+
+  /** q219: BPE vocabulary-pruning audit — the tokenizer LIFECYCLE
+    * management step after q89 (train) and q101 (encode): measure each
+    * merge rule's surviving usage on the corpus, prune the LEAF rules
+    * (outputs no other rule consumes — pruning a non-leaf silently
+    * disables its descendants and shatters their words, the classic
+    * vocab-trim blunder this audit exists to prevent) whose usage
+    * falls below a scale-invariant 10‰-of-total-tokens threshold, and
+    * re-encode to report the fertility cost. Usage counting is ONE
+    * encode pass collapsed to the ≤|vocab| per-token counts (the
+    * contract-bounded driver-collect family); the pruned re-encode is
+    * q109's narrow in-row count (no explode, no shuffle). Output: one
+    * row per rule with usage, leaf-ness, the prune decision, and the
+    * corpus token totals under the full and pruned tables.
+    */
+  def q219VocabPrune(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents").select("doc_id", "text")
+    val outs = q101Merges.map { case (l, r) => s"$l+$r" }
+    val consumed = q101Merges.flatMap { case (l, r) => Seq(l, r) }.toSet
+    val leaves = outs.map(o => !consumed.contains(o))
+    val tokCounts = graft.text.Bpe.encode(d, "text", q101Merges, sep = "+")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = tokCounts.valuesIterator.sum
+    val usagePm = outs.map(o =>
+      tokCounts.getOrElse(o, 0L) * 1000L / total)
+    val pruned = leaves.zip(usagePm).map { case (lf, pm) => lf && pm < 10 }
+    val keptMerges = q101Merges.zip(pruned).collect {
+      case (m, false) => m
+    }
+    val tokensPruned = d
+      .withColumn("__ws", graft.text.Decontaminate.wordTokens(col("text")))
+      .select(aggregate(
+        transform(col("__ws"), w =>
+          size(graft.functions.BpeExprs.bpeEncode(w, keptMerges, "+"))),
+        lit(0L), (acc, x) => acc + x.cast("long")).as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    val rows = q101Merges.zipWithIndex.map { case ((l, r), i) =>
+      (i.toLong, l, r, outs(i), tokCounts.getOrElse(outs(i), 0L),
+        usagePm(i), if (leaves(i)) 1L else 0L, if (pruned(i)) 1L else 0L,
+        total, tokensPruned)
+    }
+    import spark.implicits._
+    rows.toDF("rank", "l", "r", "out_token", "final_count", "usage_pm",
+      "is_leaf", "pruned", "tokens_full", "tokens_pruned").orderBy("rank")
+  }
+
+  val q219Sql: String = {
+    val chain = q101Merges.foldLeft(
+      """regexp_replace(word, '(.)', ' \1 ', 'g')""") { case (acc, (l, r)) =>
+      s"replace($acc, ' $l  $r ', ' $l+$r ')"
+    }
+    val consumed = q101Merges.flatMap { case (l, r) => Seq(l, r) }.toSet
+    val ruleRows = q101Merges.zipWithIndex.map { case ((l, r), i) =>
+      val leaf = if (consumed.contains(s"$l+$r")) 0 else 1
+      s"($i, '$l', '$r', '$l+$r', $leaf)"
+    }.mkString(", ")
+    // pruned re-encode: one CTE per rule so the conditional chain stays
+    // linear (inlining the CASE into a fold doubles the text per step)
+    val steps = q101Merges.zipWithIndex.map { case ((l, r), i) =>
+      s"""s${i + 1} AS (
+         |  SELECT doc_id,
+         |         CASE WHEN (SELECT pruned FROM pr WHERE rank = $i) = 1
+         |              THEN s ELSE replace(s, ' $l  $r ', ' $l+$r ')
+         |         END AS s
+         |  FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS (
+       |  SELECT doc_id, w[i] AS word
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text), '\\s+'),
+       |                      x -> x <> '') AS w
+       |        FROM documents),
+       |       UNNEST(generate_series(1, len(w))) t(i)),
+       |enc AS (SELECT doc_id, $chain AS s FROM words),
+       |tokc AS (
+       |  SELECT u.token, count(*)::BIGINT AS cnt
+       |  FROM enc, UNNEST(list_filter(string_split(enc.s, ' '),
+       |                               x -> x <> '')) u(token)
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tokc),
+       |rules(rank, l, r, out_token, is_leaf) AS (VALUES $ruleRows),
+       |pr AS (
+       |  SELECT rank, l, r, out_token, is_leaf,
+       |         coalesce(tokc.cnt, 0) AS final_count,
+       |         (coalesce(tokc.cnt, 0) * 1000) // tot.total AS usage_pm,
+       |         CASE WHEN is_leaf = 1 AND
+       |                   (coalesce(tokc.cnt, 0) * 1000) // tot.total < 10
+       |              THEN 1 ELSE 0 END AS pruned
+       |  FROM rules LEFT JOIN tokc ON tokc.token = rules.out_token,
+       |       tot),
+       |s0 AS (SELECT doc_id, regexp_replace(word, '(.)', ' \\1 ', 'g')
+       |                AS s FROM words),
+       |$steps,
+       |tp AS (
+       |  SELECT CAST(sum(len(list_filter(string_split(s, ' '),
+       |                                  x -> x <> ''))) AS BIGINT)
+       |           AS tokens_pruned
+       |  FROM s${q101Merges.length})
+       |SELECT pr.rank::BIGINT AS rank, pr.l, pr.r, pr.out_token,
+       |       pr.final_count, pr.usage_pm::BIGINT AS usage_pm,
+       |       pr.is_leaf::BIGINT AS is_leaf, pr.pruned::BIGINT AS pruned,
+       |       tot.total AS tokens_full, tp.tokens_pruned
+       |FROM pr, tot, tp ORDER BY rank""".stripMargin
   }
 
   /** q132: WordPiece greedy encode ([[graft.text.WordPiece]]) — the
@@ -956,6 +1062,7 @@ object SearchQueries {
     "q81_cooccurrence" -> q81Sql,
     "q89_bpe_step" -> q89Sql,
     "q101_bpe_encode" -> q101Sql,
+    "q219_vocab_prune" -> q219Sql,
     "q109_tokenize_pack" -> q109Sql,
     "q112_bpe_artifact" -> q101Sql, // reload must be output-identical to q101
     "q90_cdc_chunks" -> q90Sql,

@@ -133,4 +133,25 @@ class BpeSpec extends SparkSpec {
       .select("doc_id", "widx", "tidx", "token").collect().toSeq
     assert(a.sortBy(_.toString) == b.sortBy(_.toString))
   }
+
+  test("q219: prune audit — leaf discipline and the fertility identity") {
+    val out = graft.queries.SearchQueries.q219VocabPrune(spark, sf)
+      .collect()
+    assert(out.length == 7)
+    out.foreach { r =>
+      assert(r.getLong(7) <= r.getLong(6),
+        s"only leaves prune: ${r.toSeq}")
+      assert(r.getString(3) == s"${r.getString(1)}+${r.getString(2)}",
+        "out token is l+sep+r")
+    }
+    // each pruned rule is a single top-level merge, so every occurrence
+    // splits into exactly its two parents: the corpus-wide fertility
+    // cost is the sum of pruned usages, token for token
+    val prunedUsage = out.filter(_.getLong(7) == 1L).map(_.getLong(4)).sum
+    val (full, pruned) = (out.head.getLong(8), out.head.getLong(9))
+    assert(pruned - full == prunedUsage,
+      s"fertility identity: $pruned - $full != $prunedUsage")
+    assert(out.map(_.getLong(8)).distinct.length == 1 &&
+      out.map(_.getLong(9)).distinct.length == 1, "constant totals")
+  }
 }
