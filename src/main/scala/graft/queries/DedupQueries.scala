@@ -1494,11 +1494,27 @@ object DedupQueries {
     * q213's Gram, k-means centroids); Jaccard and containment finish
     * as 2¹⁶ floors on that artifact, with a documents-spine source
     * list so a gram-free source still surfaces (zeros, no silent
-    * drop). 100 TB swap: per-source KMV signatures (q114's sketch)
-    * unioned pairwise — same output shape, bounded state.
+    * drop). The 100 TB swap is EXECUTABLE (q205's tier pattern):
+    * `spark.graft.overlapTier = sketch` routes the same matrix through
+    * per-source KMV signatures ([[graft.functions.KmvSketch]], k = 256)
+    * — O(k) state per source regardless of corpus size, Broder's min-k
+    * coincidence for the intersection — and because a KMV sketch is
+    * EXHAUSTIVE below k distinct values, the two tiers agree
+    * bit-for-bit whenever every source PAIR's gram union holds < k
+    * grams (OverlapTierSpec pins this); the oracle runs the default
+    * exact tier.
     */
   def q215SourceOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
     val d = Load.table(spark, dir, "documents")
+    val sources = d.select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    if (spark.conf.getOption("spark.graft.overlapTier").contains("sketch"))
+      q215SketchMatrix(spark, d, sources)
+    else q215ExactMatrix(spark, d, sources)
+  }
+
+  private def q215ExactMatrix(spark: SparkSession, d: DataFrame,
+      sources: Array[String]): DataFrame = {
     val n = 8
     val sg = d
       .select(col("source"),
@@ -1524,8 +1540,6 @@ object DedupQueries {
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     val inter = grouped.filter(!_.isNullAt(1))
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val sources = d.select("source").distinct()
-      .collect().map(_.getString(0)).sorted
     val rows = for {
       i <- sources.indices; j <- (i + 1) until sources.length
       s1 = sources(i); s2 = sources(j)
@@ -1536,6 +1550,58 @@ object DedupQueries {
       if (uni > 0) (BigInt(ix) * 65536 / uni).toLong else 0L,
       if (math.min(sz1, sz2) > 0)
         (BigInt(ix) * 65536 / math.min(sz1, sz2)).toLong
+      else 0L)
+    import spark.implicits._
+    rows.toDF("s1", "s2", "sz1", "sz2", "inter", "jaccard_fix",
+      "containment_fix").orderBy("s1", "s2")
+  }
+
+  /** Sketch tier: one corpus pass condenses each source to its k
+    * smallest distinct gram hashes (KMV — fixed-size, mergeable,
+    * partition-invariant); all pair math runs on the |sources| × k
+    * collected signatures. The union's k smallest are exactly the k
+    * smallest of the two signature merges, and any union-top-k hash
+    * belonging to source A necessarily sits in A's signature (it is
+    * below A's k-th smallest), so the min-k coincidence count is
+    * exact over the sampled region — Broder's estimator. When a pair's
+    * union holds < k grams the signatures are exhaustive over it and
+    * every output equals the exact tier bit-for-bit.
+    */
+  private def q215SketchMatrix(spark: SparkSession, d: DataFrame,
+      sources: Array[String]): DataFrame = {
+    import graft.functions.Kmv
+    val n = 8
+    val k = 256
+    val sigs = d
+      .select(col("source"),
+        graft.text.Decontaminate.wordTokens(col("text")).as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("source"), explode(transform(
+        sequence(lit(1), size(col("__toks")) - (n - 1)),
+        i => Kmv.hash62(array_join(slice(col("__toks"), i, lit(n)), " "))))
+        .as("h"))
+      .groupBy("source")
+      .agg(Kmv.sketch(col("h"), k).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    def est(sig: Array[Long]): Long =
+      if (sig.length < k) sig.length.toLong
+      else ((BigInt(k - 1) << 62) / BigInt(sig(k - 1) max 1L)).toLong
+    val rows = for {
+      i <- sources.indices; j <- (i + 1) until sources.length
+      s1 = sources(i); s2 = sources(j)
+      a = sigs.getOrElse(s1, Array.empty[Long])
+      b = sigs.getOrElse(s2, Array.empty[Long])
+      merged = (a ++ b).distinct.sorted.take(k)
+      kAct = merged.length
+      aSet = a.toSet; bSet = b.toSet
+      kCom = merged.count(h => aSet(h) && bSet(h))
+      uniEst = est(merged)
+      sz1 = est(a); sz2 = est(b)
+      ixEst = if (kAct > 0) (BigInt(kCom) * uniEst / kAct).toLong else 0L
+    } yield (s1, s2, sz1, sz2, ixEst,
+      if (kAct > 0) (BigInt(kCom) * 65536 / kAct).toLong else 0L,
+      if (math.min(sz1, sz2) > 0)
+        (BigInt(ixEst) * 65536 / math.min(sz1, sz2)).toLong
       else 0L)
     import spark.implicits._
     rows.toDF("s1", "s2", "sz1", "sz2", "inter", "jaccard_fix",
