@@ -1945,7 +1945,90 @@ object DedupQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q220: dedup-cluster QUALITY audit — the QA pass a pipeline runs
+    * before acting on near-dup clusters: connected components happily
+    * chain A~B~C into one cluster even when A and C are nothing alike
+    * (the false-merge failure mode of transitive dedup), so per cluster
+    * this reports the weakest edge and whether the cluster is a CLIQUE
+    * at the threshold (n_edges = size·(size−1)/2). A keep-one-per-
+    * cluster policy is only safe on cliques with a strong weakest edge;
+    * everything else needs the span/edit verify tiers. Edges are the
+    * exact-Jaccard tier (θ = 0.8) over MinHash candidates — the oracle
+    * brute-forces ALL pairs, so a candidate-tier recall miss surfaces
+    * as a row mismatch (q34's contract) — and the cluster labels are
+    * [[graft.graphs.ConnectedComponents]]. Both intermediates persist:
+    * each feeds two consumers, and without the pin the LSH tail would
+    * re-run per consumer. Jaccard stays the single-division double both
+    * engines compute identically from identical integer set sizes
+    * (q34's hash-gated precedent). Output: clusters of size ≥ 2 only.
+    */
+  def q220ClusterQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents").select("doc_id", "text")
+    val edges = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+      threshold = 0.8).persist()
+    val clusters = graft.graphs.ConnectedComponents
+      .dedupClusters(edges.select("id_a", "id_b"),
+        d.select(col("doc_id").as("id")))
+      .persist()
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("size"))
+    val stats = edges
+      .join(clusters.select(col("id").as("id_a"), col("cluster_id")),
+        Seq("id_a"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_edges"),
+        min("jaccard").as("min_edge_jaccard"),
+        max("jaccard").as("max_edge_jaccard"))
+    sizes.filter(col("size") >= 2).join(stats, Seq("cluster_id"))
+      .withColumn("is_clique",
+        (col("n_edges") * 2 === col("size") * (col("size") - 1)).cast("int"))
+      .withColumn("weak_link",
+        (col("min_edge_jaccard") < 0.85).cast("int"))
+      .orderBy("cluster_id")
+  }
+
+  val q220Sql: String =
+    """WITH RECURSIVE norm AS (
+      |  SELECT doc_id AS id,
+      |         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT id,
+      |    list_distinct([substr(t, i, 5)
+      |      FOR i IN generate_series(1, greatest(length(t) - 4, 1))]) AS s
+      |  FROM norm WHERE length(t) > 0),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |    len(list_intersect(a.s, b.s))::DOUBLE
+      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+      |  FROM sh a JOIN sh b ON a.id < b.id),
+      |e AS (SELECT id_a AS a, id_b AS b, j FROM pairs WHERE j >= 0.8),
+      |ue AS (
+      |  SELECT a, b FROM e UNION SELECT b, a FROM e
+      |  UNION SELECT a, a FROM e UNION SELECT b, b FROM e),
+      |reach(s, t) AS (
+      |  SELECT a, b FROM ue
+      |  UNION
+      |  SELECT r.s, u.b FROM reach r JOIN ue u ON r.t = u.a),
+      |comp AS (SELECT s AS id, min(t) AS cluster_id FROM reach GROUP BY s),
+      |lab AS (
+      |  SELECT d.doc_id AS id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+      |sz AS (SELECT cluster_id, count(*)::BIGINT AS size
+      |       FROM lab GROUP BY 1),
+      |es AS (
+      |  SELECT l.cluster_id, count(*)::BIGINT AS n_edges,
+      |         min(e.j) AS mn, max(e.j) AS mx
+      |  FROM e JOIN lab l ON l.id = e.a GROUP BY 1)
+      |SELECT s.cluster_id, s.size, es.n_edges,
+      |       es.mn AS min_edge_jaccard, es.mx AS max_edge_jaccard,
+      |       CAST(es.n_edges * 2 = s.size * (s.size - 1) AS INTEGER)
+      |         AS is_clique,
+      |       CAST(es.mn < 0.85 AS INTEGER) AS weak_link
+      |FROM sz s JOIN es USING (cluster_id)
+      |WHERE s.size >= 2 ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_cluster_quality" -> (q220ClusterQuality _),
     "q215_source_overlap" -> (q215SourceOverlapMatrix _),
     "q153_fellegi_sunter" -> (q153FellegiSunter _),
     "q151_sorted_neighborhood" -> (q151SortedNeighborhood _),
@@ -1979,6 +2062,7 @@ object DedupQueries {
     "q83_semantic_decontaminate" -> q83SemanticDecontaminate)
 
   val oracles: Map[String, String] = Map(
+    "q220_cluster_quality" -> q220Sql,
     "q215_source_overlap" -> q215Sql,
     "q153_fellegi_sunter" -> q153Sql,
     "q151_sorted_neighborhood" -> q151Sql,
