@@ -1155,7 +1155,10 @@ object AuditQueries {
     * Scale shape: one model pass + per-doc scores; the calibration rank
     * is ONE sort window over the |cal| subset (100 TB swap: q118's
     * mergeable quantile sketch — same crossover as q205's executable
-    * sketch tier); q̂ broadcasts to the test side as a 1-row join.
+    * sketch tier); q̂ broadcasts to the test side as a 1-row join that
+    * can never be empty: when the rank exceeds n_cal (tiny calibration
+    * sets) q̂ = +∞ per the conformal construction, so every test doc
+    * still surfaces, unflagged.
     */
   def q217ConformalGate(spark: SparkSession, dir: String): DataFrame = {
     val d = Load.table(spark, dir, "documents")
@@ -1166,13 +1169,19 @@ object AuditQueries {
         expr("(CAST(bits_fix AS DECIMAL(38,0)) * 65536) div n_bigrams")
           .cast("long"))
     val w = Window.orderBy("ppl_fix", "doc_id")
+    // when the rank exceeds n_cal (tiny calibration sets: ⌈(n+1)(1−α)⌉
+    // can be n+1), conformal q̂ = +∞ — nothing flags. The aggregate
+    // keeps the relation at exactly one row, so the test side can
+    // never silently vanish through an empty join.
     val qhat = pp.filter(col("doc_id") % 5 === 0)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(
         Window.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
-      .filter(col("__rn") === expr("((__n + 1) * 9 + 9) div 10"))
-      .select(col("ppl_fix").as("qhat_fix"))
+      .agg(coalesce(
+        max(when(col("__rn") === expr("((__n + 1) * 9 + 9) div 10"),
+          col("ppl_fix"))),
+        lit(Long.MaxValue)).as("qhat_fix"))
     pp.filter(col("doc_id") % 5 =!= 0)
       .crossJoin(broadcast(qhat))
       .select(col("doc_id"), col("ppl_fix"), col("qhat_fix"),
@@ -1194,8 +1203,10 @@ object AuditQueries {
        |         row_number() OVER (ORDER BY ppl_fix, doc_id) AS rn,
        |         count(*) OVER () AS n
        |  FROM p WHERE doc_id % 5 = 0),
-       |qh AS (SELECT ppl_fix AS qhat_fix FROM cal
-       |       WHERE rn = ((n + 1) * 9 + 9) // 10)
+       |qh AS (SELECT coalesce(
+       |         max(CASE WHEN rn = ((n + 1) * 9 + 9) // 10
+       |                  THEN ppl_fix END),
+       |         9223372036854775807) AS qhat_fix FROM cal)
        |SELECT doc_id, ppl_fix, qh.qhat_fix,
        |       CAST(ppl_fix > qh.qhat_fix AS INTEGER) AS flagged
        |FROM p, qh WHERE doc_id % 5 <> 0

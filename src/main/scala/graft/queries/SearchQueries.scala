@@ -711,8 +711,10 @@ object SearchQueries {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = tokCounts.valuesIterator.sum
+    // an empty corpus must report all-zero usage, not divide by zero —
+    // the reported tokens_full stays the true 0
     val usagePm = outs.map(o =>
-      tokCounts.getOrElse(o, 0L) * 1000L / total)
+      tokCounts.getOrElse(o, 0L) * 1000L / (total max 1L))
     val pruned = leaves.zip(usagePm).map { case (lf, pm) => lf && pm < 10 }
     val keptMerges = q101Merges.zip(pruned).collect {
       case (m, false) => m
@@ -767,14 +769,16 @@ object SearchQueries {
        |  FROM enc, UNNEST(list_filter(string_split(enc.s, ' '),
        |                               x -> x <> '')) u(token)
        |  GROUP BY 1),
-       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tokc),
+       |tot AS (SELECT coalesce(CAST(sum(cnt) AS BIGINT), 0) AS total,
+       |              greatest(coalesce(CAST(sum(cnt) AS BIGINT), 0), 1)
+       |                AS den FROM tokc),
        |rules(rank, l, r, out_token, is_leaf) AS (VALUES $ruleRows),
        |pr AS (
        |  SELECT rank, l, r, out_token, is_leaf,
        |         coalesce(tokc.cnt, 0) AS final_count,
-       |         (coalesce(tokc.cnt, 0) * 1000) // tot.total AS usage_pm,
+       |         (coalesce(tokc.cnt, 0) * 1000) // tot.den AS usage_pm,
        |         CASE WHEN is_leaf = 1 AND
-       |                   (coalesce(tokc.cnt, 0) * 1000) // tot.total < 10
+       |                   (coalesce(tokc.cnt, 0) * 1000) // tot.den < 10
        |              THEN 1 ELSE 0 END AS pruned
        |  FROM rules LEFT JOIN tokc ON tokc.token = rules.out_token,
        |       tot),
@@ -782,8 +786,8 @@ object SearchQueries {
        |                AS s FROM words),
        |$steps,
        |tp AS (
-       |  SELECT CAST(sum(len(list_filter(string_split(s, ' '),
-       |                                  x -> x <> ''))) AS BIGINT)
+       |  SELECT coalesce(CAST(sum(len(list_filter(string_split(s, ' '),
+       |                                  x -> x <> ''))) AS BIGINT), 0)
        |           AS tokens_pruned
        |  FROM s${q101Merges.length})
        |SELECT pr.rank::BIGINT AS rank, pr.l, pr.r, pr.out_token,

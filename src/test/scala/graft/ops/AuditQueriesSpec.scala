@@ -199,6 +199,23 @@ class AuditQueriesSpec extends SparkSpec {
     assert(rate <= 0.25, s"flag rate: $rate")
   }
 
+  test("q217: a tiny calibration set yields q-hat = +inf, never an empty output") {
+    // one calibration doc: rank = ceil(2 * 0.9) = 2 > n_cal = 1, so the
+    // conformal threshold is +infinity — every test doc must still
+    // surface, unflagged (the empty-join silent drop this guards)
+    val docs = Seq(
+      (0L, "the cat sat on the mat", "en", "s", 0L),   // calibration
+      (1L, "the dog sat on the rug", "en", "s", 0L),
+      (2L, "a completely different text here", "en", "s", 0L))
+    val base = s"/tmp/graft_q217_spec_${ProcessHandle.current().pid()}"
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val out = AuditQueries.q217ConformalGate(spark, base).collect()
+    assert(out.length == 2, s"both test docs surface: ${out.toSeq}")
+    assert(out.forall(_.getLong(2) == Long.MaxValue), "q-hat = +inf")
+    assert(out.forall(_.getInt(3) == 0), "nothing flags under +inf")
+  }
+
   test("q211: cumulative share is monotone, ends at 2^16, covers95 is a step") {
     val out = AuditQueries.q211MatryoshkaVariance(spark, sf)
       .orderBy("dim").collect()
