@@ -1212,7 +1212,94 @@ object AuditQueries {
        |FROM p, qh WHERE doc_id % 5 <> 0
        |ORDER BY doc_id""".stripMargin
 
+  /** q222: t-closeness audit — the third privacy screen, after
+    * k-anonymity (q140, cell size) and l-diversity (q203, within-cell
+    * variety): a cell can be large AND diverse yet still leak when its
+    * sensitive-value DISTRIBUTION diverges from the corpus-wide one
+    * (the attacker's prior). Per (balance-bucket, segment) cell this
+    * reports the total-variation distance between the cell's nation
+    * distribution and the global one, as a 2¹⁶ fixed-point — exact
+    * rational arithmetic via cross-multiplication: TVD·(2·n·N) =
+    * Σᵢ|cᵢ·N − gᵢ·n| over the FULL support, and the absent-value terms
+    * (cᵢ = 0 ⇒ gᵢ·n) collapse into the closed form n·N +
+    * Σ_{i∈cell}(|cᵢ·N − gᵢ·n| − gᵢ·n), so no outer join against the
+    * value domain is needed. `close` pins t = 0.2 (tvd_fix ≤ 13107).
+    * Scale shape: the corpus is touched ONCE (the q203 cell count);
+    * global counts, cell sizes, and the TVD all derive from the
+    * ≤|cells|·|values| relation, with the two ≤|values| /
+    * 1-row side relations broadcast back.
+    */
+  def q222TCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Load.table(spark, dir, "customer")
+      .select(
+        when(col("c_acctbal") < 0, lit(-1L))
+          .otherwise(expr(
+            "CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100 AS BIGINT) div 25000"))
+          .as("bal_bucket"),
+        col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("long").as("nation"))
+    val cells = keyed.groupBy("bal_bucket", "segment", "nation")
+      .agg(count(lit(1)).as("__c")).persist() // feeds glob + sizes + terms
+    val glob = cells.groupBy("nation").agg(sum("__c").as("__g"))
+    val tot = cells.agg(sum("__c").cast("long").as("__N"))
+    val sizes = cells.groupBy("bal_bucket", "segment")
+      .agg(sum("__c").cast("long").as("group_n"))
+    cells
+      .join(broadcast(glob), Seq("nation"))
+      .join(broadcast(sizes), Seq("bal_bucket", "segment"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__term", expr(
+        """abs(CAST(__c AS DECIMAL(38,0)) * __N - CAST(__g AS DECIMAL(38,0)) * group_n)
+          | - CAST(__g AS DECIMAL(38,0)) * group_n""".stripMargin))
+      .groupBy("bal_bucket", "segment", "group_n", "__N")
+      .agg(sum("__term").as("__s"))
+      .withColumn("tvd_fix", expr(
+        """CAST(((CAST(group_n AS DECIMAL(38,0)) * __N + __s) * 65536)
+          | div (CAST(group_n AS DECIMAL(38,0)) * __N * 2) AS BIGINT)""".stripMargin))
+      .withColumn("close", (col("tvd_fix") <= 13107).cast("int"))
+      .select(col("bal_bucket"), col("segment"), col("group_n"),
+        col("tvd_fix"), col("close"))
+      .orderBy("bal_bucket", "segment")
+  }
+
+  val q222Sql: String =
+    """WITH keyed AS (
+      |  SELECT CASE WHEN c_acctbal < 0 THEN -1
+      |              ELSE CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100 AS BIGINT)
+      |                     // 25000 END
+      |           AS bal_bucket,
+      |         c_mktsegment AS segment,
+      |         CAST(c_nationkey AS BIGINT) AS nation
+      |  FROM customer),
+      |cells AS (
+      |  SELECT bal_bucket, segment, nation, count(*)::BIGINT AS c
+      |  FROM keyed GROUP BY 1, 2, 3),
+      |gdist AS (SELECT nation, sum(c)::HUGEINT AS g FROM cells GROUP BY 1),
+      |tot AS (SELECT sum(c)::HUGEINT AS N FROM cells),
+      |sizes AS (
+      |  SELECT bal_bucket, segment, sum(c)::HUGEINT AS group_n
+      |  FROM cells GROUP BY 1, 2),
+      |terms AS (
+      |  SELECT c.bal_bucket, c.segment, s.group_n, t.N,
+      |         abs(c.c::HUGEINT * t.N - gdist.g * s.group_n)
+      |           - gdist.g * s.group_n AS term
+      |  FROM cells c
+      |  JOIN gdist USING (nation)
+      |  JOIN sizes s USING (bal_bucket, segment)
+      |  CROSS JOIN tot t),
+      |agg AS (
+      |  SELECT bal_bucket, segment, group_n, N, sum(term) AS s
+      |  FROM terms GROUP BY 1, 2, 3, 4)
+      |SELECT bal_bucket, segment, CAST(group_n AS BIGINT) AS group_n,
+      |       CAST(((group_n * N + s) * 65536) // (group_n * N * 2) AS BIGINT)
+      |         AS tvd_fix,
+      |       CASE WHEN ((group_n * N + s) * 65536) // (group_n * N * 2)
+      |                  <= 13107
+      |            THEN 1 ELSE 0 END AS close
+      |FROM agg ORDER BY bal_bucket, segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_t_closeness" -> (q222TCloseness _),
     "q217_conformal_gate" -> (q217ConformalGate _),
     "q214_mink_membership" -> (q214MinkMembership _),
     "q213_top_component" -> (q213TopComponent _),
@@ -1231,6 +1318,7 @@ object AuditQueries {
     "q204_token_fertility" -> (q204TokenFertility _))
 
   val oracles: Map[String, String] = Map(
+    "q222_t_closeness" -> q222Sql,
     "q217_conformal_gate" -> q217Sql,
     "q214_mink_membership" -> q214Sql,
     "q213_top_component" -> q213Sql,

@@ -1428,7 +1428,124 @@ ORDER BY doc_id"""
        |FROM r JOIN sh USING (doc_id)
        |ORDER BY r.doc_id""".stripMargin
 
+  /** q223: modularity audit of q142's label-prop communities — the QA
+    * pass that tells whether a community assignment is STRUCTURE or
+    * noise before a pipeline shards/samples by it: per community,
+    * Newman's contribution e_c/m − (d_c/2m)² kept on the integer grid
+    * via cross-multiplication — contrib_num = 4·m·e_c − d_c², whose
+    * sign (`assortative`) says the community beats the configuration-
+    * model expectation; Q = Σ contrib_num / 4m² is recoverable exactly.
+    * The graph is q142's 3-out multigraph canonicalized to simple
+    * undirected edges ([[graft.graphs.Triangles.canonical]]) and the
+    * labels are the same three synchronous rounds, so the oracle unrolls
+    * both and every count hash-gates. Scale shape: labels are one
+    * bounded fixed-point iteration (q142's budget); the audit itself is
+    * two label-keyed aggregations of the EDGE relation plus a broadcast
+    * 1-row m — no per-community subgraph materialization.
+    */
+  def q223Modularity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.graphs.{LabelProp, Triangles}
+    val docs = Load.table(spark, dir, "documents").select(col("doc_id").as("id"))
+    val n = docs.count()
+    val edgesDir = docs.select(col("id").as("src"),
+      explode(array(
+        (col("id") * 7 + 13) % n,
+        (col("id") * 31 + 7) % n,
+        (col("id") * 13 + 101) % n)).as("dst"))
+    val seeded = docs.withColumn("seed", col("id") % 5)
+    val labels = LabelProp.sync(edgesDir, seeded, "id", "seed", rounds = 3)
+      .select(col("id"), col("label")).persist() // joins both edge ends
+    val e = Triangles.canonical(edgesDir, "src", "dst")
+      .join(labels.select(col("id").as("a"), col("label").as("__la")), Seq("a"))
+      .join(labels.select(col("id").as("b"), col("label").as("__lb")), Seq("b"))
+      .persist() // feeds m, intra counts, and degree sums
+    val m = e.agg(count(lit(1)).cast("long").as("__m"))
+    val intra = e.filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label"))
+      .agg(count(lit(1)).cast("long").as("intra_edges"))
+    val degSum = e.select(col("__la").as("label"))
+      .unionByName(e.select(col("__lb").as("label")))
+      .groupBy("label").agg(count(lit(1)).cast("long").as("degree_sum"))
+    val sizes = labels.groupBy("label")
+      .agg(count(lit(1)).cast("long").as("n_nodes"))
+    sizes
+      .join(degSum, Seq("label"), "left")
+      .join(intra, Seq("label"), "left")
+      .na.fill(0L, Seq("degree_sum", "intra_edges"))
+      .crossJoin(broadcast(m))
+      .withColumn("contrib_num", expr(
+        """CAST(4 * CAST(__m AS DECIMAL(38,0)) * intra_edges
+          | - CAST(degree_sum AS DECIMAL(38,0)) * degree_sum AS BIGINT)""".stripMargin))
+      .withColumn("assortative", (col("contrib_num") > 0).cast("int"))
+      .select(col("label"), col("n_nodes"), col("intra_edges"),
+        col("degree_sum"), col("contrib_num"), col("assortative"))
+      .orderBy("label")
+  }
+
+  val q223Sql: String = {
+    val rounds = (1 to 3).map { r =>
+      s"""c$r AS (
+         |  SELECT ue.u, l${r - 1}.label, count(*)::BIGINT AS c
+         |  FROM ue JOIN l${r - 1} ON l${r - 1}.id = ue.v
+         |  GROUP BY ue.u, l${r - 1}.label),
+         |p$r AS (
+         |  SELECT u, label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY u
+         |             ORDER BY c DESC, label) AS rn FROM c$r) x
+         |  WHERE rn = 1),
+         |l$r AS (
+         |  SELECT n.id, coalesce(p$r.label, l${r - 1}.label) AS label
+         |  FROM nodes n
+         |  LEFT JOIN p$r ON p$r.u = n.id
+         |  JOIN l${r - 1} ON l${r - 1}.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS cnt FROM documents),
+       |nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+       |edges0 AS (
+       |  SELECT id AS src, (id * 7 + 13) % cnt AS dst FROM nodes, nn
+       |  UNION ALL SELECT id, (id * 31 + 7) % cnt FROM nodes, nn
+       |  UNION ALL SELECT id, (id * 13 + 101) % cnt FROM nodes, nn),
+       |ue AS (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT src AS u, dst AS v FROM edges0
+       |    UNION ALL SELECT dst, src FROM edges0) t
+       |  WHERE u <> v),
+       |l0 AS (SELECT id, id % 5 AS label FROM nodes),
+       |$rounds,
+       |e AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges0 WHERE src <> dst),
+       |el AS (
+       |  SELECT la.label AS lab_a, lb.label AS lab_b
+       |  FROM e JOIN l3 la ON la.id = e.a JOIN l3 lb ON lb.id = e.b),
+       |mm AS (SELECT count(*)::HUGEINT AS m FROM el),
+       |intra AS (
+       |  SELECT lab_a AS label, count(*)::BIGINT AS intra_edges
+       |  FROM el WHERE lab_a = lab_b GROUP BY 1),
+       |ds AS (
+       |  SELECT label, count(*)::BIGINT AS degree_sum FROM (
+       |    SELECT lab_a AS label FROM el
+       |    UNION ALL SELECT lab_b FROM el) t GROUP BY 1),
+       |sz AS (SELECT label, count(*)::BIGINT AS n_nodes FROM l3 GROUP BY 1)
+       |SELECT CAST(sz.label AS BIGINT) AS label, sz.n_nodes,
+       |       coalesce(intra.intra_edges, 0) AS intra_edges,
+       |       coalesce(ds.degree_sum, 0) AS degree_sum,
+       |       CAST(4 * mm.m * coalesce(intra.intra_edges, 0)
+       |            - coalesce(ds.degree_sum, 0)::HUGEINT
+       |              * coalesce(ds.degree_sum, 0) AS BIGINT) AS contrib_num,
+       |       CASE WHEN 4 * mm.m * coalesce(intra.intra_edges, 0)
+       |                 > coalesce(ds.degree_sum, 0)::HUGEINT
+       |                   * coalesce(ds.degree_sum, 0)
+       |            THEN 1 ELSE 0 END AS assortative
+       |FROM sz
+       |LEFT JOIN ds USING (label)
+       |LEFT JOIN intra USING (label)
+       |CROSS JOIN mm
+       |ORDER BY label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_modularity" -> (q223Modularity _),
     "q147_layout_pipeline" -> (q147LayoutPipeline _),
     "q146_curriculum" -> (q146Curriculum _),
     "q145_block_spans" -> (q145BlockSpans _),
@@ -1566,6 +1683,7 @@ ORDER BY doc_id"""
       |FROM p ORDER BY l_returnflag, q_num, q_den""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q223_modularity" -> q223Sql,
     "q147_layout_pipeline" -> q147Sql,
     "q146_curriculum" -> q146Sql,
     "q145_block_spans" -> q145Sql,

@@ -2027,7 +2027,240 @@ object DedupQueries {
       |FROM sz s JOIN es USING (cluster_id)
       |WHERE s.size >= 2 ORDER BY cluster_id""".stripMargin
 
+  /** q221: int8-quantization RECALL audit — the acceptance test a
+    * pipeline runs before switching its ANN candidate tier from float32
+    * to the 4×-smaller int8 codes ([[graft.similarity.Embeddings]]): for
+    * a bounded probe set (16 query vectors), score the corpus twice in
+    * ONE broadcast-join pass — exact float cosine and quantized-code
+    * cosine ([[graft.similarity.Embeddings.cosineInt8]], the scales
+    * cancel so it is integer code math) — and report per query how many
+    * of the exact top-5 the int8 top-5 retains (hits, recall_pct) plus
+    * whether the top-1 survives. Both rank windows share the single
+    * query_id exchange (one shuffle, two in-partition sorts). The oracle
+    * replays quantization bit-for-bit: scale = max|v|/127 and
+    * round(v/scale) are the same IEEE double ops in both engines (round
+    * is half-away-from-zero in both; a shortest-repr double can never
+    * cross the .5 boundary), and the dot products are the q40-proven
+    * left-fold. Counts are integers → hash-stable. At 100 TB the probe
+    * set stays bounded (sampled queries broadcast), the corpus is
+    * scanned once, and per-partition output is capped by the rank
+    * filter — the audit costs one pass regardless of corpus size.
+    */
+  def q221Int8Recall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.{Embeddings => E}
+    import org.apache.spark.sql.expressions.Window
+    val e = Load.table(spark, dir, "embeddings").select("vec_id", "embedding")
+    // zero vectors have no direction (cosine undefined, and their int8
+    // struct carries scale 0 as the signal) — exclude them from both
+    // sides rather than let a NaN sim8 float to rank 1
+    val corpus = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("__cv"),
+      E.quantizeInt8(col("embedding")).as("__cq"))
+      .filter(col("__cq").getField("scale") > 0)
+    val probes = broadcast(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding").as("__qv"),
+        E.quantizeInt8(col("embedding")).as("__qq"))
+      .filter(col("__qq").getField("scale") > 0))
+    val scored = corpus.join(probes, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Ann.cosine(col("__qv"), col("__cv")).as("sim"),
+        E.cosineInt8(col("__qq"), col("__cq")).as("sim8"))
+    val wE = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val w8 = Window.partitionBy("query_id")
+      .orderBy(col("sim8").desc, col("neighbor_id"))
+    scored
+      .withColumn("re", row_number().over(wE))
+      .withColumn("r8", row_number().over(w8))
+      .groupBy("query_id")
+      .agg(
+        sum(when(col("re") <= 5 && col("r8") <= 5, 1L).otherwise(0L))
+          .as("hits"),
+        max(when(col("re") === 1 && col("r8") === 1, 1).otherwise(0))
+          .as("top1_agree"))
+      .withColumn("recall_pct", col("hits") * 20)
+      .select("query_id", "hits", "recall_pct", "top1_agree")
+      .orderBy("query_id")
+  }
+
+  val q221Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)),
+      |                        'max') / 127.0 AS scale
+      |  FROM embeddings),
+      |qz AS (
+      |  SELECT vec_id, v, scale,
+      |         CASE WHEN scale > 0
+      |              THEN list_transform(v, x -> round(x / scale))
+      |              ELSE list_transform(v, x -> 0.0) END AS qv
+      |  FROM v),
+      |p AS (SELECT vec_id AS query_id, v AS pv, qv AS pq
+      |      FROM qz WHERE vec_id < 16 AND scale > 0),
+      |s AS (
+      |  SELECT query_id, c.vec_id AS neighbor_id,
+      |    list_dot_product(pv, c.v)
+      |      / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(c.v, c.v))) AS sim,
+      |    list_dot_product(pq, c.qv)
+      |      / (sqrt(list_dot_product(pq, pq)) * sqrt(list_dot_product(c.qv, c.qv))) AS sim8
+      |  FROM p CROSS JOIN qz c WHERE c.vec_id <> query_id AND c.scale > 0),
+      |r AS (
+      |  SELECT query_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS re,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim8 DESC, neighbor_id) AS r8
+      |  FROM s)
+      |SELECT query_id,
+      |       sum(CASE WHEN re <= 5 AND r8 <= 5 THEN 1 ELSE 0 END)::BIGINT AS hits,
+      |       sum(CASE WHEN re <= 5 AND r8 <= 5 THEN 1 ELSE 0 END)::BIGINT * 20 AS recall_pct,
+      |       max(CASE WHEN re = 1 AND r8 = 1 THEN 1 ELSE 0 END) AS top1_agree
+      |FROM r GROUP BY query_id ORDER BY query_id""".stripMargin
+
+  /** q225: dedup disparate-impact audit — near-dup keep-one removes
+    * documents at DIFFERENT rates across languages (boilerplate-heavy
+    * or template-translated languages cluster more), a documented bias
+    * of corpus dedup that shifts the training mixture silently. Per
+    * language: corpus size, removed count under the q220 edge tier
+    * (exact Jaccard ≥ 0.8 over MinHash candidates → connected
+    * components → keep min-id), and the exact removal per-mille on the
+    * integer grid. The oracle brute-forces all pairs (q220's contract:
+    * a candidate-tier recall miss surfaces as a mismatch) and replays
+    * the min-reachable-id labeling. Scale shape: the pair tier is the
+    * banded/capped q32 path; the impact report is ONE lang-keyed
+    * aggregation of the ≤|corpus| label relation — the audit adds no
+    * pairwise work of its own.
+    */
+  def q225DedupImpact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+      .select("doc_id", "text", "lang")
+    val edges = Dedup.ngramJaccardPairs(d, "text", "doc_id", threshold = 0.8)
+    val clusters = graft.graphs.ConnectedComponents
+      .dedupClusters(edges.select("id_a", "id_b"),
+        d.select(col("doc_id").as("id")))
+    d.select(col("doc_id").as("id"), col("lang"))
+      .join(clusters.select("id", "is_canonical"), Seq("id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("is_canonical"), 0L).otherwise(1L)).as("n_removed"))
+      .withColumn("removal_per_mille",
+        expr("(n_removed * 1000) div n_docs"))
+      .select("lang", "n_docs", "n_removed", "removal_per_mille")
+      .orderBy("lang")
+  }
+
+  val q225Sql: String =
+    """WITH RECURSIVE norm AS (
+      |  SELECT doc_id AS id,
+      |         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT id,
+      |    list_distinct([substr(t, i, 5)
+      |      FOR i IN generate_series(1, greatest(length(t) - 4, 1))]) AS s
+      |  FROM norm WHERE length(t) > 0),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |    len(list_intersect(a.s, b.s))::DOUBLE
+      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+      |  FROM sh a JOIN sh b ON a.id < b.id),
+      |e AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE j >= 0.8),
+      |ue AS (
+      |  SELECT a, b FROM e UNION SELECT b, a FROM e
+      |  UNION SELECT a, a FROM e UNION SELECT b, b FROM e),
+      |reach(s, t) AS (
+      |  SELECT a, b FROM ue
+      |  UNION
+      |  SELECT r.s, u.b FROM reach r JOIN ue u ON r.t = u.a),
+      |comp AS (SELECT s AS id, min(t) AS cluster_id FROM reach GROUP BY s),
+      |lab AS (
+      |  SELECT d.doc_id AS id, d.lang,
+      |         coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+      |SELECT lang, count(*)::BIGINT AS n_docs,
+      |       sum(CASE WHEN id <> cluster_id THEN 1 ELSE 0 END)::BIGINT
+      |         AS n_removed,
+      |       (sum(CASE WHEN id <> cluster_id THEN 1 ELSE 0 END)::BIGINT
+      |         * 1000) // count(*) AS removal_per_mille
+      |FROM lab GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q226: blocking-recall eval — the measurement that justifies (or
+    * indicts) a blocking key before a pipeline trusts it at scale: for
+    * planted near-dup pairs whose mutation site is controlled by id
+    * parity (even → token APPENDED, survives the 24-char prefix key;
+    * odd → token PREPENDED, shifts the whole sort key), report per
+    * window size w ∈ {1,2,4,8,16} and per site the exact count of
+    * pairs whose rank distance under q151's sorted-neighborhood key is
+    * ≤ w, and the recall per-mille on the integer grid. Tail mutations
+    * should read ~1000‰ at w=1 and head mutations near 0‰ even at
+    * w=16 — the known failure mode of prefix blocking, quantified.
+    * Scale shape: ONE global rank (q151's range exchange), one planted
+    * self-join on the id arithmetic, and the w fan-out runs on the
+    * |docs|-row planted relation — no candidate materialization at all.
+    */
+  def q226BlockingRecall(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents").select("doc_id", "text")
+    val copies = d.select((col("doc_id") + 100000L).as("doc_id"),
+      when(col("doc_id") % 2 === 0, concat(col("text"), lit(" qq")))
+        .otherwise(concat(lit("qq "), col("text"))).as("text"))
+    val keyed = d.unionByName(copies).select(col("doc_id"),
+      substring(graft.functions.HashExprs.fingerprintNormalize(col("text")),
+        1, 24).as("skey"))
+    val ranked = graft.ops.Ordering.exactRank(keyed, "skey", "doc_id")
+    val planted = ranked.filter(col("doc_id") < 100000L)
+      .select(col("doc_id"), col("rank").as("__r1"))
+      .join(ranked.select((col("doc_id") - 100000L).as("doc_id"),
+        col("rank").as("__r2")), Seq("doc_id"))
+      .select(
+        when(col("doc_id") % 2 === 0, lit("tail")).otherwise(lit("head"))
+          .as("site"),
+        abs(col("__r2") - col("__r1")).as("__dist"))
+    planted
+      .crossJoin(broadcast(spark.range(1).select(
+        explode(array(lit(1L), lit(2L), lit(4L), lit(8L), lit(16L)))
+          .as("w"))))
+      .groupBy("w", "site")
+      .agg(count(lit(1)).cast("long").as("n_planted"),
+        sum(when(col("__dist") <= col("w"), 1L).otherwise(0L))
+          .as("captured"))
+      .withColumn("recall_per_mille",
+        expr("(captured * 1000) div n_planted"))
+      .select("w", "site", "n_planted", "captured", "recall_per_mille")
+      .orderBy("w", "site")
+  }
+
+  val q226Sql: String =
+    """WITH uni AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |         CASE WHEN doc_id % 2 = 0 THEN text || ' qq'
+      |              ELSE 'qq ' || text END
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id,
+      |         substring(regexp_replace(regexp_replace(lower(text),
+      |           '[^a-z0-9 ֐-׿؀-ۿ]', '', 'g'), ' +', ' ', 'g'), 1, 24) AS skey
+      |  FROM uni),
+      |r AS (
+      |  SELECT doc_id, skey,
+      |         CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) AS rnk
+      |  FROM k),
+      |planted AS (
+      |  SELECT CASE WHEN a.doc_id % 2 = 0 THEN 'tail' ELSE 'head' END AS site,
+      |         abs(b.rnk - a.rnk) AS dist
+      |  FROM r a JOIN r b ON b.doc_id = a.doc_id + 100000),
+      |ws AS (SELECT unnest([1, 2, 4, 8, 16]) AS w)
+      |SELECT CAST(w AS BIGINT) AS w, site,
+      |       count(*)::BIGINT AS n_planted,
+      |       sum(CASE WHEN dist <= w THEN 1 ELSE 0 END)::BIGINT AS captured,
+      |       (sum(CASE WHEN dist <= w THEN 1 ELSE 0 END)::BIGINT * 1000)
+      |         // count(*) AS recall_per_mille
+      |FROM planted CROSS JOIN ws
+      |GROUP BY w, site ORDER BY w, site""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_blocking_recall" -> (q226BlockingRecall _),
+    "q225_dedup_impact" -> (q225DedupImpact _),
+    "q221_int8_recall" -> (q221Int8Recall _),
     "q220_cluster_quality" -> (q220ClusterQuality _),
     "q215_source_overlap" -> (q215SourceOverlapMatrix _),
     "q153_fellegi_sunter" -> (q153FellegiSunter _),
@@ -2062,6 +2295,9 @@ object DedupQueries {
     "q83_semantic_decontaminate" -> q83SemanticDecontaminate)
 
   val oracles: Map[String, String] = Map(
+    "q226_blocking_recall" -> q226Sql,
+    "q225_dedup_impact" -> q225Sql,
+    "q221_int8_recall" -> q221Sql,
     "q220_cluster_quality" -> q220Sql,
     "q215_source_overlap" -> q215Sql,
     "q153_fellegi_sunter" -> q153Sql,

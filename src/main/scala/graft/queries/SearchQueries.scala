@@ -503,7 +503,135 @@ object SearchQueries {
       |       CAST(min(anchor) AS BIGINT) AS first_pos
       |FROM anchors GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q224: retrieval rank-agreement audit — the eval a pipeline runs
+    * before swapping its lexical scorer (TF-IDF → BM25, or any A/B of
+    * ranking functions): for the SAME probe set (every 37th document,
+    * q120's), retrieve top-10 under both scorers and report per query
+    * the set overlap, the Spearman footrule Σ|rankA − rankB| on the
+    * intersection, and exact Kendall concordant/discordant pair counts
+    * — all integers (ranks are strict: score desc, doc_id tie-break),
+    * so the oracle hash-gates both scoring pipelines AND the agreement
+    * algebra in one artifact. Scale shape: the two retrieval tiers are
+    * the existing bounded postings plans; everything after them runs on
+    * ≤|queries|·10 rows, and the Kendall self-join fans out to ≤45
+    * pairs per query. Queries whose lists are disjoint still surface
+    * (spine left-join, zeros) — the no-silent-drop discipline.
+    */
+  def q224RankAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val probes = d.filter(col("doc_id") % 37 === 0)
+    val wR = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    val tfi = TfIdfSearch.topK(d, probes, "text", "doc_id", "doc_id", k = 10)
+      .withColumn("ra", row_number().over(wR))
+      .select("query_id", "doc_id", "ra")
+    val lex = Bm25.topK(d, probes, "text", "doc_id", "doc_id", k = 10)
+      .withColumn("rb", row_number().over(wR))
+      .select("query_id", "doc_id", "rb")
+    val inter = tfi.join(lex, Seq("query_id", "doc_id"))
+      .persist() // feeds the per-query stats AND the Kendall pair join
+    val stats = inter.groupBy("query_id").agg(
+      count(lit(1)).cast("long").as("overlap"),
+      sum(abs(col("ra") - col("rb"))).cast("long").as("footrule"))
+    val p1 = inter.select(col("query_id"), col("doc_id").as("__d1"),
+      col("ra").as("__a1"), col("rb").as("__b1"))
+    val p2 = inter.select(col("query_id"), col("doc_id").as("__d2"),
+      col("ra").as("__a2"), col("rb").as("__b2"))
+    val kendall = p1.join(p2, Seq("query_id"))
+      .filter(col("__d1") < col("__d2"))
+      .withColumn("__conc",
+        ((col("__a1") < col("__a2")) === (col("__b1") < col("__b2")))
+          .cast("long"))
+      .groupBy("query_id")
+      .agg(sum("__conc").as("concordant"),
+        (count(lit(1)) - sum("__conc")).as("discordant"))
+    probes.select(col("doc_id").as("query_id"))
+      .join(stats, Seq("query_id"), "left")
+      .join(kendall, Seq("query_id"), "left")
+      .na.fill(0L, Seq("overlap", "footrule", "concordant", "discordant"))
+      .select("query_id", "overlap", "footrule", "concordant", "discordant")
+      .orderBy("query_id")
+  }
+
+  val q224Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> x <> '') AS w
+      |  FROM documents),
+      |postings AS (
+      |  SELECT doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM toks, UNNEST(w) AS t(term) GROUP BY doc_id, t.term),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+      |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+      |        FROM postings GROUP BY term),
+      |wta AS (
+      |  SELECT term,
+      |         CAST(floor((nd - df + 0.5) / (df + 0.5) * 1048576.0) AS BIGINT) AS w
+      |  FROM dfs, nn),
+      |wtb AS (
+      |  SELECT term,
+      |         least(CAST(floor((nd - df + 0.5) / (df + 0.5) * 1048576.0)
+      |                    AS BIGINT), 1099511627776) AS w
+      |  FROM dfs, nn),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM postings GROUP BY doc_id),
+      |ad AS (SELECT greatest(1, CAST(sum(tf) AS BIGINT) // nd) AS adl
+      |       FROM postings, nn GROUP BY nd),
+      |sat AS (
+      |  SELECT p.doc_id, p.term,
+      |         CAST((22528 * p.tf * 16384)
+      |              // (10240 * p.tf + 3072 + 9 * ((d.dl * 1024) // ad.adl))
+      |              AS BIGINT) AS v
+      |  FROM postings p JOIN dl d USING (doc_id), ad),
+      |q AS (SELECT DISTINCT doc_id AS query_id, t.term
+      |      FROM toks, UNNEST(w) AS t(term) WHERE doc_id % 37 = 0),
+      |sca AS (
+      |  SELECT q.query_id, p.doc_id, CAST(sum(p.tf * wta.w) AS BIGINT) AS score
+      |  FROM q JOIN postings p USING (term) JOIN wta USING (term)
+      |  GROUP BY q.query_id, p.doc_id),
+      |ra AS (
+      |  SELECT query_id, doc_id, rn AS ra FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |              ORDER BY score DESC, doc_id) AS rn FROM sca) x
+      |  WHERE rn <= 10),
+      |scb AS (
+      |  SELECT q.query_id, s.doc_id, CAST(sum(s.v * wtb.w) AS BIGINT) AS score
+      |  FROM q JOIN sat s USING (term) JOIN wtb USING (term)
+      |  GROUP BY q.query_id, s.doc_id),
+      |rb AS (
+      |  SELECT query_id, doc_id, rn AS rb FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |              ORDER BY score DESC, doc_id) AS rn FROM scb) x
+      |  WHERE rn <= 10),
+      |inter AS (
+      |  SELECT query_id, doc_id, ra.ra, rb.rb
+      |  FROM ra JOIN rb USING (query_id, doc_id)),
+      |stats AS (
+      |  SELECT query_id, count(*)::BIGINT AS overlap,
+      |         CAST(sum(abs(ra - rb)) AS BIGINT) AS footrule
+      |  FROM inter GROUP BY query_id),
+      |kd AS (
+      |  SELECT i.query_id,
+      |         sum(CASE WHEN (j.ra > i.ra) = (j.rb > i.rb)
+      |                  THEN 1 ELSE 0 END)::BIGINT AS concordant,
+      |         sum(CASE WHEN (j.ra > i.ra) = (j.rb > i.rb)
+      |                  THEN 0 ELSE 1 END)::BIGINT AS discordant
+      |  FROM inter i JOIN inter j
+      |    ON i.query_id = j.query_id AND i.doc_id < j.doc_id
+      |  GROUP BY i.query_id)
+      |SELECT d.doc_id AS query_id,
+      |       coalesce(stats.overlap, 0) AS overlap,
+      |       coalesce(stats.footrule, 0) AS footrule,
+      |       coalesce(kd.concordant, 0) AS concordant,
+      |       coalesce(kd.discordant, 0) AS discordant
+      |FROM documents d
+      |LEFT JOIN stats ON stats.query_id = d.doc_id
+      |LEFT JOIN kd ON kd.query_id = d.doc_id
+      |WHERE d.doc_id % 37 = 0
+      |ORDER BY query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_rank_agreement" -> (q224RankAgreement _),
     "q123_unigram_encode" -> (q123UnigramEncode _),
     "q156_incremental_index" -> (q156IncrementalIndex _),
     "q132_wordpiece_encode" -> (q132WordPieceEncode _),
@@ -1054,6 +1182,7 @@ object SearchQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q224_rank_agreement" -> q224Sql,
     "q123_unigram_encode" -> q123Sql,
     "q156_incremental_index" -> q156Sql,
     "q132_wordpiece_encode" -> q132Sql,
