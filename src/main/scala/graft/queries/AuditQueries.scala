@@ -1298,7 +1298,63 @@ object AuditQueries {
       |            THEN 1 ELSE 0 END AS close
       |FROM agg ORDER BY bal_bucket, segment""".stripMargin
 
+  /** q228: Neyman sample allocation — how many docs per language a
+    * 1000-doc human-review sample should draw when strata differ in
+    * spread: n_h ∝ N_h·S_h. Everything stays exact: per language ONE
+    * aggregation yields n, Σx, Σx² over n_chars; the unnormalized
+    * variance var_num = n·Σx² − (Σx)² is an exact integer, and since
+    * S_h = √(var_num)/n while N_h = n, the Neyman weight N_h·S_h ∝
+    * √var_num — computed as a TRUE integer sqrt (floor(sqrt(double))
+    * then a two-sided integer adjustment, so the double rounding can
+    * never leak into the result; var_num < 2⁵³ keeps the seed exact).
+    * alloc = (1000·w) div Σw. Scale shape: corpus touched once; the
+    * allocation runs on the |langs| relation with a broadcast 1-row Σw.
+    */
+  def q228NeymanAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val st = Load.table(spark, dir, "documents")
+      .select(col("lang"), col("n_chars").cast("long").as("__x"))
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("__x").cast("long").as("__s"),
+        sum(expr("__x * __x")).cast("long").as("__s2"))
+      .withColumn("var_num", expr("n_docs * __s2 - __s * __s"))
+      .withColumn("__c0",
+        expr("CAST(floor(sqrt(CAST(var_num AS DOUBLE))) AS BIGINT)"))
+      .withColumn("sd_w", expr(
+        """CASE WHEN (__c0 + 1) * (__c0 + 1) <= var_num THEN __c0 + 1
+          |     WHEN __c0 * __c0 > var_num THEN __c0 - 1
+          |     ELSE __c0 END""".stripMargin))
+    val tot = st.agg(sum("sd_w").cast("long").as("__w_total"))
+    st.crossJoin(broadcast(tot))
+      .withColumn("alloc", expr("(1000 * sd_w) div __w_total"))
+      .select("lang", "n_docs", "var_num", "sd_w", "alloc")
+      .orderBy("lang")
+  }
+
+  val q228Sql: String =
+    """WITH st AS (
+      |  SELECT lang, count(*)::BIGINT AS n_docs,
+      |         sum(n_chars)::BIGINT AS s,
+      |         sum(n_chars::BIGINT * n_chars)::BIGINT AS s2
+      |  FROM documents GROUP BY lang),
+      |v AS (
+      |  SELECT lang, n_docs, n_docs * s2 - s * s AS var_num,
+      |         CAST(floor(sqrt(CAST(n_docs * s2 - s * s AS DOUBLE)))
+      |              AS BIGINT) AS c0
+      |  FROM st),
+      |w AS (
+      |  SELECT lang, n_docs, var_num,
+      |         CASE WHEN (c0 + 1) * (c0 + 1) <= var_num THEN c0 + 1
+      |              WHEN c0 * c0 > var_num THEN c0 - 1
+      |              ELSE c0 END AS sd_w
+      |  FROM v),
+      |t AS (SELECT sum(sd_w)::BIGINT AS w_total FROM w)
+      |SELECT lang, n_docs, var_num, sd_w,
+      |       (1000 * sd_w) // w_total AS alloc
+      |FROM w, t ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_neyman_allocation" -> (q228NeymanAllocation _),
     "q222_t_closeness" -> (q222TCloseness _),
     "q217_conformal_gate" -> (q217ConformalGate _),
     "q214_mink_membership" -> (q214MinkMembership _),
@@ -1318,6 +1374,7 @@ object AuditQueries {
     "q204_token_fertility" -> (q204TokenFertility _))
 
   val oracles: Map[String, String] = Map(
+    "q228_neyman_allocation" -> q228Sql,
     "q222_t_closeness" -> q222Sql,
     "q217_conformal_gate" -> q217Sql,
     "q214_mink_membership" -> q214Sql,

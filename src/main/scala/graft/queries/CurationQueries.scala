@@ -1544,7 +1544,56 @@ ORDER BY doc_id"""
        |ORDER BY label""".stripMargin
   }
 
+  /** q230: shard-balance audit — the throughput check after q144's
+    * seeded shard shuffle: data-parallel training paces at the SLOWEST
+    * shard, so per shard this reports doc count, token mass (n_chars as
+    * the proxy the trainer actually pays), the exact per-mille deviation
+    * from the ideal mass total/16, and a straggler flag at +5%. All
+    * integer: dev = |16·mass − total|·1000 div total (cross-multiplied
+    * so the ideal is never a rounded intermediate). Scale shape: the
+    * corpus is touched once for the hash+mass projection; everything
+    * else runs on the 16-row shard relation with a broadcast 1-row
+    * total.
+    */
+  def q230ShardBalance(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents").select("doc_id", "n_chars")
+    val sharded = Splits.shardShuffle(d, "doc_id", 16, "42")
+    val per = sharded.groupBy("shard")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_chars").cast("long")).cast("long").as("mass"))
+    val tot = per.agg(sum("mass").cast("long").as("__total"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("dev_per_mille",
+        expr("(abs(16 * mass - __total) * 1000) div __total"))
+      .withColumn("straggler",
+        (expr("16 * mass * 1000") > expr("1050 * __total")).cast("int"))
+      .select(col("shard").cast("long").as("shard"), col("n_docs"),
+        col("mass"), col("dev_per_mille"), col("straggler"))
+      .orderBy("shard")
+  }
+
+  val q230Sql: String =
+    """WITH k AS (
+      |  SELECT doc_id, n_chars::BIGINT AS n_chars,
+      |         md5('42-' || CAST(doc_id AS VARCHAR)) AS skey
+      |  FROM documents),
+      |s AS (
+      |  SELECT CAST(CAST('0x' || substring(skey, 1, 8) AS BIGINT) % 16
+      |           AS INTEGER) AS shard,
+      |         n_chars
+      |  FROM k),
+      |per AS (
+      |  SELECT shard, count(*)::BIGINT AS n_docs,
+      |         sum(n_chars)::BIGINT AS mass
+      |  FROM s GROUP BY shard),
+      |t AS (SELECT sum(mass)::BIGINT AS total FROM per)
+      |SELECT CAST(shard AS BIGINT) AS shard, n_docs, mass,
+      |       (abs(16 * mass - total) * 1000) // total AS dev_per_mille,
+      |       CAST(16 * mass * 1000 > 1050 * total AS INTEGER) AS straggler
+      |FROM per, t ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_shard_balance" -> (q230ShardBalance _),
     "q223_modularity" -> (q223Modularity _),
     "q147_layout_pipeline" -> (q147LayoutPipeline _),
     "q146_curriculum" -> (q146Curriculum _),
@@ -1683,6 +1732,7 @@ ORDER BY doc_id"""
       |FROM p ORDER BY l_returnflag, q_num, q_den""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q230_shard_balance" -> q230Sql,
     "q223_modularity" -> q223Sql,
     "q147_layout_pipeline" -> q147Sql,
     "q146_curriculum" -> q146Sql,

@@ -2770,7 +2770,55 @@ object MiscOps {
        |ORDER BY "column"""".stripMargin
   }
 
+  /** q227: join-key skew audit — the pre-flight check before any big
+    * keyed join/aggregation at scale, and the measurement behind q44's
+    * hot-key salting: for the fact table's join key (l_suppkey — the
+    * key the sf1 generator deliberately funnels 90% of rows into), the
+    * top-10 heaviest keys with their exact row share (per-mille), the
+    * multiple of the mean key load (per-cent), whether the key starves
+    * a 32-partition shuffle (count·32 > total), and the ceil salt
+    * factor that would re-balance it. All integer arithmetic on ONE
+    * map-side-combined key count; the report itself is a top-10
+    * TakeOrdered — the corpus is touched once and nothing wider than
+    * |keys| ever shuffles.
+    */
+  def q227SkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Load.table(spark, dir, "lineitem").select("l_suppkey")
+    val counts = li.groupBy(col("l_suppkey").cast("long").as("suppkey"))
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+    val tot = counts.agg(sum("n_rows").cast("long").as("__total"),
+      count(lit(1)).cast("long").as("__n_keys"))
+    counts.orderBy(col("n_rows").desc, col("suppkey")).limit(10)
+      .crossJoin(broadcast(tot))
+      .select(col("suppkey"), col("n_rows"),
+        expr("(n_rows * 1000) div __total").as("share_per_mille"),
+        expr("(n_rows * __n_keys * 100) div __total").as("mean_mult_pct"),
+        (col("n_rows") * 32 > col("__total")).cast("int").as("hot"),
+        greatest(lit(1L),
+          expr("(n_rows * 32 + __total - 1) div __total")).as("salt_factor"))
+      .orderBy(col("n_rows").desc, col("suppkey"))
+  }
+
+  val q227Sql: String =
+    """WITH c AS (
+      |  SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+      |         count(*)::BIGINT AS n_rows
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT sum(n_rows)::BIGINT AS total,
+      |             count(*)::BIGINT AS n_keys FROM c),
+      |top AS (
+      |  SELECT suppkey, n_rows FROM c
+      |  ORDER BY n_rows DESC, suppkey LIMIT 10)
+      |SELECT suppkey, n_rows,
+      |       (n_rows * 1000) // total AS share_per_mille,
+      |       (n_rows * n_keys * 100) // total AS mean_mult_pct,
+      |       CAST(n_rows * 32 > total AS INTEGER) AS hot,
+      |       greatest(1, (n_rows * 32 + total - 1) // total) AS salt_factor
+      |FROM top, t
+      |ORDER BY n_rows DESC, suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_skew_audit" -> (q227SkewAudit _),
     "q152_profile_merge" -> (q152ProfileMerge _),
     "q105_profile" -> (q105Profile _),
     "q135_profile_drift" -> (q135ProfileDrift _),
@@ -2837,6 +2885,7 @@ object MiscOps {
     "q85_url_canonical" -> q85UrlCanonical)
 
   val oracles: Map[String, String] = Map(
+    "q227_skew_audit" -> q227Sql,
     "q152_profile_merge" -> q152Sql,
     "q105_profile" -> q105Sql,
     "q135_profile_drift" -> q135Sql,

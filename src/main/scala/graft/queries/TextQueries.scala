@@ -1158,7 +1158,102 @@ object TextQueries {
       |FROM mm JOIN lcp l ON l.cluster_id = mm.cluster_id
       |ORDER BY mm.cluster_id""".stripMargin
 
+  /** q229: chance-corrected classifier agreement — accuracy alone
+    * (q113's `correct`) flatters a filter on imbalanced classes, and
+    * calibration (q216) says nothing about WHICH classes it confuses.
+    * Per class: actual/predicted/correct counts and exact per-mille
+    * recall + precision; globally Cohen's kappa kept exact by
+    * cross-multiplication — κ = (N·Σdiag − Σ n_pred·n_act)/(N² − Σ
+    * n_pred·n_act), emitted as num, den, and the per-mille floor (both
+    * engines' integer division truncates toward zero, so a
+    * worse-than-chance negative κ floors identically). Class spine is
+    * the full outer union of both marginals — a class the model never
+    * predicts still surfaces with precision 0. Scale shape: ONE
+    * prediction pass (q113's), then everything runs on the ≤|classes|
+    * relation with a broadcast 1-row global.
+    */
+  def q229NbKappa(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+    val trainDf = d.filter(col("doc_id") % 5 =!= 0)
+    val testDf = d.filter(col("doc_id") % 5 === 0)
+    val model = graft.text.NaiveBayes.train(trainDf, "text", "lang")
+    val preds = graft.text.NaiveBayes.predict(model, testDf, "text", "doc_id")
+      .join(testDf.select(col("doc_id"), col("lang").as("actual")),
+        Seq("doc_id"))
+      .select(col("pred"), col("actual")).persist() // 3 marginal consumers
+    val act = preds.groupBy(col("actual").as("lang"))
+      .agg(count(lit(1)).cast("long").as("n_actual"))
+    val prd = preds.groupBy(col("pred").as("lang"))
+      .agg(count(lit(1)).cast("long").as("n_pred"))
+    val diag = preds.filter(col("pred") === col("actual"))
+      .groupBy(col("actual").as("lang"))
+      .agg(count(lit(1)).cast("long").as("n_correct"))
+    val cls = act.join(prd, Seq("lang"), "full_outer")
+      .join(diag, Seq("lang"), "full_outer")
+      .na.fill(0L, Seq("n_actual", "n_pred", "n_correct"))
+    val glob = cls.agg(sum("n_actual").cast("long").as("__n"),
+      sum("n_correct").cast("long").as("__diag"),
+      sum(expr("n_actual * n_pred")).cast("long").as("__rc"))
+    cls.crossJoin(broadcast(glob))
+      .withColumn("recall_per_mille",
+        when(col("n_actual") > 0, expr("(n_correct * 1000) div n_actual"))
+          .otherwise(0L))
+      .withColumn("precision_per_mille",
+        when(col("n_pred") > 0, expr("(n_correct * 1000) div n_pred"))
+          .otherwise(0L))
+      .withColumn("kappa_num", expr("__n * __diag - __rc"))
+      .withColumn("kappa_den", expr("__n * __n - __rc"))
+      .withColumn("kappa_per_mille",
+        when(col("kappa_den") > 0, expr("(kappa_num * 1000) div kappa_den"))
+          .otherwise(1000L))
+      .select("lang", "n_actual", "n_pred", "n_correct",
+        "recall_per_mille", "precision_per_mille",
+        "kappa_num", "kappa_den", "kappa_per_mille")
+      .orderBy("lang")
+  }
+
+  /** q229's oracle: q113's full prediction replay wrapped as a CTE,
+    * then the marginal/kappa algebra — one artifact gates the model
+    * AND the agreement math.
+    */
+  val q229Sql: String = {
+    val core = q113Sql.stripSuffix("\nORDER BY te.doc_id")
+    s"""WITH preds AS (
+       |$core
+       |),
+       |act AS (SELECT actual AS lang, count(*)::BIGINT AS n_actual
+       |        FROM preds GROUP BY 1),
+       |prd AS (SELECT pred AS lang, count(*)::BIGINT AS n_pred
+       |        FROM preds GROUP BY 1),
+       |dg AS (SELECT actual AS lang, count(*)::BIGINT AS n_correct
+       |       FROM preds WHERE pred = actual GROUP BY 1),
+       |cls AS (
+       |  SELECT coalesce(act.lang, prd.lang, dg.lang) AS lang,
+       |         coalesce(n_actual, 0) AS n_actual,
+       |         coalesce(n_pred, 0) AS n_pred,
+       |         coalesce(n_correct, 0) AS n_correct
+       |  FROM act
+       |  FULL OUTER JOIN prd ON prd.lang = act.lang
+       |  FULL OUTER JOIN dg ON dg.lang = coalesce(act.lang, prd.lang)),
+       |g AS (SELECT sum(n_actual)::BIGINT AS n,
+       |             sum(n_correct)::BIGINT AS diag,
+       |             CAST(sum(n_actual * n_pred) AS BIGINT) AS rc
+       |      FROM cls)
+       |SELECT lang, n_actual, n_pred, n_correct,
+       |       CASE WHEN n_actual > 0 THEN (n_correct * 1000) // n_actual
+       |            ELSE 0 END AS recall_per_mille,
+       |       CASE WHEN n_pred > 0 THEN (n_correct * 1000) // n_pred
+       |            ELSE 0 END AS precision_per_mille,
+       |       n * diag - rc AS kappa_num,
+       |       n * n - rc AS kappa_den,
+       |       CASE WHEN n * n - rc > 0
+       |            THEN ((n * diag - rc) * 1000) // (n * n - rc)
+       |            ELSE 1000 END AS kappa_per_mille
+       |FROM cls, g ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_nb_kappa" -> (q229NbKappa _),
     "q104_ngram_novelty" -> (q104NgramNovelty _),
     "q189_chunking" -> (q189Chunking _),
     "q191_templates" -> (q191Templates _),
@@ -1179,6 +1274,7 @@ object TextQueries {
     "q133_sft_pipeline" -> (q133SftPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "q229_nb_kappa" -> q229Sql,
     "q126_entropy_gate" -> q126Sql,
     "q143_repetition_gate" -> q143Sql,
     "q131_chat_render" -> q131Sql,
