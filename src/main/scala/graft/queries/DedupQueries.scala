@@ -2257,7 +2257,92 @@ object DedupQueries {
       |FROM planted CROSS JOIN ws
       |GROUP BY w, site ORDER BY w, site""".stripMargin
 
+  /** q231: dedup threshold-sensitivity sweep — the evidence behind
+    * choosing θ: per candidate threshold θ ∈ {0.80, 0.85, 0.90, 0.95},
+    * in ONE pass over the q220 edge tier (exact Jaccard ≥ 0.8 over
+    * MinHash candidates), the pair count, the number of documents
+    * touched by at least one ≥θ pair, and the affected share of the
+    * corpus (per-mille, integer grid). A pipeline reads this table to
+    * see how much the removal set shrinks as θ tightens — without
+    * re-running the candidate tier per θ. The sweep floor stays at the
+    * tier's design threshold 0.8 (banding recall at 16×4 bands is
+    * ~1-2·10⁻⁴ miss per pair there; sweeping below the design point
+    * would put band-miss noise inside a hash-gated artifact). Scale
+    * shape: pair tier = q32/q34's banded/capped path; the sweep is a
+    * ×4 fan-out of the PAIR relation plus one distinct per (θ, doc).
+    */
+  def q231ThresholdSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents").select("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id", threshold = 0.8)
+      .persist() // ×4 θ fan-out + the doc explode both read it
+    val thetas = broadcast(spark.range(1).select(
+      explode(array(lit(800L), lit(850L), lit(900L), lit(950L)))
+        .as("theta_milli")))
+    val hits = pairs.crossJoin(thetas)
+      .filter(col("jaccard") * 1000 >= col("theta_milli"))
+    val nPairs = hits.groupBy("theta_milli")
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+    val nDocs = hits
+      .select(col("theta_milli"), explode(array(col("id_a"), col("id_b")))
+        .as("id"))
+      .distinct()
+      .groupBy("theta_milli")
+      .agg(count(lit(1)).cast("long").as("n_docs_affected"))
+    val tot = d.agg(count(lit(1)).cast("long").as("__n"))
+    thetas
+      .join(nPairs, Seq("theta_milli"), "left")
+      .join(nDocs, Seq("theta_milli"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_docs_affected"))
+      .crossJoin(broadcast(tot))
+      .withColumn("affected_per_mille",
+        expr("(n_docs_affected * 1000) div __n"))
+      .select("theta_milli", "n_pairs", "n_docs_affected",
+        "affected_per_mille")
+      .orderBy("theta_milli")
+  }
+
+  val q231Sql: String =
+    """WITH norm AS (
+      |  SELECT doc_id AS id,
+      |         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT id,
+      |    list_distinct([substr(t, i, 5)
+      |      FOR i IN generate_series(1, greatest(length(t) - 4, 1))]) AS s
+      |  FROM norm WHERE length(t) > 0),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |    len(list_intersect(a.s, b.s))::DOUBLE
+      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+      |  FROM sh a JOIN sh b ON a.id < b.id),
+      |e AS (SELECT id_a, id_b, j FROM pairs WHERE j >= 0.8),
+      |th AS (SELECT unnest([800, 850, 900, 950]) AS theta_milli),
+      |hits AS (
+      |  SELECT th.theta_milli, e.id_a, e.id_b
+      |  FROM e CROSS JOIN th WHERE e.j * 1000 >= th.theta_milli),
+      |np AS (SELECT theta_milli, count(*)::BIGINT AS n_pairs
+      |       FROM hits GROUP BY 1),
+      |nd AS (
+      |  SELECT theta_milli, count(*)::BIGINT AS n_docs_affected FROM (
+      |    SELECT DISTINCT theta_milli, id FROM (
+      |      SELECT theta_milli, id_a AS id FROM hits
+      |      UNION ALL SELECT theta_milli, id_b FROM hits) u) v
+      |  GROUP BY 1),
+      |tot AS (SELECT count(*)::BIGINT AS n FROM documents)
+      |SELECT CAST(th.theta_milli AS BIGINT) AS theta_milli,
+      |       coalesce(np.n_pairs, 0) AS n_pairs,
+      |       coalesce(nd.n_docs_affected, 0) AS n_docs_affected,
+      |       (coalesce(nd.n_docs_affected, 0) * 1000) // tot.n
+      |         AS affected_per_mille
+      |FROM th
+      |LEFT JOIN np USING (theta_milli)
+      |LEFT JOIN nd USING (theta_milli)
+      |CROSS JOIN tot
+      |ORDER BY theta_milli""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_threshold_sensitivity" -> (q231ThresholdSensitivity _),
     "q226_blocking_recall" -> (q226BlockingRecall _),
     "q225_dedup_impact" -> (q225DedupImpact _),
     "q221_int8_recall" -> (q221Int8Recall _),
@@ -2295,6 +2380,7 @@ object DedupQueries {
     "q83_semantic_decontaminate" -> q83SemanticDecontaminate)
 
   val oracles: Map[String, String] = Map(
+    "q231_threshold_sensitivity" -> q231Sql,
     "q226_blocking_recall" -> q226Sql,
     "q225_dedup_impact" -> q225Sql,
     "q221_int8_recall" -> q221Sql,

@@ -1252,7 +1252,81 @@ object TextQueries {
        |FROM cls, g ORDER BY lang""".stripMargin
   }
 
+  /** q232: quality-vs-token-budget curve — the planning table for "keep
+    * the top X% by quality": docs ranked by the q21 heuristic score
+    * (desc, doc_id tie-break) are cut into 10 exact rank deciles
+    * (bucket = (rank−1)·10 div n — never ntile, whose remainder
+    * distribution is engine-specific), and per decile the doc count,
+    * character mass, cumulative mass, and cumulative share per-mille.
+    * A curation run reads the curve to pick the quality cut that fits
+    * its token budget. The global rank is the exact tier — same
+    * single-sort pattern as q188/q195/q205, with the same documented
+    * q118 mergeable-quantile swap at 100 TB (decile EDGES from the
+    * sketch, then one partitioned pass). Everything after the rank runs
+    * on the 10-row decile relation.
+    */
+  def q232QualityTokenCurve(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars").cast("long").as("__m"))
+    val scored = d.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("__q"), col("__m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__q").desc, col("doc_id"))
+    val ranked = scored.withColumn("__r", row_number().over(w).cast("long"))
+    val tot = scored.agg(count(lit(1)).cast("long").as("__n"),
+      sum("__m").cast("long").as("__mass_total"))
+    val per = ranked.crossJoin(broadcast(tot))
+      .withColumn("bucket", expr("((__r - 1) * 10) div __n"))
+      .groupBy("bucket", "__mass_total")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("__m").cast("long").as("mass"))
+    val wc = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    per.withColumn("cum_mass", sum("mass").over(wc).cast("long"))
+      .withColumn("cum_per_mille", expr("(cum_mass * 1000) div __mass_total"))
+      .select("bucket", "n_docs", "mass", "cum_mass", "cum_per_mille")
+      .orderBy("bucket")
+  }
+
+  /** q232's oracle: the q21 score CTE + rank/decile/cumulative replay. */
+  val q232Sql: String = {
+    val sw = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, n_chars::BIGINT AS m,
+       |    len(text) AS n,
+       |    len(string_split_regex(trim(text), '\\s+')) AS ntok,
+       |    (len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / len(text) AS alpha,
+       |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x IN ($sw)))::DOUBLE
+       |      / len(string_split_regex(lower(trim(text)), '\\s+')) AS swr
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, m,
+       |    (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0 ELSE 0.5 END) * 0.25
+       |    + (CASE WHEN ntok > 0 AND n::DOUBLE/ntok >= 3 AND n::DOUBLE/ntok <= 12 THEN 1.0 ELSE 0.5 END) * 0.25
+       |    + alpha * 0.25
+       |    + least(swr * 4, 1.0) * 0.25 AS quality
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id, m,
+       |         CAST(row_number() OVER (ORDER BY quality DESC, doc_id)
+       |           AS BIGINT) AS rnk,
+       |         count(*) OVER ()::BIGINT AS n_tot
+       |  FROM q),
+       |b AS (
+       |  SELECT ((rnk - 1) * 10) // n_tot AS bucket,
+       |         count(*)::BIGINT AS n_docs, sum(m)::BIGINT AS mass
+       |  FROM r GROUP BY 1),
+       |tot AS (SELECT sum(mass)::BIGINT AS mass_total FROM b)
+       |SELECT bucket, n_docs, mass,
+       |       CAST(sum(mass) OVER (ORDER BY bucket) AS BIGINT) AS cum_mass,
+       |       (CAST(sum(mass) OVER (ORDER BY bucket) AS BIGINT) * 1000)
+       |         // tot.mass_total AS cum_per_mille
+       |FROM b, tot ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_quality_token_curve" -> (q232QualityTokenCurve _),
     "q229_nb_kappa" -> (q229NbKappa _),
     "q104_ngram_novelty" -> (q104NgramNovelty _),
     "q189_chunking" -> (q189Chunking _),
@@ -1274,6 +1348,7 @@ object TextQueries {
     "q133_sft_pipeline" -> (q133SftPipeline _))
 
   val oracles: Map[String, String] = Map(
+    "q232_quality_token_curve" -> q232Sql,
     "q229_nb_kappa" -> q229Sql,
     "q126_entropy_gate" -> q126Sql,
     "q143_repetition_gate" -> q143Sql,
