@@ -1592,7 +1592,83 @@ ORDER BY doc_id"""
       |       CAST(16 * mass * 1000 > 1050 * total AS INTEGER) AS straggler
       |FROM per, t ORDER BY shard""".stripMargin
 
+  /** q233: epoch-decorrelation audit — multi-epoch training re-shuffles
+    * with a new seed each epoch, and the seed change must actually
+    * decorrelate: a broken seed plumbing (same order every epoch) is
+    * invisible to per-epoch checks. Between q144's seeded shuffle at
+    * seed "42" and the next epoch's "43": the shard reassignment rate
+    * (docs whose shard moved, per-mille) and, for docs that stayed in
+    * their shard, the mean within-shard displacement |pos₁ − pos₂| in
+    * milli-positions — both exact integers. Independent uniform
+    * assignment moves 15/16 of docs (937‰); staying-put docs should
+    * still displace. One row. Scale shape: two narrow hash projections
+    * joined on the id, one global aggregation — no sort wider than
+    * q144's own per-shard windows.
+    */
+  def q233EpochDecorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents").select("doc_id")
+    def epoch(seed: String, tag: String) =
+      Splits.shardShuffle(d, "doc_id", 16, seed)
+        .select(col("doc_id"), col("shard").as(s"__s$tag"),
+          col("pos").as(s"__p$tag"))
+    epoch("42", "1").join(epoch("43", "2"), Seq("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("__s1") =!= col("__s2"), 1L).otherwise(0L))
+          .as("moved_shard"),
+        sum(when(col("__s1") === col("__s2"),
+          abs(col("__p1") - col("__p2"))).otherwise(0L))
+          .as("__disp_sum"),
+        sum(when(col("__s1") === col("__s2"), 1L).otherwise(0L))
+          .as("stayed"))
+      .withColumn("moved_per_mille", expr("(moved_shard * 1000) div n_docs"))
+      .withColumn("mean_disp_milli",
+        when(col("stayed") > 0, expr("(__disp_sum * 1000) div stayed"))
+          .otherwise(0L))
+      .select("n_docs", "moved_shard", "moved_per_mille", "stayed",
+        "mean_disp_milli")
+  }
+
+  val q233Sql: String =
+    """WITH e1 AS (
+      |  SELECT doc_id,
+      |         CAST(CAST('0x' || substring(md5('42-' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |           AS BIGINT) % 16 AS INTEGER) AS s,
+      |         md5('42-' || CAST(doc_id AS VARCHAR)) AS k
+      |  FROM documents),
+      |p1 AS (
+      |  SELECT doc_id, s,
+      |         CAST(row_number() OVER (PARTITION BY s ORDER BY k, doc_id)
+      |           AS BIGINT) AS p
+      |  FROM e1),
+      |e2 AS (
+      |  SELECT doc_id,
+      |         CAST(CAST('0x' || substring(md5('43-' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |           AS BIGINT) % 16 AS INTEGER) AS s,
+      |         md5('43-' || CAST(doc_id AS VARCHAR)) AS k
+      |  FROM documents),
+      |p2 AS (
+      |  SELECT doc_id, s,
+      |         CAST(row_number() OVER (PARTITION BY s ORDER BY k, doc_id)
+      |           AS BIGINT) AS p
+      |  FROM e2),
+      |j AS (
+      |  SELECT p1.s AS s1, p2.s AS s2, p1.p AS pp1, p2.p AS pp2
+      |  FROM p1 JOIN p2 USING (doc_id)),
+      |a AS (
+      |  SELECT count(*)::BIGINT AS n_docs,
+      |         sum(CASE WHEN s1 <> s2 THEN 1 ELSE 0 END)::BIGINT AS moved_shard,
+      |         sum(CASE WHEN s1 = s2 THEN abs(pp1 - pp2) ELSE 0 END)::BIGINT AS ds,
+      |         sum(CASE WHEN s1 = s2 THEN 1 ELSE 0 END)::BIGINT AS stayed
+      |  FROM j)
+      |SELECT n_docs, moved_shard,
+      |       (moved_shard * 1000) // n_docs AS moved_per_mille,
+      |       stayed,
+      |       CASE WHEN stayed > 0 THEN (ds * 1000) // stayed
+      |            ELSE 0 END AS mean_disp_milli
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_epoch_decorrelation" -> (q233EpochDecorrelation _),
     "q230_shard_balance" -> (q230ShardBalance _),
     "q223_modularity" -> (q223Modularity _),
     "q147_layout_pipeline" -> (q147LayoutPipeline _),
@@ -1732,6 +1808,7 @@ ORDER BY doc_id"""
       |FROM p ORDER BY l_returnflag, q_num, q_den""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q233_epoch_decorrelation" -> q233Sql,
     "q230_shard_balance" -> q230Sql,
     "q223_modularity" -> q223Sql,
     "q147_layout_pipeline" -> q147Sql,

@@ -2341,7 +2341,110 @@ object DedupQueries {
       |CROSS JOIN tot
       |ORDER BY theta_milli""".stripMargin
 
+  /** q234: dedup survivor-quality audit — keep-min-id canonical
+    * selection is quality-blind, so per near-dup cluster (≥ 2, q220's
+    * edge tier + CC) this reports whether the canonical is actually the
+    * best member under the q21 quality score (desc, doc_id tie-break)
+    * and which member is: `regret` = 1 means the keep-one policy
+    * discarded a strictly better copy. The output is ids and flags only
+    * (the double scores never reach the artifact — both engines compare
+    * the same IEEE doubles, q21's gated arithmetic). A pipeline with a
+    * high regret rate should switch its canonical rule from min-id to
+    * argmax-quality. Scale shape: pair/CC tier as q220/q225; the audit
+    * joins the |docs| label relation to the narrow score projection and
+    * takes one bounded per-cluster argmax window.
+    */
+  def q234SurvivorQuality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Load.table(spark, dir, "documents").select("doc_id", "text")
+    val edges = Dedup.ngramJaccardPairs(d, "text", "doc_id", threshold = 0.8)
+    val clusters = graft.graphs.ConnectedComponents
+      .dedupClusters(edges.select("id_a", "id_b"),
+        d.select(col("doc_id").as("id")))
+    val scored = d.select(col("doc_id").as("id"),
+      graft.text.TextAnalysis.qualityScore(col("text")).as("__q"))
+    val labeled = clusters.join(scored, Seq("id"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("__q").desc, col("id"))
+    labeled
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__sz", count(lit(1))
+        .over(Window.partitionBy("cluster_id")))
+      .filter(col("__sz") >= 2)
+      .groupBy("cluster_id")
+      .agg(max("__sz").cast("long").as("size"),
+        min(when(col("is_canonical"), col("id"))).as("canonical_id"),
+        min(when(col("__rk") === 1, col("id"))).as("best_id"),
+        // regret: the best member strictly beats the canonical — rank 1
+        // not canonical AND not merely an id tie at equal quality
+        max(when(col("__rk") === 1 && !col("is_canonical"), 1)
+          .otherwise(0)).as("__best_not_canon"))
+      .withColumn("regret", col("__best_not_canon"))
+      .select("cluster_id", "size", "canonical_id", "best_id", "regret")
+      .orderBy("cluster_id")
+  }
+
+  val q234Sql: String = {
+    val sw = graft.text.TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH RECURSIVE norm AS (
+       |  SELECT doc_id AS id,
+       |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM documents),
+       |shs AS (
+       |  SELECT id,
+       |    list_distinct([substr(t, i, 5)
+       |      FOR i IN generate_series(1, greatest(length(t) - 4, 1))]) AS s
+       |  FROM norm WHERE length(t) > 0),
+       |prs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    len(list_intersect(a.s, b.s))::DOUBLE
+       |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+       |  FROM shs a JOIN shs b ON a.id < b.id),
+       |e AS (SELECT id_a AS a, id_b AS b FROM prs WHERE j >= 0.8),
+       |ue AS (
+       |  SELECT a, b FROM e UNION SELECT b, a FROM e
+       |  UNION SELECT a, a FROM e UNION SELECT b, b FROM e),
+       |reach(s, t) AS (
+       |  SELECT a, b FROM ue
+       |  UNION
+       |  SELECT r.s, u.b FROM reach r JOIN ue u ON r.t = u.a),
+       |comp AS (SELECT s AS id, min(t) AS cluster_id FROM reach GROUP BY s),
+       |lab AS (
+       |  SELECT d.doc_id AS id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+       |qt AS (
+       |  SELECT doc_id AS id,
+       |    len(text) AS n,
+       |    len(string_split_regex(trim(text), '\\s+')) AS ntok,
+       |    (len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / len(text) AS alpha,
+       |    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x IN ($sw)))::DOUBLE
+       |      / len(string_split_regex(lower(trim(text)), '\\s+')) AS swr
+       |  FROM documents),
+       |q AS (
+       |  SELECT id,
+       |    (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0 ELSE 0.5 END) * 0.25
+       |    + (CASE WHEN ntok > 0 AND n::DOUBLE/ntok >= 3 AND n::DOUBLE/ntok <= 12 THEN 1.0 ELSE 0.5 END) * 0.25
+       |    + alpha * 0.25
+       |    + least(swr * 4, 1.0) * 0.25 AS quality
+       |  FROM qt),
+       |m AS (
+       |  SELECT lab.cluster_id, lab.id, q.quality,
+       |         row_number() OVER (PARTITION BY lab.cluster_id
+       |                            ORDER BY q.quality DESC, lab.id) AS rk,
+       |         count(*) OVER (PARTITION BY lab.cluster_id) AS sz,
+       |         min(lab.id) OVER (PARTITION BY lab.cluster_id) AS canon
+       |  FROM lab JOIN q USING (id))
+       |SELECT cluster_id, CAST(max(sz) AS BIGINT) AS size,
+       |       min(CASE WHEN id = canon THEN id END) AS canonical_id,
+       |       min(CASE WHEN rk = 1 THEN id END) AS best_id,
+       |       max(CASE WHEN rk = 1 AND id <> canon THEN 1 ELSE 0 END)
+       |         AS regret
+       |FROM m WHERE sz >= 2
+       |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_survivor_quality" -> (q234SurvivorQuality _),
     "q231_threshold_sensitivity" -> (q231ThresholdSensitivity _),
     "q226_blocking_recall" -> (q226BlockingRecall _),
     "q225_dedup_impact" -> (q225DedupImpact _),
@@ -2380,6 +2483,7 @@ object DedupQueries {
     "q83_semantic_decontaminate" -> q83SemanticDecontaminate)
 
   val oracles: Map[String, String] = Map(
+    "q234_survivor_quality" -> q234Sql,
     "q231_threshold_sensitivity" -> q231Sql,
     "q226_blocking_recall" -> q226Sql,
     "q225_dedup_impact" -> q225Sql,
