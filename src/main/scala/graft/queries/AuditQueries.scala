@@ -1302,13 +1302,15 @@ object AuditQueries {
     * 1000-doc human-review sample should draw when strata differ in
     * spread: n_h ∝ N_h·S_h. Everything stays exact: per language ONE
     * aggregation yields n, Σx, Σx² over n_chars; the unnormalized
-    * variance var_num = n·Σx² − (Σx)² is an exact integer, and since
-    * S_h = √(var_num)/n while N_h = n, the Neyman weight N_h·S_h ∝
-    * √var_num — computed as a TRUE integer sqrt (floor(sqrt(double))
-    * then a two-sided integer adjustment, so the double rounding can
-    * never leak into the result; var_num < 2⁵³ keeps the seed exact).
-    * alloc = (1000·w) div Σw. Scale shape: corpus touched once; the
-    * allocation runs on the |langs| relation with a broadcast 1-row Σw.
+    * variance var_num = n·Σx² − (Σx)² is an exact integer (carried in
+    * DECIMAL(38,0) — at corpus scale n·Σx² overflows a long long
+    * before the audit gets interesting), and since S_h = √(var_num)/n
+    * while N_h = n, the Neyman weight N_h·S_h ∝ √var_num — computed by
+    * [[graft.functions.IntMath.isqrt]], the Newton-refined TRUE
+    * integer sqrt that stays exact at ANY DECIMAL(38,0) magnitude
+    * (floor(sqrt(double)) alone drifts above 2⁵³). alloc = (1000·w)
+    * div Σw. Scale shape: corpus touched once; the allocation runs on
+    * the |langs| relation with a broadcast 1-row Σw.
     */
   def q228NeymanAllocation(spark: SparkSession, dir: String): DataFrame = {
     val st = Load.table(spark, dir, "documents")
@@ -1316,41 +1318,48 @@ object AuditQueries {
       .groupBy("lang")
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum("__x").cast("long").as("__s"),
-        sum(expr("__x * __x")).cast("long").as("__s2"))
-      .withColumn("var_num", expr("n_docs * __s2 - __s * __s"))
-      .withColumn("__c0",
-        expr("CAST(floor(sqrt(CAST(var_num AS DOUBLE))) AS BIGINT)"))
-      .withColumn("sd_w", expr(
-        """CASE WHEN (__c0 + 1) * (__c0 + 1) <= var_num THEN __c0 + 1
-          |     WHEN __c0 * __c0 > var_num THEN __c0 - 1
-          |     ELSE __c0 END""".stripMargin))
+        sum(expr("CAST(__x AS DECIMAL(38,0)) * __x")).as("__s2"))
+      .withColumn("var_num", expr(
+        "CAST(n_docs AS DECIMAL(38,0)) * __s2 - CAST(__s AS DECIMAL(38,0)) * __s"))
+      .withColumn("sd_w",
+        graft.functions.IntMath.isqrt(col("var_num")).cast("long"))
     val tot = st.agg(sum("sd_w").cast("long").as("__w_total"))
     st.crossJoin(broadcast(tot))
       .withColumn("alloc", expr("(1000 * sd_w) div __w_total"))
-      .select("lang", "n_docs", "var_num", "sd_w", "alloc")
+      // artifact stays BIGINT (lossless at verify scale); the decimal
+      // width is for the in-plan arithmetic at corpus scale
+      .select(col("lang"), col("n_docs"),
+        col("var_num").cast("long").as("var_num"),
+        col("sd_w"), col("alloc"))
       .orderBy("lang")
   }
 
   val q228Sql: String =
     """WITH st AS (
       |  SELECT lang, count(*)::BIGINT AS n_docs,
-      |         sum(n_chars)::BIGINT AS s,
-      |         sum(n_chars::BIGINT * n_chars)::BIGINT AS s2
+      |         sum(n_chars)::HUGEINT AS s,
+      |         sum(n_chars::HUGEINT * n_chars)::HUGEINT AS s2
       |  FROM documents GROUP BY lang),
       |v AS (
       |  SELECT lang, n_docs, n_docs * s2 - s * s AS var_num,
       |         CAST(floor(sqrt(CAST(n_docs * s2 - s * s AS DOUBLE)))
-      |              AS BIGINT) AS c0
+      |              AS HUGEINT) AS c0
       |  FROM st),
+      |nw AS (
+      |  SELECT lang, n_docs, var_num,
+      |         CASE WHEN c0 > 0 THEN (c0 + var_num // c0) // 2
+      |              ELSE 0 END AS c1
+      |  FROM v),
       |w AS (
       |  SELECT lang, n_docs, var_num,
-      |         CASE WHEN (c0 + 1) * (c0 + 1) <= var_num THEN c0 + 1
-      |              WHEN c0 * c0 > var_num THEN c0 - 1
-      |              ELSE c0 END AS sd_w
-      |  FROM v),
+      |         CASE WHEN (c1 + 1) * (c1 + 1) <= var_num THEN c1 + 1
+      |              WHEN c1 * c1 > var_num THEN c1 - 1
+      |              ELSE c1 END AS sd_w
+      |  FROM nw),
       |t AS (SELECT sum(sd_w)::BIGINT AS w_total FROM w)
-      |SELECT lang, n_docs, var_num, sd_w,
-      |       (1000 * sd_w) // w_total AS alloc
+      |SELECT lang, n_docs, CAST(var_num AS BIGINT) AS var_num,
+      |       CAST(sd_w AS BIGINT) AS sd_w,
+      |       CAST((1000 * sd_w) // w_total AS BIGINT) AS alloc
       |FROM w, t ORDER BY lang""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
