@@ -24,9 +24,44 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.install(spark) // strategy + rewrite rule + SQL functions
     new java.io.File(outDir).mkdirs()
-    val attempted = SparkEntry.queries
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // Crash-proofing (round-10 verdict #1: CORRECTNESS_r10.json landed as
+    // {} even though every query passes — the run died somewhere in the
+    // verify→compare chain and nothing partial survived). Two rules now:
+    //   1. oracle_sql.json is written BEFORE the first query runs — the
+    //      compare step needs it, and it depends on nothing but the static
+    //      SparkEntry maps. A kill during query N still leaves a complete
+    //      oracle map plus N finished result dirs → a PARTIAL artifact.
+    //   2. manifest.json is REWRITTEN after every query (atomic tmp+move),
+    //      so "attempted so far" is always on disk, never only in memory.
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val attempted = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    def writeManifest(): Unit = {
+      val manifest = attempted
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      val tmp = Paths.get(s"$outDir/manifest.json.tmp")
+      Files.writeString(tmp, manifest)
+      Files.move(tmp, Paths.get(s"$outDir/manifest.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .toSeq.map { case (name, fn) =>
+      .toSeq.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       val status =
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -48,28 +83,11 @@ object Verify {
           "error"
         }
       spark.catalog.clearCache() // release intra-query persists (sortOnce etc.)
-      name -> status
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[verify] $name $status in $sec%.1fs")
+      attempted += (name -> status)
+      writeManifest()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // per-query ok/error manifest — lets the driver (or a human) diff
-    // "attempted" against "compared" and flag failures explicitly
-    val manifest = attempted
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     spark.stop()
   }
 }

@@ -118,11 +118,26 @@ object DedupQueries {
   private[queries] def xorShift(h: String, s: Int): String =
     s"(xor(CAST(($h) AS UBIGINT), CAST(($h) AS UBIGINT) >> $s)::HUGEINT)"
 
-  /** The shingle-hash / splitmix finalizer: xs30 ·C1 xs27 ·C2 xs31. */
+  /** The shingle-hash / splitmix finalizer: xs30 ·C1 xs27 ·C2 xs31.
+    *
+    * Staged through nested single-element `list_transform`s so every
+    * step's input binds to a lambda VARIABLE: the naive textual
+    * composition (xorShift doubles its argument, mulModLit triples it,
+    * three levels deep) macro-expands `h` 72×, and DuckDB does not CSE
+    * the copies — measured 106 s on q150's oracle vs ~8 s staged. SQL
+    * has no scalar `let`; a 1-element list lambda is the portable one.
+    */
   private[queries] def finalizerSql(h: String): String = {
-    val e1 = mulModLit(xorShift(h, 30), BigInt("BF58476D1CE4E5B9", 16))
-    val e2 = mulModLit(xorShift(e1, 27), BigInt("94D049BB133111EB", 16))
-    xorShift(e2, 31)
+    val s1 = xorShift("f0", 30)
+    val s2 = mulModLit("f1", BigInt("BF58476D1CE4E5B9", 16))
+    val s3 = xorShift("f2", 27)
+    val s4 = mulModLit("f3", BigInt("94D049BB133111EB", 16))
+    val s5 = xorShift("f4", 31)
+    s"list_transform([($h)], f0 -> " +
+      s"list_transform([$s1], f1 -> " +
+      s"list_transform([$s2], f2 -> " +
+      s"list_transform([$s3], f3 -> " +
+      s"list_transform([$s4], f4 -> $s5)[1])[1])[1])[1])[1]"
   }
 
   /** Normalized text → char codes → distinct 5-gram polynomial+finalizer
@@ -133,15 +148,43 @@ object DedupQueries {
     val poly = "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
       "codes[i:least(i+4, n_ch)]), (acc, c) -> (acc * 31 + c) % " + Mod64 + ")"
     s"""nrm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM $src),
-       |cds AS (SELECT doc_id, length(s) AS n_ch,
+       |cds AS MATERIALIZED (SELECT doc_id, length(s) AS n_ch,
        |          list_transform(generate_series(1, length(s)),
        |                         c -> ord(substring(s, c, 1))::HUGEINT) AS codes
        |        FROM nrm),
-       |shl AS (
+       |shl AS MATERIALIZED (
        |  SELECT doc_id, list_distinct(list_transform(
        |    generate_series(1, greatest(1, n_ch - 4)), i -> ${finalizerSql(poly)})) AS hlist
        |  FROM cds)""".stripMargin
   }
+
+  /** Brute-force exact-Jaccard oracle tier, bitset-encoded: normalized
+    * 5-gram shingle sets → dense gram ids (row_number over the DISTINCT
+    * gram dictionary) → one BITSTRING per doc, so the all-pairs
+    * intersection is `bit_count(a & b)` (a few hundred word-ANDs)
+    * instead of `list_intersect` on ~200-element string lists — measured
+    * 50 s → 1.6 s on q34's 500 k pairs, value-identical. Bound 16383:
+    * 8× headroom over the 1,981 distinct 5-grams measured at sf0.01 (the
+    * only SF the driver's gate runs); an overflow raises loudly in
+    * bitstring_agg (oracle_error status), never a silent wrong count.
+    * `src` must expose (id, text).
+    */
+  private[queries] def bitsetCtes(src: String): String =
+    s"""bnorm AS (
+       |  SELECT id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |  FROM $src),
+       |bsh AS MATERIALIZED (
+       |  SELECT id, list_distinct([substr(t, i, 5)
+       |    FOR i IN generate_series(1, greatest(length(t) - 4, 1))]) AS s
+       |  FROM bnorm WHERE length(t) > 0),
+       |bdict AS MATERIALIZED (
+       |  SELECT g, row_number() OVER (ORDER BY g) - 1 AS gi
+       |  FROM (SELECT DISTINCT unnest(s) AS g FROM bsh)),
+       |bs AS MATERIALIZED (
+       |  SELECT e.id, bitstring_agg(d.gi, 0, 16383) AS bv,
+       |         count(*)::BIGINT AS sz
+       |  FROM (SELECT id, unnest(s) AS g FROM bsh) e JOIN bdict d USING (g)
+       |  GROUP BY e.id)""".stripMargin
 
   /** Shared CTE prefix: mutated-union corpus → the shingle chain. */
   private def shingleCtes: String =
@@ -165,12 +208,12 @@ object DedupQueries {
     val dens = xorShift(
       mulModLit(xorShift(srcU, 30), BigInt("94D049BB133111EB", 16)), 31)
     s"""WITH $shingleCtes,
-       |present AS (
+       |present AS MATERIALIZED (
        |  SELECT shl.doc_id, CAST(CAST(uh.hv AS UBIGINT) >> 58 AS INT) AS bin,
        |         min($signedRemix) AS m
        |  FROM shl, unnest(shl.hlist) AS uh(hv)
        |  GROUP BY 1, 2),
-       |grid AS (
+       |grid AS MATERIALIZED (
        |  SELECT p.doc_id, js.j,
        |         min((p.bin - js.j + 64) % 64) AS d,
        |         arg_min(p.m, (p.bin - js.j + 64) % 64) AS src
@@ -178,7 +221,7 @@ object DedupQueries {
        |       JOIN present p ON p.doc_id = dd.doc_id,
        |       (SELECT unnest(generate_series(0, 63)) AS j) js
        |  GROUP BY 1, 2),
-       |slots AS (
+       |slots AS MATERIALIZED (
        |  SELECT doc_id, j,
        |    CAST(CASE WHEN lv % 4294967296 >= 2147483648
        |              THEN lv % 4294967296 - 4294967296
@@ -190,14 +233,14 @@ object DedupQueries {
        |                      ELSE g.src::HUGEINT END)
        |           ELSE $dens END AS lv
        |    FROM grid g)),
-       |sig AS (SELECT doc_id, list(slot ORDER BY j) AS sg FROM slots GROUP BY doc_id),
-       |bands AS (
+       |sig AS MATERIALIZED (SELECT doc_id, list(slot ORDER BY j) AS sg FROM slots GROUP BY doc_id),
+       |bands AS MATERIALIZED (
        |  SELECT doc_id, b, sg[4*b+1:4*b+4] AS bkey
        |  FROM sig, (SELECT unnest(generate_series(0, 15)) AS b)),
-       |okb AS (
+       |okb AS MATERIALIZED (
        |  SELECT b, bkey, list(doc_id) AS ids FROM bands
        |  GROUP BY b, bkey HAVING count(*) <= 100),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT aa.id_a, bb.id_b FROM
        |    (SELECT b, bkey, unnest(ids) AS id_a FROM okb) aa
        |    JOIN (SELECT b, bkey, unnest(ids) AS id_b FROM okb) bb USING (b, bkey)
@@ -214,22 +257,22 @@ object DedupQueries {
   /** SimHash fingerprint + block index + hamming mirror. */
   val q33Sql: String =
     s"""WITH $shingleCtes,
-       |bitc AS (
+       |bitc AS MATERIALIZED (
        |  SELECT shl.doc_id, bs.b,
        |    CASE WHEN 2 * sum(CAST((CAST(uh.hv AS UBIGINT) >> bs.b) & 1 AS BIGINT))
        |              >= count(*) THEN 1::UBIGINT ELSE 0::UBIGINT END AS bit
        |  FROM shl, unnest(shl.hlist) AS uh(hv),
        |       (SELECT unnest(generate_series(0, 63)) AS b) bs
        |  GROUP BY 1, 2),
-       |sh64 AS (
+       |sh64 AS MATERIALIZED (
        |  SELECT doc_id, sum(bit << b)::UBIGINT AS h FROM bitc GROUP BY doc_id),
-       |blocks AS (
+       |blocks AS MATERIALIZED (
        |  SELECT doc_id, b * 65536 + CAST((h >> (b * 16)) & 65535 AS BIGINT) AS bucket
        |  FROM sh64, (SELECT unnest(generate_series(0, 3)) AS b)),
-       |okb AS (
+       |okb AS MATERIALIZED (
        |  SELECT bucket, list(doc_id) AS ids FROM blocks
        |  GROUP BY bucket HAVING count(*) <= 100),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT aa.id_a, bb.id_b FROM
        |    (SELECT bucket, unnest(ids) AS id_a FROM okb) aa
        |    JOIN (SELECT bucket, unnest(ids) AS id_b FROM okb) bb USING (bucket)
@@ -260,23 +303,19 @@ object DedupQueries {
     * Spark side's LSH tier dropped would surface here.
     */
   val q34Sql: String =
-    """WITH uni AS (
-      |  SELECT doc_id AS id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 100000, text || ' appended tail marker' FROM documents),
-      |norm AS (
-      |  SELECT id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM uni),
-      |sh AS (
-      |  SELECT id,
-      |    list_distinct([substr(t, i, 5) FOR i IN generate_series(1, greatest(length(t) - 4, 1))]) AS s
-      |  FROM norm WHERE length(t) > 0),
-      |pairs AS (
-      |  SELECT a.id AS id_a, b.id AS id_b,
-      |    len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS la, len(b.s) AS lb
-      |  FROM sh a JOIN sh b ON a.id < b.id)
-      |SELECT id_a, id_b, inter::DOUBLE / (la + lb - inter) AS jaccard
-      |FROM pairs WHERE inter::DOUBLE / (la + lb - inter) >= 0.7
-      |ORDER BY id_a, id_b""".stripMargin
+    s"""WITH uni AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' appended tail marker' FROM documents),
+       |${bitsetCtes("uni")},
+       |pairs AS MATERIALIZED (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    bit_count(a.bv & b.bv)::BIGINT AS inter, a.sz AS la, b.sz AS lb
+       |  FROM bs a JOIN bs b ON a.id < b.id
+       |    AND 10 * least(a.sz, b.sz) >= 7 * greatest(a.sz, b.sz))
+       |SELECT id_a, id_b, inter::DOUBLE / (la + lb - inter) AS jaccard
+       |FROM pairs WHERE inter::DOUBLE / (la + lb - inter) >= 0.7
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Incremental (cross-run) dedup with the exact-verify tier: the full
     * corpus plays "history" whose signature index already exists
@@ -310,30 +349,21 @@ object DedupQueries {
     * partners only as new_id < other_id.
     */
   val q36Sql: String =
-    """WITH hist AS (SELECT doc_id AS id, text FROM documents),
-      |newb AS (
-      |  SELECT doc_id + 100000 AS id, text || ' appended tail marker' AS text
-      |  FROM documents WHERE doc_id < 200),
-      |alltab AS (SELECT id, text FROM hist UNION ALL SELECT id, text FROM newb),
-      |normn AS (
-      |  SELECT id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM newb),
-      |norma AS (
-      |  SELECT id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM alltab),
-      |shn AS (
-      |  SELECT id,
-      |    list_distinct([substr(t, i, 5) FOR i IN generate_series(1, greatest(length(t) - 4, 1))]) AS s
-      |  FROM normn WHERE length(t) > 0),
-      |sha AS (
-      |  SELECT id,
-      |    list_distinct([substr(t, i, 5) FOR i IN generate_series(1, greatest(length(t) - 4, 1))]) AS s
-      |  FROM norma WHERE length(t) > 0),
-      |pairs AS (
-      |  SELECT n.id AS new_id, a.id AS other_id,
-      |    len(list_intersect(n.s, a.s)) AS inter, len(n.s) AS la, len(a.s) AS lb
-      |  FROM shn n JOIN sha a ON a.id <> n.id AND (a.id < 100000 OR a.id > n.id))
-      |SELECT new_id, other_id, inter::DOUBLE / (la + lb - inter) AS jaccard
-      |FROM pairs WHERE inter::DOUBLE / (la + lb - inter) >= 0.7
-      |ORDER BY new_id, other_id""".stripMargin
+    s"""WITH alltab AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS id, text || ' appended tail marker' AS text
+       |  FROM documents WHERE doc_id < 200),
+       |${bitsetCtes("alltab")},
+       |pairs AS MATERIALIZED (
+       |  SELECT n.id AS new_id, a.id AS other_id,
+       |    bit_count(n.bv & a.bv)::BIGINT AS inter, n.sz AS la, a.sz AS lb
+       |  FROM bs n JOIN bs a
+       |    ON n.id >= 100000 AND a.id <> n.id AND (a.id < 100000 OR a.id > n.id)
+       |    AND 10 * least(n.sz, a.sz) >= 7 * greatest(n.sz, a.sz))
+       |SELECT new_id, other_id, inter::DOUBLE / (la + lb - inter) AS jaccard
+       |FROM pairs WHERE inter::DOUBLE / (la + lb - inter) >= 0.7
+       |ORDER BY new_id, other_id""".stripMargin
 
   /** Embedding-cosine near-dup: corpus ∪ scaled copy (cosine is
     * scale-invariant → planted pairs have sim ≈ 1 and land in the same
@@ -871,13 +901,13 @@ object DedupQueries {
        |  UNION ALL
        |  SELECT doc_id + 100000, text || ' appended tail marker' FROM documents),
        |${shingleCtesFrom("uni")},
-       |g AS (SELECT doc_id AS id, u.g FROM shl, UNNEST(hlist) u(g)),
-       |dfc AS (SELECT g, count(*)::BIGINT AS dfn FROM g GROUP BY g),
-       |kept AS (SELECT id, g.g FROM g JOIN dfc USING (g) WHERE dfn <= 100),
-       |sz AS (SELECT id, count(*)::BIGINT AS sz FROM kept
+       |g AS MATERIALIZED (SELECT doc_id AS id, u.g FROM shl, UNNEST(hlist) u(g)),
+       |dfc AS MATERIALIZED (SELECT g, count(*)::BIGINT AS dfn FROM g GROUP BY g),
+       |kept AS MATERIALIZED (SELECT id, g.g FROM g JOIN dfc USING (g) WHERE dfn <= 100),
+       |sz AS MATERIALIZED (SELECT id, count(*)::BIGINT AS sz FROM kept
        |       GROUP BY id HAVING count(*) >= 10),
-       |idx AS (SELECT k.id, k.g, s.sz FROM kept k JOIN sz s USING (id)),
-       |sh AS (
+       |idx AS MATERIALIZED (SELECT k.id, k.g, s.sz FROM kept k JOIN sz s USING (id)),
+       |sh AS MATERIALIZED (
        |  SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
        |         count(*)::BIGINT AS shared
        |  FROM idx a JOIN idx b USING (g) WHERE a.id < b.id
@@ -1198,7 +1228,7 @@ object DedupQueries {
        |  SELECT q.query_id, v.vec_id AS doc_id, v.vq,
        |         ${dot("q.qv", "v.vq")} AS rel
        |  FROM q, v WHERE v.vec_id <> q.query_id),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT query_id, doc_id, vq, rel FROM (
        |    SELECT *, row_number() OVER (PARTITION BY query_id
        |             ORDER BY rel DESC, doc_id) AS prn
@@ -1256,7 +1286,7 @@ object DedupQueries {
        |  FROM src s, tgt t),
        |fk AS (SELECT *, row_number() OVER (PARTITION BY src_id
        |                ORDER BY d DESC, tgt_id) AS rn FROM fd),
-       |pairs AS (SELECT src_id, tgt_id, d FROM fk WHERE rn = 1),
+       |pairs AS MATERIALIZED (SELECT src_id, tgt_id, d FROM fk WHERE rn = 1),
        |snna AS (SELECT src_id, CAST(sum(d) AS BIGINT) AS snn_src
        |         FROM fk WHERE rn <= 4 GROUP BY src_id),
        |b AS (SELECT DISTINCT p.tgt_id, t.vq
@@ -1297,10 +1327,10 @@ object DedupQueries {
       |  SELECT doc_id, source, text, length(text)::BIGINT AS len,
       |         substr(text, 1, 16) AS pfx, length(text) // 64 AS b0
       |  FROM documents),
-      |e AS (SELECT doc_id, source, pfx, len, b0 AS bk FROM d
+      |e AS MATERIALIZED (SELECT doc_id, source, pfx, len, b0 AS bk FROM d
       |      UNION ALL
       |      SELECT doc_id, source, pfx, len, b0 + 1 FROM d),
-      |cand AS (
+      |cand AS MATERIALIZED (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM e a JOIN e b
       |    ON a.source = b.source AND a.pfx = b.pfx AND a.bk = b.bk
@@ -1357,10 +1387,10 @@ object DedupQueries {
       |  SELECT doc_id, source, text, length(text)::BIGINT AS len,
       |         substr(text, 1, 16) AS pfx, length(text) // 64 AS b0
       |  FROM documents),
-      |e AS (SELECT doc_id, source, pfx, len, b0 AS bk FROM d0
+      |e AS MATERIALIZED (SELECT doc_id, source, pfx, len, b0 AS bk FROM d0
       |      UNION ALL
       |      SELECT doc_id, source, pfx, len, b0 + 1 FROM d0),
-      |cand AS (
+      |cand AS MATERIALIZED (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM e a JOIN e b
       |    ON a.source = b.source AND a.pfx = b.pfx AND a.bk = b.bk
@@ -1371,7 +1401,7 @@ object DedupQueries {
       |  FROM cand c
       |  JOIN documents da ON da.doc_id = c.id_a
       |  JOIN documents db ON db.doc_id = c.id_b),
-      |pairs AS (SELECT id_a, id_b, dist FROM p WHERE dist <= 40),
+      |pairs AS MATERIALIZED (SELECT id_a, id_b, dist FROM p WHERE dist <= 40),
       |chars AS (
       |  SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch
       |  FROM documents),
@@ -1465,7 +1495,7 @@ object DedupQueries {
        |${shingleCtesFrom("ab")},
        |j AS (SELECT s.hlist, a.ia, a.ib FROM shl s JOIN ab a USING (doc_id)),
        |fl AS (SELECT u.h, j.ia, j.ib FROM j, UNNEST(j.hlist) AS u(h)),
-       |g AS (SELECT h, max(ia) AS in_a, max(ib) AS in_b FROM fl GROUP BY h),
+       |g AS MATERIALIZED (SELECT h, max(ia) AS in_a, max(ib) AS in_b FROM fl GROUP BY h),
        |tot AS (
        |  SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
        |         CAST(sum(in_b) AS BIGINT) AS n_b,
@@ -1613,13 +1643,13 @@ object DedupQueries {
       |  SELECT source, list_filter(string_split_regex(lower(text), '\s+'),
       |                             x -> x <> '') AS tk
       |  FROM documents),
-      |g AS (
+      |g AS MATERIALIZED (
       |  SELECT DISTINCT source, md5(array_to_string(tk[i:i+7], ' ')) AS g
       |  FROM toks, UNNEST(generate_series(1, len(tk) - 7)) t(i)
       |  WHERE len(tk) >= 8),
       |szg AS (SELECT source, count(*)::BIGINT AS sz FROM g GROUP BY source),
       |srcs AS (SELECT DISTINCT source FROM documents),
-      |sz AS (
+      |sz AS MATERIALIZED (
       |  SELECT s.source, coalesce(z.sz, 0) AS sz
       |  FROM srcs s LEFT JOIN szg z USING (source)),
       |ix AS (
@@ -1691,19 +1721,19 @@ object DedupQueries {
        |  UNION ALL
        |  SELECT doc_id + 100000, text || ' appended tail marker' FROM documents),
        |${shingleCtesFrom("uni")},
-       |ph AS (
+       |ph AS MATERIALIZED (
        |  SELECT doc_id, list_transform(
        |    generate_series(1, greatest(1, n_ch - ${wn - 1})), i -> ${finalizerSql(poly)}) AS hs
        |  FROM cds),
-       |win AS (
+       |win AS MATERIALIZED (
        |  SELECT doc_id, list_distinct(list_transform(
        |    generate_series(1, greatest(1, len(hs) - ${ww - 1})),
        |    j -> list_min(hs[j:j+${ww - 1}]))) AS sel
        |  FROM ph),
-       |fp AS (SELECT doc_id, unnest(sel) AS h FROM win),
-       |dfc AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 50),
-       |rare AS (SELECT f.doc_id, f.h FROM fp f JOIN dfc USING (h)),
-       |pairs AS (
+       |fp AS MATERIALIZED (SELECT doc_id, unnest(sel) AS h FROM win),
+       |dfc AS MATERIALIZED (SELECT h FROM fp GROUP BY h HAVING count(*) <= 50),
+       |rare AS MATERIALIZED (SELECT f.doc_id, f.h FROM fp f JOIN dfc USING (h)),
+       |pairs AS MATERIALIZED (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
        |  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
@@ -1797,9 +1827,15 @@ object DedupQueries {
     * bit via the 16-step log CTE and the three-way link / possible /
     * non-link decision is an integer compare.
     */
-  def q153FellegiSunter(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ops.RecordLinkage
-    import graft.ops.RecordLinkage.Field
+  /** q153's record population (documents ∪ field-perturbed replicas)
+    * with the four Fellegi–Sunter comparison fields, PLUS `f_tail` (the
+    * last 16 normalized chars) for q235's second blocking pass — the
+    * 'zz '-prefixed replicas break the head but keep the tail, the
+    * textbook reason sorted-neighborhood runs multi-pass with a
+    * reversed key. Shared by q153 and q235 so the two corpora cannot
+    * drift.
+    */
+  private def fsRecords(spark: SparkSession, dir: String): DataFrame = {
     val d = Load.table(spark, dir, "documents")
       .select("doc_id", "lang", "source", "text")
     val replica = d.select(
@@ -1812,11 +1848,26 @@ object DedupQueries {
         .when(col("doc_id") % 3 === 0,
           upper(regexp_replace(col("text"), " ", "   ")))
         .otherwise(col("text")).as("text"))
-    val records = d.unionByName(replica).select(col("doc_id"),
-      col("lang").as("f_lang"), col("source").as("f_source"),
-      substring(graft.functions.HashExprs.fingerprintNormalize(col("text")),
-        1, 16).as("f_head"),
-      expr("CAST(length(text) AS BIGINT) div 64").cast("string").as("f_lenb"))
+    d.unionByName(replica)
+      .withColumn("__norm",
+        graft.functions.HashExprs.fingerprintNormalize(col("text")))
+      .select(col("doc_id"),
+        col("lang").as("f_lang"), col("source").as("f_source"),
+        substring(col("__norm"), 1, 16).as("f_head"),
+        expr("CAST(length(text) AS BIGINT) div 64").cast("string")
+          .as("f_lenb"),
+        // last-16 window, branch-pinned (not substring(-16)): Spark's
+        // negative-pos and DuckDB's right() clamp short strings
+        // differently enough to not be worth trusting
+        when(length(col("__norm")) <= 16, col("__norm"))
+          .otherwise(expr(
+            "substring(__norm, length(__norm) - 15, 16)")).as("f_tail"))
+  }
+
+  def q153FellegiSunter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.RecordLinkage
+    import graft.ops.RecordLinkage.Field
+    val records = fsRecords(spark, dir)
     val fields = FsM.map { case (n, m, mc) => Field(n, col(s"f_$n"), m, mc) }
     val a = records.filter(col("doc_id") < 100000L).select(
       col("doc_id").as("id_a"), col("f_lang").as("lang_a"),
@@ -1836,28 +1887,45 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
-  val q153Sql: String = {
+  /** Shared oracle CTEs for the Fellegi–Sunter stack: record population
+    * + comparison fields (incl. the tail key only q235 blocks on) —
+    * interpolated into BOTH q153Sql and q235Sql so the corpora cannot
+    * drift between the scoring-tier gate and the composed pipeline.
+    */
+  private val fsCorpusCtes: String =
+    """recs AS (
+      |  SELECT doc_id, lang, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |         CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END,
+      |         CASE WHEN doc_id % 7 = 0 THEN source || '_m' ELSE source END,
+      |         CASE WHEN doc_id % 11 = 0 THEN 'zz ' || text
+      |              WHEN doc_id % 3 = 0
+      |                THEN upper(regexp_replace(text, ' ', '   ', 'g'))
+      |              ELSE text END
+      |  FROM documents),
+      |fl0 AS MATERIALIZED (
+      |  SELECT doc_id, lang, source, text,
+      |         regexp_replace(regexp_replace(lower(text),
+      |           '[^a-z0-9 ֐-׿؀-ۿ]', '', 'g'), ' +', ' ', 'g') AS tnorm
+      |  FROM recs),
+      |flds AS MATERIALIZED (
+      |  SELECT doc_id, lang AS f_lang, source AS f_source,
+      |         substring(tnorm, 1, 16) AS f_head,
+      |         CAST(length(text) // 64 AS VARCHAR) AS f_lenb,
+      |         CASE WHEN length(tnorm) <= 16 THEN tnorm
+      |              ELSE substring(tnorm, length(tnorm) - 15, 16)
+      |         END AS f_tail
+      |  FROM fl0)""".stripMargin
+
+  /** Shared oracle CTEs for the exact-u + 16.16 fixed-log FS weights
+    * (consume `flds`, produce `w(field, wa, wd)`) — the 16-step
+    * square-and-shift log replay, one copy for q153 and q235.
+    */
+  private def fsWeightCtes: String = {
     val mqValues = FsM.map { case (n, m, mc) => s"('$n', $m, $mc)" }
       .mkString(", ")
-    s"""WITH RECURSIVE recs AS (
-       |  SELECT doc_id, lang, source, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 100000,
-       |         CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END,
-       |         CASE WHEN doc_id % 7 = 0 THEN source || '_m' ELSE source END,
-       |         CASE WHEN doc_id % 11 = 0 THEN 'zz ' || text
-       |              WHEN doc_id % 3 = 0
-       |                THEN upper(regexp_replace(text, ' ', '   ', 'g'))
-       |              ELSE text END
-       |  FROM documents),
-       |flds AS (
-       |  SELECT doc_id, lang AS f_lang, source AS f_source,
-       |         substring(regexp_replace(regexp_replace(lower(text),
-       |           '[^a-z0-9 ֐-׿؀-ۿ]', '', 'g'), ' +', ' ', 'g'),
-       |           1, 16) AS f_head,
-       |         CAST(length(text) // 64 AS VARCHAR) AS f_lenb
-       |  FROM recs),
-       |fv AS (
+    s"""fv AS (
        |  SELECT 'lang' AS field, f_lang AS v FROM flds
        |  UNION ALL SELECT 'source', f_source FROM flds
        |  UNION ALL SELECT 'head', f_head FROM flds
@@ -1894,12 +1962,17 @@ object DedupQueries {
        |  FROM (SELECT field, kind, k, (m * m) // 1073741824 AS m2, i, acc
        |        FROM sq WHERE i < 16) s),
        |lgv AS (SELECT field, kind, acc - k * 65536 AS lg FROM sq WHERE i = 16),
-       |w AS (SELECT mv.field, mv.lg - uv.lg AS wa, mcv.lg - ucv.lg AS wd
+       |w AS MATERIALIZED (SELECT mv.field, mv.lg - uv.lg AS wa, mcv.lg - ucv.lg AS wd
        |      FROM lgv mv
        |      JOIN lgv uv ON uv.field = mv.field AND uv.kind = 'u'
        |      JOIN lgv mcv ON mcv.field = mv.field AND mcv.kind = 'mc'
        |      JOIN lgv ucv ON ucv.field = mv.field AND ucv.kind = 'uc'
-       |      WHERE mv.kind = 'm'),
+       |      WHERE mv.kind = 'm')""".stripMargin
+  }
+
+  val q153Sql: String = {
+    s"""WITH RECURSIVE $fsCorpusCtes,
+       |$fsWeightCtes,
        |pa AS (SELECT doc_id AS id_a, f_lang AS la, f_source AS sa,
        |              f_head AS ha, f_lenb AS na
        |       FROM flds WHERE doc_id < 100000),
@@ -1907,7 +1980,7 @@ object DedupQueries {
        |              f_lang AS lb, f_source AS sb, f_head AS hb,
        |              f_lenb AS nb
        |       FROM flds WHERE doc_id >= 100000),
-       |prs AS (
+       |prs AS MATERIALIZED (
        |  SELECT id_a, id_b, la, sa, ha, na, lb, sb, hb, nb
        |  FROM pa JOIN pb ON pb.orig = pa.id_a
        |  UNION ALL
@@ -1943,6 +2016,188 @@ object DedupQueries {
        |            WHEN score_fix >= -131072 THEN 0 ELSE -1 END AS decision
        |FROM ag a JOIN sc USING (id_a, id_b)
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q235: the COMPOSED entity-resolution pipeline — the production
+    * flow every tier above exists to serve, end-to-end in one oracled
+    * query (round-10 verdict #5; the reference's analogue is the
+    * composed datasets flow, datasets.py:336-465):
+    *
+    *   blocking (two passes) → cross-tier candidate dedup →
+    *   Fellegi–Sunter scoring (q153's fields/weights, bit-identical) →
+    *   link decision → connected components (q47's operator) →
+    *   per-cluster survivorship (q154's operator) →
+    *   cluster-quality audit (q220's clique/weakest-edge lens).
+    *
+    * Blocking pass 1 is the inverted head-fingerprint index (hot blocks
+    * df-pruned at 50 — the q150 discipline, so a degenerate block costs
+    * O(cap²) not O(n²)); pass 2 is sorted-neighborhood on the TAIL key
+    * (q151's exact-rank machinery, window 3) — multi-pass SNM's whole
+    * point: the 'zz '-prefixed replicas break the head but keep the
+    * tail, so each pass catches dups the other structurally cannot.
+    * Candidates from both passes union through one (id_a, id_b) groupBy
+    * that also keeps per-tier provenance — the only cross-tier barrier,
+    * and it's key-hashed, never global. Scoring, clustering, and
+    * survivorship are the existing operators applied unchanged, so this
+    * query gates their COMPOSITION (schema fit, label types, provenance
+    * flow), not new math. Output: one row per duplicate cluster with
+    * member/edge counts, clique flag, weakest link score, per-tier edge
+    * counts, and the golden lang/source with donor ids.
+    *
+    * Scale shape: two blocking shuffles + one candidate-dedup shuffle +
+    * the CC iterations (each id-keyed) + one survivorship aggregate;
+    * weights broadcast; no corpus-wide window (exactRank is the
+    * histogram path) and no all-pairs anywhere.
+    */
+  def q235DedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.RecordLinkage
+    import graft.ops.RecordLinkage.Field
+    val records = fsRecords(spark, dir)
+      .persist() // feeds both blocking passes, u-estimation, and both pair sides
+    val fields = FsM.map { case (n, m, mc) => Field(n, col(s"f_$n"), m, mc) }
+    // pass 1: inverted index on the head fingerprint, hot blocks pruned
+    val heads = records.groupBy("f_head").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") <= 50).select("f_head")
+    val hkeyed = records.join(heads, "f_head").select("f_head", "doc_id")
+    val headPairs = hkeyed.as("a").join(hkeyed.as("b"), "f_head")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        lit(1).as("from_head"), lit(0).as("from_snm"))
+    // pass 2: sorted neighborhood on the tail key, histogram exact-rank
+    val ranked = graft.ops.Ordering.exactRank(
+      records.select(col("doc_id"), col("f_tail").as("skey")),
+      "skey", "doc_id")
+    val wa = ranked.select(col("doc_id").as("__ida"), col("rank").as("rank_a"))
+      .withColumn("j", explode(array(lit(1), lit(2), lit(3))))
+      .withColumn("rank_b", col("rank_a") + col("j"))
+    val wb = ranked.select(col("doc_id").as("__idb"), col("rank").as("rank_b"))
+    val snmPairs = wa.join(wb, "rank_b")
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"),
+        lit(0).as("from_head"), lit(1).as("from_snm"))
+    // cross-tier union + dedup with provenance — the composition barrier
+    val cand = headPairs.unionByName(snmPairs)
+      .groupBy("id_a", "id_b")
+      .agg(max("from_head").as("from_head"), max("from_snm").as("from_snm"))
+    // scoring tier (q153's machinery, unchanged)
+    val weights = RecordLinkage.fieldWeights(records, fields)
+    val sideA = records.select(col("doc_id").as("id_a") +:
+      FsM.map { case (n, _, _) => col(s"f_$n").as(s"${n}_a") }: _*)
+    val sideB = records.select(col("doc_id").as("id_b") +:
+      FsM.map { case (n, _, _) => col(s"f_$n").as(s"${n}_b") }: _*)
+    val pairs = cand.join(sideA, "id_a").join(sideB, "id_b")
+    val links = RecordLinkage.scorePairs(pairs, weights, fields)
+      .filter(col("decision") === 1)
+      .select("id_a", "id_b", "score_fix", "from_head", "from_snm")
+      .persist() // feeds cluster formation AND the per-cluster edge audit
+    // cluster formation + survivorship + audit
+    val labels = graft.graphs.ConnectedComponents.components(
+        links.select(col("id_a").as("a"), col("id_b").as("b")))
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("component", "cluster_id")
+    val members = records.join(labels, "doc_id").select(
+      col("cluster_id"), col("doc_id").as("id"),
+      (col("doc_id") % 11).as("ver"),
+      when(col("f_lang") =!= "xx", col("f_lang")).as("lang"),
+      col("f_source").as("source"))
+    val golden = graft.ops.Survivorship.golden(members, "cluster_id", "id",
+      Seq("ver"), Seq("lang", "source"))
+    val edgeStats = links
+      .join(labels.withColumnRenamed("doc_id", "id_a"), "id_a")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_link_edges"),
+        min("score_fix").as("weakest_fix"),
+        sum(col("from_head").cast(LongType)).as("n_from_head"),
+        sum(col("from_snm").cast(LongType)).as("n_from_snm"))
+    golden.join(edgeStats, "cluster_id")
+      .select(col("cluster_id"), col("n_members"), col("n_link_edges"),
+        (col("n_link_edges") * 2 ===
+          col("n_members") * (col("n_members") - 1)).cast(IntegerType)
+          .as("is_clique"),
+        col("weakest_fix"), col("n_from_head"), col("n_from_snm"),
+        col("lang"), col("lang_src"), col("source"), col("source_src"))
+      .orderBy("cluster_id")
+  }
+
+  val q235Sql: String = {
+    def pick(f: String, part: String): String =
+      s"struct_extract(max(CASE WHEN $f IS NOT NULL THEN " +
+        s"struct_pack(ver := ver, id := id, v := $f) END), '$part')"
+    s"""WITH RECURSIVE $fsCorpusCtes,
+       |$fsWeightCtes,
+       |hb AS MATERIALIZED (SELECT f_head FROM flds GROUP BY 1 HAVING count(*) <= 50),
+       |hp AS MATERIALIZED (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         1 AS from_head, 0 AS from_snm
+       |  FROM flds a
+       |  JOIN flds b ON a.f_head = b.f_head AND a.doc_id < b.doc_id
+       |  JOIN hb ON hb.f_head = a.f_head),
+       |rr AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(row_number() OVER (ORDER BY f_tail, doc_id) AS BIGINT)
+       |           AS rnk
+       |  FROM flds),
+       |sp AS MATERIALIZED (
+       |  SELECT least(a.doc_id, b.doc_id) AS id_a,
+       |         greatest(a.doc_id, b.doc_id) AS id_b,
+       |         0 AS from_head, 1 AS from_snm
+       |  FROM rr a JOIN rr b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 3),
+       |cand AS MATERIALIZED (
+       |  SELECT id_a, id_b, max(from_head) AS from_head,
+       |         max(from_snm) AS from_snm
+       |  FROM (SELECT * FROM hp UNION ALL SELECT * FROM sp)
+       |  GROUP BY 1, 2),
+       |scored AS MATERIALIZED (
+       |  SELECT c.id_a, c.id_b, c.from_head, c.from_snm,
+       |    CAST((CASE WHEN a.f_lang = b.f_lang THEN wl.wa ELSE wl.wd END)
+       |       + (CASE WHEN a.f_source = b.f_source THEN ws.wa ELSE ws.wd END)
+       |       + (CASE WHEN a.f_head = b.f_head THEN wh.wa ELSE wh.wd END)
+       |       + (CASE WHEN a.f_lenb = b.f_lenb THEN wn.wa ELSE wn.wd END)
+       |      AS BIGINT) AS score_fix
+       |  FROM cand c
+       |  JOIN flds a ON a.doc_id = c.id_a
+       |  JOIN flds b ON b.doc_id = c.id_b,
+       |       w wl, w ws, w wh, w wn
+       |  WHERE wl.field = 'lang' AND ws.field = 'source'
+       |    AND wh.field = 'head' AND wn.field = 'lenb'),
+       |links AS MATERIALIZED (SELECT * FROM scored WHERE score_fix >= 131072),
+       |ue AS MATERIALIZED (
+       |  SELECT id_a AS a, id_b AS b FROM links
+       |  UNION SELECT id_b, id_a FROM links
+       |  UNION SELECT id_a, id_a FROM links
+       |  UNION SELECT id_b, id_b FROM links),
+       |reach(s, t) AS (
+       |  SELECT a, b FROM ue
+       |  UNION
+       |  SELECT r.s, u.b FROM reach r JOIN ue u ON r.t = u.a),
+       |lab AS MATERIALIZED (SELECT s AS doc_id, min(t) AS cluster_id FROM reach
+       |        GROUP BY s),
+       |mem AS MATERIALIZED (
+       |  SELECT lab.cluster_id, f.doc_id AS id,
+       |         CAST(f.doc_id % 11 AS BIGINT) AS ver,
+       |         CASE WHEN f.f_lang <> 'xx' THEN f.f_lang END AS lang,
+       |         f.f_source AS source
+       |  FROM lab JOIN flds f USING (doc_id)),
+       |gold AS MATERIALIZED (
+       |  SELECT cluster_id, count(*)::BIGINT AS n_members,
+       |         ${pick("lang", "v")} AS lang, ${pick("lang", "id")} AS lang_src,
+       |         ${pick("source", "v")} AS source,
+       |         ${pick("source", "id")} AS source_src
+       |  FROM mem GROUP BY cluster_id),
+       |es AS MATERIALIZED (
+       |  SELECT lab.cluster_id, count(*)::BIGINT AS n_link_edges,
+       |         min(score_fix) AS weakest_fix,
+       |         CAST(sum(from_head) AS BIGINT) AS n_from_head,
+       |         CAST(sum(from_snm) AS BIGINT) AS n_from_snm
+       |  FROM links l JOIN lab ON lab.doc_id = l.id_a
+       |  GROUP BY 1)
+       |SELECT g.cluster_id, n_members, n_link_edges,
+       |       CAST(n_link_edges * 2 = n_members * (n_members - 1)
+       |         AS INTEGER) AS is_clique,
+       |       weakest_fix, n_from_head, n_from_snm,
+       |       lang, lang_src, source, source_src
+       |FROM gold g JOIN es USING (cluster_id)
+       |ORDER BY cluster_id""".stripMargin
   }
 
   /** q220: dedup-cluster QUALITY audit — the QA pass a pipeline runs
@@ -1987,35 +2242,29 @@ object DedupQueries {
   }
 
   val q220Sql: String =
-    """WITH RECURSIVE norm AS (
-      |  SELECT doc_id AS id,
-      |         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-      |  FROM documents),
-      |sh AS (
-      |  SELECT id,
-      |    list_distinct([substr(t, i, 5)
-      |      FOR i IN generate_series(1, greatest(length(t) - 4, 1))]) AS s
-      |  FROM norm WHERE length(t) > 0),
-      |pairs AS (
-      |  SELECT a.id AS id_a, b.id AS id_b,
-      |    len(list_intersect(a.s, b.s))::DOUBLE
-      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-      |  FROM sh a JOIN sh b ON a.id < b.id),
-      |e AS (SELECT id_a AS a, id_b AS b, j FROM pairs WHERE j >= 0.8),
-      |ue AS (
+    s"""WITH RECURSIVE dsrc AS (SELECT doc_id AS id, text FROM documents),
+       |${bitsetCtes("dsrc")},
+       |pairs AS MATERIALIZED (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    bit_count(a.bv & b.bv)::DOUBLE
+       |      / (a.sz + b.sz - bit_count(a.bv & b.bv)) AS j
+       |  FROM bs a JOIN bs b ON a.id < b.id
+       |    AND 5 * least(a.sz, b.sz) >= 4 * greatest(a.sz, b.sz)),
+      |e AS MATERIALIZED (SELECT id_a AS a, id_b AS b, j FROM pairs WHERE j >= 0.8),
+      |ue AS MATERIALIZED (
       |  SELECT a, b FROM e UNION SELECT b, a FROM e
       |  UNION SELECT a, a FROM e UNION SELECT b, b FROM e),
       |reach(s, t) AS (
       |  SELECT a, b FROM ue
       |  UNION
       |  SELECT r.s, u.b FROM reach r JOIN ue u ON r.t = u.a),
-      |comp AS (SELECT s AS id, min(t) AS cluster_id FROM reach GROUP BY s),
-      |lab AS (
+      |comp AS MATERIALIZED (SELECT s AS id, min(t) AS cluster_id FROM reach GROUP BY s),
+      |lab AS MATERIALIZED (
       |  SELECT d.doc_id AS id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
-      |sz AS (SELECT cluster_id, count(*)::BIGINT AS size
+      |sz AS MATERIALIZED (SELECT cluster_id, count(*)::BIGINT AS size
       |       FROM lab GROUP BY 1),
-      |es AS (
+      |es AS MATERIALIZED (
       |  SELECT l.cluster_id, count(*)::BIGINT AS n_edges,
       |         min(e.j) AS mn, max(e.j) AS mx
       |  FROM e JOIN lab l ON l.id = e.a GROUP BY 1)
@@ -2148,30 +2397,24 @@ object DedupQueries {
   }
 
   val q225Sql: String =
-    """WITH RECURSIVE norm AS (
-      |  SELECT doc_id AS id,
-      |         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-      |  FROM documents),
-      |sh AS (
-      |  SELECT id,
-      |    list_distinct([substr(t, i, 5)
-      |      FOR i IN generate_series(1, greatest(length(t) - 4, 1))]) AS s
-      |  FROM norm WHERE length(t) > 0),
-      |pairs AS (
-      |  SELECT a.id AS id_a, b.id AS id_b,
-      |    len(list_intersect(a.s, b.s))::DOUBLE
-      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-      |  FROM sh a JOIN sh b ON a.id < b.id),
-      |e AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE j >= 0.8),
-      |ue AS (
+    s"""WITH RECURSIVE dsrc AS (SELECT doc_id AS id, text FROM documents),
+       |${bitsetCtes("dsrc")},
+       |pairs AS MATERIALIZED (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    bit_count(a.bv & b.bv)::DOUBLE
+       |      / (a.sz + b.sz - bit_count(a.bv & b.bv)) AS j
+       |  FROM bs a JOIN bs b ON a.id < b.id
+       |    AND 5 * least(a.sz, b.sz) >= 4 * greatest(a.sz, b.sz)),
+      |e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs WHERE j >= 0.8),
+      |ue AS MATERIALIZED (
       |  SELECT a, b FROM e UNION SELECT b, a FROM e
       |  UNION SELECT a, a FROM e UNION SELECT b, b FROM e),
       |reach(s, t) AS (
       |  SELECT a, b FROM ue
       |  UNION
       |  SELECT r.s, u.b FROM reach r JOIN ue u ON r.t = u.a),
-      |comp AS (SELECT s AS id, min(t) AS cluster_id FROM reach GROUP BY s),
-      |lab AS (
+      |comp AS MATERIALIZED (SELECT s AS id, min(t) AS cluster_id FROM reach GROUP BY s),
+      |lab AS MATERIALIZED (
       |  SELECT d.doc_id AS id, d.lang,
       |         coalesce(c.cluster_id, d.doc_id) AS cluster_id
       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
@@ -2302,21 +2545,15 @@ object DedupQueries {
   }
 
   val q231Sql: String =
-    """WITH norm AS (
-      |  SELECT doc_id AS id,
-      |         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-      |  FROM documents),
-      |sh AS (
-      |  SELECT id,
-      |    list_distinct([substr(t, i, 5)
-      |      FOR i IN generate_series(1, greatest(length(t) - 4, 1))]) AS s
-      |  FROM norm WHERE length(t) > 0),
-      |pairs AS (
-      |  SELECT a.id AS id_a, b.id AS id_b,
-      |    len(list_intersect(a.s, b.s))::DOUBLE
-      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-      |  FROM sh a JOIN sh b ON a.id < b.id),
-      |e AS (SELECT id_a, id_b, j FROM pairs WHERE j >= 0.8),
+    s"""WITH dsrc AS (SELECT doc_id AS id, text FROM documents),
+       |${bitsetCtes("dsrc")},
+       |pairs AS MATERIALIZED (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    bit_count(a.bv & b.bv)::DOUBLE
+       |      / (a.sz + b.sz - bit_count(a.bv & b.bv)) AS j
+       |  FROM bs a JOIN bs b ON a.id < b.id
+       |    AND 5 * least(a.sz, b.sz) >= 4 * greatest(a.sz, b.sz)),
+      |e AS MATERIALIZED (SELECT id_a, id_b, j FROM pairs WHERE j >= 0.8),
       |th AS (SELECT unnest([800, 850, 900, 950]) AS theta_milli),
       |hits AS (
       |  SELECT th.theta_milli, e.id_a, e.id_b
@@ -2386,30 +2623,24 @@ object DedupQueries {
 
   val q234Sql: String = {
     val sw = graft.text.TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
-    s"""WITH RECURSIVE norm AS (
-       |  SELECT doc_id AS id,
-       |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-       |  FROM documents),
-       |shs AS (
-       |  SELECT id,
-       |    list_distinct([substr(t, i, 5)
-       |      FOR i IN generate_series(1, greatest(length(t) - 4, 1))]) AS s
-       |  FROM norm WHERE length(t) > 0),
-       |prs AS (
+    s"""WITH RECURSIVE dsrc AS (SELECT doc_id AS id, text FROM documents),
+       |${bitsetCtes("dsrc")},
+       |prs AS MATERIALIZED (
        |  SELECT a.id AS id_a, b.id AS id_b,
-       |    len(list_intersect(a.s, b.s))::DOUBLE
-       |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-       |  FROM shs a JOIN shs b ON a.id < b.id),
-       |e AS (SELECT id_a AS a, id_b AS b FROM prs WHERE j >= 0.8),
-       |ue AS (
+       |    bit_count(a.bv & b.bv)::DOUBLE
+       |      / (a.sz + b.sz - bit_count(a.bv & b.bv)) AS j
+       |  FROM bs a JOIN bs b ON a.id < b.id
+       |    AND 5 * least(a.sz, b.sz) >= 4 * greatest(a.sz, b.sz)),
+       |e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM prs WHERE j >= 0.8),
+       |ue AS MATERIALIZED (
        |  SELECT a, b FROM e UNION SELECT b, a FROM e
        |  UNION SELECT a, a FROM e UNION SELECT b, b FROM e),
        |reach(s, t) AS (
        |  SELECT a, b FROM ue
        |  UNION
        |  SELECT r.s, u.b FROM reach r JOIN ue u ON r.t = u.a),
-       |comp AS (SELECT s AS id, min(t) AS cluster_id FROM reach GROUP BY s),
-       |lab AS (
+       |comp AS MATERIALIZED (SELECT s AS id, min(t) AS cluster_id FROM reach GROUP BY s),
+       |lab AS MATERIALIZED (
        |  SELECT d.doc_id AS id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
        |qt AS (
@@ -2452,6 +2683,7 @@ object DedupQueries {
     "q220_cluster_quality" -> (q220ClusterQuality _),
     "q215_source_overlap" -> (q215SourceOverlapMatrix _),
     "q153_fellegi_sunter" -> (q153FellegiSunter _),
+    "q235_dedup_pipeline" -> (q235DedupPipeline _),
     "q151_sorted_neighborhood" -> (q151SortedNeighborhood _),
     "q150_winnow_pairs" -> (q150WinnowPairs _),
     "q149_corpus_overlap" -> (q149CorpusOverlap _),
@@ -2491,6 +2723,7 @@ object DedupQueries {
     "q220_cluster_quality" -> q220Sql,
     "q215_source_overlap" -> q215Sql,
     "q153_fellegi_sunter" -> q153Sql,
+    "q235_dedup_pipeline" -> q235Sql,
     "q151_sorted_neighborhood" -> q151Sql,
     "q150_winnow_pairs" -> q150Sql,
     "q149_corpus_overlap" -> q149Sql,

@@ -2510,35 +2510,25 @@ object MiscOps {
   }
 
   val q130Sql: String =
-    """WITH hist AS (
-      |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 = 0),
-      |arr AS (
-      |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 <> 0
-      |  UNION ALL
-      |  SELECT doc_id + 100000 AS id, text || ' rev2 marker tail' AS text
-      |  FROM documents WHERE doc_id % 3 = 0),
-      |na AS (
-      |  SELECT id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-      |  FROM arr),
-      |nh AS (
-      |  SELECT id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-      |  FROM hist),
-      |sa AS (
-      |  SELECT id, list_distinct([substr(t, i, 5)
-      |    FOR i IN generate_series(1, greatest(length(t) - 4, 1))]) AS s
-      |  FROM na WHERE length(t) > 0),
-      |sh AS (
-      |  SELECT id, list_distinct([substr(t, i, 5)
-      |    FOR i IN generate_series(1, greatest(length(t) - 4, 1))]) AS s
-      |  FROM nh WHERE length(t) > 0),
-      |dropped AS (
-      |  SELECT DISTINCT a.id
-      |  FROM sa a JOIN sh h ON
-      |    len(list_intersect(a.s, h.s)) * 5 >=
-      |      4 * (len(a.s) + len(h.s) - len(list_intersect(a.s, h.s))))
-      |SELECT id AS doc_id FROM arr
-      |WHERE id NOT IN (SELECT id FROM dropped)
-      |ORDER BY doc_id""".stripMargin
+    s"""WITH u130 AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS id, text || ' rev2 marker tail' AS text
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |${DedupQueries.bitsetCtes("u130")},
+       |dropped AS MATERIALIZED (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT a.id, bit_count(a.bv & h.bv)::BIGINT AS inter,
+       |           a.sz AS la, h.sz AS lb
+       |    FROM bs a JOIN bs h
+       |      ON ((a.id < 100000 AND a.id % 3 <> 0) OR a.id >= 100000)
+       |     AND h.id < 100000 AND h.id % 3 = 0
+       |     AND 5 * least(a.sz, h.sz) >= 4 * greatest(a.sz, h.sz)) ip
+       |  WHERE inter * 5 >= 4 * (la + lb - inter))
+       |SELECT id AS doc_id FROM u130
+       |WHERE ((id < 100000 AND id % 3 <> 0) OR id >= 100000)
+       |  AND id NOT IN (SELECT id FROM dropped)
+       |ORDER BY doc_id""".stripMargin
 
   /** q75: image near-dup through the two-tier pHash path. Corpus =
     * synthetic PNGs ∪ byte-identical copies at id+1e5; identical bytes

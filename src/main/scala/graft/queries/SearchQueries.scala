@@ -503,6 +503,51 @@ object SearchQueries {
       |       CAST(min(anchor) AS BIGINT) AS first_pos
       |FROM anchors GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  private def phraseIndexBase(dir: String): String =
+    s"/tmp/graft_postidx_${ScratchDirs.pathKey(dir)}_${ProcessHandle.current().pid()}"
+
+  /** One-time index build for q165b: postings + term stats via
+    * [[graft.similarity.PhraseSearch.saveIndex]], plus the probe phrase
+    * set, all persisted. Registered in [[SparkEntry.prepare]] so the
+    * bench runs it UNTIMED — round-10 verdict #3: q165's 13.6× sf1/sf0.1
+    * ratio was postings construction, not probe cost, and at 100 TB the
+    * index is a maintained artifact, so timing its rebuild inside every
+    * probe masked real probe regressions.
+    */
+  def buildPhraseIndex(spark: SparkSession, dir: String): Unit = {
+    val base = phraseIndexBase(dir)
+    if (new java.io.File(s"$base/_DONE").exists()) return
+    val d = Load.table(spark, dir, "documents")
+    graft.similarity.PhraseSearch.saveIndex(
+      graft.similarity.PhraseSearch.postings(d, "text", "doc_id"), base)
+    d.select(col("doc_id"),
+        graft.text.Decontaminate.wordTokens(col("text")).as("__toks"))
+      .filter(col("doc_id") % 53 === 0 && size(col("__toks")) >= 8)
+      .select(col("doc_id"), slice(col("__toks"), 6, 3).as("__ph"))
+      .write.mode("overwrite").parquet(s"$base/phrases")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$base/_DONE"))
+  }
+
+  /** q165b: the phrase probe against the PERSISTED positional index —
+    * reload postings + term-df + probe set from parquet and run only
+    * [[graft.similarity.PhraseSearch.matchesRareFirstWithStats]] (no
+    * corpus tokenization, no df aggregate). Same oracle as q165: the
+    * round-trip through the artifact must change nothing — the
+    * q43b/q112 cross-run discipline applied to the search index.
+    * Self-sufficient without the prepare hook (Verify/driver path):
+    * builds the index on first touch, pid-keyed so a stale artifact from
+    * older code can never poison a fresh run.
+    */
+  def q165bPhraseIndexReload(spark: SparkSession, dir: String): DataFrame = {
+    val base = phraseIndexBase(dir)
+    buildPhraseIndex(spark, dir) // no-op when the untimed prepare already ran
+    val (post, tdf) = graft.similarity.PhraseSearch.loadIndex(spark, base)
+    val phrases = spark.read.parquet(s"$base/phrases")
+    graft.similarity.PhraseSearch.matchesRareFirstWithStats(post, tdf,
+        graft.similarity.PhraseSearch.phraseTerms(phrases, "doc_id", "__ph"))
+      .orderBy("query_id", "doc_id")
+  }
+
   /** q224: retrieval rank-agreement audit — the eval a pipeline runs
     * before swapping its lexical scorer (TF-IDF → BM25, or any A/B of
     * ranking functions): for the SAME probe set (every 37th document,
@@ -638,6 +683,7 @@ object SearchQueries {
     "q120_bm25_search" -> (q120Bm25Search _),
     "q177_hybrid_rrf" -> (q177HybridRrf _),
     "q165_phrase_search" -> (q165PhraseSearch _),
+    "q165b_phrase_index_reload" -> (q165bPhraseIndexReload _),
     "q67_span_dedup" -> (q67SpanDedup _),
     "q68_quality_rules" -> (q68QualityRules _),
     "q69_tfidf_search" -> (q69TfIdfSearch _),
@@ -1189,6 +1235,7 @@ object SearchQueries {
     "q120_bm25_search" -> q120Sql,
     "q177_hybrid_rrf" -> q177Sql,
     "q165_phrase_search" -> q165Sql,
+    "q165b_phrase_index_reload" -> q165Sql, // reload must match the rebuild
     "q67_span_dedup" -> q67Sql,
     "q68_quality_rules" -> q68Sql,
     "q69_tfidf_search" -> q69Sql,

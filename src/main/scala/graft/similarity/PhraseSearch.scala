@@ -74,13 +74,58 @@ object PhraseSearch {
     * (term, doc, pos)-keyed exchange of the postings for the verify
     * join (bucketed index layout makes it co-located).
     */
-  def matchesRareFirst(postings: DataFrame, terms: DataFrame): DataFrame = {
+  def matchesRareFirst(postings: DataFrame, terms: DataFrame): DataFrame =
+    matchesRareFirstWithStats(postings,
+      postings.groupBy("term").agg(count(lit(1)).as("__df")), terms)
+
+  /** Persist the positional index as the two relations a probe needs:
+    * `postings/` term-clustered parquet (each term's postings land in one
+    * file cluster, so a broadcast-probe join reads only matching row
+    * groups) and `term_df/` derived FROM THE WRITTEN postings (stats and
+    * index cannot drift). At 100 TB this is the nightly index build; the
+    * per-query cost is [[matchesRareFirstWithStats]] over the reload.
+    */
+  def saveIndex(postings: DataFrame, path: String): Unit = {
+    postings.repartition(col("term"))
+      .sortWithinPartitions("term", "doc_id", "pos")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    val written = postings.sparkSession.read.parquet(s"$path/postings")
+    written.groupBy("term").agg(count(lit(1)).cast("long").as("__df"))
+      .write.mode("overwrite").parquet(s"$path/term_df")
+  }
+
+  /** (postings, term_df) reloaded from [[saveIndex]]'s layout. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/term_df"))
+
+  /** [[matchesRareFirst]] with the per-term document-frequency relation
+    * supplied instead of recomputed — the probe-time shape: at 100 TB the
+    * index's term stats are a maintained artifact alongside the postings
+    * (every real engine's dictionary), so a probe should never pay a
+    * corpus-wide aggregate just to pick its rarest seed. `termDf` must be
+    * (term, __df) over the SAME postings relation (q165b derives it from
+    * the written artifact, so the two can't drift).
+    */
+  def matchesRareFirstWithStats(postings: DataFrame, termDf: DataFrame,
+      terms: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tdf = postings.groupBy("term").agg(count(lit(1)).as("__df"))
-    // a phrase term absent from the corpus gets df 0 → it becomes the
-    // seed → zero candidates → the phrase (correctly) matches nothing
-    val t = terms.join(tdf, Seq("term"), "left")
-      .withColumn("__df", coalesce(col("__df"), lit(0L)))
+    // dictionary lookup, not a dictionary shuffle: the phrase-term set is
+    // tiny by contract, so BROADCAST it onto the term-keyed df relation
+    // (at 100 TB termDf is corpus-sized — a left join from the tiny side
+    // would exchange the whole dictionary). Terms absent from the corpus
+    // fall out of the inner join; the anti-join spine restores them with
+    // df 0 → they become the seed → zero candidates → the phrase
+    // (correctly) matches nothing.
+    val present = termDf.join(broadcast(terms), Seq("term"))
+      .select(col("query_id"), col("term"), col("off"), col("plen"),
+        col("__df").cast("long").as("__df"))
+    val t = terms.join(
+        broadcast(present.select(col("query_id"), col("off").as("off"))),
+        Seq("query_id", "off"), "left_anti")
+      .withColumn("__df", lit(0L))
+      .unionByName(present)
     val w = Window.partitionBy("query_id").orderBy(col("__df"), col("off"))
     val ranked = t.withColumn("__rn", row_number().over(w))
     val seeds = ranked.filter(col("__rn") === 1)

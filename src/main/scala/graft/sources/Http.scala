@@ -85,6 +85,15 @@ object Http {
     * response into `outCol` (string; parse downstream with from_json).
     * Runs as mapPartitions with a per-partition rate limiter — partition
     * parallelism IS the reference's worker fan-out.
+    *
+    * The limiter paces PER PARTITION, so the request budget is
+    * `parallelism / rateLimitMs` only if rows spread evenly: inheriting
+    * an upstream range partitioning (a sorted id scan) would hand one
+    * partition most of the rows and serialize the run at a single
+    * partition's rate (round-10 verdict #8). Hash-repartition on the key
+    * first — near-uniform for distinct keys, asserted by the loopback
+    * pacing spec — unless the caller passes `parallelism = 0` to keep
+    * its own layout.
     */
   def enrichPerRow(
       df: DataFrame,
@@ -92,11 +101,14 @@ object Http {
       urlTemplate: String, // contains {key}
       outCol: String,
       fetcher: Fetcher,
-      rateLimitMs: Long = 100): DataFrame = {
+      rateLimitMs: Long = 100,
+      parallelism: Int = 16): DataFrame = {
     val schema = df.schema.add(outCol, StringType)
     val enc = Encoders.row(schema)
     val keyIdx = df.schema.fieldIndex(keyCol)
-    df.mapPartitions { rows =>
+    val spread =
+      if (parallelism > 0) df.repartition(parallelism, col(keyCol)) else df
+    spread.mapPartitions { rows =>
       rows.map { r =>
         if (rateLimitMs > 0) Thread.sleep(rateLimitMs)
         val url = urlTemplate.replace("{key}", String.valueOf(r.get(keyIdx)))

@@ -34,6 +34,10 @@ object Scratch {
         graft.SparkEntry.queries(target)(spark, dir)
       }
       time(s"$target $i plan") { df.queryExecution.executedPlan }
+      if (sys.env.contains("SPARK_GRAFT_SCRATCH_DUMP"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(sys.env("SPARK_GRAFT_SCRATCH_DUMP")),
+          df.queryExecution.executedPlan.toString)
       time(s"$target $i") {
         df.write.format("noop").mode("overwrite").save()
       }

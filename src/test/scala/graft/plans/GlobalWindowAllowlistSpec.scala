@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.logical.Window
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Pinned allowlist of queries PERMITTED a global (partition-less)
+  * window (round-10 verdict #4). The §2.7 reference-parity operators
+  * (file-order row numbering, forward-fill over the whole resource)
+  * deliberately use a single-partition WindowExec because the reference
+  * semantics ARE a global file order — SURVEY §7 documents the choice,
+  * the helpers take a partition key where one exists, and the scale
+  * paths (Ordering.exactRank histogram ranking, q146) exist alongside.
+  * Everything OUTSIDE that set must stay global-window-free: Spark only
+  * logs a WindowExec warning, the verify log drowns in the deliberate
+  * ones, and a real regression — an accidental corpus-wide window in a
+  * scale-path query — would be invisible. This spec makes the budget
+  * explicit in both directions: a NEW global window fails, and a stale
+  * allowlist entry (query fixed or removed) fails until re-pinned.
+  */
+class GlobalWindowAllowlistSpec extends SparkSpec {
+
+  /** Queries allowed a partition-less logical Window. Regenerate by
+    * running this spec — the failure message lists the offenders.
+    */
+  private val allowed: Set[String] = GlobalWindowAllowlistSpec.Allowed
+
+  test("only allowlisted queries contain a global window") {
+    graft.GraftExtensions.install(spark)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        spark.catalog.clearCache()
+        val plan =
+          try fn(spark, sf).queryExecution.optimizedPlan
+          catch {
+            case e: Throwable =>
+              fail(s"$name failed to plan at $sf: $e")
+          }
+        val globals = plan.collect {
+          case w: Window if w.partitionSpec.isEmpty => w
+        }
+        if (globals.nonEmpty) Some(name) else None
+    }.toSet
+    val fresh = offenders -- allowed
+    val stale = allowed -- offenders
+    assert(fresh.isEmpty,
+      s"NEW global (partition-less) windows crept into: " +
+        s"${fresh.toSeq.sorted.mkString(", ")} — a corpus-wide window " +
+        "single-threads the query at scale; partition it or, if the " +
+        "semantics are genuinely global (reference file order), add it " +
+        "to GlobalWindowAllowlistSpec.Allowed with a justification")
+    assert(stale.isEmpty,
+      s"stale allowlist entries (no global window anymore — ratchet " +
+        s"down): ${stale.toSeq.sorted.mkString(", ")}")
+  }
+}
+
+object GlobalWindowAllowlistSpec {
+  /** Queries whose partition-less Window is over a BOUNDED relation,
+    * never the corpus — pinned one by one:
+    *
+    *   - exactRank histogram prefix-sum (Ordering.scala:66/90): the
+    *     window input is the ≤|distinct values| histogram, broadcast
+    *     back — q146, q151, q226, q232, and every ranked-curation path
+    *     built on them (q65/q109/q121/q129/q133/q145/q147/q170).
+    *   - per-key capacity / stratum allocation tables (Scrub.scala:176,
+    *     246, 408): |keys| rows — q138, q160, q170, q172, q175, q180.
+    *   - packByBudget's 2¹⁶-bucket running sum (Sequences.scala:91):
+    *     fixed 65 536-row histogram — q65, q109, q133.
+    *   - bounded score/calibration tables (≤ probe-set × k rows after a
+    *     TopK or a per-query rank): q69, q120, q156, q177, q211, q216,
+    *     q217.
+    *
+    * The §2.7 reference-order parity ops (orderIndex, global
+    * forwardFill) reach production only through the spec-pipeline
+    * runner (X2) and the Datasets flow, which the reference itself runs
+    * single-partition; their oracle queries (q5/q7/q18) use the
+    * partitioned forms, which is why they are NOT in this list. Adding
+    * a name here requires the same justification: state what bounds the
+    * window's input.
+    */
+  val Allowed: Set[String] = Set(
+    "q109_tokenize_pack", "q120_bm25_search", "q121_unimax_mix",
+    "q129_temperature_mix", "q133_sft_pipeline", "q138_rate_anomaly",
+    "q145_block_spans", "q146_curriculum", "q147_layout_pipeline",
+    "q151_sorted_neighborhood", "q156_incremental_index",
+    "q160_psi_drift", "q170_stratified_sample", "q172_woe_iv",
+    "q175_funnel", "q177_hybrid_rrf", "q180_rfm_segments",
+    "q211_matryoshka_variance", "q216_nb_calibration",
+    "q217_conformal_gate", "q226_blocking_recall",
+    "q232_quality_token_curve", "q65_pack_sequences", "q69_tfidf_search")
+}

@@ -78,5 +78,15 @@ class PhraseSearchSpec extends SparkSpec {
       .orderBy("query_id", "doc_id").collect().toSeq
     assert(a == b)
     assert(a.nonEmpty) // the law must bite on real matches
+
+    // the persisted-index path (q165b): save postings + derived term-df,
+    // reload, probe with the precomputed stats — row-for-row equal again
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-postidx-spec").toString
+    PhraseSearch.saveIndex(post, path)
+    val (rp, rtdf) = PhraseSearch.loadIndex(spark, path)
+    val c = PhraseSearch.matchesRareFirstWithStats(rp, rtdf, terms)
+      .orderBy("query_id", "doc_id").collect().toSeq
+    assert(a == c)
   }
 }

@@ -90,8 +90,10 @@ class HttpLoopbackSpec extends SparkSpec with BeforeAndAfterAll {
     import spark.implicits._
     val df = Seq("alpha", "bg", "gamma9").toDF("k").repartition(1)
     val t0 = System.nanoTime()
+    // parallelism = 0: keep the single upstream partition so all three
+    // rows share one limiter — the pacing assertion needs serial requests
     val out = Http.enrichPerRow(df, "k", s"$base/enrich?key={key}",
-      "resp", new UrlFetcher(), rateLimitMs = 60)
+      "resp", new UrlFetcher(), rateLimitMs = 60, parallelism = 0)
       .select("k", "resp").collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val elapsedMs = (System.nanoTime() - t0) / 1e6
     assert(out("alpha") == """{"key":"alpha","extra":5}""")
@@ -122,6 +124,25 @@ class HttpLoopbackSpec extends SparkSpec with BeforeAndAfterAll {
     assert(failed.length == 1)
     assert(failed.head.getString(0).endsWith("/gone"))
     assert(failed.head.getString(1).startsWith("404"))
+  }
+
+  test("S4 enrichment spreads a skewed upstream layout near-uniformly") {
+    import spark.implicits._
+    // 64 distinct keys crammed into ONE upstream partition — the skew
+    // case where the per-partition limiter would serialize the whole
+    // run at a single partition's rate (round-10 verdict #8). The salted
+    // hash repartition must spread them so no partition hoards the rate
+    // budget; counts are deterministic (fixed hash, fixed keys).
+    val df = (0 until 64).map(i => s"key$i").toDF("k").repartition(1)
+    val out = Http.enrichPerRow(df, "k", s"$base/enrich?key={key}",
+        "resp", new UrlFetcher(), rateLimitMs = 0, parallelism = 8)
+      .select(col("k"), spark_partition_id().as("pid"))
+    val counts = out.groupBy("pid").count().collect()
+      .map(r => r.getLong(1)).sorted
+    assert(counts.sum == 64)
+    assert(counts.length >= 6, s"keys collapsed onto ${counts.length} partitions")
+    assert(counts.max <= 16,
+      s"partition hoards ${counts.max}/64 rows — limiter budget skewed")
   }
 
   test("UrlFetcher surfaces connection errors (dead port)") {

@@ -4,12 +4,20 @@ run graft.Verify at a given SF, then execute each oracle_sql.json entry in
 DuckDB over the same parquet tables and compare (columns sorted by name,
 rows sorted, values hashed). Dev tool only — NOT part of the Spark library.
 
-Usage: python3 tools/check.py [sfdir] [outdir]
+Crash-proofing (round-10 verdict #1: the driver's CORRECTNESS_r10.json came
+back `{}` while every query passes — the compare step most plausibly blew a
+time/memory budget and nothing partial survived): verdicts now STREAM to a
+results file after every single query (atomic tmp+rename), and each verdict
+carries the DuckDB seconds it cost, so a mid-run kill leaves a parseable
+partial artifact that also says where the time went.
+
+Usage: python3 tools/check.py [sfdir] [outdir] [results.json]
 """
-import json, subprocess, sys, glob, os
+import json, sys, glob, os, time
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+RESULTS = sys.argv[3] if len(sys.argv) > 3 else os.path.join(OUT, "check_results.json")
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -35,6 +43,15 @@ def norm(df):
     return rows, list(df.columns)
 
 
+def flush(results, done, total):
+    """Atomically rewrite the partial results artifact after every query."""
+    tmp = RESULTS + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"done": done, "total": total, "results": results},
+                  f, indent=1, default=str)
+    os.replace(tmp, RESULTS)
+
+
 def main():
     import duckdb, pandas as pd
     with open(os.path.join(OUT, "oracle_sql.json")) as f:
@@ -45,23 +62,27 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     results = {}
-    for name in sorted(os.listdir(OUT)):
+    names = [n for n in sorted(os.listdir(OUT))
+             if os.path.isdir(os.path.join(OUT, n))]
+    for qi, name in enumerate(names):
         d = os.path.join(OUT, name)
-        if not os.path.isdir(d):
-            continue
+        t0 = time.time()
         spark_df = pd.concat(
             [pd.read_parquet(p) for p in sorted(glob.glob(f"{d}/*.parquet"))],
             ignore_index=True) if glob.glob(f"{d}/*.parquet") else pd.DataFrame()
         if name not in oracles:
             results[name] = {"status": "rows_only", "rows": len(spark_df)}
+            flush(results, qi + 1, len(names))
             continue
         try:
             oracle_df = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             results[name] = {"status": "oracle_error", "err": str(e)[:300]}
+            flush(results, qi + 1, len(names))
             continue
         sv, sc = norm(spark_df)
         ov, oc = norm(oracle_df)
+        sec = round(time.time() - t0, 2)
         if sc != oc:
             results[name] = {"status": "schema_mismatch", "spark": sc, "oracle": oc}
         elif len(sv) != len(ov):
@@ -73,10 +94,20 @@ def main():
                                              for i, a, b in diffs]}
         else:
             results[name] = {"status": "MATCH", "rows": len(sv)}
+        results[name]["sec"] = sec
+        flush(results, qi + 1, len(names))
+        if sec > 3:
+            print(f"[check] SLOW {name}: {sec}s", file=sys.stderr)
     ok = sum(1 for r in results.values() if r["status"] == "MATCH")
     print(json.dumps(results, indent=1, default=str))
+    slow = sorted(((r.get("sec", 0), n) for n, r in results.items()),
+                  reverse=True)[:15]
+    print("\nslowest oracles:", file=sys.stderr)
+    for sec, n in slow:
+        print(f"  {sec:7.2f}s {n}", file=sys.stderr)
     print(f"\n{ok}/{len([n for n in results if n in oracles])} oracle matches; "
-          f"{len(results)} queries total")
+          f"{len(results)} queries total; "
+          f"{sum(r.get('sec', 0) for r in results.values()):.0f}s compare time")
     return 0 if ok == len([n for n in results if n in oracles]) else 1
 
 
