@@ -1179,7 +1179,7 @@ object DedupQueries {
     val vq = transform(col("embedding"),
       x => floor(x.cast("double") * lit(65536d)).cast("long"))
     val v = e.select(col("vec_id"), vq.as("vq"))
-    val q = v.filter(col("vec_id") % 53 === 0)
+    val q = v.filter(col("vec_id") % 53 === 0 && col("vec_id") < 10000000L)
       .select(col("vec_id").as("query_id"), col("vq").as("qv"))
     val cands = v.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
@@ -1223,7 +1223,8 @@ object DedupQueries {
        |         list_transform(embedding,
        |           x -> CAST(floor(CAST(x AS DOUBLE) * 65536) AS BIGINT)) AS vq
        |  FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, vq AS qv FROM v WHERE vec_id % 53 = 0),
+       |q AS (SELECT vec_id AS query_id, vq AS qv FROM v
+       |       WHERE vec_id % 53 = 0 AND vec_id < 10000000),
        |cand0 AS (
        |  SELECT q.query_id, v.vec_id AS doc_id, v.vq,
        |         ${dot("q.qv", "v.vq")} AS rel
