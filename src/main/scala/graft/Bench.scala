@@ -84,8 +84,15 @@ object Bench {
     // (SCALING.md §10): per-tranche geomean-vs-ref + suspect flags in
     // the artifact, so a crowded tranche is machine-readable instead of
     // a human reading band medians
-    val refTimes = tools.BenchVariance.loadQueryTimesForSf(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_LOCAL.json"), sfDir)
+    // ref must be a sibling run AT THIS SF (exact sf-string match inside
+    // the loader); when the primary ref is for another sf, fall back to
+    // the committed sf1 artifact so sf1 runs also self-report variance
+    val refTimes = {
+      val primary = tools.BenchVariance.loadQueryTimesForSf(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_LOCAL.json"), sfDir)
+      if (primary.nonEmpty) primary
+      else tools.BenchVariance.loadQueryTimesForSf("BENCH_SF1.json", sfDir)
+    }
     def trancheJson(): Seq[String] = {
       val verdicts: Seq[Option[tools.BenchVariance.TrancheVerdict]] =
         if (refTimes.isEmpty) trancheInfo.toSeq.map(_ => None)
