@@ -68,7 +68,9 @@ object SparkEntry {
     */
   def prepare: Map[String, (SparkSession, String) => Unit] = Map(
     "q165b_phrase_index_reload" ->
-      (graft.queries.SearchQueries.buildPhraseIndex _))
+      (graft.queries.SearchQueries.buildPhraseIndex _),
+    "q165c_phrase_index_incremental" ->
+      (graft.queries.SearchQueries.buildPhraseIndexIncremental _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -540,6 +540,73 @@ object SearchQueries {
     java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$base/_DONE"))
   }
 
+  private def phraseIndexIncBase(dir: String): String =
+    s"/tmp/graft_postidx_inc_${ScratchDirs.pathKey(dir)}_${ProcessHandle.current().pid()}"
+
+  /** One-time incremental-index build for q165c (see there): generation-0
+    * index over the history partition, delta postings APPENDED as new
+    * parquet files (history files untouched on disk — verified by
+    * mtime in the spec), term-df regenerated by ADDITIVE merge of the
+    * generation-0 stats relation with the delta's own counts.
+    */
+  def buildPhraseIndexIncremental(spark: SparkSession, dir: String): Unit = {
+    val base = phraseIndexIncBase(dir)
+    if (new java.io.File(s"$base/_DONE").exists()) return
+    val d = Load.table(spark, dir, "documents")
+    val hist = d.filter(col("doc_id") % 5 =!= 0)
+    val delta = d.filter(col("doc_id") % 5 === 0)
+    // yesterday's index: the standard build over the history partition
+    graft.similarity.PhraseSearch.saveIndex(
+      graft.similarity.PhraseSearch.postings(hist, "text", "doc_id"), base)
+    // today's ingest: delta postings land as APPENDED files in the same
+    // term-clustered layout — history postings are never read, let alone
+    // rewritten (the 100 TB property: index growth costs O(delta))
+    val pd = graft.similarity.PhraseSearch.postings(delta, "text", "doc_id")
+      .persist() // feeds the append AND the df delta
+    pd.repartition(col("term")).sortWithinPartitions("term", "doc_id", "pos")
+      .write.mode("append").parquet(s"$base/postings")
+    // df upsert: additive merge of the O(|vocab|) stats relation with the
+    // delta's counts — exact because generations are doc-disjoint (the
+    // q152 profile-merge discipline). History POSTINGS still never scan.
+    val dfd = pd.groupBy("term").agg(count(lit(1)).cast("long").as("__df"))
+    spark.read.parquet(s"$base/term_df").unionByName(dfd)
+      .groupBy("term").agg(sum("__df").cast("long").as("__df"))
+      .write.mode("overwrite").parquet(s"$base/term_df_gen1")
+    pd.unpersist()
+    d.select(col("doc_id"),
+        graft.text.Decontaminate.wordTokens(col("text")).as("__toks"))
+      .filter(col("doc_id") % 53 === 0 && col("doc_id") < 10000000L &&
+        size(col("__toks")) >= 8)
+      .select(col("doc_id"), slice(col("__toks"), 6, 3).as("__ph"))
+      .write.mode("overwrite").parquet(s"$base/phrases")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$base/_DONE"))
+  }
+
+  /** q165c: INCREMENTAL maintenance of the persisted positional index —
+    * the q155/q156 cross-run discipline applied to q165b's artifact.
+    * History (doc_id % 5 ≠ 0) is indexed as generation 0; the delta
+    * (doc_id % 5 = 0) arrives later and is folded in WITHOUT rescanning
+    * history: its postings append as new files in the same
+    * term-clustered layout, and the term-df stats update by additive
+    * merge of two O(|vocab|) relations (exact — generations are
+    * doc-disjoint). The probe then runs against the merged index and
+    * must equal a from-scratch rebuild over the full corpus: same
+    * oracle as q165/q165b, so a drifted df, a lost posting file, or a
+    * double-counted delta all hash-fail. At 100 TB this is the nightly
+    * ingest: O(delta) build work + O(vocab) stats work, zero history
+    * I/O.
+    */
+  def q165cPhraseIndexIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val base = phraseIndexIncBase(dir)
+    buildPhraseIndexIncremental(spark, dir) // no-op when prepare already ran
+    val post = spark.read.parquet(s"$base/postings")
+    val tdf = spark.read.parquet(s"$base/term_df_gen1")
+    val phrases = spark.read.parquet(s"$base/phrases")
+    graft.similarity.PhraseSearch.matchesRareFirstWithStats(post, tdf,
+        graft.similarity.PhraseSearch.phraseTerms(phrases, "doc_id", "__ph"))
+      .orderBy("query_id", "doc_id")
+  }
+
   /** q165b: the phrase probe against the PERSISTED positional index —
     * reload postings + term-df + probe set from parquet and run only
     * [[graft.similarity.PhraseSearch.matchesRareFirstWithStats]] (no
@@ -696,6 +763,7 @@ object SearchQueries {
     "q177_hybrid_rrf" -> (q177HybridRrf _),
     "q165_phrase_search" -> (q165PhraseSearch _),
     "q165b_phrase_index_reload" -> (q165bPhraseIndexReload _),
+    "q165c_phrase_index_incremental" -> (q165cPhraseIndexIncremental _),
     "q67_span_dedup" -> (q67SpanDedup _),
     "q68_quality_rules" -> (q68QualityRules _),
     "q69_tfidf_search" -> (q69TfIdfSearch _),
@@ -1248,6 +1316,7 @@ object SearchQueries {
     "q177_hybrid_rrf" -> q177Sql,
     "q165_phrase_search" -> q165Sql,
     "q165b_phrase_index_reload" -> q165Sql, // reload must match the rebuild
+    "q165c_phrase_index_incremental" -> q165Sql, // incr merge == from-scratch
     "q67_span_dedup" -> q67Sql,
     "q68_quality_rules" -> q68Sql,
     "q69_tfidf_search" -> q69Sql,

@@ -89,4 +89,50 @@ class PhraseSearchSpec extends SparkSpec {
       .orderBy("query_id", "doc_id").collect().toSeq
     assert(a == c)
   }
+
+  test("incremental index: delta appends, history files untouched, " +
+      "additive df merge probes identically to a rebuild") {
+    val hist = Seq(1L -> "a b c a b c a b", 3L -> "x y z q r s",
+      5L -> "z z y x w").toDF("doc_id", "text")
+    val delta = Seq(2L -> "a a a a a a", 4L -> "b c a b c x")
+      .toDF("doc_id", "text")
+    val full = hist.unionByName(delta)
+    val phrases = Seq(10L -> Seq("a", "b", "c"), 14L -> Seq("z", "z", "y"))
+      .toDF("query_id", "ph")
+    val terms = PhraseSearch.phraseTerms(phrases, "query_id", "ph")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-postidx-inc-spec").toString
+    // generation 0: history only
+    PhraseSearch.saveIndex(
+      PhraseSearch.postings(hist, "text", "doc_id"), base)
+    def snapshot(): Map[String, (Long, Long)] =
+      new java.io.File(s"$base/postings").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    val before = snapshot()
+    assert(before.nonEmpty)
+    // ingest: delta postings APPEND; history parquet files must be
+    // byte-for-byte untouched (same name, size, mtime) — the O(delta)
+    // nightly-ingest property q165c claims
+    val pd = PhraseSearch.postings(delta, "text", "doc_id")
+    pd.repartition(col("term")).write.mode("append")
+      .parquet(s"$base/postings")
+    val after = snapshot()
+    assert(before.forall { case (n, meta) => after.get(n).contains(meta) },
+      "history posting files were rewritten by the delta append")
+    assert(after.size > before.size, "delta produced no new posting files")
+    // df upsert: additive merge of the two stats relations
+    val dfd = pd.groupBy("term").agg(count(lit(1)).cast("long").as("__df"))
+    val merged = spark.read.parquet(s"$base/term_df").unionByName(dfd)
+      .groupBy("term").agg(sum("__df").cast("long").as("__df"))
+    // probe over (appended postings, merged df) == from-scratch rebuild
+    val mergedPost = spark.read.parquet(s"$base/postings")
+    val inc = PhraseSearch.matchesRareFirstWithStats(mergedPost, merged, terms)
+      .orderBy("query_id", "doc_id").collect().toSeq
+    val scratch = PhraseSearch.matches(
+        PhraseSearch.postings(full, "text", "doc_id"), terms)
+      .orderBy("query_id", "doc_id").collect().toSeq
+    assert(inc == scratch)
+    assert(inc.nonEmpty)
+  }
 }
