@@ -332,9 +332,16 @@ object Bench {
     // Durable copy so a harness that misses the stdout line can still
     // recover the record from disk. Best-effort: an unwritable path must
     // not abort the run before the primary stdout metric line prints.
+    // Ad-hoc SUBSET runs must not default onto BENCH_LOCAL.json — a
+    // 1-query sf0.01 smoke run silently clobbered the sf0.1 variance
+    // reference in round 11 and the next full run self-compared against
+    // nothing (no geomean_vs_ref fields, no suspect flags).
+    val defaultOut =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "BENCH_SUBSET.json"
+      else "BENCH_LOCAL.json"
     try {
       val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
       java.nio.file.Files.write(out, jsonFull.getBytes("UTF-8"))
     } catch {
       // NonFatal only: an OOM/VM error must kill the run, not be masked
