@@ -240,19 +240,24 @@ object Bench {
 
     val results = benchQueries.map { case (name, fn) =>
       // persisted-artifact queries: run the index build OUTSIDE the clock
-      // (SparkEntry.prepare) — the timed section is reload + probe only
-      SparkEntry.prepare.get(name).foreach { p =>
-        try p(spark, sfDir)
+      // (SparkEntry.prepare) — the timed section is reload + probe only.
+      // A FAILED prepare must fail the row: the self-sufficient query fn
+      // would otherwise rebuild the index INSIDE the clock and record a
+      // silently-wrong number (the exact build-masks-probe distortion the
+      // prepare hook exists to eliminate).
+      val prepOk = SparkEntry.prepare.get(name).forall { p =>
+        val r = try { p(spark, sfDir); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] prepare($name): $e") }
+          System.err.println(s"[bench] prepare($name) FAILED: $e"); false }
         spark.catalog.clearCache()
+        r
       }
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every output column —
       // count() would let Catalyst prune the projection away
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+      val ok = prepOk &&
+        (try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false })
       val t = (System.nanoTime() - t0) / 1e9
       // intra-query persists are part of the measured time; dropping them
       // AFTER the clock keeps queries independent (no cross-query memory

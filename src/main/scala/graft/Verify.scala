@@ -37,6 +37,15 @@ object Verify {
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_TRANCHE_SIZE", "60").toInt
     val isChild = sys.env.contains("SPARK_GRAFT_VERIFY_TRANCHE")
     new java.io.File(outDir).mkdirs()
+    // A fresh top-level run must not inherit the previous run's manifest:
+    // read-merge-write would carry stale 'ok' statuses, so a tranche child
+    // dying in run 2 would leave run 1's entries for its unreached queries
+    // and nothing would be marked 'died' — the compare would then read
+    // run 1's stale parquet as this round's all-green coverage (the exact
+    // silent-shrink failure the manifest exists to prevent). Children
+    // (same run) must keep merging, so only the parent resets.
+    if (!isChild)
+      Files.deleteIfExists(Paths.get(s"$outDir/manifest.json"))
     if (isChild || trancheSize <= 0 || names.size <= trancheSize)
       runInline(sfDir, outDir, names, writeOracle = !isChild)
     else

@@ -2150,10 +2150,14 @@ object DedupQueries {
        |  GROUP BY 1, 2),
        |scored AS MATERIALIZED (
        |  SELECT c.id_a, c.id_b, c.from_head, c.from_snm,
-       |    CAST((CASE WHEN a.f_lang = b.f_lang THEN wl.wa ELSE wl.wd END)
-       |       + (CASE WHEN a.f_source = b.f_source THEN ws.wa ELSE ws.wd END)
-       |       + (CASE WHEN a.f_head = b.f_head THEN wh.wa ELSE wh.wd END)
-       |       + (CASE WHEN a.f_lenb = b.f_lenb THEN wn.wa ELSE wn.wd END)
+       |    CAST((CASE WHEN a.f_lang = b.f_lang THEN wl.wa
+       |               WHEN a.f_lang <> b.f_lang THEN wl.wd ELSE 0 END)
+       |       + (CASE WHEN a.f_source = b.f_source THEN ws.wa
+       |               WHEN a.f_source <> b.f_source THEN ws.wd ELSE 0 END)
+       |       + (CASE WHEN a.f_head = b.f_head THEN wh.wa
+       |               WHEN a.f_head <> b.f_head THEN wh.wd ELSE 0 END)
+       |       + (CASE WHEN a.f_lenb = b.f_lenb THEN wn.wa
+       |               WHEN a.f_lenb <> b.f_lenb THEN wn.wd ELSE 0 END)
        |      AS BIGINT) AS score_fix
        |  FROM cand c
        |  JOIN flds a ON a.doc_id = c.id_a

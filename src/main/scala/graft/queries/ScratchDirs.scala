@@ -20,4 +20,16 @@ private[queries] object ScratchDirs {
       java.nio.file.Files.walk(root.toPath).iterator().asScala.toSeq
         .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
+
+  /** Delete `path` recursively when this JVM exits — for pid-keyed
+    * artifact dirs (the persisted phrase indexes) that would otherwise
+    * accumulate one full index per bench/verify child JVM until /tmp
+    * fills and prepare() starts failing. Best-effort by nature (SIGKILL
+    * skips hooks), which is why the dirs are ALSO pid-keyed: a survivor
+    * never poisons a fresh run, it only wastes space.
+    */
+  def deleteOnExit(path: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try deleteRecursively(new java.io.File(path))
+      catch { case _: Throwable => () }))
 }

@@ -528,6 +528,7 @@ object SearchQueries {
   def buildPhraseIndex(spark: SparkSession, dir: String): Unit = {
     val base = phraseIndexBase(dir)
     if (new java.io.File(s"$base/_DONE").exists()) return
+    ScratchDirs.deleteOnExit(base)
     val d = Load.table(spark, dir, "documents")
     graft.similarity.PhraseSearch.saveIndex(
       graft.similarity.PhraseSearch.postings(d, "text", "doc_id"), base)
@@ -552,6 +553,7 @@ object SearchQueries {
   def buildPhraseIndexIncremental(spark: SparkSession, dir: String): Unit = {
     val base = phraseIndexIncBase(dir)
     if (new java.io.File(s"$base/_DONE").exists()) return
+    ScratchDirs.deleteOnExit(base)
     val d = Load.table(spark, dir, "documents")
     val hist = d.filter(col("doc_id") % 5 =!= 0)
     val delta = d.filter(col("doc_id") % 5 === 0)

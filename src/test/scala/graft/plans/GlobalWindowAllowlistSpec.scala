@@ -30,8 +30,13 @@ class GlobalWindowAllowlistSpec extends SparkSpec {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         spark.catalog.clearCache()
+        // ANALYZED plan, not optimized: CacheManager substitutes
+        // InMemoryRelation into the optimized plan, so a query that
+        // persists an intermediate (q235's links) would hide the window
+        // inside the cached subtree and get a free pass — the analyzed
+        // tree is pre-substitution and shows every Window as written
         val plan =
-          try fn(spark, sf).queryExecution.optimizedPlan
+          try fn(spark, sf).queryExecution.analyzed
           catch {
             case e: Throwable =>
               fail(s"$name failed to plan at $sf: $e")
@@ -69,7 +74,11 @@ object GlobalWindowAllowlistSpec {
     *     fixed 65 536-row histogram — q65, q109, q133.
     *   - bounded score/calibration tables (≤ probe-set × k rows after a
     *     TopK or a per-query rank): q69, q120, q156, q177, q211, q216,
-    *     q217.
+    *     q217, q224 (two bounded top-10 retrieval lists per probe).
+    *   - q235: exactRank's histogram windows (the SNM blocking pass) —
+    *     same bounded shape as q151; visible here since the spec reads
+    *     the ANALYZED plan (its links/records persists hid the subtree
+    *     from the optimized plan).
     *
     * The §2.7 reference-order parity ops (orderIndex, global
     * forwardFill) reach production only through the spec-pipeline
@@ -87,6 +96,7 @@ object GlobalWindowAllowlistSpec {
     "q160_psi_drift", "q170_stratified_sample", "q172_woe_iv",
     "q175_funnel", "q177_hybrid_rrf", "q180_rfm_segments",
     "q211_matryoshka_variance", "q216_nb_calibration",
-    "q217_conformal_gate", "q226_blocking_recall",
+    "q217_conformal_gate", "q224_rank_agreement", "q226_blocking_recall",
+    "q235_dedup_pipeline",
     "q232_quality_token_curve", "q65_pack_sequences", "q69_tfidf_search")
 }

@@ -128,20 +128,20 @@ class HttpLoopbackSpec extends SparkSpec with BeforeAndAfterAll {
 
   test("S4 enrichment spreads a skewed upstream layout near-uniformly") {
     import spark.implicits._
-    // 64 distinct keys crammed into ONE upstream partition — the skew
-    // case where the per-partition limiter would serialize the whole
-    // run at a single partition's rate (round-10 verdict #8). The salted
-    // hash repartition must spread them so no partition hoards the rate
-    // budget; counts are deterministic (fixed hash, fixed keys).
-    val df = (0 until 64).map(i => s"key$i").toDF("k").repartition(1)
+    // 64 rows (with DUPLICATE keys — the case a key-hash would re-skew)
+    // crammed into ONE upstream partition: the skew case where the
+    // per-partition limiter would serialize the whole run at a single
+    // partition's rate (round-10 verdict #8). Round-robin repartition
+    // spreads rows exactly evenly regardless of key distribution.
+    val df = (0 until 64).map(i => s"key${i % 4}").toDF("k").repartition(1)
     val out = Http.enrichPerRow(df, "k", s"$base/enrich?key={key}",
         "resp", new UrlFetcher(), rateLimitMs = 0, parallelism = 8)
       .select(col("k"), spark_partition_id().as("pid"))
     val counts = out.groupBy("pid").count().collect()
       .map(r => r.getLong(1)).sorted
     assert(counts.sum == 64)
-    assert(counts.length >= 6, s"keys collapsed onto ${counts.length} partitions")
-    assert(counts.max <= 16,
+    assert(counts.length == 8, s"rows landed on ${counts.length}/8 partitions")
+    assert(counts.max == 8,
       s"partition hoards ${counts.max}/64 rows — limiter budget skewed")
   }
 

@@ -71,13 +71,18 @@ def main():
             [pd.read_parquet(p) for p in sorted(glob.glob(f"{d}/*.parquet"))],
             ignore_index=True) if glob.glob(f"{d}/*.parquet") else pd.DataFrame()
         if name not in oracles:
-            results[name] = {"status": "rows_only", "rows": len(spark_df)}
+            results[name] = {"status": "rows_only", "rows": len(spark_df),
+                             "sec": round(time.time() - t0, 2)}
             flush(results, qi + 1, len(names))
             continue
         try:
             oracle_df = con.execute(oracles[name]).fetchdf()
         except Exception as e:
-            results[name] = {"status": "oracle_error", "err": str(e)[:300]}
+            # record the seconds HERE too: a budget-blowing oracle that
+            # dies after minutes must show its cost, not read as 0 s in
+            # the slow-oracle report
+            results[name] = {"status": "oracle_error", "err": str(e)[:300],
+                             "sec": round(time.time() - t0, 2)}
             flush(results, qi + 1, len(names))
             continue
         sv, sc = norm(spark_df)
