@@ -59,6 +59,20 @@ object SparkEntry {
           graft.queries.DedupQueries.q215SourceOverlapMatrix) _)
   }
 
+  /** Queries whose bench rows carry OUTPUT CARDINALITY (round-11 verdict
+    * #5): the dedup-pair family's wall time scales with true pairs found
+    * on the deliberately near-dup-heavy ScaleUp corpus — q34's 7.6×
+    * sf0.1→sf1 ratio is output growth (pairs grow superlinearly with
+    * replica count), not a plan regression, an adjudication that lived
+    * in prose for two rounds. Bench observes rows-out for these (an
+    * `observe` count — no second evaluation) and ships them in the
+    * artifact's `output_rows` map, so sec-per-1k-pairs is derivable by
+    * any reader. */
+  val outputCardinality: Set[String] = Set(
+    "q30_exact_dedup", "q31_fingerprint_dedup", "q32_minhash_pairs",
+    "q33_simhash_pairs", "q34_ngram_jaccard", "q62_sparse_cosine",
+    "q130_stream_neardup", "q150_winnow_pairs", "q151_sorted_neighborhood")
+
   /** Untimed per-query preparation (persisted-index builds): Bench runs
     * prepare(name) immediately before timing queries(name), so the timed
     * section measures the probe against the maintained artifact, not the
@@ -70,7 +84,9 @@ object SparkEntry {
     "q165b_phrase_index_reload" ->
       (graft.queries.SearchQueries.buildPhraseIndex _),
     "q165c_phrase_index_incremental" ->
-      (graft.queries.SearchQueries.buildPhraseIndexIncremental _))
+      (graft.queries.SearchQueries.buildPhraseIndexIncremental _),
+    "q43b_ann_ivf_reload" ->
+      (graft.queries.DedupQueries.buildIvfArtifact _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -43,8 +43,12 @@ object Verify {
     // and nothing would be marked 'died' — the compare would then read
     // run 1's stale parquet as this round's all-green coverage (the exact
     // silent-shrink failure the manifest exists to prevent). Children
-    // (same run) must keep merging, so only the parent resets.
-    if (!isChild)
+    // (same run) must keep merging, so only the parent resets — and a
+    // SUBSET rerun (explicit args(2) without the child env, the dev flow
+    // for re-running a died tranche) must ALSO merge: wiping the manifest
+    // there would erase every other query's status from the round
+    // (round-11 advice). Reset only on full-lineup parent runs.
+    if (!isChild && only.isEmpty)
       Files.deleteIfExists(Paths.get(s"$outDir/manifest.json"))
     if (isChild || trancheSize <= 0 || names.size <= trancheSize)
       runInline(sfDir, outDir, names, writeOracle = !isChild)
@@ -122,7 +126,14 @@ object Verify {
       }
       while (i >= 0) {
         val (k, afterK) = str(i)
-        val colon = s.indexOf('"', s.indexOf(':', afterK))
+        // a missing colon must DEGRADE, not hang: indexOf(':', afterK)
+        // returning -1 would make indexOf('"', -1) rescan from 0 and the
+        // loop stop advancing — an infinite loop the NonFatal catch can't
+        // convert to Map.empty (round-11 advice). Bail on any non-advance.
+        val colonPos = s.indexOf(':', afterK)
+        if (colonPos < 0) return Map.empty
+        val colon = s.indexOf('"', colonPos)
+        if (colon < afterK) return Map.empty
         val (v, afterV) = str(colon)
         m(k) = v
         i = s.indexOf('"', afterV)

@@ -587,8 +587,31 @@ object DedupQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** q43b: the IVF index as a PERSISTED artifact — train, save the
-    * coarse quantizer to parquet, RELOAD it, and probe with the reloaded
+  private def ivfArtifactBase(dir: String): String =
+    s"/tmp/graft_ivf_${ScratchDirs.pathKey(dir)}_${ProcessHandle.current().pid()}"
+
+  /** One-time IVF quantizer build for q43b: train on the planted-dup
+    * corpus, save the centroids to parquet. Registered in
+    * [[graft.SparkEntry.prepare]] so Bench runs it OUTSIDE the clock —
+    * round-11 verdict #3: timing train+save+reload alongside the probe is
+    * the same build-masks-probe distortion q165b's prepare hook removed
+    * (at 100 TB the quantizer is a maintained nightly artifact; the
+    * per-query cost is reload + probe). The bit-exact round-trip
+    * assertion lives in AnnSpec, not in the timed path.
+    */
+  def buildIvfArtifact(spark: SparkSession, dir: String): Unit = {
+    val base = ivfArtifactBase(dir)
+    if (new java.io.File(s"$base/_DONE").exists()) return
+    ScratchDirs.deleteOnExit(base)
+    val (corpus, _) = withPlantedDuplicates(spark, dir)
+    Ann.saveCentroids(spark, Ann.ivfTrain(corpus, "embedding", nLists = 16),
+      base)
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$base/_DONE"))
+  }
+
+  /** q43b: the IVF index as a PERSISTED artifact — the coarse quantizer
+    * is trained and saved by [[buildIvfArtifact]] (no-op when the untimed
+    * prepare already ran), RELOADED here, and probed with the reloaded
     * centroids. Same oracle as q43: the round-trip must change nothing,
     * which gates the artifact schema, list ordering, and double fidelity
     * of the save/load path — the cross-run pattern that lets a 100 TB
@@ -596,13 +619,8 @@ object DedupQueries {
     */
   def q43bAnnIvfReload(spark: SparkSession, dir: String): DataFrame = {
     val (corpus, queries) = withPlantedDuplicates(spark, dir)
-    val path = s"/tmp/graft_ivf_${ScratchDirs.pathKey(dir)}_${ProcessHandle.current().pid()}"
-    val trained = Ann.ivfTrain(corpus, "embedding", nLists = 16)
-    Ann.saveCentroids(spark, trained, path)
-    val reloaded = Ann.loadCentroids(spark, path)
-    require(reloaded.length == trained.length &&
-      reloaded.zip(trained).forall { case (a, b) => a.sameElements(b) },
-      "centroid artifact round-trip must be bit-exact")
+    buildIvfArtifact(spark, dir) // no-op when the untimed prepare already ran
+    val reloaded = Ann.loadCentroids(spark, ivfArtifactBase(dir))
     Ann.ivfTopKWithCentroids(corpus, queries, "vec_id", "embedding",
         k = 3, centroids = reloaded, nprobe = 4)
       .select("query_id", "rank", "neighbor_id")
@@ -1671,6 +1689,70 @@ object DedupQueries {
       |LEFT JOIN ix i ON i.s1 = a.source AND i.s2 = b.source
       |ORDER BY s1, s2""".stripMargin
 
+  /** q239: the OVERLAP sketch tier under the driver's hash gate
+    * (round-11 verdict #2, overlap family — OverlapTierSpec's
+    * below-capacity envelope as an oracled query). Every document's
+    * text is replaced by a synthetic 8-token phrase determined by
+    * doc_id % 60, so each doc contributes exactly one 8-gram and the
+    * whole gram universe holds ≤ 60 distinct grams — every source
+    * pair's union sits far below the KMV capacity k = 256 at ANY scale
+    * factor, where the signature is exhaustive and Broder's estimator
+    * is EXACT. Both q215 tiers run on that envelope corpus and emit
+    * side by side; the oracle computes the exact matrix once (gram ↔
+    * doc_id % 60 is a bijection, so it counts residues instead of
+    * replaying md5) and projects it under both column sets. The
+    * envelope bounds gram VALUES, not rows — both tiers still scan the
+    * full corpus.
+    */
+  def q239OverlapTierEnvelope(spark: SparkSession, dir: String): DataFrame = {
+    val toks = (0 until 8).map(i =>
+      concat(lit("w"), (col("doc_id") % 60).cast("string"), lit(s"p$i")))
+    val env = Load.table(spark, dir, "documents")
+      .select(col("source"), concat_ws(" ", toks: _*).as("text"))
+    val sources = env.select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    val exact = q215ExactMatrix(spark, env, sources)
+    val sketch = q215SketchMatrix(spark, env, sources)
+      .select(col("s1"), col("s2"), col("sz1").as("sz1_sk"),
+        col("sz2").as("sz2_sk"), col("inter").as("inter_sk"),
+        col("jaccard_fix").as("jaccard_fix_sk"),
+        col("containment_fix").as("containment_fix_sk"))
+    // both matrices are |sources|²-row relations assembled on the
+    // driver from bounded aggregates — the join is trivial
+    exact.join(sketch, Seq("s1", "s2")).orderBy("s1", "s2")
+  }
+
+  val q239Sql: String =
+    """WITH g AS MATERIALIZED (
+      |  SELECT DISTINCT source, doc_id % 60 AS gid FROM documents),
+      |szg AS (SELECT source, count(*)::BIGINT AS sz FROM g GROUP BY source),
+      |srcs AS (SELECT DISTINCT source FROM documents),
+      |sz AS MATERIALIZED (
+      |  SELECT s.source, coalesce(z.sz, 0) AS sz
+      |  FROM srcs s LEFT JOIN szg z USING (source)),
+      |ix AS (
+      |  SELECT a.source AS s1, b.source AS s2, count(*)::BIGINT AS inter
+      |  FROM g a JOIN g b USING (gid) WHERE a.source < b.source
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT a.source AS s1, b.source AS s2, a.sz AS sz1, b.sz AS sz2,
+      |         coalesce(i.inter, 0)::BIGINT AS inter,
+      |         CASE WHEN a.sz + b.sz - coalesce(i.inter, 0) > 0 THEN
+      |           CAST(coalesce(i.inter, 0)::HUGEINT * 65536
+      |                // (a.sz + b.sz - coalesce(i.inter, 0)) AS BIGINT)
+      |         ELSE 0 END AS jaccard_fix,
+      |         CASE WHEN least(a.sz, b.sz) > 0 THEN
+      |           CAST(coalesce(i.inter, 0)::HUGEINT * 65536
+      |                // least(a.sz, b.sz) AS BIGINT)
+      |         ELSE 0 END AS containment_fix
+      |  FROM sz a JOIN sz b ON a.source < b.source
+      |  LEFT JOIN ix i ON i.s1 = a.source AND i.s2 = b.source)
+      |SELECT s1, s2, sz1, sz2, inter, jaccard_fix, containment_fix,
+      |       sz1 AS sz1_sk, sz2 AS sz2_sk, inter AS inter_sk,
+      |       jaccard_fix AS jaccard_fix_sk,
+      |       containment_fix AS containment_fix_sk
+      |FROM m ORDER BY s1, s2""".stripMargin
+
   /** q150: winnowing-fingerprint near-dup pairs (Schleimer et al. 2003,
     * the MOSS scheme) — the LOCAL fingerprinting tier between exact
     * shingles (every position — q34's index weight) and MinHash (a
@@ -2687,6 +2769,7 @@ object DedupQueries {
     "q221_int8_recall" -> (q221Int8Recall _),
     "q220_cluster_quality" -> (q220ClusterQuality _),
     "q215_source_overlap" -> (q215SourceOverlapMatrix _),
+    "q239_overlap_tier_envelope" -> (q239OverlapTierEnvelope _),
     "q153_fellegi_sunter" -> (q153FellegiSunter _),
     "q235_dedup_pipeline" -> (q235DedupPipeline _),
     "q151_sorted_neighborhood" -> (q151SortedNeighborhood _),
@@ -2727,6 +2810,7 @@ object DedupQueries {
     "q221_int8_recall" -> q221Sql,
     "q220_cluster_quality" -> q220Sql,
     "q215_source_overlap" -> q215Sql,
+    "q239_overlap_tier_envelope" -> q239Sql,
     "q153_fellegi_sunter" -> q153Sql,
     "q235_dedup_pipeline" -> q235Sql,
     "q151_sorted_neighborhood" -> q151Sql,

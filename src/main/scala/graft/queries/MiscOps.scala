@@ -1201,6 +1201,91 @@ object MiscOps {
       |            END AS pct_fix
       |FROM r ORDER BY c_custkey""".stripMargin
 
+  /** q237: the DISTINCT sketch tier under the driver's hash gate
+    * (round-11 verdict #2 — the agreement envelope lived only in
+    * ProfileTierSpec). Both [[graft.ops.Profile.profile]] tiers run over
+    * an envelope projection of the FULL documents corpus whose distinct
+    * cardinalities are bounded below the KMV capacity k = 1024 by
+    * construction (lang/source are tiny sets; doc_id % 512 ≤ 512
+    * values at ANY scale factor), where the k-minimum-values sketch is
+    * exhaustive and provably exact. The oracle computes the exact
+    * counts once and projects them under BOTH column names — a sketch
+    * regression now fails the driver gate, not just ScalaTest. Off the
+    * envelope the sketch is an estimate with no exactness claim (q105's
+    * bench-only sketch row measures that mode's speed).
+    */
+  def q237DistinctTierEnvelope(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        (col("doc_id") % 512).cast("string").as("id_mod"))
+    val cols = Seq("id_mod", "lang", "source")
+    val exact = graft.ops.Profile.profile(d, cols, sketchDistinct = false)
+      .select(col("column").as("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct").as("n_distinct_exact"))
+    val sketch = graft.ops.Profile.profile(d, cols, sketchDistinct = true)
+      .select(col("column").as("col_name"),
+        col("n_distinct").as("n_distinct_sketch"))
+    // both sides are |cols|-row relations — the join is trivially
+    // broadcast; corpus work is the two single-agg scans
+    exact.join(broadcast(sketch), "col_name").orderBy("col_name")
+  }
+
+  val q237Sql: String = {
+    val src = "SELECT lang, source, CAST(doc_id % 512 AS VARCHAR) AS id_mod" +
+      " FROM documents"
+    val per = Seq("id_mod", "lang", "source").map { c =>
+      s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nulls,
+         |  count(DISTINCT $c)::BIGINT AS nd
+         |FROM src""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH src AS MATERIALIZED ($src),
+       |p AS ($per)
+       |SELECT col_name, n_rows, n_nulls, nd AS n_distinct_exact,
+       |       nd AS n_distinct_sketch
+       |FROM p ORDER BY col_name""".stripMargin
+  }
+
+  /** q238: the QUANTILE sketch tier under the driver's hash gate
+    * (round-11 verdict #2, quantile family — QuantileTierSpec's lossless
+    * grid as an oracled query). Values v = doc_id % 8 sit on the
+    * log-histogram's exact region (0..7 are their own buckets), so
+    * [[Quantiles.percentileRankSketch]]'s bucket-quantized rank equals
+    * [[Quantiles.percentileRank]]'s exact RANK arithmetic row-for-row
+    * at ANY scale factor; the oracle computes the exact formula once
+    * under both column names. Full-corpus scan on both tiers — the
+    * envelope bounds VALUES, not rows.
+    */
+  def q238QuantileTierEnvelope(spark: SparkSession, dir: String): DataFrame = {
+    val d = Load.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), (col("doc_id") % 8).as("v"))
+    val exact = Quantiles.percentileRank(d, Seq("lang"), "v", "pct_exact")
+    val sketch = Quantiles
+      .percentileRankSketch(d, Seq("lang"), "v", "pct_sketch")
+      .select(col("doc_id"), col("pct_sketch"))
+    exact.join(sketch, "doc_id")
+      .select("doc_id", "lang", "v", "pct_exact", "pct_sketch")
+      .orderBy("doc_id")
+  }
+
+  val q238Sql: String =
+    """WITH src AS (
+      |  SELECT doc_id, lang, doc_id % 8 AS v FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang, v,
+      |         rank() OVER (PARTITION BY lang ORDER BY v) AS rk,
+      |         count(*) OVER (PARTITION BY lang) AS n
+      |  FROM src),
+      |p AS (
+      |  SELECT doc_id, lang, v,
+      |         CASE WHEN n <= 1 THEN 0
+      |              ELSE CAST(((rk - 1) * 1073741824) // (n - 1) AS BIGINT)
+      |              END AS pct
+      |  FROM r)
+      |SELECT doc_id, lang, v, pct AS pct_exact, pct AS pct_sketch
+      |FROM p ORDER BY doc_id""".stripMargin
+
   /** q196: floor-at-zero running inventory
     * ([[Cusum.clampedRunningSum]]) — the max(0, S+Δ) recursion IS
     * Page's CUSUM recursion, so q168's closed prefix form solves it as
@@ -2810,6 +2895,8 @@ object MiscOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q227_skew_audit" -> (q227SkewAudit _),
     "q152_profile_merge" -> (q152ProfileMerge _),
+    "q237_distinct_tier_envelope" -> (q237DistinctTierEnvelope _),
+    "q238_quantile_tier_envelope" -> (q238QuantileTierEnvelope _),
     "q105_profile" -> (q105Profile _),
     "q135_profile_drift" -> (q135ProfileDrift _),
     "q136_json_permissive" -> (q136JsonPermissive _),
@@ -2877,6 +2964,8 @@ object MiscOps {
   val oracles: Map[String, String] = Map(
     "q227_skew_audit" -> q227Sql,
     "q152_profile_merge" -> q152Sql,
+    "q237_distinct_tier_envelope" -> q237Sql,
+    "q238_quantile_tier_envelope" -> q238Sql,
     "q105_profile" -> q105Sql,
     "q135_profile_drift" -> q135Sql,
     "q136_json_permissive" -> q136Sql,

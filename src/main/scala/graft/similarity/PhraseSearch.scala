@@ -118,9 +118,15 @@ object PhraseSearch {
     // fall out of the inner join; the anti-join spine restores them with
     // df 0 → they become the seed → zero candidates → the phrase
     // (correctly) matches nothing.
+    // persist `present`: it feeds BOTH the anti-join spine and the union
+    // below — unpersisted, each consumer re-evaluates the inner join and
+    // the corpus-sized dictionary scans twice per probe (round-11
+    // advice). One materialization (it is ≤ |terms| rows, tiny), two
+    // cached reads; callers' clearCache releases it.
     val present = termDf.join(broadcast(terms), Seq("term"))
       .select(col("query_id"), col("term"), col("off"), col("plen"),
         col("__df").cast("long").as("__df"))
+      .persist()
     val t = terms.join(
         broadcast(present.select(col("query_id"), col("off").as("off"))),
         Seq("query_id", "off"), "left_anti")

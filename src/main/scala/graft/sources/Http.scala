@@ -96,6 +96,15 @@ object Http {
     * independent request, so no key locality is needed); asserted by
     * the loopback spread spec — unless the caller passes
     * `parallelism = 0` to keep its own layout.
+    *
+    * AGGREGATE-RATE CONTRACT (round-11 advice): the limiter is
+    * per-partition, so the total request rate against the remote is
+    * `parallelism * 1000 / rateLimitMs` req/s — the round-10 change of
+    * the default to `parallelism = 16` multiplied a single-partition
+    * caller's aggregate rate 16×. Quota-limited callers must size
+    * `rateLimitMs = parallelism * perRequestIntervalMs` (e.g. a 10 req/s
+    * quota at parallelism 16 needs rateLimitMs = 1600), or pass
+    * `parallelism = 1` for the old single-stream pacing.
     */
   def enrichPerRow(
       df: DataFrame,

@@ -70,6 +70,46 @@ object BenchVariance {
     verdicts(trancheQueries.map(_.flatMap(q =>
       for (t <- times.get(q); r <- ref.get(q)) yield (t, r))))
 
+  /** Geomean of this-tranche/reference ratios for ONE tranche in
+    * isolation (no artifact-wide relative test — used mid-run, before the
+    * other tranches exist, to decide an immediate retry). None when fewer
+    * than [[MinQueries]] comparable pairs. */
+  def trancheGeomeanVsRef(times: Map[String, Double],
+      ref: Map[String, Double]): Option[Double] = {
+    val ratios = times.toSeq.flatMap { case (q, t) =>
+      ref.get(q).collect { case r if r > 0.001 && t > 0 => t / r } }
+    if (ratios.size < MinQueries) None else geomean(ratios)
+  }
+
+  /** Immediate-retry trigger for a just-finished tranche: absolutely
+    * inflated vs the sibling reference. The relative (localization) test
+    * can't run mid-stream, so a uniform code slowdown WILL trigger one
+    * retry — one wasted re-run, and the final artifact's two-sided
+    * verdict still reports it honestly. */
+  def shouldRetry(times: Map[String, Double],
+      ref: Map[String, Double]): Boolean =
+    trancheGeomeanVsRef(times, ref).exists(_ >= AbsThreshold)
+
+  /** Reference-merge for suspect runs (round-11 verdict #1: an
+    * ambient-inflated tranche's times overwrote `BENCH_LOCAL.json`, so
+    * the NEXT round's geomean_vs_ref for ~50 queries compared against
+    * ~3×-inflated references and a real regression there would have read
+    * green). Per-query times from suspect tranches must never become the
+    * comparison reference:
+    *
+    *   - non-suspect queries take this run's fresh time;
+    *   - suspect-tranche queries KEEP the old reference entry;
+    *   - suspect-tranche queries the old reference lacks are DROPPED —
+    *     an inflated time in the reference silently masks a regression,
+    *     a missing entry is merely unchecked (and visibly so: no
+    *     geomean_vs_ref contribution next round).
+    */
+  def mergeReference(oldRef: Map[String, Double],
+      fresh: Map[String, Double],
+      suspectQueries: Set[String]): Map[String, Double] =
+    fresh.filterNot { case (q, _) => suspectQueries(q) } ++
+      oldRef.filter { case (q, _) => suspectQueries(q) && fresh.contains(q) }
+
   /** [[loadQueryTimes]] gated on the artifact's recorded sf matching —
     * a reference at a different scale factor would make every ratio
     * meaningless (the relative condition would mask it, but an

@@ -23,6 +23,18 @@ class VerifyManifestSpec extends AnyFunSuite {
     assert(Verify.parseFlatJson("not json at all") == Map.empty)
   }
 
+  test("parseFlatJson bails on a missing colon instead of looping forever") {
+    // round-11 advice: indexOf(':', afterK) == -1 made indexOf('"', -1)
+    // rescan from 0 and the loop stopped advancing — a hang, not a parse
+    // failure. Must return empty promptly.
+    val t = new Thread(() => assert(Verify.parseFlatJson("{\"k\" \"v\"}") == Map.empty))
+    t.setDaemon(true); t.start(); t.join(5000)
+    assert(!t.isAlive, "parseFlatJson hung on colon-less input")
+    // colon present but BEFORE the key's end was already impossible via
+    // the writer; still, a colon with no following quote must degrade too
+    assert(Verify.parseFlatJson("{\"k\": 12}") == Map.empty)
+  }
+
   test("manifest merge: children extend, later statuses win") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-manifest-spec").toString

@@ -156,4 +156,22 @@ class AnnSpec extends SparkSpec {
       iterations = 5, sampleRows = 100)
     assert(centroids.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("centroid artifact save→load round-trip is bit-exact") {
+    // moved here from q43b's timed path (round-11 verdict #3): the
+    // require used to run inside the bench clock alongside the probe.
+    // The artifact gates schema, list ordering, and double fidelity.
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(d => (i * 31 + d * 7 + 1) * 0.001f))
+    }
+    val trained = Ann.ivfTrain(rows.toDF("vec_id", "embedding"),
+      "embedding", nLists = 4, iterations = 5, sampleRows = 100)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ann-roundtrip").toString
+    Ann.saveCentroids(spark, trained, path)
+    val reloaded = Ann.loadCentroids(spark, path)
+    assert(reloaded.length == trained.length &&
+      reloaded.zip(trained).forall { case (a, b) => a.sameElements(b) },
+      "centroid artifact round-trip must be bit-exact")
+  }
 }

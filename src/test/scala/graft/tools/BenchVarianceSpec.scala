@@ -38,6 +38,44 @@ class BenchVarianceSpec extends AnyFunSuite {
     assert(!vs(1).suspect && vs(1).geomean.isEmpty)
   }
 
+  test("mergeReference: a suspect run leaves the reference's affected " +
+      "entries unchanged") {
+    val oldRef = Map("q1" -> 1.0, "q2" -> 2.0, "q3" -> 3.0, "q4" -> 4.0)
+    val fresh = Map("q1" -> 1.1, "q2" -> 6.1, "q3" -> 9.2, "q5" -> 5.0,
+      "q6" -> 0.5) // q6: suspect AND new this round; q4 left the lineup
+    val suspect = Set("q2", "q3", "q6")
+    val merged = BenchVariance.mergeReference(oldRef, fresh, suspect)
+    // clean queries take the fresh time
+    assert(merged("q1") == 1.1 && merged("q5") == 5.0)
+    // suspect queries KEEP the old reference time — never the inflated one
+    assert(merged("q2") == 2.0 && merged("q3") == 3.0)
+    // suspect + no old entry → dropped (unchecked beats inflated)
+    assert(!merged.contains("q6"))
+    // not in this run at all → dropped (lineup change)
+    assert(!merged.contains("q4"))
+  }
+
+  test("shouldRetry fires on absolute inflation only, with enough queries") {
+    val ref = (1 to 10).map(i => s"q$i" -> 1.0).toMap
+    val hot = (1 to 10).map(i => s"q$i" -> 1.5).toMap
+    val ok = (1 to 10).map(i => s"q$i" -> 1.1).toMap
+    assert(BenchVariance.shouldRetry(hot, ref))
+    assert(!BenchVariance.shouldRetry(ok, ref))
+    // under MinQueries comparable pairs → no verdict, no retry
+    assert(!BenchVariance.shouldRetry(hot.take(3), ref))
+    // no overlap with the reference → no retry
+    assert(!BenchVariance.shouldRetry(hot, Map("other" -> 1.0)))
+  }
+
+  test("trancheGeomeanVsRef drops sub-millisecond references") {
+    val ref = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 1.0,
+      "e" -> 1.0, "z" -> 0.0001)
+    val t = Map("a" -> 2.0, "b" -> 2.0, "c" -> 2.0, "d" -> 2.0,
+      "e" -> 2.0, "z" -> 50.0) // z's 500000× ratio must not count
+    val g = BenchVariance.trancheGeomeanVsRef(t, ref)
+    assert(g.exists(v => math.abs(v - 2.0) < 1e-9))
+  }
+
   test("annotate joins by query name and ignores queries absent in ref") {
     val groups = Seq(Seq("q1", "q2", "q3", "q4", "q5", "q6"),
       Seq("q7", "q8", "q9", "q10", "q11", "q12"))

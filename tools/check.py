@@ -62,9 +62,36 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     results = {}
+    # Manifest-aware enumeration (round-11 advice): result dirs alone are
+    # NOT evidence of this run's coverage — a reused outDir keeps the
+    # previous run's parquet for queries a dead tranche never reached, and
+    # comparing those reads green. The manifest (rewritten after every
+    # query by graft.Verify) is the source of truth for what THIS run
+    # attempted: entries whose status is not 'ok' are forced to that
+    # status here, and dirs with no manifest entry are flagged stale.
+    manifest = {}
+    mpath = os.path.join(OUT, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            manifest = json.load(f)
     names = [n for n in sorted(os.listdir(OUT))
              if os.path.isdir(os.path.join(OUT, n))]
+    # manifest entries with no result dir at all (e.g. 'died' before the
+    # first write) must still surface as rows in the artifact
+    names += [n for n in sorted(manifest) if n not in names]
     for qi, name in enumerate(names):
+        if manifest:
+            st = manifest.get(name)
+            if st is None:
+                results[name] = {"status": "stale_result",
+                                 "err": "result dir present but query not "
+                                        "in this run's manifest"}
+                flush(results, qi + 1, len(names))
+                continue
+            if st != "ok":
+                results[name] = {"status": st}
+                flush(results, qi + 1, len(names))
+                continue
         d = os.path.join(OUT, name)
         t0 = time.time()
         spark_df = pd.concat(
