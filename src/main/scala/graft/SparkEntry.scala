@@ -86,7 +86,9 @@ object SparkEntry {
     "q165c_phrase_index_incremental" ->
       (graft.queries.SearchQueries.buildPhraseIndexIncremental _),
     "q43b_ann_ivf_reload" ->
-      (graft.queries.DedupQueries.buildIvfArtifact _))
+      (graft.queries.DedupQueries.buildIvfArtifact _),
+    "q236_incremental_er" ->
+      (graft.queries.DedupQueries.buildErGeneration _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

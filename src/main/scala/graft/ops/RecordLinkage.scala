@@ -57,13 +57,27 @@ object RecordLinkage {
     * describe (base ∪ replicas for a dedup task, both sources for a
     * linkage task).
     */
-  def fieldWeights(records: DataFrame, fields: Seq[Field]): DataFrame = {
-    val exploded = records.select(explode(array(fields.map(f =>
+  def fieldWeights(records: DataFrame, fields: Seq[Field]): DataFrame =
+    fieldWeightsFromCounts(valueCounts(records, fields), fields)
+
+  /** Per-(field, value) record counts — the ADDITIVE sufficient
+    * statistic behind [[fieldWeights]]' u-estimation: counts from
+    * corpus generations merge by plain SUM (`groupBy(field, v).sum(c)`),
+    * so a nightly delta updates the u-probabilities EXACTLY without
+    * rescanning history — the incremental-ER artifact q236 persists.
+    */
+  def valueCounts(records: DataFrame, fields: Seq[Field]): DataFrame =
+    records.select(explode(array(fields.map(f =>
       struct(lit(f.name).as("field"), f.expr.cast("string").as("v"))): _*))
       .as("fv"))
       .select(col("fv.field"), col("fv.v"))
-    val perValue = exploded.groupBy("field", "v")
+      .groupBy("field", "v")
       .agg(count(lit(1)).as("c"))
+
+  /** [[fieldWeights]] from an already-aggregated [[valueCounts]]
+    * relation (possibly a sum-merge of several generations' counts). */
+  def fieldWeightsFromCounts(perValue: DataFrame,
+      fields: Seq[Field]): DataFrame = {
     val stats = perValue.groupBy("field").agg(
       sum(col("c") * (col("c") - 1)).cast(DecimalType(38, 0)).as("u_num"),
       sum(col("c")).cast(DecimalType(38, 0)).as("m_rows"))
@@ -111,15 +125,30 @@ object RecordLinkage {
     */
   def scorePairs(pairs: DataFrame, weights: DataFrame, fields: Seq[Field],
       thresholdBits: Int = 2): DataFrame = {
-    val wide = weights.groupBy().pivot("field", fields.map(_.name))
-      .agg(first("w_agree_fix").as("wa"), first("w_disagree_fix").as("wd"))
-    val withW = pairs.crossJoin(broadcast(wide))
     // a === b is three-valued: NULL on either side yields a NULL flag
     // (SQL semantics, identical in the mirroring engine)
-    val flagged = fields.foldLeft(withW) { (df, f) =>
+    val flagged = fields.foldLeft(pairs) { (df, f) =>
       df.withColumn(s"agree_${f.name}",
         (col(s"${f.name}_a") === col(s"${f.name}_b")).cast("int"))
     }
+    scorePatterns(flagged, weights, fields, thresholdBits)
+  }
+
+  /** Score rows that already carry the per-field `agree_<f>` PATTERN
+    * flags (1/0/NULL, [[scorePairs]]' convention) — the persisted-
+    * artifact path: an agreement pattern is a pure function of the pair
+    * CONTENT, so when a new generation re-estimates weights (u shifts
+    * as the corpus grows), history's scored candidates re-score as a
+    * broadcast map over 4 small ints — no field payloads re-joined, no
+    * string comparisons re-run. q236's incremental-ER probe re-scores
+    * every carried candidate this way and reserves [[scorePairs]] for
+    * the delta-touched pairs only.
+    */
+  def scorePatterns(flagged: DataFrame, weights: DataFrame,
+      fields: Seq[Field], thresholdBits: Int = 2): DataFrame = {
+    val wide = weights.groupBy().pivot("field", fields.map(_.name))
+      .agg(first("w_agree_fix").as("wa"), first("w_disagree_fix").as("wd"))
+    val withW = flagged.crossJoin(broadcast(wide))
     // NULL flag -> 0 contribution (neither w_agree nor w_disagree):
     // missing data is absence of evidence, not disagreement evidence
     val score = fields.map(f =>
@@ -127,7 +156,7 @@ object RecordLinkage {
         .when(col(s"agree_${f.name}") === 0, col(s"${f.name}_wd"))
         .otherwise(lit(0L))).reduce(_ + _)
     val thr = thresholdBits.toLong << 16
-    flagged
+    withW
       .withColumn("n_agree",
         fields.map(f => coalesce(col(s"agree_${f.name}"), lit(0))
           .cast(LongType)).reduce(_ + _))

@@ -1918,7 +1918,7 @@ object DedupQueries {
     * reversed key. Shared by q153 and q235 so the two corpora cannot
     * drift.
     */
-  private def fsRecords(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def fsRecords(spark: SparkSession, dir: String): DataFrame = {
     val d = Load.table(spark, dir, "documents")
       .select("doc_id", "lang", "source", "text")
     val replica = d.select(
@@ -2132,12 +2132,15 @@ object DedupQueries {
     * weights broadcast; no corpus-wide window (exactRank is the
     * histogram path) and no all-pairs anywhere.
     */
-  def q235DedupPipeline(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ops.RecordLinkage
-    import graft.ops.RecordLinkage.Field
-    val records = fsRecords(spark, dir)
-      .persist() // feeds both blocking passes, u-estimation, and both pair sides
-    val fields = FsM.map { case (n, m, mc) => Field(n, col(s"f_$n"), m, mc) }
+  /** q235's two blocking passes over `records` (narrow key-only
+    * relations — no payloads travel): inverted head-fingerprint index
+    * (hot blocks df-pruned at 50, the q150 discipline) ∪ sorted
+    * neighborhood on the tail key (q151's histogram exact-rank, window
+    * 3), unioned through one (id_a, id_b) groupBy that keeps per-tier
+    * provenance. Shared by q235 (full run) and q236 (incremental run on
+    * the merged corpus) so the two candidate sets cannot drift.
+    */
+  private[graft] def fsBlockCandidates(records: DataFrame): DataFrame = {
     // pass 1: inverted index on the head fingerprint, hot blocks pruned
     val heads = records.groupBy("f_head").agg(count(lit(1)).as("__c"))
       .filter(col("__c") <= 50).select("f_head")
@@ -2159,9 +2162,18 @@ object DedupQueries {
         greatest(col("__ida"), col("__idb")).as("id_b"),
         lit(0).as("from_head"), lit(1).as("from_snm"))
     // cross-tier union + dedup with provenance — the composition barrier
-    val cand = headPairs.unionByName(snmPairs)
+    headPairs.unionByName(snmPairs)
       .groupBy("id_a", "id_b")
       .agg(max("from_head").as("from_head"), max("from_snm").as("from_snm"))
+  }
+
+  def q235DedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.RecordLinkage
+    import graft.ops.RecordLinkage.Field
+    val records = fsRecords(spark, dir)
+      .persist() // feeds both blocking passes, u-estimation, and both pair sides
+    val fields = FsM.map { case (n, m, mc) => Field(n, col(s"f_$n"), m, mc) }
+    val cand = fsBlockCandidates(records)
     // scoring tier (q153's machinery, unchanged)
     val weights = RecordLinkage.fieldWeights(records, fields)
     val sideA = records.select(col("doc_id").as("id_a") +:
@@ -2285,6 +2297,229 @@ object DedupQueries {
        |       lang, lang_src, source, source_src
        |FROM gold g JOIN es USING (cluster_id)
        |ORDER BY cluster_id""".stripMargin
+  }
+
+  // ------------------------------------------------ q236 incremental ER
+
+  private[graft] def erBase(dir: String): String =
+    s"/tmp/graft_er_${ScratchDirs.pathKey(dir)}_${ProcessHandle.current().pid()}"
+
+  /** The delta partition for q236's two-generation split: ~1/13 of the
+    * fsRecords corpus plays "today's ingest batch" against the rest as
+    * the already-clustered history. Applied to the FINAL record id so
+    * planted duplicate pairs routinely straddle the split (replica in
+    * the delta, original in history) — the cross-generation joins are
+    * the whole point.
+    */
+  private[graft] def erIsDelta = col("doc_id") % 13 === 4
+
+  private val erFsFields = FsM.map { case (n, m, mc) =>
+    graft.ops.RecordLinkage.Field(n, col(s"f_$n"), m, mc) }
+
+  private def erSide(records: DataFrame, side: String): DataFrame =
+    records.select(col("doc_id").as(s"id_$side") +:
+      FsM.map { case (n, _, _) => col(s"f_$n").as(s"${n}_$side") }: _*)
+
+  /** Generation-0 build for q236 (registered in
+    * [[graft.SparkEntry.prepare]] — Bench runs it outside the clock):
+    * the FULL q235 pipeline over the HISTORY partition, persisting the
+    * four artifacts a production nightly ER run maintains:
+    *
+    *   - `value_counts`  — per-(field, value) record counts, the
+    *     ADDITIVE sufficient statistic for the Fellegi–Sunter
+    *     u-probabilities (counts merge by sum, so the next generation's
+    *     weights are EXACT without rescanning history);
+    *   - `candidates`    — every blocked pair with provenance flags,
+    *     per-field agreement PATTERN, score and decision (patterns are
+    *     pair-content functions: re-scoring under next generation's
+    *     weights is a broadcast map over 4 small ints, never a field
+    *     re-comparison);
+    *   - `labels`        — the connected-components star forest
+    *     (doc_id, cluster_id), the mergeable checkpoint incremental CC
+    *     extends;
+    *   - `golden`        — the survivorship output per cluster, reused
+    *     verbatim for clusters the delta does not touch.
+    */
+  def buildErGeneration(spark: SparkSession, dir: String): Unit = {
+    val base = erBase(dir)
+    if (new java.io.File(s"$base/_DONE").exists()) return
+    ScratchDirs.deleteOnExit(base)
+    import graft.ops.RecordLinkage
+    val hist = fsRecords(spark, dir).filter(!erIsDelta).persist()
+    RecordLinkage.valueCounts(hist, erFsFields)
+      .write.mode("overwrite").parquet(s"$base/value_counts")
+    val weights = RecordLinkage.fieldWeightsFromCounts(
+      spark.read.parquet(s"$base/value_counts"), erFsFields)
+    val pairs = fsBlockCandidates(hist)
+      .join(erSide(hist, "a"), "id_a").join(erSide(hist, "b"), "id_b")
+    RecordLinkage.scorePairs(pairs, weights, erFsFields)
+      .select(Seq(col("id_a"), col("id_b"), col("from_head"),
+        col("from_snm"), col("score_fix"), col("decision")) ++
+        FsM.map { case (n, _, _) => col(s"agree_$n") }: _*)
+      .write.mode("overwrite").parquet(s"$base/candidates")
+    val scored = spark.read.parquet(s"$base/candidates")
+    val labels = graft.graphs.ConnectedComponents.components(
+        scored.filter(col("decision") === 1)
+          .select(col("id_a").as("a"), col("id_b").as("b")))
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("component", "cluster_id")
+    labels.write.mode("overwrite").parquet(s"$base/labels")
+    val members = hist
+      .join(spark.read.parquet(s"$base/labels"), "doc_id").select(
+        col("cluster_id"), col("doc_id").as("id"),
+        (col("doc_id") % 11).as("ver"),
+        when(col("f_lang") =!= "xx", col("f_lang")).as("lang"),
+        col("f_source").as("source"))
+    graft.ops.Survivorship.golden(members, "cluster_id", "id",
+        Seq("ver"), Seq("lang", "source"))
+      .write.mode("overwrite").parquet(s"$base/golden")
+    hist.unpersist()
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$base/_DONE"))
+  }
+
+  /** q236: INCREMENTAL entity resolution — q235's composed pipeline run
+    * the way a production nightly actually runs it (round-11 verdict
+    * #4; the reference analogue is the SCD revision merge,
+    * obsolete/prepare_data_for_es.py:28-241, whose whole point is not
+    * re-processing unchanged rows): a ~1/13 delta batch arrives against
+    * [[buildErGeneration]]'s clustered history, and the probe
+    *
+    *   1. updates the Fellegi–Sunter weights EXACTLY by sum-merging the
+    *      history `value_counts` artifact with the delta's own counts
+    *      (u-statistics are additive — no history rescan);
+    *   2. re-runs only the KEY-ONLY blocking passes on the merged
+    *      corpus (16-char keys + ids travel; SNM's global rank is the
+    *      one inherently corpus-wide pass — at 100 TB that rank is a
+    *      maintained sorted index, documented in SCALING.md);
+    *   3. field-compares ONLY the delta-touched pairs (anti-join
+    *      against the history candidate artifact); carried pairs
+    *      re-score under the new weights from their persisted agreement
+    *      PATTERNS — a broadcast map, no payloads;
+    *   4. re-clusters via the star-forest checkpoint: unaffected old
+    *      clusters enter as depth-1 stars; clusters that LOST an edge
+    *      (hot-block crossings, SNM rank shifts, weight-flip decisions
+    *      — all real in this corpus) are rebuilt from their surviving
+    *      raw edges — the decremental path a pure union-find reuse
+    *      cannot express;
+    *   5. re-derives golden records ONLY for clusters whose membership
+    *      changed; untouched clusters reuse the generation-0 rows.
+    *
+    * Oracle: full-recompute equality — q235Sql verbatim on the merged
+    * corpus. Every shortcut above must be invisible in the output.
+    */
+  def q236IncrementalEr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.RecordLinkage
+    buildErGeneration(spark, dir) // no-op when the untimed prepare ran
+    val base = erBase(dir)
+    val records = fsRecords(spark, dir).persist()
+    val delta = records.filter(erIsDelta)
+    // (1) exact weight update from additive value counts
+    val vcMerged = spark.read.parquet(s"$base/value_counts")
+      .unionByName(RecordLinkage.valueCounts(delta, erFsFields))
+      .groupBy("field", "v").agg(sum("c").as("c"))
+    val weights = RecordLinkage.fieldWeightsFromCounts(vcMerged, erFsFields)
+    // (2) key-only blocking on the merged corpus
+    val candM = fsBlockCandidates(records).persist()
+    val candH = spark.read.parquet(s"$base/candidates")
+    // (3) carried pairs keep their persisted agreement patterns
+    // (provenance comes from the merged blocking — a pair can gain or
+    // lose a tier); only NEW pairs join the wide payloads
+    val carried = candM.join(
+      candH.select(Seq(col("id_a"), col("id_b")) ++
+        FsM.map { case (n, _, _) => col(s"agree_$n") }: _*),
+      Seq("id_a", "id_b"))
+    val newPairs = candM
+      .join(candH.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+      .join(erSide(records, "a"), "id_a").join(erSide(records, "b"), "id_b")
+    val scoreCols = Seq(col("id_a"), col("id_b"), col("from_head"),
+      col("from_snm"), col("score_fix"), col("decision"))
+    val scoredM = RecordLinkage
+      .scorePatterns(carried, weights, erFsFields).select(scoreCols: _*)
+      .unionByName(RecordLinkage
+        .scorePairs(newPairs, weights, erFsFields).select(scoreCols: _*))
+    val links = scoredM.filter(col("decision") === 1)
+      .select("id_a", "id_b", "score_fix", "from_head", "from_snm")
+      .persist() // feeds CC, edge stats, and the removed-edge diff
+    // (4) decremental-aware incremental CC: an old link that did not
+    // survive (pruned block / SNM shift / weight flip) invalidates its
+    // old cluster's star — those clusters rebuild from raw edges
+    val labelsH = spark.read.parquet(s"$base/labels")
+    val removed = candH.filter(col("decision") === 1)
+      .select("id_a", "id_b")
+      .join(links.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+    val affected = labelsH.join(
+        removed.select(col("id_a").as("doc_id"))
+          .unionByName(removed.select(col("id_b").as("doc_id"))).distinct(),
+        "doc_id")
+      .select("cluster_id").distinct().withColumn("__aff", lit(1))
+    val stars = labelsH.join(affected, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id").as("a"), col("cluster_id").as("b"))
+    // raw edges: every current link EXCEPT those both of whose endpoints
+    // sit in the SAME unaffected old cluster (the star already carries
+    // that connectivity — this is the reuse)
+    val rawEdges = links
+      .join(labelsH.select(col("doc_id").as("id_a"),
+        col("cluster_id").as("__ca")), Seq("id_a"), "left")
+      .join(labelsH.select(col("doc_id").as("id_b"),
+        col("cluster_id").as("__cb")), Seq("id_b"), "left")
+      .join(affected.select(col("cluster_id").as("__ca"),
+        col("__aff")), Seq("__ca"), "left")
+      .filter(col("__ca").isNull || col("__cb").isNull ||
+        col("__ca") =!= col("__cb") || col("__aff").isNotNull)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    // localCheckpoint (components' own lineage discipline): labels feed
+    // members, edge stats, AND touch detection — without truncation each
+    // consumer re-executes the stars∪rawEdges tree and the printed plan
+    // multiplies it ~30× (first pin came out at 3655 exchanges)
+    val labels = graft.graphs.ConnectedComponents
+      .components(stars.unionByName(rawEdges))
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("component", "cluster_id")
+      .localCheckpoint(true)
+    val members = records.join(labels, "doc_id").select(
+      col("cluster_id"), col("doc_id").as("id"),
+      (col("doc_id") % 11).as("ver"),
+      when(col("f_lang") =!= "xx", col("f_lang")).as("lang"),
+      col("f_source").as("source")).persist()
+    // (5) survivorship only where membership changed: a new cluster is
+    // UNTOUCHED iff its members are exactly one old cluster's members
+    // (same labeled set, same old size) — then its min-id label, hence
+    // its golden row, is unchanged by construction
+    val goldenH = spark.read.parquet(s"$base/golden")
+    val status = members.select("cluster_id", "id")
+      .join(labelsH.select(col("doc_id").as("id"),
+        col("cluster_id").as("__old")), Seq("id"), "left")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("__n"), count(col("__old")).as("__nl"),
+        countDistinct(col("__old")).as("__nc"), min("__old").as("__oldc"))
+      .join(goldenH.select(col("cluster_id").as("__oldc"),
+        col("n_members").as("__oldn")), Seq("__oldc"), "left")
+      .withColumn("__untouched",
+        col("__nl") === col("__n") && col("__nc") === 1 &&
+          col("__oldn") === col("__n"))
+      .persist() // read twice: the touched filter and the reuse filter
+    val touched = status.filter(!col("__untouched")).select("cluster_id")
+    val golden = graft.ops.Survivorship
+      .golden(members.join(touched, "cluster_id"), "cluster_id", "id",
+        Seq("ver"), Seq("lang", "source"))
+      .unionByName(goldenH.join(
+        status.filter(col("__untouched")).select("cluster_id"),
+        "cluster_id"))
+    val edgeStats = links
+      .join(labels.withColumnRenamed("doc_id", "id_a"), "id_a")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_link_edges"),
+        min("score_fix").as("weakest_fix"),
+        sum(col("from_head").cast(LongType)).as("n_from_head"),
+        sum(col("from_snm").cast(LongType)).as("n_from_snm"))
+    golden.join(edgeStats, "cluster_id")
+      .select(col("cluster_id"), col("n_members"), col("n_link_edges"),
+        (col("n_link_edges") * 2 ===
+          col("n_members") * (col("n_members") - 1)).cast(IntegerType)
+          .as("is_clique"),
+        col("weakest_fix"), col("n_from_head"), col("n_from_snm"),
+        col("lang"), col("lang_src"), col("source"), col("source_src"))
+      .orderBy("cluster_id")
   }
 
   /** q220: dedup-cluster QUALITY audit — the QA pass a pipeline runs
@@ -2772,6 +3007,7 @@ object DedupQueries {
     "q239_overlap_tier_envelope" -> (q239OverlapTierEnvelope _),
     "q153_fellegi_sunter" -> (q153FellegiSunter _),
     "q235_dedup_pipeline" -> (q235DedupPipeline _),
+    "q236_incremental_er" -> (q236IncrementalEr _),
     "q151_sorted_neighborhood" -> (q151SortedNeighborhood _),
     "q150_winnow_pairs" -> (q150WinnowPairs _),
     "q149_corpus_overlap" -> (q149CorpusOverlap _),
@@ -2813,6 +3049,8 @@ object DedupQueries {
     "q239_overlap_tier_envelope" -> q239Sql,
     "q153_fellegi_sunter" -> q153Sql,
     "q235_dedup_pipeline" -> q235Sql,
+    // full-recompute equality: the incremental probe must be invisible
+    "q236_incremental_er" -> q235Sql,
     "q151_sorted_neighborhood" -> q151Sql,
     "q150_winnow_pairs" -> q150Sql,
     "q149_corpus_overlap" -> q149Sql,

@@ -1,0 +1,75 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.DedupQueries
+
+/** q236's incremental-ER contract beyond the driver's full-recompute
+  * oracle: the oracle proves the OUTPUT is indistinguishable from a
+  * from-scratch q235 run, but not that the incremental machinery was
+  * actually exercised. This spec pins that the corpus split makes all
+  * three generation-transition paths REAL on the test corpus:
+  *
+  *   - carried pairs (patterns reused, no field re-comparison) exist;
+  *   - new pairs exist AND every one touches the delta — an insert-only
+  *     ingest can never create a history-history candidate (head blocks
+  *     only grow toward the prune cap; SNM offsets only grow), so a
+  *     history-history "new" pair would mean the carry logic leaks
+  *     re-comparisons;
+  *   - removed candidates exist (hot-block crossings / SNM rank shifts)
+  *     — the decremental path that invalidates cluster stars;
+  *   - some generation-0 golden rows survive verbatim (reuse is real)
+  *     while others are recomputed (touch detection is real).
+  */
+class ErIncrementalSpec extends SparkSpec {
+
+  test("q236 equals q235 row-for-row and exercises carry/new/remove") {
+    val full = DedupQueries.q235DedupPipeline(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val inc = DedupQueries.q236IncrementalEr(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(full == inc, s"incremental drift: ${inc.size} vs ${full.size} rows")
+
+    val base = DedupQueries.erBase(sf)
+    val candH = spark.read.parquet(s"$base/candidates")
+      .select("id_a", "id_b")
+    val records = DedupQueries.fsRecords(spark, sf)
+    val candM = DedupQueries.fsBlockCandidates(records)
+      .select("id_a", "id_b").persist()
+
+    val carried = candM.join(candH, Seq("id_a", "id_b")).count()
+    val fresh = candM.join(candH, Seq("id_a", "id_b"), "left_anti").persist()
+    val removedCand = candH.join(candM, Seq("id_a", "id_b"), "left_anti").count()
+    assert(carried > 0, "no carried candidates — split degenerate")
+    assert(fresh.count() > 0, "no new candidates — delta invisible")
+    assert(removedCand > 0,
+      "no removed candidates — the decremental path is untested here")
+
+    // every new pair must touch the delta (insert-only monotonicity)
+    val histIds = records.filter(!DedupQueries.erIsDelta)
+      .select(col("doc_id"))
+    val histHist = fresh
+      .join(histIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"),
+        "left_semi")
+      .join(histIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
+        "left_semi")
+      .count()
+    assert(histHist == 0,
+      s"$histHist history-history pairs scored as NEW — carry leak")
+
+    // golden-row reuse vs recompute both happen: compare generation-0
+    // golden rows with the final output by cluster id
+    val goldenH = spark.read.parquet(s"$base/golden")
+      .select("cluster_id", "n_members").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = full.map(r =>
+      r.head.asInstanceOf[Long] -> r(1).asInstanceOf[Long]).toMap
+    val same = out.count { case (c, n) => goldenH.get(c).contains(n) }
+    assert(same > 0, "no generation-0 cluster survived — reuse untested")
+    assert(same < out.size, "every cluster unchanged — touch detection untested")
+
+    candM.unpersist(); fresh.unpersist()
+    spark.catalog.clearCache()
+  }
+}
