@@ -2467,12 +2467,17 @@ object DedupQueries {
       .filter(col("__ca").isNull || col("__cb").isNull ||
         col("__ca") =!= col("__cb") || col("__aff").isNotNull)
       .select(col("id_a").as("a"), col("id_b").as("b"))
+    // persist the CC input: components() evaluates its edge relation
+    // twice (the eager dedup checkpoint AND the node spine) — uncached,
+    // the full stars∪rawEdges tree re-executed both times (measured:
+    // the probe ran ~2× q235 at sf0.1 before this)
+    val ccInput = stars.unionByName(rawEdges).persist()
     // localCheckpoint (components' own lineage discipline): labels feed
     // members, edge stats, AND touch detection — without truncation each
     // consumer re-executes the stars∪rawEdges tree and the printed plan
     // multiplies it ~30× (first pin came out at 3655 exchanges)
     val labels = graft.graphs.ConnectedComponents
-      .components(stars.unionByName(rawEdges))
+      .components(ccInput)
       .withColumnRenamed("id", "doc_id")
       .withColumnRenamed("component", "cluster_id")
       .localCheckpoint(true)
