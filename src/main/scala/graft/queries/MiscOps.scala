@@ -1260,11 +1260,13 @@ object MiscOps {
   def q238QuantileTierEnvelope(spark: SparkSession, dir: String): DataFrame = {
     val d = Load.table(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), (col("doc_id") % 8).as("v"))
-    val exact = Quantiles.percentileRank(d, Seq("lang"), "v", "pct_exact")
-    val sketch = Quantiles
-      .percentileRankSketch(d, Seq("lang"), "v", "pct_sketch")
-      .select(col("doc_id"), col("pct_sketch"))
-    exact.join(sketch, "doc_id")
+    // chain the tiers on ONE lineage — sketch FIRST: its histogram then
+    // aggregates the clean scan (no window in the broadcast branch) and
+    // the exact tier's rank window runs once, after the broadcast join.
+    // Chaining avoids the corpus×corpus doc_id equi-join of two
+    // separate lineages the first cut had.
+    val sk = Quantiles.percentileRankSketch(d, Seq("lang"), "v", "pct_sketch")
+    Quantiles.percentileRank(sk, Seq("lang"), "v", "pct_exact")
       .select("doc_id", "lang", "v", "pct_exact", "pct_sketch")
       .orderBy("doc_id")
   }
