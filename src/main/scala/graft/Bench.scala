@@ -127,9 +127,13 @@ object Bench {
     // the committed sf1 artifact so sf1 runs also self-report variance
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_LOCAL.json")
     val primaryRef = tools.BenchVariance.loadQueryTimesForSf(refPath, sfDir)
-    val refTimes =
-      if (primaryRef.nonEmpty) primaryRef
-      else tools.BenchVariance.loadQueryTimesForSf("BENCH_SF1.json", sfDir)
+    // refSourcePath tracks the file the annotation ACTUALLY used: an sf1
+    // run falls back to BENCH_SF1.json, and the suspect-run protection
+    // below must guard THAT file, not the primary default
+    val (refTimes, refSourcePath) =
+      if (primaryRef.nonEmpty) (primaryRef, refPath)
+      else (tools.BenchVariance.loadQueryTimesForSf("BENCH_SF1.json", sfDir),
+        "BENCH_SF1.json")
     def currentVerdicts(): Seq[Option[tools.BenchVariance.TrancheVerdict]] =
       if (refTimes.isEmpty) trancheInfo.toSeq.map(_ => None)
       else tools.BenchVariance.annotate(
@@ -283,7 +287,8 @@ object Bench {
       // CHECKPOINT writes (the final write is just the last checkpoint);
       // oldRef is the file's sf-matched content from before our first write
       val refProtect =
-        if (suspectQs.nonEmpty) Some(RefProtect(refPath, primaryRef, suspectQs))
+        if (suspectQs.nonEmpty)
+          Some(RefProtect(refSourcePath, refTimes, suspectQs))
         else None
       val doneSoFar = tranches.take(i + 1).flatten
       emit(doneSoFar.map(n => (n, perQuery.getOrElse(n, 0.0),
@@ -483,6 +488,12 @@ object Bench {
     try {
       val outStr = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
       val out = java.nio.file.Paths.get(outStr)
+      // path equality must be canonical: the sf1 run names its out-path
+      // absolutely while the fallback reference is repo-relative
+      def samePath(a: String, b: String): Boolean =
+        try java.nio.file.Paths.get(a).toAbsolutePath.normalize ==
+          java.nio.file.Paths.get(b).toAbsolutePath.normalize
+        catch { case scala.util.control.NonFatal(_) => a == b }
       refProtect match {
         // Suspect-run reference protection (round-11 verdict #1): when
         // this write would land on the variance reference itself, ship
@@ -492,7 +503,7 @@ object Bench {
         // the old file lacks them: inflated references mask regressions,
         // missing ones are visibly unchecked). When the old file was not
         // a usable sf-matched reference, leave it untouched entirely.
-        case Some(rp) if outStr == rp.refPath =>
+        case Some(rp) if samePath(outStr, rp.refPath) =>
           val side = java.nio.file.Paths.get(outStr + ".suspect.json")
           java.nio.file.Files.write(side, jsonFull.getBytes("UTF-8"))
           if (rp.oldRef.nonEmpty) {
