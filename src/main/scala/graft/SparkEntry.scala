@@ -88,7 +88,9 @@ object SparkEntry {
     "q43b_ann_ivf_reload" ->
       (graft.queries.DedupQueries.buildIvfArtifact _),
     "q236_incremental_er" ->
-      (graft.queries.DedupQueries.buildErGeneration _))
+      (graft.queries.DedupQueries.buildErGeneration _),
+    "q240_incremental_er_2gen" ->
+      (graft.queries.DedupQueries.buildErGenerations2 _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -72,4 +72,28 @@ class ErIncrementalSpec extends SparkSpec {
     candM.unpersist(); fresh.unpersist()
     spark.catalog.clearCache()
   }
+
+  test("q240: two chained generation merges equal one from-scratch run") {
+    // the induction step: night 1's ROLLED artifacts feed night 2's
+    // merge, and the composition must be indistinguishable from q235 on
+    // the full corpus — the fixpoint that lets the pipeline run
+    // incrementally forever
+    val full = DedupQueries.q235DedupPipeline(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val twoGen = DedupQueries.q240IncrementalEr2Gen(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(full == twoGen,
+      s"generation composition drift: ${twoGen.size} vs ${full.size} rows")
+    // the rolled generation-1 artifact set is complete (the next merge's
+    // whole input contract)
+    val g1 = DedupQueries.er2Base(sf, 1)
+    for (a <- Seq("fields", "value_counts", "candidates", "labels", "golden"))
+      assert(new java.io.File(s"$g1/$a").exists(), s"missing rolled $a")
+    // and the rolled candidates carry the patterns the NEXT merge
+    // re-scores from
+    val cand = spark.read.parquet(s"$g1/candidates")
+    for (c <- Seq("agree_lang", "agree_source", "agree_head", "agree_lenb"))
+      assert(cand.columns.contains(c), s"rolled candidates lack $c")
+    spark.catalog.clearCache()
+  }
 }

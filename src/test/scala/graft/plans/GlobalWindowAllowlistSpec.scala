@@ -79,8 +79,8 @@ object GlobalWindowAllowlistSpec {
     *     same bounded shape as q151; visible here since the spec reads
     *     the ANALYZED plan (its links/records persists hid the subtree
     *     from the optimized plan).
-    *   - q236: the identical exactRank histogram windows — the merged-
-    *     corpus SNM blocking pass q236 shares with q235 via
+    *   - q236/q240: the identical exactRank histogram windows — the
+    *     merged-corpus SNM blocking pass shared with q235 via
     *     fsBlockCandidates (the CC/star machinery itself is window-free
     *     and lineage-truncated by localCheckpoint).
     *
@@ -101,6 +101,6 @@ object GlobalWindowAllowlistSpec {
     "q175_funnel", "q177_hybrid_rrf", "q180_rfm_segments",
     "q211_matryoshka_variance", "q216_nb_calibration",
     "q217_conformal_gate", "q224_rank_agreement", "q226_blocking_recall",
-    "q235_dedup_pipeline", "q236_incremental_er",
+    "q235_dedup_pipeline", "q236_incremental_er", "q240_incremental_er_2gen",
     "q232_quality_token_curve", "q65_pack_sequences", "q69_tfidf_search")
 }
