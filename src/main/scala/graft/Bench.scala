@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{count, lit}
+import org.apache.spark.sql.functions.{count, lit, sum}
 
 /** Benchmark main. Two modes:
   *
@@ -78,22 +78,39 @@ object Bench {
   /** One tranche's merged record for the artifact's `tranches` array. */
   private final case class TrancheRun(i: Int, qs: Seq[String], wall: Double,
       exit: Int, peakRss: Long, load1Before: Double, load1After: Double,
-      stealPct: Double, retries: Int)
+      stealPct: Double, retries: Int, retrySkippedLoad: Boolean)
 
   /** Reference-protection context (round-11 verdict #1): when the durable
-    * out-path IS the variance reference and any tranche is suspect, the
-    * full record goes to a `.suspect.json` side artifact and the
+    * out-path IS a variance-reference candidate — the file the annotation
+    * actually read OR the primary `SPARK_GRAFT_BENCH_REF` path a FUTURE
+    * run will read (round-12 advisor, medium: the fallback path used to
+    * leave the primary default unguarded, so a suspect sf-matched run
+    * still became next round's baseline) — and any tranche is suspect,
+    * the full record goes to a `.suspect.json` side artifact and the
     * reference receives only [[tools.BenchVariance.mergeReference]]'d
-    * times — a suspect run must never become next round's comparison
-    * baseline. `oldRef` is the reference file's content loaded BEFORE the
-    * first write, so per-checkpoint merges are idempotent. */
-  private final case class RefProtect(refPath: String,
+    * times. `oldRef` is the OUT-path file's sf-matched content loaded
+    * BEFORE the first checkpoint write (checkpoints overwrite the file
+    * mid-run), so per-checkpoint merges are idempotent; when it is empty
+    * there is nothing safe to merge and the out-path is left untouched
+    * entirely. */
+  private final case class RefProtect(refPaths: Seq[String],
       oldRef: Map[String, Double], suspectQueries: Set[String])
 
   private def runSharded(names: Seq[String], trancheSize: Int): Unit = {
     import scala.jdk.CollectionConverters._
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val tranches = names.grouped(trancheSize).toSeq
+    val grouped = names.grouped(trancheSize).toSeq
+    // Remainder folding (round-12 verdict #2): a trailing tranche with
+    // fewer than MinQueries queries gets no suspect verdict and no
+    // auto-retry — an unflaggable inflation hole (r12's sf1 tranche 5:
+    // one query, geomean 1.718, suspect:false) — and pays a full ~29 s
+    // child-JVM spin-up for sub-second work. Fold it into the previous
+    // tranche so every query sits under the variance machinery.
+    val tranches =
+      if (grouped.size >= 2 &&
+          grouped.last.size < tools.BenchVariance.MinQueries)
+        grouped.dropRight(2) :+ (grouped(grouped.size - 2) ++ grouped.last)
+      else grouped
     val javaBin = System.getProperty("java.home") + "/bin/java"
     // replicate THIS JVM's flags (add-opens, -Xmx, code cache) verbatim —
     // the child must time under the same memory/JIT regime sbt gave us —
@@ -128,12 +145,21 @@ object Bench {
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_LOCAL.json")
     val primaryRef = tools.BenchVariance.loadQueryTimesForSf(refPath, sfDir)
     // refSourcePath tracks the file the annotation ACTUALLY used: an sf1
-    // run falls back to BENCH_SF1.json, and the suspect-run protection
-    // below must guard THAT file, not the primary default
+    // run falls back to BENCH_SF1.json. The suspect-run protection below
+    // guards BOTH that file and the primary refPath — a suspect record
+    // landing on either poisons a future run's baseline.
     val (refTimes, refSourcePath) =
       if (primaryRef.nonEmpty) (primaryRef, refPath)
       else (tools.BenchVariance.loadQueryTimesForSf("BENCH_SF1.json", sfDir),
         "BENCH_SF1.json")
+    // the OUT-path's own sf-matched content, captured before the first
+    // checkpoint write clobbers it — the only safe merge base when this
+    // run turns out suspect
+    val outPathStr = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "BENCH_SUBSET.json"
+      else "BENCH_LOCAL.json")
+    val oldRefAtOut = tools.BenchVariance.loadQueryTimesForSf(outPathStr, sfDir)
+    val cpusOnHost = Runtime.getRuntime.availableProcessors()
     def currentVerdicts(): Seq[Option[tools.BenchVariance.TrancheVerdict]] =
       if (refTimes.isEmpty) trancheInfo.toSeq.map(_ => None)
       else tools.BenchVariance.annotate(
@@ -146,14 +172,25 @@ object Bench {
         val vj = v.map { tv =>
           val vg = tv.geomean
             .map(g => s""","geomean_vs_ref":${ms(g)}""").getOrElse("")
-          s"""$vg,"suspect":${tv.suspect}"""
+          // two-kind discriminator (round-12 verdict #3): the artifact
+          // adjudicates a suspect tranche itself — ambient (machine
+          // visibly loaded, noise) vs unexplained (idle machine, treat
+          // as a regression)
+          val kind =
+            if (tv.suspect)
+              s""","suspect_kind":"${tools.BenchVariance.suspectKind(
+                t.load1Before, t.load1After, cpusOnHost)}""""
+            else ""
+          s"""$vg,"suspect":${tv.suspect}$kind"""
         }.getOrElse("")
+        val skipped =
+          if (t.retrySkippedLoad) s""","retry_skipped_load":true""" else ""
         s"""{"i":${t.i},"n":${t.qs.size},"first":"${t.qs.head}",""" +
           s""""last":"${t.qs.last}","wall_sec":${ms(t.wall)},""" +
           s""""exit":${t.exit},"child_peak_rss_mb":${t.peakRss},""" +
           s""""load1_before":${ms(t.load1Before)},""" +
           s""""load1_after":${ms(t.load1After)},""" +
-          s""""steal_pct":${ms(t.stealPct)},"retries":${t.retries}$vj}"""
+          s""""steal_pct":${ms(t.stealPct)},"retries":${t.retries}$skipped$vj}"""
       }
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -162,7 +199,8 @@ object Bench {
       * or unparseable child degrades to all-failed, never aborts the
       * merged run. */
     def runChild(i: Int, qs: Seq[String], attempt: Int): (Double, Int, Long,
-        Map[String, Double], Seq[String], Map[String, Long]) = {
+        Map[String, Double], Seq[String], Map[String, Long],
+        Map[String, Long]) = {
       val outFile = tmp.resolve(s"tranche_${i}_a$attempt.json")
       val cmd = (Seq(javaBin) ++ jvmArgs ++
         Seq("-cp", cp, "graft.Bench")).asJava
@@ -210,7 +248,7 @@ object Bench {
       if (code != 0 || !java.nio.file.Files.exists(outFile)) {
         // a dead tranche must surface as FAILURES, never vanish
         System.err.println(s"[bench] tranche $i exited $code without output")
-        (wall, code, childPeakRss.get(), Map.empty, qs, Map.empty)
+        (wall, code, childPeakRss.get(), Map.empty, qs, Map.empty, Map.empty)
       } else {
         // a child killed mid-write leaves a truncated file that EXISTS —
         // a parse failure must degrade this tranche to failures, exactly
@@ -224,12 +262,15 @@ object Bench {
           val orows = Option(node.get("output_rows")).map(_.fields().asScala
             .map(e => e.getKey -> e.getValue.asLong()).toMap)
             .getOrElse(Map.empty[String, Long])
-          (wall, code, childPeakRss.get(), times, fs, orows)
+          val obytes = Option(node.get("output_bytes")).map(_.fields().asScala
+            .map(e => e.getKey -> e.getValue.asLong()).toMap)
+            .getOrElse(Map.empty[String, Long])
+          (wall, code, childPeakRss.get(), times, fs, orows, obytes)
         } catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(
               s"[bench] tranche $i output unparseable ($e) — marking failed")
-            (wall, code, childPeakRss.get(), Map.empty, qs, Map.empty)
+            (wall, code, childPeakRss.get(), Map.empty, qs, Map.empty, Map.empty)
         }
       }
     }
@@ -237,29 +278,46 @@ object Bench {
     // one immediate retry for an absolutely-inflated tranche (round-11
     // verdict #1: the self-flag worked but the inflated numbers still
     // shipped; a second attempt usually lands outside the ambient burst).
-    // Keep whichever attempt sits closer to the reference.
+    // Keep whichever attempt sits closer to the reference in LOG distance
+    // (|log g| — a spuriously-fast retry must not beat an honest 1.1×).
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY", "1").toInt
     val outRowsAll = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val outBytesAll = scala.collection.mutable.LinkedHashMap[String, Long]()
     tranches.zipWithIndex.foreach { case (qs, i) =>
       val load1Before = loadAvg1()
       val (steal0, total0) = cpuJiffies()
-      var (wall, code, rss, times, tFailed, oRows) = runChild(i, qs, 0)
+      var (wall, code, rss, times, tFailed, oRows, oBytes) = runChild(i, qs, 0)
       var retries = 0
-      while (retries < maxRetries && refTimes.nonEmpty && times.nonEmpty &&
+      var retrySkippedLoad = false
+      var settled = false
+      while (!settled && retries < maxRetries && refTimes.nonEmpty &&
+          times.nonEmpty &&
           tools.BenchVariance.shouldRetry(times, refTimes)) {
         val g1 = tools.BenchVariance.trancheGeomeanVsRef(times, refTimes)
-        System.err.println(
-          s"[bench] tranche $i suspect (geomean_vs_ref=" +
-            f"${g1.getOrElse(Double.NaN)}%.3f) — retrying once")
-        val (wall2, code2, rss2, times2, tFailed2, oRows2) =
-          runChild(i, qs, retries + 1)
-        retries += 1
-        val g2 = tools.BenchVariance.trancheGeomeanVsRef(times2, refTimes)
-        val secondBetter =
-          (for (a <- g2; b <- g1) yield a < b).getOrElse(false)
-        if (secondBetter) {
-          wall = wall2; code = code2; rss = rss2
-          times = times2; tFailed = tFailed2; oRows = oRows2
+        // re-check load BEFORE retrying (round-12 verdict #3): a retry
+        // into a still-live ambient burst just wastes a tranche — the
+        // artifact keeps the first attempt, flagged suspect_kind=ambient
+        val loadNow = loadAvg1()
+        if (loadNow >= cpusOnHost) {
+          System.err.println(
+            s"[bench] tranche $i suspect (geomean_vs_ref=" +
+              f"${g1.getOrElse(Double.NaN)}%.3f) but load1=$loadNow%.1f " +
+              s">= $cpusOnHost cpus — ambient burst live, skipping retry")
+          retrySkippedLoad = true
+          settled = true
+        } else {
+          System.err.println(
+            s"[bench] tranche $i suspect (geomean_vs_ref=" +
+              f"${g1.getOrElse(Double.NaN)}%.3f) — retrying once")
+          val (wall2, code2, rss2, times2, tFailed2, oRows2, oBytes2) =
+            runChild(i, qs, retries + 1)
+          retries += 1
+          val g2 = tools.BenchVariance.trancheGeomeanVsRef(times2, refTimes)
+          if (tools.BenchVariance.keepSecondAttempt(g1, g2)) {
+            wall = wall2; code = code2; rss = rss2
+            times = times2; tFailed = tFailed2; oRows = oRows2
+            oBytes = oBytes2
+          }
         }
       }
       val load1After = loadAvg1()
@@ -270,9 +328,10 @@ object Bench {
         else -1.0
       times.foreach { case (k, v) => perQuery(k) = v }
       oRows.foreach { case (k, v) => outRowsAll(k) = v }
+      oBytes.foreach { case (k, v) => outBytesAll(k) = v }
       tFailed.foreach(failed += _)
       trancheInfo += TrancheRun(i, qs, wall, code, rss,
-        load1Before, load1After, stealPct, retries)
+        load1Before, load1After, stealPct, retries, retrySkippedLoad)
       // Crash-proofing (the round-9 deliverable failure): rewrite the merged
       // partial artifact to the durable out-path and print a short
       // self-contained partial-total line after EVERY tranche, so a SIGKILL
@@ -288,7 +347,8 @@ object Bench {
       // oldRef is the file's sf-matched content from before our first write
       val refProtect =
         if (suspectQs.nonEmpty)
-          Some(RefProtect(refSourcePath, refTimes, suspectQs))
+          Some(RefProtect(Seq(refPath, refSourcePath).distinct,
+            oldRefAtOut, suspectQs))
         else None
       val doneSoFar = tranches.take(i + 1).flatten
       emit(doneSoFar.map(n => (n, perQuery.getOrElse(n, 0.0),
@@ -297,7 +357,8 @@ object Bench {
         partial = if (i + 1 < tranches.size)
           Some((i + 1, tranches.size, names.size)) else None,
         refProtect = refProtect,
-        outputRows = outRowsAll.toMap)
+        outputRows = outRowsAll.toMap,
+        outputBytes = outBytesAll.toMap)
     }
   }
 
@@ -367,8 +428,10 @@ object Bench {
       // overhead — and ships in the artifact so an output-driven wall
       // ratio (pairs grow with ScaleUp replicas) is distinguishable
       // from a plan regression without re-deriving it in prose.
+      val wantRows = SparkEntry.outputCardinality.contains(name)
+      val bytesExpr = SparkEntry.outputBytes.get(name)
       val obs =
-        if (SparkEntry.outputCardinality.contains(name))
+        if (wantRows || bytesExpr.isDefined)
           Some(new org.apache.spark.sql.Observation(s"__rows_$name"))
         else None
       val t0 = System.nanoTime()
@@ -377,22 +440,32 @@ object Bench {
       val ok = prepOk &&
         (try {
           val df0 = fn(spark, sfDir)
-          val df = obs.map(o => df0.observe(o, count(lit(1)).as("rows")))
-            .getOrElse(df0)
+          val df = obs.map { o =>
+            // one Observation, up to two aggregates (rows and/or the
+            // blob family's decoded-bytes sum) — still no re-evaluation
+            val aggs =
+              (if (wantRows) Seq(count(lit(1)).as("rows")) else Nil) ++
+                bytesExpr.map(e => sum(e).as("bytes")).toSeq
+            df0.observe(o, aggs.head, aggs.tail: _*)
+          }.getOrElse(df0)
           df.write.format("noop").mode("overwrite").save(); true
         }
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false })
       val t = (System.nanoTime() - t0) / 1e9
-      val outRows: Option[Long] =
+      def obsLong(key: String): Option[Long] =
         if (!ok) None
         else obs.flatMap(o =>
-          try o.get.get("rows").map(v => v.asInstanceOf[Number].longValue())
+          try o.get.get(key).collect {
+            case v: Number => v.longValue()
+          }
           catch { case scala.util.control.NonFatal(_) => None })
+      val outRows = if (wantRows) obsLong("rows") else None
+      val outBytes = if (bytesExpr.isDefined) obsLong("bytes") else None
       // intra-query persists are part of the measured time; dropping them
       // AFTER the clock keeps queries independent (no cross-query memory
       // pressure / eviction noise)
       spark.catalog.clearCache()
-      (name, t, ok, outRows)
+      (name, t, ok, outRows, outBytes)
     }
     // optional JIT telemetry for SCALING.md: the high-water mark answers
     // "does the code cache still saturate mid-run?" without a JFR attach
@@ -402,7 +475,8 @@ object Bench {
     // never land after them — the short JSON must be the very last line.
     val emitAfterStop = () => emit(results.map(r => (r._1, r._2, r._3)),
       sfDir, None,
-      outputRows = results.collect { case (n, _, _, Some(r)) => n -> r }.toMap)
+      outputRows = results.collect { case (n, _, _, Some(r), _) => n -> r }.toMap,
+      outputBytes = results.collect { case (n, _, _, _, Some(b)) => n -> b }.toMap)
     spark.stop()
     emitAfterStop()
   }
@@ -437,7 +511,8 @@ object Bench {
       tranches: Option[Seq[String]],
       partial: Option[(Int, Int, Int)] = None,
       refProtect: Option[RefProtect] = None,
-      outputRows: Map[String, Long] = Map.empty): Unit = {
+      outputRows: Map[String, Long] = Map.empty,
+      outputBytes: Map[String, Long] = Map.empty): Unit = {
     // a failed query's wall time is meaningless — exclude it from the
     // total and name it in `failed` so a broken round can never read as a
     // speedup (round-6 advisor finding: 7 dead queries timed at ~0.06 s
@@ -460,13 +535,20 @@ object Bench {
       else outputRows.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString(""","output_rows":{""", ",", "}")
+    // decoded-bytes denominators for the blob family (round-12 verdict
+    // #6): their wall scales with codec payload, not rows
+    val outBytesJson =
+      if (outputBytes.isEmpty) ""
+      else outputBytes.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString(""","output_bytes":{""", ",", "}")
     val partialJson = partial
       .map { case (d, t, _) => s""","partial":true,"tranches_done":$d,"tranches_total":$t""" }
       .getOrElse("")
     val jsonFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedJson$trancheJson$outRowsJson$partialJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedJson$trancheJson$outRowsJson$outBytesJson$partialJson,"sf":"$sfDir"}"""
     val jsonDetail =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"failed":$failedJson$trancheJson$outRowsJson$partialJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"failed":$failedJson$trancheJson$outRowsJson$outBytesJson$partialJson,"sf":"$sfDir"}"""
     // The driver's tail capture keeps only the last ~2 KB of stdout; a
     // 200-query detail line is bigger than that, so its head (with
     // "value":total) gets truncated and the round scores parsed:null
@@ -496,20 +578,34 @@ object Bench {
         catch { case scala.util.control.NonFatal(_) => a == b }
       refProtect match {
         // Suspect-run reference protection (round-11 verdict #1): when
-        // this write would land on the variance reference itself, ship
-        // the full record to a .suspect.json side artifact and write the
-        // reference with merged times — fresh for clean tranches, the
-        // OLD reference entry for suspect-tranche queries (dropped when
-        // the old file lacks them: inflated references mask regressions,
-        // missing ones are visibly unchecked). When the old file was not
-        // a usable sf-matched reference, leave it untouched entirely.
-        case Some(rp) if samePath(outStr, rp.refPath) =>
+        // this write would land on ANY variance-reference candidate —
+        // the file the annotation read or the primary path a future run
+        // will read (round-12 advisor: the fallback case left the
+        // primary default unguarded) — ship the full record to a
+        // .suspect.json side artifact and write the reference with
+        // merged times — fresh for clean tranches, the OLD out-path
+        // entry for suspect-tranche queries (dropped when the old file
+        // lacks them: inflated references mask regressions, missing
+        // ones are visibly unchecked). When the out-path held no usable
+        // sf-matched reference, leave it untouched entirely.
+        case Some(rp) if rp.refPaths.exists(p => samePath(outStr, p)) =>
           val side = java.nio.file.Paths.get(outStr + ".suspect.json")
           java.nio.file.Files.write(side, jsonFull.getBytes("UTF-8"))
           if (rp.oldRef.nonEmpty) {
             val freshOk = results.collect { case (k, v, true) => k -> v }.toMap
-            val merged = tools.BenchVariance.mergeReference(
+            val merged0 = tools.BenchVariance.mergeReference(
               rp.oldRef, freshOk, rp.suspectQueries)
+            // lineup-drop semantics (old entries absent from `fresh` go)
+            // apply only to the FINAL full-lineup write: a checkpoint's
+            // `fresh` holds only done-so-far queries, and a crash after
+            // a suspect mid-run checkpoint must not strip every
+            // not-yet-run query's entry from the reference (round-12
+            // advisor, low)
+            val attempted = results.map(_._1).toSet
+            val merged =
+              if (partial.isDefined)
+                merged0 ++ rp.oldRef.filterNot { case (k, _) => attempted(k) }
+              else merged0
             val mq = merged.toSeq.sortBy(_._1)
               .map { case (k, v) => s"\"" + k + "\":" + v }
               .mkString("{", ",", "}")

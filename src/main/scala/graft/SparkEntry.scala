@@ -71,7 +71,32 @@ object SparkEntry {
   val outputCardinality: Set[String] = Set(
     "q30_exact_dedup", "q31_fingerprint_dedup", "q32_minhash_pairs",
     "q33_simhash_pairs", "q34_ngram_jaccard", "q62_sparse_cosine",
-    "q130_stream_neardup", "q150_winnow_pairs", "q151_sorted_neighborhood")
+    "q130_stream_neardup", "q150_winnow_pairs", "q151_sorted_neighborhood",
+    // round-12 verdict #6: q69's sf0.1→sf1 ratio is posting/match-list
+    // growth — rows-out is the denominator a reader needs
+    "q69_tfidf_search")
+
+  /** Queries whose bench rows carry DECODED-BYTES (round-12 verdict
+    * #6): the blob-decode family's wall scales with payload bytes
+    * pushed through the codec, not with output rows — and the blobs
+    * themselves never survive into the output, so the observe SUMS a
+    * per-row byte reconstruction from the output's own columns (exact
+    * for q66/q207 by construction; q61 is within one sample per doc
+    * from the duration_ms floor). Ships as `output_bytes` next to
+    * `output_rows` — same observe, second aggregate, no re-evaluation.
+    */
+  def outputBytes: Map[String, org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    Map(
+      // 16-bit mono PCM: duration_ms × sample_rate / 1000 samples × 2 B
+      "q61_audio" ->
+        (col("duration_ms") * col("sample_rate") * col("channels") * 2
+          / 1000).cast("long"),
+      // RGB pixels straight from the decode proof's n_px
+      "q66_image_pixels" -> (col("n_px") * 3).cast("long"),
+      // VAD windows are 400 samples of 16-bit mono
+      "q207_voice_activity" -> (col("n_windows") * 400L * 2).cast("long"))
+  }
 
   /** Untimed per-query preparation (persisted-index builds): Bench runs
     * prepare(name) immediately before timing queries(name), so the timed
@@ -90,7 +115,9 @@ object SparkEntry {
     "q236_incremental_er" ->
       (graft.queries.DedupQueries.buildErGeneration _),
     "q240_incremental_er_2gen" ->
-      (graft.queries.DedupQueries.buildErGenerations2 _))
+      (graft.queries.DedupQueries.buildErGenerations2 _),
+    "q241_er_nightly_sink" ->
+      (graft.queries.DedupQueries.buildErGeneration _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

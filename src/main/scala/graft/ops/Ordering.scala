@@ -72,6 +72,79 @@ object Ordering {
       .drop("__base")
   }
 
+  /** INCREMENTAL maintenance of [[exactRank]] — the "maintained sorted
+    * index, delta-merged" SCALING.md §12 promised for sorted-neighborhood
+    * blocking (round-12 verdict #4): given the previous generation's
+    * ranked relation and its value histogram (both persisted artifacts),
+    * rank history ∪ delta WITHOUT re-ranking history — no corpus-wide
+    * shuffle-and-sort ever happens.
+    *
+    * [[exactRank]]'s rank is the 1-based position of (value, tie) in
+    * lexicographic order, so after an insert-only delta:
+    *
+    *   rank'(h) = rank(h) + #{d ∈ delta : (d.value, d.tie) < (h.value, h.tie)}
+    *   rank'(d) = rankΔ(d) + #{h ∈ hist : (h.value, h.tie) < (d.value, d.tie)}
+    *
+    * Each cross-count splits into a strictly-below-value term (one
+    * prefix-sum window over the DISTINCT-KEY relation — the same
+    * |distinct values| pass [[exactRank]]'s histogram already pays,
+    * never the corpus) and a same-value smaller-tie term (nonzero only
+    * for value collisions between the generations — computed with the
+    * DELTA side broadcast, so history is only ever scanned map-side).
+    * History pays: one narrow artifact scan per term, zero shuffles,
+    * zero sorts. Delta pays one [[exactRank]] over itself.
+    *
+    * Contracts: `tieCol` is unique across history ∪ delta (doc ids);
+    * `histRanked` carries (tieCol, valueCol, out) from the previous
+    * generation; `histHist` carries (valueCol, c) — both exactly what a
+    * generation build persists. Output columns: (tieCol, valueCol, out),
+    * bit-equal to `exactRank(hist ∪ delta)` (pinned by
+    * ExactRankMergeSpec, including that history ranks are CARRIED, not
+    * recomputed).
+    */
+  def exactRankMerge(histRanked: DataFrame, histHist: DataFrame,
+      delta: DataFrame, valueCol: String, tieCol: String,
+      out: String = "rank"): DataFrame = {
+    val dKeyed = delta.select(col(valueCol), col(tieCol))
+    val dHist = dKeyed.groupBy(col(valueCol)).agg(count(lit(1)).as("__dc"))
+    // strictly-below-value cumulatives for BOTH sides in one window over
+    // the merged distinct-key relation (rows = |hist keys ∪ delta keys|)
+    val w = Window.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val allKeys = histHist.select(col(valueCol), col("c").as("__hc"))
+      .join(dHist, Seq(valueCol), "full_outer")
+      .na.fill(0L, Seq("__hc", "__dc"))
+      .withColumn("__dBelow", coalesce(sum("__dc").over(w), lit(0L)))
+      .withColumn("__hBelow", coalesce(sum("__hc").over(w), lit(0L)))
+      .select(col(valueCol), col("__dBelow"), col("__hBelow"))
+    // same-value collisions: delta broadcast against the history scan —
+    // group sizes are per-value populations, never the corpus
+    val dEq = histRanked.select(col(valueCol), col(tieCol))
+      .join(broadcast(dKeyed.withColumnRenamed(tieCol, "__dtie")),
+        Seq(valueCol))
+      .filter(col("__dtie") < col(tieCol))
+      .groupBy(col(tieCol)).agg(count(lit(1)).as("__deq"))
+    val hEq = histRanked
+      .select(col(valueCol), col(tieCol).as("__htie"))
+      .join(broadcast(dKeyed), Seq(valueCol))
+      .filter(col("__htie") < col(tieCol))
+      .groupBy(col(tieCol)).agg(count(lit(1)).as("__heq"))
+    val histCorr = histRanked
+      .join(broadcast(allKeys.select(col(valueCol), col("__dBelow"))),
+        Seq(valueCol))
+      .join(broadcast(dEq), Seq(tieCol), "left")
+      .withColumn(out,
+        col(out) + col("__dBelow") + coalesce(col("__deq"), lit(0L)))
+    val deltaCorr = exactRank(dKeyed, valueCol, tieCol, out)
+      .join(broadcast(allKeys.select(col(valueCol), col("__hBelow"))),
+        Seq(valueCol))
+      .join(broadcast(hEq), Seq(tieCol), "left")
+      .withColumn(out,
+        col(out) + col("__hBelow") + coalesce(col("__heq"), lit(0L)))
+    val cols = Seq(col(tieCol), col(valueCol), col(out))
+    histCorr.select(cols: _*).unionByName(deltaCorr.select(cols: _*))
+  }
+
   /** Exact equal-population quantile bucketing on top of [[exactRank]]:
     * bucket = ⌊buckets · (rank−1) / total⌋ — populations differ by at
     * most one, boundaries are exact integers (not [[graft.functions

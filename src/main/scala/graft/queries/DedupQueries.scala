@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 import graft.dedup.Dedup
 import graft.ops.Load
 import graft.similarity.{Ann, Outliers}
+import graft.sinks.DocumentSink
 
 /** Dedup + similarity-search queries. The synthetic corpus has no real
   * duplicates, so near-dup queries build a mutated copy of the documents
@@ -2002,55 +2003,136 @@ object DedupQueries {
       |  FROM fl0)""".stripMargin
 
   /** Shared oracle CTEs for the exact-u + 16.16 fixed-log FS weights
-    * (consume `flds`, produce `w(field, wa, wd)`) — the 16-step
-    * square-and-shift log replay, one copy for q153 and q235.
+    * (consume `$flds`, produce `${p}w(field, wa, wd)`) — the 16-step
+    * square-and-shift log replay. Name-prefixed so an oracle can carry
+    * one copy per corpus generation (q241 computes weights on the
+    * history corpus AND the merged corpus in one statement).
     */
-  private def fsWeightCtes: String = {
+  private def fsWeightCtesFor(p: String, flds: String): String = {
     val mqValues = FsM.map { case (n, m, mc) => s"('$n', $m, $mc)" }
       .mkString(", ")
-    s"""fv AS (
-       |  SELECT 'lang' AS field, f_lang AS v FROM flds
-       |  UNION ALL SELECT 'source', f_source FROM flds
-       |  UNION ALL SELECT 'head', f_head FROM flds
-       |  UNION ALL SELECT 'lenb', f_lenb FROM flds),
-       |vc AS (SELECT field, v, count(*)::BIGINT AS c FROM fv
+    s"""${p}fv AS (
+       |  SELECT 'lang' AS field, f_lang AS v FROM $flds
+       |  UNION ALL SELECT 'source', f_source FROM $flds
+       |  UNION ALL SELECT 'head', f_head FROM $flds
+       |  UNION ALL SELECT 'lenb', f_lenb FROM $flds),
+       |${p}vc AS (SELECT field, v, count(*)::BIGINT AS c FROM ${p}fv
        |       GROUP BY field, v),
-       |st AS (SELECT field, CAST(sum(c * (c - 1)) AS HUGEINT) AS u_num,
+       |${p}st AS (SELECT field, CAST(sum(c * (c - 1)) AS HUGEINT) AS u_num,
        |              CAST(sum(c) AS HUGEINT) AS m_rows
-       |       FROM vc GROUP BY field),
-       |uq AS (SELECT field,
+       |       FROM ${p}vc GROUP BY field),
+       |${p}uq AS (SELECT field,
        |         CAST(greatest((u_num * 1073741824)
        |           // (m_rows * (m_rows - 1)), 1) AS BIGINT) AS u_q,
        |         CAST(greatest(((m_rows * (m_rows - 1) - u_num) * 1073741824)
        |           // (m_rows * (m_rows - 1)), 1) AS BIGINT) AS uc_q
-       |       FROM st),
-       |mq(field, m_q, mc_q) AS (VALUES $mqValues),
-       |probs AS (
-       |  SELECT field, 'u' AS kind, u_q AS p FROM uq
-       |  UNION ALL SELECT field, 'uc', uc_q FROM uq
-       |  UNION ALL SELECT field, 'm', m_q FROM mq
-       |  UNION ALL SELECT field, 'mc', mc_q FROM mq),
-       |nrm AS (
-       |  SELECT field, kind, greatest(p, 1) AS m, 0::BIGINT AS k FROM probs
+       |       FROM ${p}st),
+       |${p}mq(field, m_q, mc_q) AS (VALUES $mqValues),
+       |${p}probs AS (
+       |  SELECT field, 'u' AS kind, u_q AS p FROM ${p}uq
+       |  UNION ALL SELECT field, 'uc', uc_q FROM ${p}uq
+       |  UNION ALL SELECT field, 'm', m_q FROM ${p}mq
+       |  UNION ALL SELECT field, 'mc', mc_q FROM ${p}mq),
+       |${p}nrm AS (
+       |  SELECT field, kind, greatest(p, 1) AS m, 0::BIGINT AS k FROM ${p}probs
        |  UNION ALL
-       |  SELECT field, kind, m * 2, k + 1 FROM nrm WHERE m < 1073741824),
-       |normed AS (SELECT field, kind, m, k FROM nrm WHERE m >= 1073741824),
-       |sq AS (
-       |  SELECT field, kind, k, m, 0 AS i, 0::BIGINT AS acc FROM normed
+       |  SELECT field, kind, m * 2, k + 1 FROM ${p}nrm WHERE m < 1073741824),
+       |${p}normed AS (SELECT field, kind, m, k FROM ${p}nrm WHERE m >= 1073741824),
+       |${p}sq AS (
+       |  SELECT field, kind, k, m, 0 AS i, 0::BIGINT AS acc FROM ${p}normed
        |  UNION ALL
        |  SELECT field, kind, k,
        |         CASE WHEN m2 >= 2147483648::BIGINT THEN m2 // 2 ELSE m2 END,
        |         i + 1,
        |         acc * 2 + CASE WHEN m2 >= 2147483648::BIGINT THEN 1 ELSE 0 END
        |  FROM (SELECT field, kind, k, (m * m) // 1073741824 AS m2, i, acc
-       |        FROM sq WHERE i < 16) s),
-       |lgv AS (SELECT field, kind, acc - k * 65536 AS lg FROM sq WHERE i = 16),
-       |w AS MATERIALIZED (SELECT mv.field, mv.lg - uv.lg AS wa, mcv.lg - ucv.lg AS wd
-       |      FROM lgv mv
-       |      JOIN lgv uv ON uv.field = mv.field AND uv.kind = 'u'
-       |      JOIN lgv mcv ON mcv.field = mv.field AND mcv.kind = 'mc'
-       |      JOIN lgv ucv ON ucv.field = mv.field AND ucv.kind = 'uc'
+       |        FROM ${p}sq WHERE i < 16) s),
+       |${p}lgv AS (SELECT field, kind, acc - k * 65536 AS lg FROM ${p}sq WHERE i = 16),
+       |${p}w AS MATERIALIZED (SELECT mv.field, mv.lg - uv.lg AS wa, mcv.lg - ucv.lg AS wd
+       |      FROM ${p}lgv mv
+       |      JOIN ${p}lgv uv ON uv.field = mv.field AND uv.kind = 'u'
+       |      JOIN ${p}lgv mcv ON mcv.field = mv.field AND mcv.kind = 'mc'
+       |      JOIN ${p}lgv ucv ON ucv.field = mv.field AND ucv.kind = 'uc'
        |      WHERE mv.kind = 'm')""".stripMargin
+  }
+
+  private def fsWeightCtes: String = fsWeightCtesFor("", "flds")
+
+  /** The whole FS chain — weights, two-pass blocking, scoring, links,
+    * CC closure, survivorship — as name-prefixed CTEs over an arbitrary
+    * flds relation, ending in `${p}links`, `${p}lab` and `${p}gold`.
+    * q235 consumes one copy (p = ""); q241's oracle consumes TWO (the
+    * history corpus and the merged corpus) to reproduce the nightly
+    * sink state without trusting any intermediate artifact.
+    */
+  private def fsGoldChainFor(p: String, flds: String): String = {
+    def pick(f: String, part: String): String =
+      s"struct_extract(max(CASE WHEN $f IS NOT NULL THEN " +
+        s"struct_pack(ver := ver, id := id, v := $f) END), '$part')"
+    s"""${fsWeightCtesFor(p, flds)},
+       |${p}hb AS MATERIALIZED (SELECT f_head FROM $flds GROUP BY 1 HAVING count(*) <= 50),
+       |${p}hp AS MATERIALIZED (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         1 AS from_head, 0 AS from_snm
+       |  FROM $flds a
+       |  JOIN $flds b ON a.f_head = b.f_head AND a.doc_id < b.doc_id
+       |  JOIN ${p}hb hb ON hb.f_head = a.f_head),
+       |${p}rr AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(row_number() OVER (ORDER BY f_tail, doc_id) AS BIGINT)
+       |           AS rnk
+       |  FROM $flds),
+       |${p}sp AS MATERIALIZED (
+       |  SELECT least(a.doc_id, b.doc_id) AS id_a,
+       |         greatest(a.doc_id, b.doc_id) AS id_b,
+       |         0 AS from_head, 1 AS from_snm
+       |  FROM ${p}rr a JOIN ${p}rr b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 3),
+       |${p}cand AS MATERIALIZED (
+       |  SELECT id_a, id_b, max(from_head) AS from_head,
+       |         max(from_snm) AS from_snm
+       |  FROM (SELECT * FROM ${p}hp UNION ALL SELECT * FROM ${p}sp)
+       |  GROUP BY 1, 2),
+       |${p}scored AS MATERIALIZED (
+       |  SELECT c.id_a, c.id_b, c.from_head, c.from_snm,
+       |    CAST((CASE WHEN a.f_lang = b.f_lang THEN wl.wa
+       |               WHEN a.f_lang <> b.f_lang THEN wl.wd ELSE 0 END)
+       |       + (CASE WHEN a.f_source = b.f_source THEN ws.wa
+       |               WHEN a.f_source <> b.f_source THEN ws.wd ELSE 0 END)
+       |       + (CASE WHEN a.f_head = b.f_head THEN wh.wa
+       |               WHEN a.f_head <> b.f_head THEN wh.wd ELSE 0 END)
+       |       + (CASE WHEN a.f_lenb = b.f_lenb THEN wn.wa
+       |               WHEN a.f_lenb <> b.f_lenb THEN wn.wd ELSE 0 END)
+       |      AS BIGINT) AS score_fix
+       |  FROM ${p}cand c
+       |  JOIN $flds a ON a.doc_id = c.id_a
+       |  JOIN $flds b ON b.doc_id = c.id_b,
+       |       ${p}w wl, ${p}w ws, ${p}w wh, ${p}w wn
+       |  WHERE wl.field = 'lang' AND ws.field = 'source'
+       |    AND wh.field = 'head' AND wn.field = 'lenb'),
+       |${p}links AS MATERIALIZED (SELECT * FROM ${p}scored WHERE score_fix >= 131072),
+       |${p}ue AS MATERIALIZED (
+       |  SELECT id_a AS a, id_b AS b FROM ${p}links
+       |  UNION SELECT id_b, id_a FROM ${p}links
+       |  UNION SELECT id_a, id_a FROM ${p}links
+       |  UNION SELECT id_b, id_b FROM ${p}links),
+       |${p}reach(s, t) AS (
+       |  SELECT a, b FROM ${p}ue
+       |  UNION
+       |  SELECT r.s, u.b FROM ${p}reach r JOIN ${p}ue u ON r.t = u.a),
+       |${p}lab AS MATERIALIZED (SELECT s AS doc_id, min(t) AS cluster_id FROM ${p}reach
+       |        GROUP BY s),
+       |${p}mem AS MATERIALIZED (
+       |  SELECT lab.cluster_id, f.doc_id AS id,
+       |         CAST(f.doc_id % 11 AS BIGINT) AS ver,
+       |         CASE WHEN f.f_lang <> 'xx' THEN f.f_lang END AS lang,
+       |         f.f_source AS source
+       |  FROM ${p}lab lab JOIN $flds f USING (doc_id)),
+       |${p}gold AS MATERIALIZED (
+       |  SELECT cluster_id, count(*)::BIGINT AS n_members,
+       |         ${pick("lang", "v")} AS lang, ${pick("lang", "id")} AS lang_src,
+       |         ${pick("source", "v")} AS source,
+       |         ${pick("source", "id")} AS source_src
+       |  FROM ${p}mem GROUP BY cluster_id)""".stripMargin
   }
 
   val q153Sql: String = {
@@ -2140,19 +2222,33 @@ object DedupQueries {
     * provenance. Shared by q235 (full run) and q236 (incremental run on
     * the merged corpus) so the two candidate sets cannot drift.
     */
-  private[graft] def fsBlockCandidates(records: DataFrame): DataFrame = {
+  private[graft] def fsBlockCandidates(records: DataFrame): DataFrame =
+    fsBlockCandidatesFrom(records,
+      graft.ops.Ordering.exactRank(snmKeyed(records), "skey", "doc_id"))
+
+  /** The SNM key relation (doc_id, skey = tail key) — the thing the
+    * maintained rank index is ordered by. */
+  private[graft] def snmKeyed(records: DataFrame): DataFrame =
+    records.select(col("doc_id"), col("f_tail").as("skey"))
+
+  /** [[fsBlockCandidates]] with the SNM ranked relation (and optionally
+    * the head histogram) supplied by the caller — the seam the
+    * incremental path uses to rank via the MAINTAINED index
+    * ([[graft.ops.Ordering.exactRankMerge]]) and to reuse the merged
+    * `value_counts` for the head-block histogram instead of
+    * re-aggregating the corpus (round-12 verdict #4). */
+  private[graft] def fsBlockCandidatesFrom(records: DataFrame,
+      ranked: DataFrame, headsOpt: Option[DataFrame] = None): DataFrame = {
     // pass 1: inverted index on the head fingerprint, hot blocks pruned
-    val heads = records.groupBy("f_head").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") <= 50).select("f_head")
+    val heads = headsOpt.getOrElse(
+      records.groupBy("f_head").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") <= 50).select("f_head"))
     val hkeyed = records.join(heads, "f_head").select("f_head", "doc_id")
     val headPairs = hkeyed.as("a").join(hkeyed.as("b"), "f_head")
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         lit(1).as("from_head"), lit(0).as("from_snm"))
-    // pass 2: sorted neighborhood on the tail key, histogram exact-rank
-    val ranked = graft.ops.Ordering.exactRank(
-      records.select(col("doc_id"), col("f_tail").as("skey")),
-      "skey", "doc_id")
+    // pass 2: sorted neighborhood on the tail key, window 3
     val wa = ranked.select(col("doc_id").as("__ida"), col("rank").as("rank_a"))
       .withColumn("j", explode(array(lit(1), lit(2), lit(3))))
       .withColumn("rank_b", col("rank_a") + col("j"))
@@ -2167,15 +2263,28 @@ object DedupQueries {
       .agg(max("from_head").as("from_head"), max("from_snm").as("from_snm"))
   }
 
-  def q235DedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+  def q235DedupPipeline(spark: SparkSession, dir: String): DataFrame =
+    q235DedupPipelineTapped(spark, dir, None)
+
+  /** [[q235DedupPipeline]] with an optional stage tap for the
+    * decomposition tool ([[graft.tools.ErDecomp]]): when set, stage
+    * outputs persist at the tap points so a forced stage is not
+    * recomputed downstream and tap walls attribute to stages. The
+    * default path is byte-identical to the untapped pipeline. */
+  private[graft] def q235DedupPipelineTapped(spark: SparkSession, dir: String,
+      tap: Option[(String, DataFrame) => Unit]): DataFrame = {
     import graft.ops.RecordLinkage
     import graft.ops.RecordLinkage.Field
     val records = fsRecords(spark, dir)
       .persist() // feeds both blocking passes, u-estimation, and both pair sides
+    tap.foreach(_("records", records))
     val fields = FsM.map { case (n, m, mc) => Field(n, col(s"f_$n"), m, mc) }
-    val cand = fsBlockCandidates(records)
+    val cand0 = fsBlockCandidates(records)
+    val cand = if (tap.isDefined) cand0.persist() else cand0
+    tap.foreach(_("blocking_cand", cand))
     // scoring tier (q153's machinery, unchanged)
     val weights = RecordLinkage.fieldWeights(records, fields)
+    tap.foreach(_("weights", weights))
     val sideA = records.select(col("doc_id").as("id_a") +:
       FsM.map { case (n, _, _) => col(s"f_$n").as(s"${n}_a") }: _*)
     val sideB = records.select(col("doc_id").as("id_b") +:
@@ -2185,11 +2294,14 @@ object DedupQueries {
       .filter(col("decision") === 1)
       .select("id_a", "id_b", "score_fix", "from_head", "from_snm")
       .persist() // feeds cluster formation AND the per-cluster edge audit
+    tap.foreach(_("score_links", links))
     // cluster formation + survivorship + audit
-    val labels = graft.graphs.ConnectedComponents.components(
+    val labels0 = graft.graphs.ConnectedComponents.components(
         links.select(col("id_a").as("a"), col("id_b").as("b")))
       .withColumnRenamed("id", "doc_id")
       .withColumnRenamed("component", "cluster_id")
+    val labels = if (tap.isDefined) labels0.persist() else labels0
+    tap.foreach(_("cc_labels", labels))
     val members = records.join(labels, "doc_id").select(
       col("cluster_id"), col("doc_id").as("id"),
       (col("doc_id") % 11).as("ver"),
@@ -2215,74 +2327,8 @@ object DedupQueries {
   }
 
   val q235Sql: String = {
-    def pick(f: String, part: String): String =
-      s"struct_extract(max(CASE WHEN $f IS NOT NULL THEN " +
-        s"struct_pack(ver := ver, id := id, v := $f) END), '$part')"
     s"""WITH RECURSIVE $fsCorpusCtes,
-       |$fsWeightCtes,
-       |hb AS MATERIALIZED (SELECT f_head FROM flds GROUP BY 1 HAVING count(*) <= 50),
-       |hp AS MATERIALIZED (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |         1 AS from_head, 0 AS from_snm
-       |  FROM flds a
-       |  JOIN flds b ON a.f_head = b.f_head AND a.doc_id < b.doc_id
-       |  JOIN hb ON hb.f_head = a.f_head),
-       |rr AS MATERIALIZED (
-       |  SELECT doc_id,
-       |         CAST(row_number() OVER (ORDER BY f_tail, doc_id) AS BIGINT)
-       |           AS rnk
-       |  FROM flds),
-       |sp AS MATERIALIZED (
-       |  SELECT least(a.doc_id, b.doc_id) AS id_a,
-       |         greatest(a.doc_id, b.doc_id) AS id_b,
-       |         0 AS from_head, 1 AS from_snm
-       |  FROM rr a JOIN rr b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 3),
-       |cand AS MATERIALIZED (
-       |  SELECT id_a, id_b, max(from_head) AS from_head,
-       |         max(from_snm) AS from_snm
-       |  FROM (SELECT * FROM hp UNION ALL SELECT * FROM sp)
-       |  GROUP BY 1, 2),
-       |scored AS MATERIALIZED (
-       |  SELECT c.id_a, c.id_b, c.from_head, c.from_snm,
-       |    CAST((CASE WHEN a.f_lang = b.f_lang THEN wl.wa
-       |               WHEN a.f_lang <> b.f_lang THEN wl.wd ELSE 0 END)
-       |       + (CASE WHEN a.f_source = b.f_source THEN ws.wa
-       |               WHEN a.f_source <> b.f_source THEN ws.wd ELSE 0 END)
-       |       + (CASE WHEN a.f_head = b.f_head THEN wh.wa
-       |               WHEN a.f_head <> b.f_head THEN wh.wd ELSE 0 END)
-       |       + (CASE WHEN a.f_lenb = b.f_lenb THEN wn.wa
-       |               WHEN a.f_lenb <> b.f_lenb THEN wn.wd ELSE 0 END)
-       |      AS BIGINT) AS score_fix
-       |  FROM cand c
-       |  JOIN flds a ON a.doc_id = c.id_a
-       |  JOIN flds b ON b.doc_id = c.id_b,
-       |       w wl, w ws, w wh, w wn
-       |  WHERE wl.field = 'lang' AND ws.field = 'source'
-       |    AND wh.field = 'head' AND wn.field = 'lenb'),
-       |links AS MATERIALIZED (SELECT * FROM scored WHERE score_fix >= 131072),
-       |ue AS MATERIALIZED (
-       |  SELECT id_a AS a, id_b AS b FROM links
-       |  UNION SELECT id_b, id_a FROM links
-       |  UNION SELECT id_a, id_a FROM links
-       |  UNION SELECT id_b, id_b FROM links),
-       |reach(s, t) AS (
-       |  SELECT a, b FROM ue
-       |  UNION
-       |  SELECT r.s, u.b FROM reach r JOIN ue u ON r.t = u.a),
-       |lab AS MATERIALIZED (SELECT s AS doc_id, min(t) AS cluster_id FROM reach
-       |        GROUP BY s),
-       |mem AS MATERIALIZED (
-       |  SELECT lab.cluster_id, f.doc_id AS id,
-       |         CAST(f.doc_id % 11 AS BIGINT) AS ver,
-       |         CASE WHEN f.f_lang <> 'xx' THEN f.f_lang END AS lang,
-       |         f.f_source AS source
-       |  FROM lab JOIN flds f USING (doc_id)),
-       |gold AS MATERIALIZED (
-       |  SELECT cluster_id, count(*)::BIGINT AS n_members,
-       |         ${pick("lang", "v")} AS lang, ${pick("lang", "id")} AS lang_src,
-       |         ${pick("source", "v")} AS source,
-       |         ${pick("source", "id")} AS source_src
-       |  FROM mem GROUP BY cluster_id),
+       |${fsGoldChainFor("", "flds")},
        |es AS MATERIALIZED (
        |  SELECT lab.cluster_id, count(*)::BIGINT AS n_link_edges,
        |         min(score_fix) AS weakest_fix,
@@ -2360,9 +2406,18 @@ object DedupQueries {
     hist.write.mode("overwrite").parquet(s"$base/fields")
     RecordLinkage.valueCounts(hist, erFsFields)
       .write.mode("overwrite").parquet(s"$base/value_counts")
+    // the maintained SNM sorted index (round-12 verdict #4): the ranked
+    // relation + its key histogram are generation artifacts, so the
+    // nightly merge extends them with delta corrections
+    // (Ordering.exactRankMerge) instead of re-ranking the corpus
+    graft.ops.Ordering.exactRank(snmKeyed(hist), "skey", "doc_id")
+      .write.mode("overwrite").parquet(s"$base/snm_rank")
+    snmKeyed(hist).groupBy("skey").agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"$base/snm_hist")
     val weights = RecordLinkage.fieldWeightsFromCounts(
       spark.read.parquet(s"$base/value_counts"), erFsFields)
-    val pairs = fsBlockCandidates(hist)
+    val pairs = fsBlockCandidatesFrom(hist,
+        spark.read.parquet(s"$base/snm_rank"))
       .join(erSide(hist, "a"), "id_a").join(erSide(hist, "b"), "id_b")
     RecordLinkage.scorePairs(pairs, weights, erFsFields)
       .select(Seq(col("id_a"), col("id_b"), col("from_head"),
@@ -2442,17 +2497,47 @@ object DedupQueries {
     * oracle.
     */
   private[graft] def erMergeStep(spark: SparkSession, base: String,
-      delta: DataFrame, rollTo: Option[String]): DataFrame = {
+      delta: DataFrame, rollTo: Option[String],
+      tap: (String, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     import graft.ops.RecordLinkage
     val records = spark.read.parquet(s"$base/fields")
       .unionByName(delta).persist()
+    tap("records", records)
     // (1) exact weight update from additive value counts
     val vcMerged = spark.read.parquet(s"$base/value_counts")
       .unionByName(RecordLinkage.valueCounts(delta, erFsFields))
       .groupBy("field", "v").agg(sum("c").as("c"))
+      // feeds the weights AND the head-block histogram; localCheckpoint
+      // (not persist) because the relation is tiny (distinct
+      // (field,value) pairs) and truncating its lineage here keeps the
+      // nested-cache plan rendering bounded — an InMemoryRelation
+      // re-prints its whole child plan at every scan site, so deep
+      // cached-inside-cached subtrees explode the printed plan (and
+      // driver planning work) multiplicatively
+      .localCheckpoint(true)
     val weights = RecordLinkage.fieldWeightsFromCounts(vcMerged, erFsFields)
-    // (2) key-only blocking on the merged corpus
-    val candM = fsBlockCandidates(records).persist()
+    tap("weights", weights)
+    // (2) key-only blocking on the merged corpus — with both corpus-wide
+    // passes served from maintained artifacts (round-12 verdict #4):
+    // the head-block histogram is a filter over the already-merged
+    // value_counts (head is a scored field, same aggregate), and the
+    // SNM rank comes from the persisted sorted index + delta
+    // corrections (Ordering.exactRankMerge) — history is never
+    // re-ranked and the corpus is never shuffled by tail key.
+    val heads = vcMerged.filter(col("field") === "head" && col("c") <= 50)
+      .select(col("v").as("f_head"))
+    val ranked = graft.ops.Ordering.exactRankMerge(
+        spark.read.parquet(s"$base/snm_rank"),
+        spark.read.parquet(s"$base/snm_hist"),
+        snmKeyed(delta), "skey", "doc_id")
+      // feeds BOTH sides of the SNM pair join and (when rolling) the
+      // next generation's index artifact; eager localCheckpoint — the
+      // merged rank relation is 3 narrow columns and must materialize
+      // anyway, and truncation stops the deep merge lineage from being
+      // replicated per consumer in the plan
+      .localCheckpoint(true)
+    val candM = fsBlockCandidatesFrom(records, ranked, Some(heads)).persist()
+    tap("blocking_candM", candM)
     val candH = spark.read.parquet(s"$base/candidates")
     // (3) carried pairs keep their persisted agreement patterns
     // (provenance comes from the merged blocking — a pair can gain or
@@ -2476,6 +2561,7 @@ object DedupQueries {
     val links = scoredM.filter(col("decision") === 1)
       .select("id_a", "id_b", "score_fix", "from_head", "from_snm")
       .persist() // feeds CC, edge stats, and the removed-edge diff
+    tap("score_links", links)
     // (4) decremental-aware incremental CC: an old link that did not
     // survive (pruned block / SNM shift / weight flip) invalidates its
     // old cluster's star — those clusters rebuild from raw edges
@@ -2508,6 +2594,7 @@ object DedupQueries {
     // the full stars∪rawEdges tree re-executed both times (measured:
     // the probe ran ~2× q235 at sf0.1 before this)
     val ccInput = stars.unionByName(rawEdges).persist()
+    tap("cc_input", ccInput)
     // localCheckpoint (components' own lineage discipline): labels feed
     // members, edge stats, AND touch detection — without truncation each
     // consumer re-executes the stars∪rawEdges tree and the printed plan
@@ -2517,6 +2604,7 @@ object DedupQueries {
       .withColumnRenamed("id", "doc_id")
       .withColumnRenamed("component", "cluster_id")
       .localCheckpoint(true)
+    tap("cc_labels", labels)
     val members = records.join(labels, "doc_id").select(
       col("cluster_id"), col("doc_id").as("id"),
       (col("doc_id") % 11).as("ver"),
@@ -2539,6 +2627,7 @@ object DedupQueries {
         col("__nl") === col("__n") && col("__nc") === 1 &&
           col("__oldn") === col("__n"))
       .persist() // read twice: the touched filter and the reuse filter
+    tap("survivorship_status", status)
     val touched = status.filter(!col("__untouched")).select("cluster_id")
     val golden = graft.ops.Survivorship
       .golden(members.join(touched, "cluster_id"), "cluster_id", "id",
@@ -2563,6 +2652,14 @@ object DedupQueries {
       scoredM.write.mode("overwrite").parquet(s"$g/candidates")
       labels.write.mode("overwrite").parquet(s"$g/labels")
       golden.write.mode("overwrite").parquet(s"$g/golden")
+      // the maintained SNM index rolls forward too: merged ranks are
+      // already corrected, the histogram is additive
+      ranked.write.mode("overwrite").parquet(s"$g/snm_rank")
+      spark.read.parquet(s"$base/snm_hist")
+        .unionByName(
+          snmKeyed(delta).groupBy("skey").agg(count(lit(1)).as("c")))
+        .groupBy("skey").agg(sum("c").as("c"))
+        .write.mode("overwrite").parquet(s"$g/snm_hist")
       java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$g/_DONE"))
     }
     golden.join(edgeStats, "cluster_id")
@@ -2614,6 +2711,124 @@ object DedupQueries {
     buildErGenerations2(spark, dir) // no-op when the untimed prepare ran
     erMergeStep(spark, er2Base(dir, 1),
       fsRecords(spark, dir).filter(erIsDelta2), rollTo = None)
+  }
+
+  /** q241: the COMPLETE production nightly — incremental ER merge
+    * composed with the document-sink index lifecycle (round-12 verdict
+    * #5; reference analogue: the dump_to_es.py:43-94 tail every
+    * pipeline run ends with — revision sweep + first-seen carry-over —
+    * fed by the prepare_data_for_es.py revision merge). Night 0 indexes
+    * the history generation's golden records at revision 1 with a
+    * deterministic first-seen stamp; the nightly then (a) runs q236's
+    * incremental merge against the maintained artifacts, (b) flags each
+    * merged golden record as changed/unchanged against the generation-0
+    * golden artifact, and (c) re-indexes the merged goldens at revision
+    * 2 through [[graft.sinks.DocumentSink.index]], whose carry-over
+    * keeps night-0 stamps for clusters that already existed and whose
+    * revision sweep removes clusters that dissolved (absorbed by a
+    * delta-bridged merge). Output: the store read back through the K3
+    * collate shape — so the hash gate covers ER-merge equality AND all
+    * three sink semantics at once.
+    *
+    * Scale posture: every relation here is |clusters|-sized (≪ corpus);
+    * the carry-over and changed-flag joins are key-only on cluster_id.
+    * The store rewrite is the parquet stand-in for a Delta/Iceberg
+    * MERGE, exactly as in q45.
+    */
+  def q241NightlyErSink(spark: SparkSession, dir: String): DataFrame = {
+    buildErGeneration(spark, dir) // no-op when the untimed prepare ran
+    val scratch = new java.io.File(
+      s"/tmp/graft_ernight_${ScratchDirs.pathKey(dir)}_" +
+        s"${ProcessHandle.current().pid()}")
+    ScratchDirs.deleteRecursively(scratch)
+    val store = s"$scratch/store"
+    // JSON-stable golden payload: to_json drops null fields, so the
+    // nullable survivorship columns are coalesced to sentinels on BOTH
+    // sides of the oracle compare
+    def shaped(g: DataFrame): DataFrame = g.select(
+      col("cluster_id"),
+      col("n_members"),
+      coalesce(col("lang"), lit("-")).as("lang"),
+      coalesce(col("lang_src"), lit(-1L)).as("lang_src"),
+      coalesce(col("source"), lit("-")).as("source"),
+      coalesce(col("source_src"), lit(-1L)).as("source_src"))
+    val g0 = shaped(spark.read.parquet(s"${erBase(dir)}/golden"))
+    val b1 = g0.select(
+      col("cluster_id").as("doc_id"),
+      col("n_members"), col("lang"), col("lang_src"),
+      col("source"), col("source_src"),
+      lit(0).as("changed"),
+      lit(1L).as("revision"),
+      // deterministic first-seen stamp: cluster_id seconds after epoch
+      col("cluster_id").cast(TimestampType).as("create_timestamp"))
+    DocumentSink.index(spark, b1, store, currentRevision = 1L)
+    val merged = erMergeStep(spark, erBase(dir),
+      fsRecords(spark, dir).filter(erIsDelta), rollTo = None)
+    val g1 = shaped(merged)
+    val prev = g0.select(col("cluster_id") +:
+      g0.columns.filter(_ != "cluster_id")
+        .map(c => col(c).as(s"__p_$c")).toSeq: _*)
+    val b2 = g1.join(prev, Seq("cluster_id"), "left")
+      .select(
+        col("cluster_id").as("doc_id"),
+        col("n_members"), col("lang"), col("lang_src"),
+        col("source"), col("source_src"),
+        when(col("__p_n_members").isNull ||
+          col("__p_n_members") =!= col("n_members") ||
+          col("__p_lang") =!= col("lang") ||
+          col("__p_lang_src") =!= col("lang_src") ||
+          col("__p_source") =!= col("source") ||
+          col("__p_source_src") =!= col("source_src"), lit(1))
+          .otherwise(lit(0)).as("changed"),
+        lit(2L).as("revision"),
+        // a LATER stamp that carry-over must discard for carried clusters
+        (col("cluster_id") + 1000000000L).cast(TimestampType)
+          .as("create_timestamp"))
+    val swept = DocumentSink.index(spark, b2, store, currentRevision = 2L)
+    val out = swept.select(
+      col("doc_id"), col("revision"),
+      col("n_members"), col("lang"), col("lang_src"),
+      col("source"), col("source_src"), col("changed"),
+      unix_timestamp(col("create_timestamp")).as("created_s"))
+    DocumentSink.collate(out, kind = "golden").orderBy("doc_id")
+  }
+
+  /** Full-recompute oracle for [[q241NightlyErSink]]: TWO copies of the
+    * entire FS chain — history corpus (doc_id % 13 <> 4) and merged
+    * corpus — joined on cluster_id. Survivors are exactly the merged
+    * generation's clusters (the sweep), created_s is the history stamp
+    * when the cluster existed at night 0 (the carry-over) and the
+    * night-1 stamp otherwise, and `changed` diffs the two golden
+    * payloads. No artifact is trusted anywhere in this statement.
+    */
+  val q241Sql: String = {
+    def n(c: String) = s"coalesce($c, -1)"
+    def s(c: String) = s"coalesce($c, '-')"
+    s"""WITH RECURSIVE $fsCorpusCtes,
+       |hflds AS MATERIALIZED (SELECT * FROM flds WHERE doc_id % 13 <> 4),
+       |${fsGoldChainFor("h", "hflds")},
+       |${fsGoldChainFor("m", "flds")}
+       |SELECT m.cluster_id AS doc_id,
+       |  'golden' AS doc_kind,
+       |  CAST(2 AS BIGINT) AS revision,
+       |  CAST(1.0 AS DOUBLE) AS score,
+       |  '{"n_members":' || m.n_members ||
+       |  ',"lang":"' || ${s("m.lang")} ||
+       |  '","lang_src":' || ${n("m.lang_src")} ||
+       |  ',"source":"' || ${s("m.source")} ||
+       |  '","source_src":' || ${n("m.source_src")} ||
+       |  ',"changed":' || CASE WHEN h.cluster_id IS NULL
+       |       OR h.n_members <> m.n_members
+       |       OR ${s("h.lang")} <> ${s("m.lang")}
+       |       OR ${n("h.lang_src")} <> ${n("m.lang_src")}
+       |       OR ${s("h.source")} <> ${s("m.source")}
+       |       OR ${n("h.source_src")} <> ${n("m.source_src")}
+       |     THEN 1 ELSE 0 END ||
+       |  ',"created_s":' || CASE WHEN h.cluster_id IS NOT NULL
+       |       THEN m.cluster_id ELSE m.cluster_id + 1000000000 END ||
+       |  '}' AS value
+       |FROM mgold m LEFT JOIN hgold h USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** q220: dedup-cluster QUALITY audit — the QA pass a pipeline runs
@@ -3103,6 +3318,7 @@ object DedupQueries {
     "q235_dedup_pipeline" -> (q235DedupPipeline _),
     "q236_incremental_er" -> (q236IncrementalEr _),
     "q240_incremental_er_2gen" -> (q240IncrementalEr2Gen _),
+    "q241_er_nightly_sink" -> (q241NightlyErSink _),
     "q151_sorted_neighborhood" -> (q151SortedNeighborhood _),
     "q150_winnow_pairs" -> (q150WinnowPairs _),
     "q149_corpus_overlap" -> (q149CorpusOverlap _),
@@ -3147,6 +3363,7 @@ object DedupQueries {
     // full-recompute equality: the incremental probe must be invisible
     "q236_incremental_er" -> q235Sql,
     "q240_incremental_er_2gen" -> q235Sql,
+    "q241_er_nightly_sink" -> q241Sql,
     "q151_sorted_neighborhood" -> q151Sql,
     "q150_winnow_pairs" -> q150Sql,
     "q149_corpus_overlap" -> q149Sql,

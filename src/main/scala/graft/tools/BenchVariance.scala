@@ -90,6 +90,32 @@ object BenchVariance {
       ref: Map[String, Double]): Boolean =
     trancheGeomeanVsRef(times, ref).exists(_ >= AbsThreshold)
 
+  /** Two-kind suspect discriminator (round-12 verdict #3): the artifact
+    * records `load1_before`/`load1_after` per tranche, but a suspect
+    * verdict alone can't say WHY — a 1.3× tranche on an idle machine is
+    * a code regression, the same tranche on a load-40 machine is noise.
+    * `ambient` when the 1-minute load average around the tranche reached
+    * the machine's core count (the bench's own threads can account for
+    * at most `cpus`; anything at/above means contention from outside);
+    * `unexplained` otherwise — treat as a regression. Unreadable load
+    * (-1) can never read as ambient. */
+  def suspectKind(load1Before: Double, load1After: Double,
+      cpus: Int): String =
+    if (math.max(load1Before, load1After) >= cpus) "ambient"
+    else "unexplained"
+
+  /** Retry keep-policy (round-12 advisor, medium tail): keep whichever
+    * attempt's tranche geomean sits closer to the reference in LOG
+    * distance — |log g|, not raw g. Raw `g2 < g1` would prefer a
+    * spuriously-fast retry (0.6 from a warm page cache) over a first
+    * attempt at 1.1 that was actually closer to truth, and record
+    * optimistic times into a future reference. Returns true when the
+    * SECOND attempt should replace the first; an unmeasurable second
+    * attempt never wins. */
+  def keepSecondAttempt(g1: Option[Double], g2: Option[Double]): Boolean =
+    (for (a <- g2; b <- g1) yield
+      math.abs(math.log(a)) < math.abs(math.log(b))).getOrElse(false)
+
   /** Reference-merge for suspect runs (round-11 verdict #1: an
     * ambient-inflated tranche's times overwrote `BENCH_LOCAL.json`, so
     * the NEXT round's geomean_vs_ref for ~50 queries compared against

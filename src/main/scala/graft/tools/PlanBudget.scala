@@ -35,6 +35,10 @@ object PlanBudget {
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    // args(1..): query-name substrings — print-only mode (measure a few
+    // plans after a deliberate change without rewriting the golden file;
+    // ratchet the tsv by hand from the printed counts)
+    val only = args.drop(1).toSeq
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -44,12 +48,18 @@ object PlanBudget {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.GraftExtensions.install(spark)
-    val rows = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
+    val rows = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.exists(n.contains) }
+      .map { case (name, fn) =>
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
         val n = countShuffles(plan)
         println(s"[planbudget] $name\t$n")
         s"$name\t$n"
+      }
+    if (only.nonEmpty) {
+      println(s"[planbudget] print-only mode (${rows.size} queries), golden untouched")
+      spark.stop()
+      return
     }
     val header =
       "# query\tshuffle_exchanges (upper bound asserted by PlanBudgetSpec)\n" +

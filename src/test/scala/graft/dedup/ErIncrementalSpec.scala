@@ -87,13 +87,42 @@ class ErIncrementalSpec extends SparkSpec {
     // the rolled generation-1 artifact set is complete (the next merge's
     // whole input contract)
     val g1 = DedupQueries.er2Base(sf, 1)
-    for (a <- Seq("fields", "value_counts", "candidates", "labels", "golden"))
+    for (a <- Seq("fields", "value_counts", "candidates", "labels", "golden",
+        "snm_rank", "snm_hist"))
       assert(new java.io.File(s"$g1/$a").exists(), s"missing rolled $a")
     // and the rolled candidates carry the patterns the NEXT merge
     // re-scores from
     val cand = spark.read.parquet(s"$g1/candidates")
     for (c <- Seq("agree_lang", "agree_source", "agree_head", "agree_lenb"))
       assert(cand.columns.contains(c), s"rolled candidates lack $c")
+    spark.catalog.clearCache()
+  }
+
+  test("the probe ranks from the maintained SNM index, never the corpus") {
+    // round-12 verdict #4's pin: with the index artifact removed, the
+    // merge must FAIL — a probe that silently succeeded would be
+    // re-ranking history from raw values (the corpus-wide pass the
+    // maintained index exists to eliminate). The bit-level carry
+    // contract lives in ExactRankMergeSpec (poisoned-rank test).
+    val base = s"/tmp/graft_er_spec_noidx_${ProcessHandle.current().pid()}"
+    DedupQueries.buildErGenerationAt(spark, sf, base,
+      !DedupQueries.erIsDelta)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    rmrf(new java.io.File(s"$base/snm_rank"))
+    val delta = DedupQueries.fsRecords(spark, sf)
+      .filter(DedupQueries.erIsDelta)
+    val ex = intercept[Exception] {
+      DedupQueries.erMergeStep(spark, base, delta, rollTo = None)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(ex.getMessage.contains("snm_rank") ||
+      ex.toString.contains("PATH_NOT_FOUND") ||
+      ex.toString.contains("Path does not exist"),
+      s"unexpected failure mode: $ex")
+    rmrf(new java.io.File(base))
     spark.catalog.clearCache()
   }
 }

@@ -79,10 +79,14 @@ object GlobalWindowAllowlistSpec {
     *     same bounded shape as q151; visible here since the spec reads
     *     the ANALYZED plan (its links/records persists hid the subtree
     *     from the optimized plan).
-    *   - q236/q240: the identical exactRank histogram windows — the
-    *     merged-corpus SNM blocking pass shared with q235 via
-    *     fsBlockCandidates (the CC/star machinery itself is window-free
-    *     and lineage-truncated by localCheckpoint).
+    *   - q236/q240/q241 are NOT listed although their probe still runs
+    *     the same bounded histogram windows at runtime: the maintained
+    *     SNM index merge (Ordering.exactRankMerge) executes during
+    *     query construction behind an eager localCheckpoint, so the
+    *     ANALYZED plan this spec reads is already truncated. The
+    *     window's boundedness there is exactRank's (≤|distinct skey|
+    *     histogram rows, same shape as q151) and the merge's row-level
+    *     contract is pinned by ExactRankMergeSpec.
     *
     * The §2.7 reference-order parity ops (orderIndex, global
     * forwardFill) reach production only through the spec-pipeline
@@ -101,6 +105,6 @@ object GlobalWindowAllowlistSpec {
     "q175_funnel", "q177_hybrid_rrf", "q180_rfm_segments",
     "q211_matryoshka_variance", "q216_nb_calibration",
     "q217_conformal_gate", "q224_rank_agreement", "q226_blocking_recall",
-    "q235_dedup_pipeline", "q236_incremental_er", "q240_incremental_er_2gen",
+    "q235_dedup_pipeline",
     "q232_quality_token_curve", "q65_pack_sequences", "q69_tfidf_search")
 }

@@ -67,6 +67,30 @@ class BenchVarianceSpec extends AnyFunSuite {
     assert(!BenchVariance.shouldRetry(hot, Map("other" -> 1.0)))
   }
 
+  test("suspectKind: loaded machine reads ambient, idle reads unexplained") {
+    // load at/above the core count around the tranche → outside
+    // contention (our own threads can account for at most `cpus`)
+    assert(BenchVariance.suspectKind(40.0, 35.0, 32) == "ambient")
+    assert(BenchVariance.suspectKind(8.0, 33.0, 32) == "ambient")
+    // idle machine → the inflation has no ambient excuse: regression
+    assert(BenchVariance.suspectKind(8.5, 9.1, 32) == "unexplained")
+    // unreadable load (-1) can never read as ambient
+    assert(BenchVariance.suspectKind(-1.0, -1.0, 32) == "unexplained")
+  }
+
+  test("keepSecondAttempt compares |log g| distance from 1.0, not raw g") {
+    // retry landed outside the burst: 1.05 beats 1.4 → keep second
+    assert(BenchVariance.keepSecondAttempt(Some(1.4), Some(1.05)))
+    // spuriously-fast retry (warm page cache): 0.6 must NOT beat an
+    // honest 1.1 — raw `g2 < g1` would have kept it
+    assert(!BenchVariance.keepSecondAttempt(Some(1.1), Some(0.6)))
+    // and symmetric distances keep the first (strict <)
+    assert(!BenchVariance.keepSecondAttempt(Some(2.0), Some(2.0)))
+    // unmeasurable attempts never win / never lose by default
+    assert(!BenchVariance.keepSecondAttempt(Some(1.4), None))
+    assert(!BenchVariance.keepSecondAttempt(None, Some(1.0)))
+  }
+
   test("trancheGeomeanVsRef drops sub-millisecond references") {
     val ref = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 1.0,
       "e" -> 1.0, "z" -> 0.0001)

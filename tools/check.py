@@ -94,9 +94,19 @@ def main():
                 continue
         d = os.path.join(OUT, name)
         t0 = time.time()
+        parquets = sorted(glob.glob(f"{d}/*.parquet"))
+        if not parquets:
+            # a manifest-ok entry whose result dir is missing/empty must
+            # surface as its own status, not fall through to the compare
+            # as an empty DataFrame and read rowcount/schema_mismatch
+            # (round-12 advisor, low: that misattributes the failure)
+            results[name] = {"status": "missing_result",
+                             "err": "manifest says ok but no parquet under "
+                                    + d}
+            flush(results, qi + 1, len(names))
+            continue
         spark_df = pd.concat(
-            [pd.read_parquet(p) for p in sorted(glob.glob(f"{d}/*.parquet"))],
-            ignore_index=True) if glob.glob(f"{d}/*.parquet") else pd.DataFrame()
+            [pd.read_parquet(p) for p in parquets], ignore_index=True)
         if name not in oracles:
             results[name] = {"status": "rows_only", "rows": len(spark_df),
                              "sec": round(time.time() - t0, 2)}
