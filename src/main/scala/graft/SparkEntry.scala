@@ -74,7 +74,12 @@ object SparkEntry {
     "q130_stream_neardup", "q150_winnow_pairs", "q151_sorted_neighborhood",
     // round-12 verdict #6: q69's sf0.1→sf1 ratio is posting/match-list
     // growth — rows-out is the denominator a reader needs
-    "q69_tfidf_search")
+    "q69_tfidf_search",
+    // the payload-ER pair's wall is candidate-volume-proportional, and
+    // the volume shifts non-obviously with scale (ScaleUp replicates
+    // head fingerprints, so hot blocks cross the 50-cap and PRUNE at
+    // sf1 while SNM pairs grow 10×) — rows-out adjudicates the ratio
+    "q242_er_payload_full", "q243_er_payload_incremental")
 
   /** Queries whose bench rows carry DECODED-BYTES (round-12 verdict
     * #6): the blob-decode family's wall scales with payload bytes
@@ -117,7 +122,9 @@ object SparkEntry {
     "q240_incremental_er_2gen" ->
       (graft.queries.DedupQueries.buildErGenerations2 _),
     "q241_er_nightly_sink" ->
-      (graft.queries.DedupQueries.buildErGeneration _))
+      (graft.queries.DedupQueries.buildErGeneration _),
+    "q243_er_payload_incremental" ->
+      (graft.queries.DedupQueries.buildErPayloadGeneration _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -73,6 +73,47 @@ class ErIncrementalSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q243 equals q242 and the carry paths are real on the payload corpus") {
+    // the payload-heavy pair (round-12 verdict #1's measured
+    // demonstration): output equality is the driver's oracle; here we
+    // pin that the split exercises carry/new on the widened window AND
+    // that no history-history pair is ever scored as new — the
+    // structural guarantee that the levenshtein pass (which only the
+    // erpFlag'd NEW-pair branch contains) never touches history pairs
+    val full = DedupQueries.q242ErPayloadFull(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val inc = DedupQueries.q243ErPayloadIncremental(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(full == inc,
+      s"payload incremental drift: ${inc.size} vs ${full.size} rows")
+
+    val base = DedupQueries.erpBase(sf)
+    val candH = spark.read.parquet(s"$base/candidates")
+      .select("id_a", "id_b")
+    val records = DedupQueries.fsPayloadRecords(spark, sf)
+    val candM = DedupQueries.fsBlockCandidatesFrom(records,
+        graft.ops.Ordering.exactRank(
+          DedupQueries.snmKeyed(records), "skey", "doc_id"),
+        snmWindow = DedupQueries.ErpSnmWindow)
+      .select("id_a", "id_b").persist()
+    val carried = candM.join(candH, Seq("id_a", "id_b")).count()
+    val fresh = candM.join(candH, Seq("id_a", "id_b"), "left_anti").persist()
+    assert(carried > 0, "no carried payload candidates — split degenerate")
+    assert(fresh.count() > 0, "no new payload candidates — delta invisible")
+    val histIds = records.filter(!DedupQueries.erIsDelta)
+      .select(col("doc_id"))
+    val histHist = fresh
+      .join(histIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"),
+        "left_semi")
+      .join(histIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
+        "left_semi")
+      .count()
+    assert(histHist == 0,
+      s"$histHist history-history pairs would re-pay levenshtein")
+    candM.unpersist(); fresh.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("q240: two chained generation merges equal one from-scratch run") {
     // the induction step: night 1's ROLLED artifacts feed night 2's
     // merge, and the composition must be indistinguishable from q235 on

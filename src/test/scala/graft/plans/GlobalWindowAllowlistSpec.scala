@@ -75,10 +75,11 @@ object GlobalWindowAllowlistSpec {
     *   - bounded score/calibration tables (≤ probe-set × k rows after a
     *     TopK or a per-query rank): q69, q120, q156, q177, q211, q216,
     *     q217, q224 (two bounded top-10 retrieval lists per probe).
-    *   - q235: exactRank's histogram windows (the SNM blocking pass) —
-    *     same bounded shape as q151; visible here since the spec reads
-    *     the ANALYZED plan (its links/records persists hid the subtree
-    *     from the optimized plan).
+    *   - q235/q242: exactRank's histogram windows (the SNM blocking
+    *     pass; q242 is the payload-heavy full recompute) — same bounded
+    *     shape as q151; visible here since the spec reads the ANALYZED
+    *     plan (their links/records persists hid the subtree from the
+    *     optimized plan).
     *   - q236/q240/q241 are NOT listed although their probe still runs
     *     the same bounded histogram windows at runtime: the maintained
     *     SNM index merge (Ordering.exactRankMerge) executes during
@@ -105,6 +106,6 @@ object GlobalWindowAllowlistSpec {
     "q175_funnel", "q177_hybrid_rrf", "q180_rfm_segments",
     "q211_matryoshka_variance", "q216_nb_calibration",
     "q217_conformal_gate", "q224_rank_agreement", "q226_blocking_recall",
-    "q235_dedup_pipeline",
+    "q235_dedup_pipeline", "q242_er_payload_full",
     "q232_quality_token_curve", "q65_pack_sequences", "q69_tfidf_search")
 }
