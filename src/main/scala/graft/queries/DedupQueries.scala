@@ -2888,8 +2888,17 @@ object DedupQueries {
       df.withColumn(s"agree_$n",
         (col(s"${n}_a") === col(s"${n}_b")).cast("int"))
     }
+    // bounded-edit-distance agreement via the lev_bounded kernel (q128's
+    // verify tier): value-identical to `levenshtein(a,b) <= maxDist` —
+    // the kernel returns the exact distance when ≤ maxDist and −1 above
+    // it — but costed for the near-dup workload (affix stripping +
+    // Ukkonen band + row-min early exit) instead of the builtin's full
+    // |body|² DP. Guide §1.2/“per-task work”: same plan shape, ~10×
+    // cheaper expression on the hot path (measured: q242 67.8 s → see
+    // OPTIMIZATION_r13.md).
     eq.withColumn("agree_body",
-      (levenshtein(col("body_a"), col("body_b")) <= BodyEditMax)
+      (graft.functions.TextExprs.levBounded(
+        col("body_a"), col("body_b"), BodyEditMax) >= 0)
         .cast("int"))
   }
 
