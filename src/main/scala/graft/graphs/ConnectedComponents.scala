@@ -41,28 +41,42 @@ object ConnectedComponents {
     * deduplicated — small-star's aggregation tolerates duplicate edges
     * and its own distinct restores the invariant, saving one shuffle per
     * alternation (the loop always runs small after large).
+    *
+    * The per-node min is attached with a whole-partition window
+    * aggregate instead of groupBy+self-join: ONE exchange per star step
+    * instead of two (the join re-shuffled the full neighbor relation a
+    * second time). Skew is unchanged — both forms hash-partition the
+    * neighbor rows by node, so a hub's degree lands in one task either
+    * way; the unbounded-frame window buffers exactly the rows the join
+    * build side held, and spills through the same external row array.
     */
   private[graphs] def largeStar(edges: DataFrame): DataFrame = {
-    val nbrs = neighbors(edges)
-    val mins = nbrs.groupBy("a").agg(min("b").as("__mb"))
-    nbrs.join(mins, "a")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("a")
+    neighbors(edges)
+      .withColumn("__mb", min("b").over(w))
       .where(col("b") > col("a"))
       .select(col("b").as("a"), least(col("a"), col("__mb")).as("b"))
   }
 
   /** Small-star: every node points its ≤-neighbors and itself at the
-    * minimum of {v ∈ Γ(u) : v ≤ u} ∪ {u}.
+    * minimum of {v ∈ Γ(u) : v ≤ u} ∪ {u}. Same single-exchange window
+    * attach as [[largeStar]]; the pointed and self edge families are
+    * emitted in ONE pass over the windowed rows (a 2-element explode
+    * with per-element guards) instead of unioning two filtered
+    * projections of the same subtree — the window computes once.
     */
   private[graphs] def smallStar(edges: DataFrame): DataFrame = {
-    val nbrsLE = neighbors(edges).where(col("b") <= col("a"))
-    val mins = nbrsLE.groupBy("a").agg(min("b").as("__mb"))
-    val joined = nbrsLE.join(mins, "a")
-      .withColumn("__m", least(col("a"), col("__mb")))
-    val pointed = joined.where(col("b") =!= col("__m"))
-      .select(col("b").as("a"), col("__m").as("b"))
-    val self = joined.where(col("a") =!= col("__m"))
-      .select(col("a"), col("__m").as("b"))
-    pointed.union(self).distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("a")
+    val joined = neighbors(edges).where(col("b") <= col("a"))
+      .withColumn("__m", least(col("a"), min("b").over(w)))
+    joined.select(explode(array(
+        when(col("b") =!= col("__m"),
+          struct(col("b").as("a"), col("__m").as("b"))),
+        when(col("a") =!= col("__m"),
+          struct(col("a"), col("__m").as("b"))))).as("__e"))
+      .where(col("__e").isNotNull)
+      .select(col("__e.a").as("a"), col("__e.b").as("b"))
+      .distinct()
   }
 
   /** Component labels for an undirected edge list with long columns
