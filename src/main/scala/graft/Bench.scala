@@ -383,6 +383,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The warmup loop below exists so codegen compilation happens
+      // OUTSIDE each query's timed run — but the generated-class cache
+      // (StaticSQLConf) defaults to 100 entries, so a 50-query tranche
+      // evicts every warmup compilation before its timed run and each
+      // query re-pays janino inside the clock (measured: ~17% of a
+      // tranche's wall at sf0.1). Size the cache to hold the whole
+      // tranche's codegen units so the warmup does what it says; this
+      // is scale-independent (any long-lived session running many
+      // distinct queries wants it) and costs only metaspace, which the
+      // per-tranche child JVMs bound. Overridable for A/B runs.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.install(spark) // strategy + rewrite rule + SQL functions

@@ -21,16 +21,21 @@ object JobProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.GraftExtensions.install(spark)
-    val jobs = mutable.ArrayBuffer[(Int, Long, Long)]() // id, start, end
+    val jobs = mutable.ArrayBuffer[(Int, Long, Long, String)]() // id, start, end, desc
     val taskTime = new java.util.concurrent.atomic.AtomicLong(0)
     val nTasks = new java.util.concurrent.atomic.AtomicLong(0)
-    val starts = mutable.Map[Int, Long]()
+    val starts = mutable.Map[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        starts.synchronized { starts(j.jobId) = j.time }
+        starts.synchronized {
+          val d = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("").replace('\n', ' ').take(90)
+          starts(j.jobId) = (j.time, d) }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         starts.synchronized {
-          starts.remove(j.jobId).foreach(s => jobs += ((j.jobId, s, j.time))) }
+          starts.remove(j.jobId).foreach { case (s, d) =>
+            jobs += ((j.jobId, s, j.time, d)) } }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         if (t.taskInfo != null) {
           taskTime.addAndGet(t.taskInfo.duration)
@@ -69,6 +74,9 @@ object JobProbe {
       gap / 1e3
     }
     println(f"[jobprobe] $name wall=$wall%.2f s jobs=$nJobs jobWallSum=$jobWall%.2f s interJobGap=$gaps%.2f s tasks=${nTasks.get()} taskTimeSum=${taskTime.get()/1e3}%.2f s")
+    jobs.sortBy(j => -(j._3 - j._2)).take(25).foreach { j =>
+      println(f"[jobprobe]   job ${j._1}%4d ${(j._3 - j._2)/1e3}%6.2f s  ${j._4}")
+    }
     spark.stop()
   }
 }
