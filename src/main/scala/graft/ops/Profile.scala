@@ -192,19 +192,38 @@ object Profile {
     def side(df: DataFrame, tag: Int) =
       df.select(col(keyCol).as("__k"), col(valCol).cast("long").as("__v"),
         lit(tag).as("__s"))
-    val hist = side(a, 0).unionByName(side(b, 1))
+    ksStatisticTagged(side(a, 0).unionByName(side(b, 1)), keyCol)
+  }
+
+  /** [[ksStatistic]] over an already-tagged relation (`__k`, `__v` long,
+    * `__s` 0/1) — the single-scan entry for callers whose two samples
+    * are partitions of ONE table (q178 splits lineitem by quantity):
+    * tagging at the scan replaces two full passes over the same file
+    * with one (guide §2.3 — don't read what you can flag). Values are
+    * identical by construction: the union the two-DataFrame API builds
+    * is exactly this relation.
+    */
+  def ksStatisticTagged(tagged: DataFrame, keyCol: String): DataFrame = {
+    val hist = tagged
       .groupBy("__k", "__v")
       .agg(sum(when(col("__s") === 0, 1L).otherwise(0L)).as("__ha"),
         sum(when(col("__s") === 1, 1L).otherwise(0L)).as("__hb"))
     val wCdf = Window.partitionBy("__k").orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wKey = Window.partitionBy("__k")
+    // window sums stay LONG (counts; a 9.2e18-row corpus overflows long
+    // before these do) — only the cross-multiplied products are DECIMAL,
+    // where overflow is real at large n. Decimal window aggregation was
+    // ~2× the cost of the whole window stage at sf0.1 for zero extra
+    // range (the sums themselves can't overflow first).
     val cdf = hist
-      .withColumn("__na", sum("__ha").over(wKey).cast(DecimalType(38, 0)))
-      .withColumn("__nb", sum("__hb").over(wKey).cast(DecimalType(38, 0)))
-      .withColumn("__ca", sum("__ha").over(wCdf).cast(DecimalType(38, 0)))
-      .withColumn("__cb", sum("__hb").over(wCdf).cast(DecimalType(38, 0)))
-      .withColumn("__d", abs(col("__ca") * col("__nb") - col("__cb") * col("__na")))
+      .withColumn("__na", sum("__ha").over(wKey))
+      .withColumn("__nb", sum("__hb").over(wKey))
+      .withColumn("__ca", sum("__ha").over(wCdf))
+      .withColumn("__cb", sum("__hb").over(wCdf))
+      .withColumn("__d", abs(
+        col("__ca").cast(DecimalType(38, 0)) * col("__nb") -
+          col("__cb").cast(DecimalType(38, 0)) * col("__na")))
       .withColumn("__dmax", max(col("__d")).over(wKey))
     cdf.groupBy(col("__k").as(keyCol))
       .agg(max(col("__na")).cast("long").as("n_a"),

@@ -3201,8 +3201,11 @@ object DedupQueries {
     val e = Load.table(spark, dir, "embeddings").select("vec_id", "embedding")
     // zero vectors have no direction (cosine undefined, and their int8
     // struct carries scale 0 as the signal) — exclude them from both
-    // sides rather than let a NaN sim8 float to rank 1
-    val corpus = e.select(col("vec_id").as("neighbor_id"),
+    // sides rather than let a NaN sim8 float to rank 1.
+    // fanOut: the 16×(float + int8 cosine) scoring pass is narrow and a
+    // single-row-group input pins it to one task (measured 6 tasks /
+    // 3.4 s of CPU at sf0.1); at 100 TB file splits make this a no-op
+    val corpus = graft.ops.Par.fanOut(e).select(col("vec_id").as("neighbor_id"),
       col("embedding").as("__cv"),
       E.quantizeInt8(col("embedding")).as("__cq"))
       .filter(col("__cq").getField("scale") > 0)

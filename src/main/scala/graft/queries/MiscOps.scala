@@ -550,13 +550,17 @@ object MiscOps {
     * ratio all integer/decimal-exact.
     */
   def q178KsDrift(spark: SparkSession, dir: String): DataFrame = {
-    val li = Load.table(spark, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_quantity"),
+    // both samples are partitions of ONE table: tag the side at the scan
+    // (single pass) instead of running two filtered scans through the
+    // two-DataFrame ksStatistic API — the union it would build is
+    // exactly this relation (quantity is never null, so <=25 / >25 is a
+    // partition of the rows)
+    val tagged = Load.table(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("__k"),
         (col("l_extendedprice").cast(DecimalType(18, 4)) * 100)
-          .cast(LongType).as("cents"))
-    Profile.ksStatistic(
-      li.filter(col("l_quantity") <= 25), li.filter(col("l_quantity") > 25),
-      "l_returnflag", "cents")
+          .cast(LongType).as("__v"),
+        when(col("l_quantity") <= 25, 0).otherwise(1).as("__s"))
+    Profile.ksStatisticTagged(tagged, "l_returnflag")
       .orderBy("l_returnflag")
   }
 

@@ -51,7 +51,11 @@ object SemDedup {
       iterations: Int = 5,
       sampleRows: Int = 2000,
       seed: Long = 42L): DataFrame = {
-    val normed = corpus.select(
+    // Par.fanOut: normalize + the nClusters-way argmin assignment are
+    // narrow and otherwise run on the scan's file partitions (1-2 tasks
+    // at bench scale); no-op at 100 TB. Both self-join sides derive from
+    // the same fanned-out subtree, so ReuseExchange still holds.
+    val normed = graft.ops.Par.fanOut(corpus).select(
       col(idCol), Embeddings.l2Normalize(col(vecCol)).as("__nv"))
     val centroids = Ann.ivfTrain(normed, "__nv", nClusters, iterations,
       sampleRows, seed)

@@ -25,6 +25,7 @@ object JobProbe {
     val taskTime = new java.util.concurrent.atomic.AtomicLong(0)
     val nTasks = new java.util.concurrent.atomic.AtomicLong(0)
     val starts = mutable.Map[Int, (Long, String)]()
+    val stages = mutable.ArrayBuffer[(Int, Int, Double, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         starts.synchronized {
@@ -41,6 +42,14 @@ object JobProbe {
           taskTime.addAndGet(t.taskInfo.duration)
           nTasks.incrementAndGet()
         }
+      }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val i = s.stageInfo
+        val wall = (for {a <- i.completionTime; b <- i.submissionTime}
+          yield (a - b) / 1e3).getOrElse(-1.0)
+        stages.synchronized {
+          stages += ((i.stageId, i.numTasks, wall,
+            i.name.replace('\n', ' ').take(70))) }
       }
     })
     def force(df: org.apache.spark.sql.DataFrame): Double = {
@@ -74,8 +83,11 @@ object JobProbe {
       gap / 1e3
     }
     println(f"[jobprobe] $name wall=$wall%.2f s jobs=$nJobs jobWallSum=$jobWall%.2f s interJobGap=$gaps%.2f s tasks=${nTasks.get()} taskTimeSum=${taskTime.get()/1e3}%.2f s")
-    jobs.sortBy(j => -(j._3 - j._2)).take(25).foreach { j =>
+    jobs.sortBy(j => -(j._3 - j._2)).take(15).foreach { j =>
       println(f"[jobprobe]   job ${j._1}%4d ${(j._3 - j._2)/1e3}%6.2f s  ${j._4}")
+    }
+    stages.sortBy(s => -s._3).take(15).foreach { s =>
+      println(f"[jobprobe]   stage ${s._1}%4d tasks=${s._2}%4d ${s._3}%6.2f s  ${s._4}")
     }
     spark.stop()
   }
