@@ -2563,13 +2563,23 @@ object DedupQueries {
     val candH = spark.read.parquet(s"$base/candidates")
     // (3) carried pairs keep their persisted agreement patterns
     // (provenance comes from the merged blocking — a pair can gain or
-    // lose a tier); only NEW pairs join the wide payloads
-    val carried = candM.join(
-      candH.select(Seq(col("id_a"), col("id_b")) ++
+    // lose a tier); only NEW pairs join the wide payloads. Routing is
+    // ONE left join on the pair key (was inner + anti — the candH side
+    // crossed the pair-key exchange twice through two projections);
+    // membership rides an explicit lit(1) marker because a persisted
+    // pattern can be genuinely NULL (null-fielded comparison), so
+    // pattern nullness cannot route.
+    // localCheckpoint (not persist): both branches scan it, and a cached
+    // relation re-prints its whole child plan per scan site — the pair
+    // relation is narrow (keys + tier flags + 4 small ints), so eager
+    // truncation is cheap and keeps the printed plan/exchange budget flat
+    val markedM = candM.join(
+      candH.select(Seq(col("id_a"), col("id_b"), lit(1).as("__h")) ++
         FsM.map { case (n, _, _) => col(s"agree_$n") }: _*),
-      Seq("id_a", "id_b"))
-    val newPairs = candM
-      .join(candH.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+      Seq("id_a", "id_b"), "left").localCheckpoint(true)
+    val carried = markedM.filter(col("__h").isNotNull).drop("__h")
+    val newPairs = markedM.filter(col("__h").isNull)
+      .drop("__h" +: FsM.map { case (n, _, _) => s"agree_$n" }: _*)
       .join(erSide(records, "a"), "id_a").join(erSide(records, "b"), "id_b")
     // patterns ride along: the rolled candidates artifact must carry
     // them (the NEXT merge re-scores from patterns, never payloads)
@@ -3028,12 +3038,15 @@ object DedupQueries {
     val candM = fsBlockCandidatesFrom(records, ranked, Some(heads),
       snmWindow = ErpSnmWindow).persist()
     val candH = spark.read.parquet(s"$base/candidates")
-    val carried = candM.join(
-      candH.select(Seq(col("id_a"), col("id_b")) ++
+    // same one-left-join carried/new routing as erMergeStep (lit(1)
+    // marker; patterns can be NULL so nullness cannot route)
+    val markedM = candM.join(
+      candH.select(Seq(col("id_a"), col("id_b"), lit(1).as("__h")) ++
         erpFieldNames.map(n => col(s"agree_$n")): _*),
-      Seq("id_a", "id_b"))
-    val newPairs = candM
-      .join(candH.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+      Seq("id_a", "id_b"), "left").localCheckpoint(true)
+    val carried = markedM.filter(col("__h").isNotNull).drop("__h")
+    val newPairs = markedM.filter(col("__h").isNull)
+      .drop("__h" +: erpFieldNames.map(n => s"agree_$n"): _*)
       .join(erpSide(records, "a"), "id_a")
       .join(erpSide(records, "b"), "id_b")
     RecordLinkage.scorePatterns(carried, weights, erpFields)
