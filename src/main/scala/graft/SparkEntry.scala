@@ -124,7 +124,9 @@ object SparkEntry {
     "q241_er_nightly_sink" ->
       (graft.queries.DedupQueries.buildErGeneration _),
     "q243_er_payload_incremental" ->
-      (graft.queries.DedupQueries.buildErPayloadGeneration _))
+      (graft.queries.DedupQueries.buildErPayloadGeneration _),
+    "q156_incremental_index" ->
+      (graft.queries.SearchQueries.buildBm25HistIndex _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
