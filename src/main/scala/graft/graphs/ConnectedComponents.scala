@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   * propagation, which a chain degenerates to O(n)).
   *
   * Scale shape, per round:
-  *  - ONE groupBy(node) shuffle computes the per-node min neighbor and a
-  *    co-partitioned join re-attaches it to the neighbor relation — no
-  *    `collect_list` of neighborhoods, so a 10⁸-degree hub node costs
-  *    O(degree) rows, never O(degree) aggregation state (no skew bomb).
+  *  - ONE exchange of the neighbor relation per star step: the per-node
+  *    min rides a partition-by-node window aggregate (round 13; the
+  *    earlier groupBy+self-join shape shuffled the neighbors twice) —
+  *    no `collect_list` of neighborhoods, so a 10⁸-degree hub node
+  *    costs O(degree) buffered-and-spilled rows in one task either way
+  *    (hash-by-node partitioning is identical in both shapes).
   *  - `localCheckpoint` truncates lineage each round (a cluster run
   *    against unreliable executors would use `checkpoint` to a reliable
   *    dir instead); the convergence probe is one count+hash aggregate.
