@@ -103,6 +103,22 @@ object Bench {
   private final case class RefProtect(refPaths: Seq[String],
       oldRef: Map[String, Double], suspectQueries: Set[String])
 
+  /** Core count this run measures at — the same value runInline builds its
+    * master URL from, visible to the sharded parent too (children inherit
+    * the env). Recorded in the artifact and used to cpu-tag the per-run
+    * record so a lower-core re-run can never clobber or mis-reference the
+    * full-core record (round-13 verdict #2). */
+  private def benchCpus(): Int =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString).toInt
+
+  /** `BENCH_LOCAL.json` → `BENCH_LOCAL.32c.json`: the per-run sibling of a
+    * durable artifact path, keyed by core count. */
+  private def cpuTagged(path: String, cpus: Int): String =
+    if (path.endsWith(".json"))
+      path.stripSuffix(".json") + s".${cpus}c.json"
+    else path + s".${cpus}c.json"
+
   private def runSharded(names: Seq[String], trancheSize: Int): Unit = {
     import scala.jdk.CollectionConverters._
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -149,23 +165,31 @@ object Bench {
     // ref must be a sibling run AT THIS SF (exact sf-string match inside
     // the loader); when the primary ref is for another sf, fall back to
     // the committed sf1 artifact so sf1 runs also self-report variance
+    val cpus = benchCpus()
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_LOCAL.json")
-    val primaryRef = tools.BenchVariance.loadQueryTimesForSf(refPath, sfDir)
-    // refSourcePath tracks the file the annotation ACTUALLY used: an sf1
-    // run falls back to BENCH_SF1.json. The suspect-run protection below
-    // guards BOTH that file and the primary refPath — a suspect record
-    // landing on either poisons a future run's baseline.
-    val (refTimes, refSourcePath) =
-      if (primaryRef.nonEmpty) (primaryRef, refPath)
-      else (tools.BenchVariance.loadQueryTimesForSf("BENCH_SF1.json", sfDir),
-        "BENCH_SF1.json")
+    // reference candidates in preference order: the cpu-tagged per-run
+    // sibling (exact-regime comparison), then the primary path, then the
+    // committed sf1 artifact. Every load is gated on recorded sf AND cpus
+    // (round-13 verdict #2: the 8-core re-run overwrote the canonical
+    // 32-core record and cross-cpus ratios are meaningless at sf0.1).
+    val candidates = Seq(cpuTagged(refPath, cpus), refPath, "BENCH_SF1.json")
+    // refSourcePath tracks the file the annotation ACTUALLY used. The
+    // suspect-run protection below guards that file, the primary refPath
+    // and its cpu-tagged sibling — a suspect record landing on any of
+    // them poisons a future run's baseline.
+    val (refSourcePath, refTimes) = candidates.iterator
+      .map(p => p -> tools.BenchVariance.loadQueryTimesForSf(
+        p, sfDir, Some(cpus)))
+      .find(_._2.nonEmpty)
+      .getOrElse((refPath, Map.empty[String, Double]))
     // the OUT-path's own sf-matched content, captured before the first
     // checkpoint write clobbers it — the only safe merge base when this
     // run turns out suspect
     val outPathStr = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "BENCH_SUBSET.json"
       else "BENCH_LOCAL.json")
-    val oldRefAtOut = tools.BenchVariance.loadQueryTimesForSf(outPathStr, sfDir)
+    val oldRefAtOut = tools.BenchVariance.loadQueryTimesForSf(
+      outPathStr, sfDir, Some(cpus))
     val cpusOnHost = Runtime.getRuntime.availableProcessors()
     def currentVerdicts(): Seq[Option[tools.BenchVariance.TrancheVerdict]] =
       if (refTimes.isEmpty) trancheInfo.toSeq.map(_ => None)
@@ -354,7 +378,8 @@ object Bench {
       // oldRef is the file's sf-matched content from before our first write
       val refProtect =
         if (suspectQs.nonEmpty)
-          Some(RefProtect(Seq(refPath, refSourcePath).distinct,
+          Some(RefProtect(
+            Seq(refPath, cpuTagged(refPath, cpus), refSourcePath).distinct,
             oldRefAtOut, suspectQs))
         else None
       val doneSoFar = tranches.take(i + 1).flatten
@@ -564,10 +589,14 @@ object Bench {
     val partialJson = partial
       .map { case (d, t, _) => s""","partial":true,"tranches_done":$d,"tranches_total":$t""" }
       .getOrElse("")
+    // cpus recorded in the artifact (round-13 verdict #2): the loader
+    // rejects a reference whose recorded cpus mismatch, so the driver's
+    // lower-core re-run can never poison the full-core baseline
+    val cpus = benchCpus()
     val jsonFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedJson$trancheJson$outRowsJson$outBytesJson$partialJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedJson$trancheJson$outRowsJson$outBytesJson$partialJson,"sf":"$sfDir","cpus":$cpus}"""
     val jsonDetail =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"failed":$failedJson$trancheJson$outRowsJson$outBytesJson$partialJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"failed":$failedJson$trancheJson$outRowsJson$outBytesJson$partialJson,"sf":"$sfDir","cpus":$cpus}"""
     // The driver's tail capture keeps only the last ~2 KB of stdout; a
     // 200-query detail line is bigger than that, so its head (with
     // "value":total) gets truncated and the round scores parsed:null
@@ -575,7 +604,7 @@ object Bench {
     // self-contained total record as the very last line — whatever prefix
     // the tail loses, the final line always fits and always parses.
     val jsonTail =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size}$partialJson}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"n_failed":${failed.size}$partialJson}"""
     // Durable copy so a harness that misses the stdout line can still
     // recover the record from disk. Best-effort: an unwritable path must
     // not abort the run before the primary stdout metric line prints.
@@ -642,6 +671,18 @@ object Bench {
                else "left untouched (no sf-matched old reference)"))
         case _ =>
           java.nio.file.Files.write(out, jsonFull.getBytes("UTF-8"))
+          // per-run cpu-tagged record (round-13 verdict #2): the canonical
+          // per-query map for THIS core count, immune to being clobbered
+          // by a later run at another core count (that run tags its own
+          // file). Full-lineup runs only — ad-hoc subsets are not a
+          // round-over-round record. Suspect runs skip this write (their
+          // full record already ships in the .suspect.json side artifact),
+          // so the tagged file only ever holds clean per-query times.
+          if (!sys.env.contains("SPARK_GRAFT_BENCH_ONLY") &&
+              !sys.env.contains("SPARK_GRAFT_BENCH_TRANCHE"))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(cpuTagged(outStr, cpus)),
+              jsonFull.getBytes("UTF-8"))
       }
     } catch {
       // NonFatal only: an OOM/VM error must kill the run, not be masked

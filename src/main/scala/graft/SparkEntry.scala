@@ -126,7 +126,9 @@ object SparkEntry {
     "q243_er_payload_incremental" ->
       (graft.queries.DedupQueries.buildErPayloadGeneration _),
     "q156_incremental_index" ->
-      (graft.queries.SearchQueries.buildBm25HistIndex _))
+      (graft.queries.SearchQueries.buildBm25HistIndex _),
+    "q130_stream_neardup" ->
+      (graft.queries.MiscOps.buildNearDupHistIndex _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   *   lift(A→B)       = n(AB)·N / (n(A)·n(B))   (2^16 floor)
   *
   * Scale shape is the textbook A-priori bound made physical: items
-  * below minItemSupport leave BEFORE the pair join (the candidate-
+  * below minItemSupport leave BEFORE pair generation (the candidate-
   * pruning step IS the algorithm), so per-basket pair fan-out is
-  * C(k_frequent, 2), not C(k, 2). The pair join shuffles on basket id
-  * only — one equi-join, with the a.item < b.item predicate killing
-  * the symmetric double-count — and the pair counts combine map-side.
+  * C(k_frequent, 2), not C(k, 2). Pairs are generated IN-ROW: one
+  * basket-keyed exchange collects each basket's frequent items, and the
+  * ordered combinations (item_a < item_b, killing the symmetric
+  * double-count) come from a codegen array projection — no basket
+  * self-join, and the pair counts combine map-side.
   * The basket total rides a broadcast 1-row aggregate, never a window.
   * All outputs int64 (counts and floored fixed-point ratios): a second
   * engine replays them bit-for-bit.
@@ -39,10 +41,28 @@ object Association {
       .filter(col("__icnt") >= minItemSupport)
     val f = d.join(freq, "__i")
     val nBaskets = d.select(countDistinct("__b").as("__n"))
-    val pairs = f.select(col("__b"), col("__i").as("__ia"), col("__icnt").as("__ca"))
-      .join(f.select(col("__b"), col("__i").as("__ib"), col("__icnt").as("__cb")),
-        "__b")
-      .filter(col("__ia") < col("__ib"))
+    // In-row pair generation (round 14; q81's window-pair pattern): the
+    // basket self-join shuffled the frequent-item relation by basket id
+    // on BOTH sides and materialized the C(k,2) fan-out as join output
+    // rows before the pair count. Collecting each basket's (item, count)
+    // structs ONCE — same single basket-keyed exchange the join needed —
+    // and emitting the ordered combinations with array expressions keeps
+    // the fan-out inside a codegen projection: one pass over f, no join.
+    // sort_array orders by item (items are distinct within a basket), so
+    // combinations (i, j>i) reproduce exactly the __ia < __ib pair set.
+    // Per-basket state is C(k_frequent, 2) pairs in one row — bounded by
+    // the same A-priori prune that bounded the join's fan-out.
+    val items = f.groupBy("__b").agg(sort_array(
+      collect_list(struct(col("__i"), col("__icnt")))).as("__its"))
+    val pairs = items
+      .select(explode(flatten(transform(col("__its"), (x, i) =>
+        transform(slice(col("__its"), i + lit(2), size(col("__its"))),
+          y => struct(x.getField("__i").as("__ia"),
+            y.getField("__i").as("__ib"),
+            x.getField("__icnt").as("__ca"),
+            y.getField("__icnt").as("__cb")))))).as("__p"))
+      .select(col("__p.__ia").as("__ia"), col("__p.__ib").as("__ib"),
+        col("__p.__ca").as("__ca"), col("__p.__cb").as("__cb"))
       .groupBy("__ia", "__ib", "__ca", "__cb")
       .agg(count(lit(1)).as("__pcnt"))
       .filter(col("__pcnt") >= minPairSupport)

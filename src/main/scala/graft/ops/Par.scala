@@ -27,7 +27,34 @@ object Par {
     * shuffle boundary upstream to replay from). Pinning the computed
     * rows first makes the sample read the cache. Callers own the cache
     * lifetime (Verify/Bench clear per query).
+    *
+    * Prefer [[sortEarly]] when the sort key's leading columns already
+    * exist on the INPUT side of the expensive compute: it avoids both
+    * the persist and the post-compute exchange.
     */
   def sortOnce(df: DataFrame, cols: Column*): DataFrame =
     df.persist().orderBy(cols: _*)
+
+  /** Sort EARLY instead of persist+orderBy (round-14): when a narrow
+    * compute's output must be globally ordered by keys whose LEADING
+    * columns already exist on the input (secondary keys generated
+    * within a leading-key group, e.g. posexplode indices), range-
+    * partition the CHEAP input by those leading columns, run the
+    * compute post-shuffle, and finish with sortWithinPartitions.
+    *
+    *   - the range sampler's second pass re-executes only the bare
+    *     input (a pruned scan), never the compute — no persist needed;
+    *   - the compute runs across the shuffle partitions instead of the
+    *     scan's file splits (the [[fanOut]] effect, for free);
+    *   - global order holds because range partitioning never splits
+    *     equal leading keys across partitions.
+    *
+    * At scale this is strictly cheaper than persist+orderBy: one
+    * exchange of the small input columns instead of a full cache
+    * materialization plus an exchange of the computed (wider) rows.
+    */
+  def sortEarly(input: DataFrame, rangeKeys: Seq[Column],
+      finalKeys: Seq[Column])(compute: DataFrame => DataFrame): DataFrame =
+    compute(input.repartitionByRange(rangeKeys: _*))
+      .sortWithinPartitions(finalKeys: _*)
 }

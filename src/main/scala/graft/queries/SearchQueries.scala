@@ -401,12 +401,20 @@ object SearchQueries {
     * generated from the same vocab literals.
     */
   def q123UnigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    // sort EARLY (Par.sortEarly): range-partition the bare (doc_id, text)
+    // scan by doc_id, run the Viterbi kernel post-shuffle (parallel across
+    // shuffle partitions instead of pinned to the scan's file splits, and
+    // exactly ONCE — no sortOnce persist of the full token relation), and
+    // complete the (doc_id, widx, tidx) order within partitions: widx/tidx
+    // are generated inside a doc_id group, which range partitioning never
+    // splits.
     val d = Load.table(spark, dir, "documents").select("doc_id", "text")
-    graft.text.Unigram.encode(d, "text", q123Vocab, unkCost = q123Unk)
-      .select(col("doc_id"), col("widx").cast("long").as("widx"),
-        col("tidx").cast("long").as("tidx"), col("token"))
-      .transform(graft.ops.Par.sortOnce(_, col("doc_id"), col("widx"),
-        col("tidx")))
+    graft.ops.Par.sortEarly(d, Seq(col("doc_id")),
+      Seq(col("doc_id"), col("widx"), col("tidx"))) { dd =>
+      graft.text.Unigram.encode(dd, "text", q123Vocab, unkCost = q123Unk)
+        .select(col("doc_id"), col("widx").cast("long").as("widx"),
+          col("tidx").cast("long").as("tidx"), col("token"))
+    }
   }
 
   private val q123Unk = 400L
@@ -815,12 +823,14 @@ object SearchQueries {
     val reloaded = graft.text.Bpe.loadMerges(spark, path)
     require(reloaded == q101Merges,
       "merge-table artifact round-trip must be exact, in rank order")
+    // sort early (Par.sortEarly, q123's rationale)
     val d = Load.table(spark, dir, "documents").select("doc_id", "text")
-    graft.text.Bpe.encode(d, "text", reloaded, sep = "+")
-      .select(col("doc_id"), col("widx").cast("long").as("widx"),
-        col("tidx").cast("long").as("tidx"), col("token"))
-      .transform(graft.ops.Par.sortOnce(_, col("doc_id"), col("widx"),
-        col("tidx")))
+    graft.ops.Par.sortEarly(d, Seq(col("doc_id")),
+      Seq(col("doc_id"), col("widx"), col("tidx"))) { dd =>
+      graft.text.Bpe.encode(dd, "text", reloaded, sep = "+")
+        .select(col("doc_id"), col("widx").cast("long").as("widx"),
+          col("tidx").cast("long").as("tidx"), col("token"))
+    }
   }
 
   /** q81: co-occurrence + exact-integer PMI over window-2 token pairs —
@@ -875,12 +885,16 @@ object SearchQueries {
     * ' a  l+e ') and shared-boundary runs exact.
     */
   def q101BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    // sort early (Par.sortEarly, q123's rationale): range-partition the
+    // bare scan by doc_id so the merge-replay kernel runs once,
+    // post-shuffle, with no persist of the token relation
     val d = Load.table(spark, dir, "documents").select("doc_id", "text")
-    graft.text.Bpe.encode(d, "text", q101Merges, sep = "+")
-      .select(col("doc_id"), col("widx").cast("long").as("widx"),
-        col("tidx").cast("long").as("tidx"), col("token"))
-      .transform(graft.ops.Par.sortOnce(_, col("doc_id"), col("widx"),
-        col("tidx")))
+    graft.ops.Par.sortEarly(d, Seq(col("doc_id")),
+      Seq(col("doc_id"), col("widx"), col("tidx"))) { dd =>
+      graft.text.Bpe.encode(dd, "text", q101Merges, sep = "+")
+        .select(col("doc_id"), col("widx").cast("long").as("widx"),
+          col("tidx").cast("long").as("tidx"), col("token"))
+    }
   }
 
   private[queries] val q101Merges: Seq[(String, String)] = Seq(
@@ -1087,12 +1101,14 @@ object SearchQueries {
     * whole-word-UNK rewrite applied after.
     */
   def q132WordPieceEncode(spark: SparkSession, dir: String): DataFrame = {
+    // sort early (Par.sortEarly, q123's rationale)
     val d = Load.table(spark, dir, "documents").select("doc_id", "text")
-    graft.text.WordPiece.encode(d, "text", q132Vocab)
-      .select(col("doc_id"), col("widx").cast("long").as("widx"),
-        col("tidx").cast("long").as("tidx"), col("token"))
-      .transform(graft.ops.Par.sortOnce(_, col("doc_id"), col("widx"),
-        col("tidx")))
+    graft.ops.Par.sortEarly(d, Seq(col("doc_id")),
+      Seq(col("doc_id"), col("widx"), col("tidx"))) { dd =>
+      graft.text.WordPiece.encode(dd, "text", q132Vocab)
+        .select(col("doc_id"), col("widx").cast("long").as("widx"),
+          col("tidx").cast("long").as("tidx"), col("token"))
+    }
   }
 
   private[graft] val q132Vocab: Seq[String] = Seq(

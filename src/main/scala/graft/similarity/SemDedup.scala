@@ -109,7 +109,12 @@ object SemDedup {
     val centroids = Ann.ivfTrain(bNorm, "__bv", nClusters, iterations,
       sampleRows, seed)
     val b = bNorm.withColumn("__cluster", Ann.ivfListId(col("__bv"), centroids))
-    val t = train.select(
+    // Par.fanOut on the TRAIN side ([[droppedDocs]]'s round-13 fix,
+    // extended here in round 14): normalize + argmin + the within-cluster
+    // cosine probe are narrow and otherwise run on the scan's file
+    // partitions (1-2 tasks at bench scale, where the bench side
+    // broadcasts); no-op at 100 TB where file splits provide parallelism.
+    val t = graft.ops.Par.fanOut(train).select(
       col(idCol).as("train_id"), Embeddings.l2Normalize(col(vecCol)).as("__tv"))
       .withColumn("__cluster", Ann.ivfListId(col("__tv"), centroids))
     t.join(b, Seq("__cluster"))

@@ -141,13 +141,24 @@ object BenchVariance {
     * meaningless (the relative condition would mask it, but an
     * all-suspect-false annotation against the wrong sf still reads as
     * "checked and clean"). */
-  def loadQueryTimesForSf(path: String, sfDir: String): Map[String, Double] = {
+  def loadQueryTimesForSf(path: String, sfDir: String,
+      cpus: Option[Int] = None): Map[String, Double] = {
     try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val node = om.readTree(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)))
       val sf = node.get("sf")
-      if (sf != null && sf.asText() == sfDir) loadQueryTimes(path)
+      // cpus gate (round-13 verdict #2): the driver re-runs the bench at a
+      // lower core count, and that run's times must never become the
+      // reference for (or be clobbered by) a full-core run — at sf0.1 the
+      // 8-core run is FASTER than 32 cores (scheduling overhead dominates
+      // toy stages), so cross-cpus ratios read as phantom regressions.
+      // Artifacts now record "cpus"; a recorded mismatch rejects the file.
+      // Files predating the field stay loadable (legacy back-compat).
+      val recCpus = Option(node.get("cpus")).map(_.asInt())
+      val cpusOk = (for (want <- cpus; got <- recCpus) yield got == want)
+        .getOrElse(true)
+      if (sf != null && sf.asText() == sfDir && cpusOk) loadQueryTimes(path)
       else Map.empty
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
