@@ -118,17 +118,19 @@ object Ordering {
       .withColumn("__hBelow", coalesce(sum("__hc").over(w), lit(0L)))
       .select(col(valueCol), col("__dBelow"), col("__hBelow"))
     // same-value collisions: delta broadcast against the history scan —
-    // group sizes are per-value populations, never the corpus
-    val dEq = histRanked.select(col(valueCol), col(tieCol))
-      .join(broadcast(dKeyed.withColumnRenamed(tieCol, "__dtie")),
-        Seq(valueCol))
-      .filter(col("__dtie") < col(tieCol))
-      .groupBy(col(tieCol)).agg(count(lit(1)).as("__deq"))
-    val hEq = histRanked
-      .select(col(valueCol), col(tieCol).as("__htie"))
-      .join(broadcast(dKeyed), Seq(valueCol))
-      .filter(col("__htie") < col(tieCol))
-      .groupBy(col(tieCol)).agg(count(lit(1)).as("__heq"))
+    // group sizes are per-value populations, never the corpus. ONE
+    // shared equi-value join feeds both correction aggregates (round
+    // 14): the two branches used to broadcast differently-projected
+    // copies of the delta, defeating exchange reuse
+    val eqJoin = histRanked.select(col(valueCol), col(tieCol).as("__htie"))
+      .join(broadcast(dKeyed.select(col(valueCol),
+        col(tieCol).as("__dtie"))), Seq(valueCol))
+    val dEq = eqJoin.filter(col("__dtie") < col("__htie"))
+      .groupBy(col("__htie")).agg(count(lit(1)).as("__deq"))
+      .withColumnRenamed("__htie", tieCol)
+    val hEq = eqJoin.filter(col("__htie") < col("__dtie"))
+      .groupBy(col("__dtie")).agg(count(lit(1)).as("__heq"))
+      .withColumnRenamed("__dtie", tieCol)
     val histCorr = histRanked
       .join(broadcast(allKeys.select(col(valueCol), col("__dBelow"))),
         Seq(valueCol))

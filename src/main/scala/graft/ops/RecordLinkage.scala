@@ -123,16 +123,21 @@ object RecordLinkage {
     * toward non-link (advisor finding, round 8); null-vs-null is
     * likewise "unknown", never "agree".
     */
-  def scorePairs(pairs: DataFrame, weights: DataFrame, fields: Seq[Field],
-      thresholdBits: Int = 2): DataFrame = {
-    // a === b is three-valued: NULL on either side yields a NULL flag
-    // (SQL semantics, identical in the mirroring engine)
-    val flagged = fields.foldLeft(pairs) { (df, f) =>
+  /** Per-field agreement flags — the comparison half of [[scorePairs]],
+    * exposed (round 14) so an incremental merge can union carried
+    * patterns with freshly-flagged pairs and run ONE [[scorePatterns]]
+    * pass (one weights broadcast) over both. a === b is three-valued:
+    * NULL on either side yields a NULL flag (SQL semantics, identical
+    * in the mirroring engine). */
+  def flagPairs(pairs: DataFrame, fields: Seq[Field]): DataFrame =
+    fields.foldLeft(pairs) { (df, f) =>
       df.withColumn(s"agree_${f.name}",
         (col(s"${f.name}_a") === col(s"${f.name}_b")).cast("int"))
     }
-    scorePatterns(flagged, weights, fields, thresholdBits)
-  }
+
+  def scorePairs(pairs: DataFrame, weights: DataFrame, fields: Seq[Field],
+      thresholdBits: Int = 2): DataFrame =
+    scorePatterns(flagPairs(pairs, fields), weights, fields, thresholdBits)
 
   /** Score rows that already carry the per-field `agree_<f>` PATTERN
     * flags (1/0/NULL, [[scorePairs]]' convention) — the persisted-

@@ -2535,8 +2535,10 @@ object DedupQueries {
       // nested-cache plan rendering bounded — an InMemoryRelation
       // re-prints its whole child plan at every scan site, so deep
       // cached-inside-cached subtrees explode the printed plan (and
-      // driver planning work) multiplicatively
-      .localCheckpoint(true)
+      // driver planning work) multiplicatively. LAZY (round 14): the
+      // first consumer's job materializes it — an eager checkpoint was
+      // one more driver job dispatch in a probe whose wall is job count
+      .localCheckpoint(false)
     val weights = RecordLinkage.fieldWeightsFromCounts(vcMerged, erFsFields)
     tap("weights", weights)
     // (2) key-only blocking on the merged corpus — with both corpus-wide
@@ -2553,11 +2555,13 @@ object DedupQueries {
         spark.read.parquet(s"$base/snm_hist"),
         snmKeyed(delta), "skey", "doc_id")
       // feeds BOTH sides of the SNM pair join and (when rolling) the
-      // next generation's index artifact; eager localCheckpoint — the
-      // merged rank relation is 3 narrow columns and must materialize
-      // anyway, and truncation stops the deep merge lineage from being
-      // replicated per consumer in the plan
-      .localCheckpoint(true)
+      // next generation's index artifact; localCheckpoint — the merged
+      // rank relation is 3 narrow columns and must materialize anyway,
+      // and truncation stops the deep merge lineage from being
+      // replicated per consumer in the plan. LAZY (round 14): the first
+      // SNM-join job materializes it in-pass instead of a dedicated
+      // checkpoint job
+      .localCheckpoint(false)
     val candM = fsBlockCandidatesFrom(records, ranked, Some(heads)).persist()
     tap("blocking_candM", candM)
     val candH = spark.read.parquet(s"$base/candidates")
@@ -2571,27 +2575,46 @@ object DedupQueries {
     // pattern nullness cannot route.
     // localCheckpoint (not persist): both branches scan it, and a cached
     // relation re-prints its whole child plan per scan site — the pair
-    // relation is narrow (keys + tier flags + 4 small ints), so eager
-    // truncation is cheap and keeps the printed plan/exchange budget flat
+    // relation is narrow (keys + tier flags + 4 small ints), so
+    // truncation is cheap and keeps the printed plan/exchange budget
+    // flat. LAZY (round 14): the carried branch's first job
+    // materializes it, saving the dedicated checkpoint dispatch
+    // __hdec rides along: the OLD decision distinguishes carried links
+    // that were old edges (both endpoints in one old cluster by
+    // construction) from everything else — the raw-edge routing below
+    // exploits that to skip one corpus-scale labels join (round 14)
     val markedM = candM.join(
-      candH.select(Seq(col("id_a"), col("id_b"), lit(1).as("__h")) ++
+      candH.select(Seq(col("id_a"), col("id_b"), lit(1).as("__h"),
+        col("decision").as("__hdec")) ++
         FsM.map { case (n, _, _) => col(s"agree_$n") }: _*),
-      Seq("id_a", "id_b"), "left").localCheckpoint(true)
+      Seq("id_a", "id_b"), "left").localCheckpoint(false)
     val carried = markedM.filter(col("__h").isNotNull).drop("__h")
     val newPairs = markedM.filter(col("__h").isNull)
-      .drop("__h" +: FsM.map { case (n, _, _) => s"agree_$n" }: _*)
+      .drop(Seq("__h", "__hdec") ++
+        FsM.map { case (n, _, _) => s"agree_$n" }: _*)
       .join(erSide(records, "a"), "id_a").join(erSide(records, "b"), "id_b")
     // patterns ride along: the rolled candidates artifact must carry
     // them (the NEXT merge re-scores from patterns, never payloads)
     val scoreCols = Seq(col("id_a"), col("id_b"), col("from_head"),
       col("from_snm"), col("score_fix"), col("decision")) ++
       FsM.map { case (n, _, _) => col(s"agree_$n") }
-    val scoredM = RecordLinkage
-      .scorePatterns(carried, weights, erFsFields).select(scoreCols: _*)
-      .unionByName(RecordLinkage
-        .scorePairs(newPairs, weights, erFsFields).select(scoreCols: _*))
-    val links = scoredM.filter(col("decision") === 1)
-      .select("id_a", "id_b", "score_fix", "from_head", "from_snm")
+    // flag the new pairs FIRST, union with the carried patterns, score
+    // ONCE (round 14): the previous per-branch scorePatterns/scorePairs
+    // pair broadcast the pivoted weights twice and duplicated the score
+    // projection — one pass is plan-identical per row and drops a
+    // broadcast + an aggregation subtree from the probe
+    val patternCols = Seq(col("id_a"), col("id_b"), col("from_head"),
+      col("from_snm")) ++ FsM.map { case (n, _, _) => col(s"agree_$n") }
+    val scoredAll = RecordLinkage.scorePatterns(
+      carried.select(patternCols :+ col("__hdec"): _*).unionByName(
+        RecordLinkage.flagPairs(newPairs, erFsFields)
+          .select(patternCols :+
+            lit(null).cast("int").as("__hdec"): _*)),
+      weights, erFsFields)
+    val scoredM = scoredAll.select(scoreCols: _*)
+    val links = scoredAll.filter(col("decision") === 1)
+      .select("id_a", "id_b", "score_fix", "from_head", "from_snm",
+        "__hdec")
       .persist() // feeds CC, edge stats, and the removed-edge diff
     tap("score_links", links)
     // (4) decremental-aware incremental CC: an old link that did not
@@ -2601,17 +2624,35 @@ object DedupQueries {
     val removed = candH.filter(col("decision") === 1)
       .select("id_a", "id_b")
       .join(links.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+    // id_a alone identifies the invalidated cluster: a removed pair had
+    // decision=1 in the OLD generation, so its endpoints were connected
+    // by that very edge and labelsH assigns both the SAME cluster_id —
+    // the id_b union branch only re-derived it (round 14: one endpoint
+    // projection + a half-sized distinct instead of union + distinct)
     val affected = labelsH.join(
-        removed.select(col("id_a").as("doc_id"))
-          .unionByName(removed.select(col("id_b").as("doc_id"))).distinct(),
-        "doc_id")
+        removed.select(col("id_a").as("doc_id")).distinct(), "doc_id")
       .select("cluster_id").distinct().withColumn("__aff", lit(1))
     val stars = labelsH.join(affected, Seq("cluster_id"), "left_anti")
       .select(col("doc_id").as("a"), col("cluster_id").as("b"))
     // raw edges: every current link EXCEPT those both of whose endpoints
     // sit in the SAME unaffected old cluster (the star already carries
-    // that connectivity — this is the reuse)
-    val rawEdges = links
+    // that connectivity — this is the reuse). Split by __hdec (round
+    // 14): a carried link whose OLD decision was 1 WAS an old edge, so
+    // labelsH assigns both endpoints the SAME cluster — the exclusion
+    // test collapses to "is that one cluster affected", ONE labels
+    // lookup instead of two. That branch is the corpus-scale bulk of a
+    // stable nightly (old edges that survived); the general two-lookup
+    // path runs only on the delta-scale remainder (new pairs + carried
+    // pairs whose old decision was not 1).
+    val linksOld = links.filter(col("__hdec") === 1)
+      .join(labelsH.select(col("doc_id").as("id_a"),
+        col("cluster_id").as("__ca")), Seq("id_a"), "left")
+      .join(affected.select(col("cluster_id").as("__ca"),
+        col("__aff")), Seq("__ca"), "left")
+      .filter(col("__aff").isNotNull)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val linksNew = links
+      .filter(col("__hdec").isNull || col("__hdec") =!= 1)
       .join(labelsH.select(col("doc_id").as("id_a"),
         col("cluster_id").as("__ca")), Seq("id_a"), "left")
       .join(labelsH.select(col("doc_id").as("id_b"),
@@ -2621,6 +2662,7 @@ object DedupQueries {
       .filter(col("__ca").isNull || col("__cb").isNull ||
         col("__ca") =!= col("__cb") || col("__aff").isNotNull)
       .select(col("id_a").as("a"), col("id_b").as("b"))
+    val rawEdges = linksOld.unionByName(linksNew)
     // persist the CC input: components() evaluates its edge relation
     // twice (the eager dedup checkpoint AND the node spine) — uncached,
     // the full stars∪rawEdges tree re-executed both times (measured:
@@ -2630,24 +2672,25 @@ object DedupQueries {
     // localCheckpoint (components' own lineage discipline): labels feed
     // members, edge stats, AND touch detection — without truncation each
     // consumer re-executes the stars∪rawEdges tree and the printed plan
-    // multiplies it ~30× (first pin came out at 3655 exchanges)
+    // multiplies it ~30× (first pin came out at 3655 exchanges). LAZY
+    // (round 14): the members join materializes it in-pass
     val labels = graft.graphs.ConnectedComponents
       .components(ccInput)
       .withColumnRenamed("id", "doc_id")
       .withColumnRenamed("component", "cluster_id")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     tap("cc_labels", labels)
-    val members = records.join(labels, "doc_id").select(
-      col("cluster_id"), col("doc_id").as("id"),
-      (col("doc_id") % 11).as("ver"),
-      when(col("f_lang") =!= "xx", col("f_lang")).as("lang"),
-      col("f_source").as("source")).persist()
     // (5) survivorship only where membership changed: a new cluster is
     // UNTOUCHED iff its members are exactly one old cluster's members
     // (same labeled set, same old size) — then its min-id label, hence
-    // its golden row, is unchanged by construction
+    // its golden row, is unchanged by construction. Membership status
+    // needs only (cluster_id, doc_id), which is `labels` VERBATIM —
+    // members = records ⋈ labels adds payload fields the status agg
+    // never reads (round 14: the corpus-wide records join now runs only
+    // for TOUCHED clusters' golden recompute, the actual incremental
+    // contract — at 100 TB that join is corpus-sized, touched is not)
     val goldenH = spark.read.parquet(s"$base/golden")
-    val status = members.select("cluster_id", "id")
+    val status = labels.select(col("cluster_id"), col("doc_id").as("id"))
       .join(labelsH.select(col("doc_id").as("id"),
         col("cluster_id").as("__old")), Seq("id"), "left")
       .groupBy("cluster_id")
@@ -2661,8 +2704,14 @@ object DedupQueries {
       .persist() // read twice: the touched filter and the reuse filter
     tap("survivorship_status", status)
     val touched = status.filter(!col("__untouched")).select("cluster_id")
+    val members = records
+      .join(labels.join(touched, "cluster_id"), "doc_id").select(
+        col("cluster_id"), col("doc_id").as("id"),
+        (col("doc_id") % 11).as("ver"),
+        when(col("f_lang") =!= "xx", col("f_lang")).as("lang"),
+        col("f_source").as("source"))
     val golden = graft.ops.Survivorship
-      .golden(members.join(touched, "cluster_id"), "cluster_id", "id",
+      .golden(members, "cluster_id", "id",
         Seq("ver"), Seq("lang", "source"))
       .unionByName(goldenH.join(
         status.filter(col("__untouched")).select("cluster_id"),
@@ -3024,7 +3073,9 @@ object DedupQueries {
     val vcMerged = spark.read.parquet(s"$base/value_counts")
       .unionByName(RecordLinkage.valueCounts(delta, erFsFields))
       .groupBy("field", "v").agg(sum("c").as("c"))
-      .localCheckpoint(true) // weights + head histogram; tiny relation
+      // weights + head histogram; tiny relation. Lazy (round 14):
+      // materialized by its first consumer's job
+      .localCheckpoint(false)
     val weights = RecordLinkage
       .fieldWeightsFromCounts(vcMerged, erFsFields)
       .unionByName(bodyWeightRow(spark))
@@ -3034,7 +3085,8 @@ object DedupQueries {
         spark.read.parquet(s"$base/snm_rank"),
         spark.read.parquet(s"$base/snm_hist"),
         snmKeyed(delta), "skey", "doc_id")
-      .localCheckpoint(true) // both SNM join sides; truncate the merge
+      // both SNM join sides; truncate the merge. Lazy (round 14)
+      .localCheckpoint(false)
     val candM = fsBlockCandidatesFrom(records, ranked, Some(heads),
       snmWindow = ErpSnmWindow).persist()
     val candH = spark.read.parquet(s"$base/candidates")
@@ -3043,17 +3095,21 @@ object DedupQueries {
     val markedM = candM.join(
       candH.select(Seq(col("id_a"), col("id_b"), lit(1).as("__h")) ++
         erpFieldNames.map(n => col(s"agree_$n")): _*),
-      Seq("id_a", "id_b"), "left").localCheckpoint(true)
+      Seq("id_a", "id_b"), "left").localCheckpoint(false)
     val carried = markedM.filter(col("__h").isNotNull).drop("__h")
     val newPairs = markedM.filter(col("__h").isNull)
       .drop("__h" +: erpFieldNames.map(n => s"agree_$n"): _*)
       .join(erpSide(records, "a"), "id_a")
       .join(erpSide(records, "b"), "id_b")
-    RecordLinkage.scorePatterns(carried, weights, erpFields)
+    // one scorePatterns pass over carried ∪ freshly-flagged (round 14:
+    // erMergeStep's rationale — one weights broadcast, one projection)
+    val patternCols = Seq(col("id_a"), col("id_b"), col("from_head"),
+      col("from_snm")) ++ erpFieldNames.map(n => col(s"agree_$n"))
+    RecordLinkage.scorePatterns(
+      carried.select(patternCols: _*).unionByName(
+        erpFlag(newPairs).select(patternCols: _*)),
+      weights, erpFields)
       .select(erpOutCols: _*)
-      .unionByName(RecordLinkage
-        .scorePatterns(erpFlag(newPairs), weights, erpFields)
-        .select(erpOutCols: _*))
       .orderBy("id_a", "id_b")
   }
 

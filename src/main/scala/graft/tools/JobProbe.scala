@@ -31,6 +31,11 @@ object JobProbe {
         starts.synchronized {
           val d = Option(j.properties)
             .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .filter(_.nonEmpty)
+            // fall back to the job's terminal stage callsite — with no
+            // description set this is the only clue to which operator
+            // dispatched the job
+            .orElse(j.stageInfos.lastOption.map(_.name))
             .getOrElse("").replace('\n', ' ').take(90)
           starts(j.jobId) = (j.time, d) }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
@@ -85,6 +90,12 @@ object JobProbe {
     println(f"[jobprobe] $name wall=$wall%.2f s jobs=$nJobs jobWallSum=$jobWall%.2f s interJobGap=$gaps%.2f s tasks=${nTasks.get()} taskTimeSum=${taskTime.get()/1e3}%.2f s")
     jobs.sortBy(j => -(j._3 - j._2)).take(15).foreach { j =>
       println(f"[jobprobe]   job ${j._1}%4d ${(j._3 - j._2)/1e3}%6.2f s  ${j._4}")
+    }
+    // callsite histogram: jobs and wall grouped by dispatching operator
+    jobs.groupBy(_._4).map { case (d, js) =>
+      (js.size, js.map(j => j._3 - j._2).sum / 1e3, d)
+    }.toSeq.sortBy(-_._2).foreach { case (n, w, d) =>
+      println(f"[jobprobe]   bysite n=$n%3d wall=$w%6.2f s  $d")
     }
     stages.sortBy(s => -s._3).take(15).foreach { s =>
       println(f"[jobprobe]   stage ${s._1}%4d tasks=${s._2}%4d ${s._3}%6.2f s  ${s._4}")
